@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Core relational inventory: scans, range filters, point lookups,
+  * re-key aggregation, upsert-merge — the messdb operator algebra
+  * (SURVEY.md §2.1/§2.2: O1–O3, O7, O9, O12, O15) expressed Spark-first —
+  * plus TPC-H-style headline aggregations and joins.
+  *
+  * Reference semantics: mergeTries n-way last-wins merge
+  * (/root/reference/messdb-base/src/MessDB/Trie.hs:297-430),
+  * sortTrie map+shuffle+reduce (Trie.hs:433-470),
+  * rangeFilterTrie key-range pruning (Trie.hs:472-510).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (flagship aggregate: map-side partial
+    * agg + single shuffle on the tiny group key). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = cents($"l_extendedprice")
+    val dc = lit(100L) - cents($"l_discount") * 1L // 100 - discount-cents
+    val tc = lit(100L) + cents($"l_tax") * 1L
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        (sum(pc) / 100.0).as("sum_base_price"),
+        (sum(pc * dc) / 10000.0).as("sum_disc_price"),
+        (sum(pc * dc * tc) / 1000000.0).as("sum_charge"),
+        (sum($"l_quantity").cast("long").cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1PricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       | SUM(${centsSql("l_extendedprice")}) / CAST(100.0 AS DOUBLE) AS sum_base_price,
+       | SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
+       | SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) * (100 + ${centsSql("l_tax")})) / CAST(1000000.0 AS DOUBLE) AS sum_charge,
+       | CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty,
+       | COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top-10 BUILDING-segment orders by revenue.
+    * customer is the small side → broadcast. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        / 10000.0).as("revenue"))
+      .select($"o_orderkey", $"revenue", to_date($"o_orderdate").as("o_orderdate"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q3TopRevenueSql: String =
+    s"""SELECT o_orderkey,
+       | SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / CAST(10000.0 AS DOUBLE) AS revenue,
+       | CAST(o_orderdate AS DATE) AS o_orderdate
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue per nation for ASIA customers; dims broadcast. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables(s, dir, "region").where($"r_name" === "ASIA")
+    val nation = Tables(s, dir, "nation")
+    val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        / 10000.0).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5NationRevenueSql: String =
+    s"""SELECT n_name,
+       | SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / CAST(10000.0 AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** messdb O1/O7/O15: n-way merge with last-wins fold — base table merged
+    * with a delta (10% of keys, bumped value); the delta wins per key.
+    * `max_by(v, src)` keeps the fold order explicit (Trie.hs:396-401 folds
+    * in input order; src index carries that order through the shuffle). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    val base = ord.select($"o_orderkey".as("k"),
+      cents($"o_totalprice").as("v"), lit(0).as("src"))
+    val delta = ord.where($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey".as("k"),
+        (cents($"o_totalprice") + 10000L).as("v"), lit(1).as("src"))
+    base.unionByName(delta)
+      .groupBy($"k")
+      .agg(max_by($"v", $"src").as("v"))
+      .orderBy($"k")
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS v, 0 AS src
+       |  FROM orders),
+       |delta AS (
+       |  SELECT o_orderkey AS k, ${centsSql("o_totalprice")} + 10000 AS v, 1 AS src
+       |  FROM orders WHERE o_orderkey % 10 = 0),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+       |SELECT k, MAX_BY(v, src) AS v FROM u GROUP BY k ORDER BY k""".stripMargin
+
+  /** messdb O1 with a summing fold: merge event-value deltas per user —
+    * the commutative FoldFunc case. */
+  def mergeFoldSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val a = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("k"), cents($"value").as("v"))
+    val b = ev.where($"event_type" === "click")
+      .select($"user_id".as("k"), cents($"value").as("v"))
+    a.unionByName(b).groupBy($"k").agg(sum($"v").as("v")).orderBy($"k")
+  }
+
+  val mergeFoldSumSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id AS k, ${centsSql("value")} AS v FROM events
+       |  WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id AS k, ${centsSql("value")} AS v FROM events
+       |  WHERE event_type = 'click')
+       |SELECT k, CAST(SUM(v) AS BIGINT) AS v FROM u GROUP BY k ORDER BY k""".stripMargin
+
+  /** messdb O3/O12: PK range filter — pushed to the parquet scan
+    * (min/max row-group pruning = the reference's subtree pruning). */
+  def rangeFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .where($"l_orderkey" >= 1000 && $"l_orderkey" < 2000)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val rangeFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** messdb O12 singleton range: point lookup by PK. */
+  def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .where($"o_orderkey" === 100L)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
+  }
+
+  val pointLookupSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderpriority
+      |FROM orders WHERE o_orderkey = 100""".stripMargin
+
+  /** messdb O2/O11 sortTable: re-key lineitem to l_partkey and fold —
+    * map + shuffle + reduce-by-key in one declarative plan. */
+  def rekeyAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey".as("k"))
+      .agg(sum($"l_quantity").cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"k")
+  }
+
+  val rekeyAggregateSql: String =
+    """SELECT l_partkey AS k, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      | COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  /** messdb O9 tableToRows: full ordered scan. */
+  def scanOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "nation").orderBy($"n_nationkey")
+  }
+
+  val scanOrderedSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  val queries: Map[String, QFn] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "merge_upsert" -> (mergeUpsert _),
+    "merge_fold_sum" -> (mergeFoldSum _),
+    "range_filter" -> (rangeFilter _),
+    "point_lookup" -> (pointLookup _),
+    "rekey_aggregate" -> (rekeyAggregate _),
+    "scan_ordered" -> (scanOrdered _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q3_top_revenue" -> q3TopRevenueSql,
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "merge_upsert" -> mergeUpsertSql,
+    "merge_fold_sum" -> mergeFoldSumSql,
+    "range_filter" -> rangeFilterSql,
+    "point_lookup" -> pointLookupSql,
+    "rekey_aggregate" -> rekeyAggregateSql,
+    "scan_ordered" -> scanOrderedSql)
+}
