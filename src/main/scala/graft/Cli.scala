@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The messdb-tool analogue (/root/reference/messdb-tool/src/messdb-tool.hs:34-54):
+  * import / export / schema / query against a store+catalog, driven from
+  * the command line. Also the SURVEY §7.3 "minimum end-to-end slice":
+  * ingest → canonicalize+hash → upsert-merge into named table → range
+  * query → export JSON; a second identical ingest is a 100% memo hit,
+  * observable in the printed stats.
+  *
+  * Usage:
+  *   graft.Cli <storeDir> import-parquet <table> <path> <keyCols,>
+  *   graft.Cli <storeDir> import-csv <table> <path> <keyCols,>
+  *   graft.Cli <storeDir> range <table> <lo> <hi>
+  *   graft.Cli <storeDir> lookup <table> <key>
+  *   graft.Cli <storeDir> export-json <table>
+  *   graft.Cli <storeDir> export-csv <table> <outDir>
+  *   graft.Cli <storeDir> print-schema <table>
+  *   graft.Cli <storeDir> tables
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case storeDir :: rest =>
+      val store = new GraftStore(storeDir)
+      val ops = new Ops(spark, store,
+        sys.env.getOrElse("SPARK_GRAFT_CHUNK_ROWS", "8192").toLong)
+      val cat = new Catalog(store)
+      rest match {
+        case "import-parquet" :: table :: path :: keys :: Nil =>
+          importDf(ops, cat, table, spark.read.parquet(path), keys.split(",").toSeq)
+        case "import-csv" :: table :: path :: keys :: Nil =>
+          // header-row CSV, columns matched by name (Tool/Csv.hs:22-64);
+          // schema inferred unless the table already exists in the catalog
+          val existing = cat.schemaOf(table)
+          val reader = spark.read.option("header", "true")
+          val df = existing match {
+            case Some(s) => reader.schema(s).csv(path)
+            case None => reader.option("inferSchema", "true").csv(path)
+          }
+          importDf(ops, cat, table, df, keys.split(",").toSeq)
+        case "range" :: table :: lo :: hi :: Nil =>
+          val ref = need(cat, table)
+          val m = ops.meta(ref)
+          val (loV, hiV) = (parseKey(m, lo), parseKey(m, hi))
+          val out = ops.rangeFilter(ref,
+            Some(Bound(Seq(loV), inclusive = true)),
+            Some(Bound(Seq(hiV), inclusive = false)))
+          ops.scanOrdered(out).toJSON.collect().foreach(println)
+          printStats(store)
+        case "lookup" :: table :: key :: Nil =>
+          val ref = need(cat, table)
+          ops.lookup(ref, Seq(parseKey(ops.meta(ref), key)))
+            .toJSON.collect().foreach(println)
+        case "export-json" :: table :: Nil =>
+          // JSON-lines export (Tool/Json.hs:16-32), ordered scan
+          ops.scanOrdered(need(cat, table)).toJSON.collect().foreach(println)
+        case "export-csv" :: table :: outDir :: Nil =>
+          ops.scanOrdered(need(cat, table)).coalesce(1)
+            .write.mode("overwrite").option("header", "true").csv(outDir)
+          println(s"wrote $outDir")
+        case "print-schema" :: table :: Nil =>
+          val m = ops.meta(need(cat, table))
+          println(s"""{"keyCols":${m.keyCols.mkString("[\"", "\",\"", "\"]")},"schema":${m.schema.json}}""")
+        case "tables" :: Nil =>
+          cat.root.toSeq.sortBy(_._1).foreach { case (n, e) =>
+            println(s"$n\t${e.tableHash}\tkeys=${e.keyCols.mkString(",")}")
+          }
+        case other =>
+          System.err.println(s"unknown command: ${other.mkString(" ")}")
+          sys.exit(2)
+      }
+    case Nil =>
+      System.err.println("usage: graft.Cli <storeDir> <command> ...")
+      sys.exit(2)
+  }
+
+  private def importDf(ops: Ops, cat: Catalog, table: String,
+      df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
+    val incoming = ops.fromDataFrame(df, keys)
+    val merged = cat.get(table) match {
+      case Some(existing) => ops.upsert(existing, incoming) // last wins
+      case None => incoming
+    }
+    val root = cat.put(table, merged)
+    println(s"table=$table hash=${merged.hash} rows=${ops.meta(merged).rows} root=$root")
+    printStats(ops.store)
+  }
+
+  private def need(cat: Catalog, table: String): TableRef =
+    cat.get(table).getOrElse {
+      System.err.println(s"no such table: $table"); sys.exit(2)
+    }
+
+  private def parseKey(m: TableMeta, s: String): Any = {
+    import org.apache.spark.sql.types._
+    m.schema(m.keyCols.head).dataType match {
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case _ => s
+    }
+  }
+
+  private def printStats(store: GraftStore): Unit =
+    println(store.stats.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("stats: ", " ", ""))
+}

@@ -1,0 +1,170 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonicalization: DataFrame → content-addressed, PK-sorted,
+  * content-defined chunks.
+  *
+  * The reference's trie shape is a pure function of the key set (canonical
+  * form invariants, /root/reference/messdb-base/src/MessDB/Trie.hs:124-129),
+  * which is what makes hashing history-independent. We get the same
+  * property with content-defined chunking: a key k starts a new chunk iff
+  * xxhash64(keyBytes(k)) % chunkTargetRows == 0. Boundary-ness is
+  * intrinsic to the key, so the chunk decomposition depends only on the
+  * key SET — not on insertion order, partitioning, or prior versions —
+  * and an insert/delete only perturbs its own chunk (and possibly one
+  * neighbor), the analogue of radix-trie locality.
+  *
+  * Scale posture: boundary keys are 1/chunkTargetRows of rows (default
+  * 1/8192). They are collected to the driver and broadcast for chunk-id
+  * assignment; at 100 TB with 64 MB chunks that list is ~1.6M entries ×
+  * ~key bytes — still driver-feasible, but the design point for beyond
+  * that is to keep the boundary set as its own table and range-join
+  * (documented, not needed at test scale).
+  */
+object Canonical {
+
+  val KB = "_graft_kb" // order-preserving key bytes
+  val CHUNK = "_graft_chunk"
+
+  /** Seed for the boundary hash — part of the format version. */
+  private val BoundarySeed = 42L
+
+  def boundaryHash(keyBytes: Array[Byte]): Long =
+    // xxhash64, same function Spark's `xxhash64` expression uses, so the
+    // executor-side column and driver-side meta checks agree.
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      keyBytes, BinaryType, BoundarySeed)
+
+  def isBoundaryKey(keyBytes: Array[Byte], target: Long): Boolean = {
+    val m = boundaryHash(keyBytes) % target
+    (if (m < 0) m + target else m) == 0
+  }
+
+  /** Reorder to canonical column order: key cols first, then remaining in
+    * schema order. */
+  def canonicalColumns(schema: StructType, keyCols: Seq[String]): Seq[String] =
+    keyCols ++ schema.fieldNames.filterNot(keyCols.contains)
+
+  /** Canonical nullability: key columns non-null, value columns nullable —
+    * aggregation/union plans flip nullability flags incidentally, and the
+    * canonical form must not depend on plan history. */
+  def normalizeSchema(schema: StructType, keyCols: Seq[String]): StructType =
+    StructType(schema.fields.map(f => f.copy(nullable = !keyCols.contains(f.name))))
+
+  /** Add the key-bytes column via the order-preserving codec. */
+  def withKeyBytes(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val schema = normalizeSchema(df.schema, keyCols)
+    val enc = KeyCodec.rowEncoder(schema, keyCols)
+    val outSchema = schema.add(StructField(KB, BinaryType, nullable = false))
+    val outEnc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r => Row.fromSeq(r.toSeq :+ enc(r)) }
+    }(outEnc)
+  }
+
+  /** Materialize df (one row per key, columns already canonical-ordered)
+    * into the store; returns the stored TableMeta. */
+  def materialize(spark: SparkSession, store: GraftStore, df0: DataFrame,
+      keyCols: Seq[String], chunkTargetRows: Long): TableMeta = {
+    require(keyCols.nonEmpty, "key columns required")
+    val cols = canonicalColumns(df0.schema, keyCols)
+    val df = df0.select(cols.map(col): _*)
+    val schemaJson = normalizeSchema(df.schema, keyCols).json
+
+    val kbDf = withKeyBytes(df, keyCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1. boundary keys (intrinsic: hash(keyBytes) % target == 0)
+      val target = chunkTargetRows
+      val isB = pmod(xxhash64(col(KB)), lit(target)) === 0
+      val boundaries: Array[Array[Byte]] = kbDf.where(isB).select(col(KB))
+        .collect().map(_.getAs[Array[Byte]](0))
+        .sortWith(Hashing.compareBytes(_, _) < 0)
+      val bcB = spark.sparkContext.broadcast(boundaries)
+
+      // 2. chunk id = #boundaries <= keyBytes (boundary keys START chunks)
+      val chunkIdUdf = udf { (kb: Array[Byte]) =>
+        val bs = bcB.value
+        var lo = 0; var hi = bs.length // first index with bs(i) > kb
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+
+      val tmpDir = Files.createTempDirectory("graft-canon-").toString
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      kbDf.withColumn(CHUNK, chunkIdUdf(col(KB)))
+        .repartition(nPart, col(CHUNK))
+        .sortWithinPartitions(col(CHUNK) +: keyCols.map(col): _*)
+        .select((cols :+ CHUNK).map(col): _*)
+        .write.mode("overwrite").partitionBy(CHUNK).parquet(tmpDir)
+
+      // 3. per-chunk canonical hash from the written files (rows sorted by
+      //    key within each chunk file; row bytes are self-delimiting so
+      //    sorting by rowBytes == sorting by key)
+      // explicit schema: the dir may be empty (empty table), and the
+      // partition column must be typed IntegerType either way
+      val writtenSchema = df.schema.add(StructField(CHUNK, IntegerType))
+      val written = spark.read.schema(writtenSchema).parquet(tmpDir)
+      val rbEnc = KeyCodec.rowEncoder(
+        StructType(df.schema.fields), cols)
+      val kEnc = KeyCodec.rowEncoder(StructType(df.schema.fields), keyCols)
+      val hashInSchema = StructType(Seq(
+        StructField(CHUNK, IntegerType), StructField("kb", BinaryType),
+        StructField("rb", BinaryType)))
+      val hashInEnc = RowEncoder.encoderFor(hashInSchema)
+      val colIdx = cols.map(written.schema.fieldIndex)
+      val chunkIdx = written.schema.fieldIndex(CHUNK)
+      val perRow = written.mapPartitions { it =>
+        it.map { r =>
+          val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
+          Row(r.get(chunkIdx), kEnc(proj), rbEnc(proj))
+        }
+      }(hashInEnc)
+      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
+        Hashing.sha256Hex(rbs.toSeq)
+      }
+      val chunkRows = perRow.groupBy(col(CHUNK))
+        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
+          count(lit(1)).as("rows"),
+          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
+        .collect()
+
+      // 4. move chunk files into the content-addressed store
+      val metas = chunkRows.map { r =>
+        val id = r.getAs[Int](CHUNK)
+        val hash = r.getAs[String]("hash")
+        val dir = Paths.get(tmpDir, s"$CHUNK=$id")
+        val files = Files.list(dir).filter(_.toString.endsWith(".parquet"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        require(files.length == 1,
+          s"expected exactly one file per chunk, got ${files.length} for chunk $id")
+        store.saveChunk(hash, files.head)
+        ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
+          Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
+      }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+
+      deleteRecursively(Paths.get(tmpDir))
+      val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
+      store.saveTableMeta(meta)
+      meta
+    } finally {
+      kbDf.unpersist()
+      ()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    }
+  }
+}

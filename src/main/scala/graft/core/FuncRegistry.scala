@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Named fold: combines colliding values per key. The NAME is the cache
+  * identity, exactly like the reference's FuncKey discipline
+  * (/root/reference/messdb-base/src/MessDB/Trie.hs:513-521,
+  * /root/reference/messdb-schema/src/MessDB/Table.hs:62-78): operation
+  * hashes include `key`, so changing a fold's behavior requires a new key.
+  *
+  * `agg(valueCol)` must produce aggregate expressions evaluated per key
+  * group; `_graft_src` (the input-table index, 0-based left-to-right)
+  * carries the reference's explicit left-to-right fold order
+  * (Trie.hs:396-401) through the shuffle.
+  */
+trait FoldSpec extends Serializable {
+  def key: String
+  /** One aggregate Column per value column (aliased to the column name). */
+  def aggs(valueCols: Seq[String]): Seq[Column]
+}
+
+object FoldSpec {
+  val SRC = "_graft_src"
+
+  /** Default last-writer-wins (`fold_to_last`, Trie.hs:523-529): the value
+    * from the highest source index wins. */
+  case object FoldLast extends FoldSpec {
+    val key = "fold_to_last"
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map(c => max_by(col(c), col(SRC)).as(c))
+  }
+
+  /** Commutative numeric sum fold. */
+  case object FoldSum extends FoldSpec {
+    val key = "fold_sum"
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map(c => sum(col(c)).as(c))
+  }
+
+  case object FoldMin extends FoldSpec {
+    val key = "fold_min"
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map(c => min(col(c)).as(c))
+  }
+
+  case object FoldMax extends FoldSpec {
+    val key = "fold_max"
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map(c => max(col(c)).as(c))
+  }
+}
+
+/** Named row transform: (k,v) → (k',v') over the whole table, possibly
+  * re-keying — the reference's TransformFunc (Trie.hs:520, total, 1→1;
+  * our Spark variant may also drop/expand rows since `select`/`where`
+  * naturally allow it). Output key collisions are folded by the
+  * accompanying FoldSpec, mirroring sortTrie (Trie.hs:433-470). */
+trait TransformSpec extends Serializable {
+  def key: String
+  def outKeyCols: Seq[String]
+  def apply(df: DataFrame): DataFrame
+}
+
+object TransformSpec {
+  def apply(k: String, keyCols: Seq[String])(f: DataFrame => DataFrame): TransformSpec =
+    new TransformSpec {
+      val key = k
+      val outKeyCols = keyCols
+      def apply(df: DataFrame): DataFrame = f(df)
+    }
+}
+
+/** String-keyed registries so operations can be replayed from names —
+  * the engine-side FuncKey table. */
+final class FuncRegistry {
+  private val folds = scala.collection.concurrent.TrieMap[String, FoldSpec](
+    FoldSpec.FoldLast.key -> FoldSpec.FoldLast,
+    FoldSpec.FoldSum.key -> FoldSpec.FoldSum,
+    FoldSpec.FoldMin.key -> FoldSpec.FoldMin,
+    FoldSpec.FoldMax.key -> FoldSpec.FoldMax)
+  private val transforms = scala.collection.concurrent.TrieMap[String, TransformSpec]()
+
+  def registerFold(f: FoldSpec): Unit = { folds.put(f.key, f); () }
+  def registerTransform(t: TransformSpec): Unit = { transforms.put(t.key, t); () }
+  def fold(key: String): FoldSpec = folds.getOrElse(key,
+    throw new NoSuchElementException(s"unregistered fold: $key"))
+  def transform(key: String): TransformSpec = transforms.getOrElse(key,
+    throw new NoSuchElementException(s"unregistered transform: $key"))
+}

@@ -1,0 +1,181 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Order-preserving binary encodings for key columns, plus deterministic
+  * (not necessarily order-preserving) encodings for value columns.
+  *
+  * The reference requires that key serialization "retain the same order as
+  * original values" when compared bytewise
+  * (/root/reference/messdb-schema/src/MessDB/Table/Types.hs:34-44): signed
+  * ints are big-endian with the sign bit flipped, floats are IEEE bits with
+  * sign-flip / full complement for negatives, byte strings use an escaped
+  * encoding whose terminator sorts below any content. We re-derive the same
+  * properties with independent, simpler encodings — the property that
+  * matters (compare(a,b) == compare(enc(a),enc(b))) is tested, not the
+  * byte layout.
+  *
+  * These encodings exist ONLY for canonical content hashing and
+  * deterministic chunk boundaries; Catalyst compares natively everywhere
+  * else (SURVEY.md §1.6).
+  */
+object KeyCodec {
+
+  // ---- primitive order-preserving encoders ----------------------------
+
+  /** Signed long → 8 bytes big-endian with sign bit flipped. */
+  def encodeLong(buf: ByteBuf, v: Long): Unit = {
+    val x = v ^ Long.MinValue
+    var i = 56
+    while (i >= 0) { buf += ((x >>> i) & 0xff).toByte; i -= 8 }
+  }
+
+  def encodeInt(buf: ByteBuf, v: Int): Unit = {
+    val x = v ^ Int.MinValue
+    var i = 24
+    while (i >= 0) { buf += ((x >>> i) & 0xff).toByte; i -= 8 }
+  }
+
+  def encodeShort(buf: ByteBuf, v: Short): Unit = {
+    val x = v ^ Short.MinValue
+    buf += ((x >>> 8) & 0xff).toByte; buf += (x & 0xff).toByte
+  }
+
+  def encodeByteV(buf: ByteBuf, v: Byte): Unit =
+    buf += (v ^ 0x80).toByte
+
+  /** Double → total-order bits (sign flip for positives, full complement
+    * for negatives), big-endian. NaN sorts above all (as in
+    * java.lang.Double.compare). */
+  def encodeDouble(buf: ByteBuf, v: Double): Unit = {
+    val bits = java.lang.Double.doubleToLongBits(v) // canonical NaN
+    val x = if (bits < 0) ~bits else bits ^ Long.MinValue
+    var i = 56
+    while (i >= 0) { buf += ((x >>> i) & 0xff).toByte; i -= 8 }
+  }
+
+  def encodeFloat(buf: ByteBuf, v: Float): Unit = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    val x = if (bits < 0) ~bits else bits ^ Int.MinValue
+    var i = 24
+    while (i >= 0) { buf += ((x >>> i) & 0xff).toByte; i -= 8 }
+  }
+
+  /** Variable-length bytes: escape 0x00 as (0x00,0xFF), terminate with
+    * (0x00,0x00). Prefixes order correctly; the terminator sorts below
+    * any content byte — same property as the reference's base-7
+    * continuation encoding (Types.hs:141-177), simpler layout. */
+  def encodeBytes(buf: ByteBuf, v: Array[Byte]): Unit = {
+    var i = 0
+    while (i < v.length) {
+      val b = v(i)
+      if (b == 0) { buf += 0; buf += -1 } else buf += b
+      i += 1
+    }
+    buf += 0; buf += 0
+  }
+
+  /** UTF-8 preserves code-point order (Types.hs:181-183). */
+  def encodeString(buf: ByteBuf, v: String): Unit =
+    encodeBytes(buf, v.getBytes(StandardCharsets.UTF_8))
+
+  // ---- row-level encoding ---------------------------------------------
+
+  final class ByteBuf(initial: Int = 64) {
+    private var arr = new Array[Byte](initial)
+    private var len = 0
+    def +=(b: Byte): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = b; len += 1
+    }
+    def appendRaw(bs: Array[Byte]): Unit = { var i = 0; while (i < bs.length) { this += bs(i); i += 1 } }
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+    def reset(): Unit = len = 0
+    def length: Int = len
+  }
+
+  type FieldEnc = (ByteBuf, Any) => Unit
+
+  /** Encoder for one field; null → 0x00, non-null → 0x01 ++ payload
+    * (NULLS FIRST, like the reference's Maybe encoding Types.hs:188-196). */
+  def fieldEncoder(dt: DataType): FieldEnc = {
+    val base: FieldEnc = dt match {
+      case LongType => (b, v) => encodeLong(b, v.asInstanceOf[Long])
+      case IntegerType => (b, v) => encodeInt(b, v.asInstanceOf[Int])
+      case ShortType => (b, v) => encodeShort(b, v.asInstanceOf[Short])
+      case ByteType => (b, v) => encodeByteV(b, v.asInstanceOf[Byte])
+      case DoubleType => (b, v) => encodeDouble(b, v.asInstanceOf[Double])
+      case FloatType => (b, v) => encodeFloat(b, v.asInstanceOf[Float])
+      case BooleanType => (b, v) => b += (if (v.asInstanceOf[Boolean]) 1 else 0)
+      case StringType => (b, v) => encodeString(b, v.asInstanceOf[String])
+      case BinaryType => (b, v) => encodeBytes(b, v.asInstanceOf[Array[Byte]])
+      case TimestampType => (b, v) =>
+        encodeLong(b, DateTimeUtil.timestampMicros(v))
+      case TimestampNTZType => (b, v) =>
+        encodeLong(b, DateTimeUtil.localMicros(v))
+      case DateType => (b, v) => encodeInt(b, DateTimeUtil.dateDays(v))
+      case ArrayType(et, _) =>
+        val elem = fieldEncoder(et)
+        (b, v) => {
+          val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+          // element-count-last so that prefix arrays sort first: encode each
+          // element with a 0x01 continuation marker, terminate with 0x00.
+          seq.foreach { e => b += 1; elem(b, e) }
+          b += 0
+        }
+      case st: StructType =>
+        val encs = st.fields.map(f => fieldEncoder(f.dataType))
+        (b, v) => {
+          val r = v.asInstanceOf[Row]
+          var i = 0
+          while (i < encs.length) { encs(i)(b, if (r.isNullAt(i)) null else r.get(i)); i += 1 }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported key/value type: $other")
+    }
+    (b, v) => if (v == null) b += 0 else { b += 1; base(b, v) }
+  }
+
+  /** Row → canonical bytes for the given column indices. */
+  def rowEncoder(schema: StructType, cols: Seq[String]): Row => Array[Byte] = {
+    val idx = cols.map(schema.fieldIndex).toArray
+    val encs = idx.map(i => fieldEncoder(schema.fields(i).dataType))
+    row => {
+      val buf = new ByteBuf(64)
+      var i = 0
+      while (i < idx.length) {
+        val j = idx(i)
+        encs(i)(buf, if (row.isNullAt(j)) null else row.get(j))
+        i += 1
+      }
+      buf.toBytes
+    }
+  }
+}
+
+/** External-type conversions for temporal values as surfaced by Row. */
+object DateTimeUtil {
+  def timestampMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case l: java.lang.Long => l
+    case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
+  def localMicros(v: Any): Long = v match {
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    case l: java.lang.Long => l
+    case other => throw new IllegalArgumentException(s"not a local timestamp: $other")
+  }
+  def dateDays(v: Any): Int = v match {
+    case d: java.sql.Date => Math.toIntExact(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Math.toIntExact(d.toEpochDay)
+    case i: java.lang.Integer => i
+    case other => throw new IllegalArgumentException(s"not a date: $other")
+  }
+}

@@ -1,0 +1,343 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Reference to a stored canonical table (the TableRef analogue,
+  * /root/reference/messdb-schema/src/MessDB/Table.hs:46-60). */
+final case class TableRef(hash: String)
+
+/** Inclusive/exclusive typed key-prefix bound (KeyRange ends,
+  * /root/reference/messdb-base/src/MessDB/Trie.hs:540-545). */
+final case class Bound(prefix: Seq[Any], inclusive: Boolean)
+
+/** The memoized operator algebra: merge / transform / rangeFilter (+
+  * ingest and scan), each computing an operation hash from (opcode,
+  * function keys, params, input table hashes) and consulting the memo
+  * store before running any Spark job — mirroring
+  * /root/reference/messdb-base/src/MessDB/Trie.hs:282-312,446-452,481-486.
+  *
+  * Incrementality: merge reuses chunks verbatim when their key region is
+  * untouched by other inputs (the single-source passthrough of
+  * Trie.hs:346-348); rangeFilter passes interior chunks through and
+  * rewrites at most the edge chunks (the prefix-pruning of
+  * Trie.hs:472-510). Both reuse is O(delta), not O(table) — the property
+  * that makes 100 TB view refresh feasible.
+  */
+final class Ops(val spark: SparkSession, val store: GraftStore,
+    val chunkTargetRows: Long = 8192, val registry: FuncRegistry = new FuncRegistry) {
+
+  import FoldSpec.SRC
+
+  // ---- ingest ----------------------------------------------------------
+
+  /** Bulk load (tableFromRows analogue, Table.hs:125-140): fold duplicate
+    * keys (last occurrence wins for FoldLast, using the input row order
+    * index), canonicalize, store. */
+  def fromDataFrame(df: DataFrame, keyCols: Seq[String],
+      fold: FoldSpec = FoldSpec.FoldLast): TableRef = {
+    val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    val folded = df.withColumn(SRC, monotonically_increasing_id())
+      .groupBy(keyCols.map(col): _*)
+      .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+    val meta = Canonical.materialize(spark, store, folded, keyCols, chunkTargetRows)
+    TableRef(meta.tableHash)
+  }
+
+  def emptyTable(schema: StructType, keyCols: Seq[String]): TableRef = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val meta = Canonical.materialize(spark, store, df, keyCols, chunkTargetRows)
+    TableRef(meta.tableHash)
+  }
+
+  // ---- scan ------------------------------------------------------------
+
+  def meta(ref: TableRef): TableMeta = store.loadTableMeta(ref.hash)
+
+  /** Full scan (tableToRows analogue). Unordered; the table's sorted-map
+    * semantics are recovered with scanOrdered. */
+  def scan(ref: TableRef): DataFrame = {
+    val m = meta(ref)
+    if (m.chunks.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema)
+      .parquet(m.chunks.map(c => store.chunkPath(c.hash)): _*)
+  }
+
+  def scanOrdered(ref: TableRef): DataFrame = {
+    val m = meta(ref)
+    scan(ref).orderBy(m.keyCols.map(col): _*)
+  }
+
+  // ---- merge (O1) ------------------------------------------------------
+
+  /** N-way merge with per-key fold; left-to-right input order is carried
+    * by the source index so non-commutative folds (fold_to_last) match the
+    * reference's input-order fold (Trie.hs:396-401). */
+  def merge(refs: Seq[TableRef], fold: FoldSpec): TableRef = {
+    require(refs.nonEmpty, "merge of zero tables")
+    val metas = refs.map(meta)
+    val schemaJson = metas.head.schemaJson
+    val keyCols = metas.head.keyCols
+    require(metas.forall(m => m.schemaJson == schemaJson && m.keyCols == keyCols
+      && m.chunkTargetRows == chunkTargetRows),
+      "merge requires identically-shaped tables")
+    val nonEmpty = refs.zip(metas).filter(_._2.chunks.nonEmpty)
+    if (nonEmpty.isEmpty) return refs.head
+    if (nonEmpty.length == 1) return nonEmpty.head._1
+    // idempotence fast path: merging any number of copies of one table is
+    // the identity for per-key folds over distinct keys (TrieSpec.hs:31-38)
+    if (nonEmpty.map(_._1.hash).distinct.length == 1) return nonEmpty.head._1
+
+    val opHash = Hashing.sha256Hex(Seq(
+      "graft-op-merge-v1".getBytes, fold.key.getBytes,
+      chunkTargetRows.toString.getBytes,
+      refs.map(_.hash).mkString(",").getBytes))
+    TableRef(store.memoized(opHash) {
+      computeMerge(nonEmpty.map(_._2), fold).tableHash
+    })
+  }
+
+  private def computeMerge(metas: Seq[TableMeta], fold: FoldSpec): TableMeta = {
+    val keyCols = metas.head.keyCols
+    val valueCols = metas.head.valueCols
+    val chunks: Seq[(Int, ChunkMeta)] =
+      metas.zipWithIndex.flatMap { case (m, i) => m.chunks.map(c => (i, c)) }
+
+    // Merged-keyspace region structure: boundary keys are intrinsic
+    // (hash(key) % target == 0), chunk interiors contain none, so the
+    // merged table's boundary set = union of the inputs' boundary chunk
+    // starts — all available from metadata, no data read.
+    val boundaries: Array[Array[Byte]] = chunks
+      .map(_._2.minKey)
+      .filter(Canonical.isBoundaryKey(_, chunkTargetRows))
+      .sortWith(Hashing.compareBytes(_, _) < 0)
+      .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+        if (acc.nonEmpty && Hashing.compareBytes(acc.last, k) == 0) acc
+        else acc :+ k
+      }.toArray
+
+    def regionOf(kb: Array[Byte]): Int = {
+      var lo = 0; var hi = boundaries.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (Hashing.compareBytes(boundaries(mid), kb) <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    val nRegions = boundaries.length + 1
+    val regionChunks = Array.fill(nRegions)(List.empty[(Int, ChunkMeta)])
+    val dirty = new Array[Boolean](nRegions)
+    chunks.foreach { case (src, c) =>
+      val rLo = regionOf(c.minKey); val rHi = regionOf(c.maxKey)
+      var r = rLo
+      while (r <= rHi) {
+        regionChunks(r) ::= ((src, c))
+        if (rLo != rHi) dirty(r) = true // spanning chunk must split
+        r += 1
+      }
+    }
+    (0 until nRegions).foreach { r =>
+      if (regionChunks(r).length > 1) dirty(r) = true
+    }
+
+    val passthrough = (0 until nRegions).iterator.flatMap { r =>
+      if (!dirty(r)) regionChunks(r).map(_._2) else Nil
+    }.toVector
+
+    val dirtyChunks: Seq[(Int, ChunkMeta)] = (0 until nRegions).iterator
+      .flatMap(r => if (dirty(r)) regionChunks(r) else Nil)
+      .toVector.distinctBy { case (s, c) => (s, c.hash) }
+
+    val recomputed: Seq[ChunkMeta] =
+      if (dirtyChunks.isEmpty) Nil
+      else {
+        val bySrc = dirtyChunks.groupBy(_._1)
+        val parts = bySrc.toSeq.sortBy(_._1).map { case (src, cs) =>
+          spark.read.schema(metas.head.schema)
+            .parquet(cs.map(c => store.chunkPath(c._2.hash)): _*)
+            .withColumn(SRC, lit(src.toLong))
+        }
+        val union = parts.reduce(_.unionByName(_))
+        val folded = union.groupBy(keyCols.map(col): _*)
+          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        Canonical.materialize(spark, store, folded, keyCols, chunkTargetRows).chunks
+      }
+
+    val all = (passthrough ++ recomputed)
+      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    val meta = TableMeta(metas.head.schemaJson, keyCols, chunkTargetRows, all)
+    store.saveTableMeta(meta)
+    meta
+  }
+
+  /** Upsert (tableInsert analogue, Table.hs:142-143): merge with a
+    * singleton/delta table, last-wins. */
+  def upsert(base: TableRef, delta: TableRef): TableRef =
+    merge(Seq(base, delta), FoldSpec.FoldLast)
+
+  // ---- transform (O2) --------------------------------------------------
+
+  /** Column-level transform spec: Ops controls the projection so the
+    * source-order index survives for deterministic collision folds. */
+  def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
+    val opHash = Hashing.sha256Hex(Seq(
+      "graft-op-transform-v1".getBytes, t.key.getBytes, fold.key.getBytes,
+      chunkTargetRows.toString.getBytes, ref.hash.getBytes))
+    TableRef(store.memoized(opHash) {
+      val m = meta(ref)
+      val src = Canonical.withKeyBytes(scan(ref), m.keyCols)
+      val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
+      val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
+        .filterNot(_ == SRC).toSeq
+      val folded = projected.groupBy(t.outKeyCols.map(col): _*)
+        .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+      Canonical.materialize(spark, store, folded, t.outKeyCols, chunkTargetRows)
+        .tableHash
+    })
+  }
+
+  // ---- range filter (O3) -----------------------------------------------
+
+  /** Keep keys within [lower, upper] (each end optional,
+    * inclusive/exclusive, on a typed key prefix). Interior chunks pass
+    * through untouched; at most the edge chunks are rewritten. */
+  def rangeFilter(ref: TableRef, lower: Option[Bound], upper: Option[Bound]): TableRef = {
+    val m = meta(ref)
+    val enc = boundBytes(m.schema, m.keyCols, _: Bound)
+    val loB = lower.map(b => (enc(b), b.inclusive))
+    val hiB = upper.map(b => (enc(b), b.inclusive))
+    val opHash = Hashing.sha256Hex(Seq(
+      "graft-op-range-v1".getBytes,
+      loB.map(b => Hashing.hex(b._1) + b._2).getOrElse("-inf").getBytes,
+      hiB.map(b => Hashing.hex(b._1) + b._2).getOrElse("+inf").getBytes,
+      ref.hash.getBytes))
+    TableRef(store.memoized(opHash) {
+      computeRange(m, lower, upper, loB, hiB).tableHash
+    })
+  }
+
+  private def computeRange(m: TableMeta, lower: Option[Bound], upper: Option[Bound],
+      loB: Option[(Array[Byte], Boolean)], hiB: Option[(Array[Byte], Boolean)]): TableMeta = {
+    def passesLow(kb: Array[Byte]): Boolean = loB.forall { case (b, inc) =>
+      val c = Hashing.compareBytes(kb, b)
+      if (inc) c >= 0 || startsWith(kb, b)
+      else c > 0 && !startsWith(kb, b)
+    }
+    def passesHigh(kb: Array[Byte]): Boolean = hiB.forall { case (b, inc) =>
+      val c = Hashing.compareBytes(kb, b)
+      if (inc) c <= 0 || startsWith(kb, b)
+      else c < 0 && !startsWith(kb, b)
+    }
+    // in / out / intersects — the keyPrefixRangeRelation analogue
+    // (/root/reference/messdb-base/src/MessDB/Trie/Path.hs:117-145)
+    val keep = Vector.newBuilder[ChunkMeta]
+    val edges = Vector.newBuilder[ChunkMeta]
+    m.chunks.foreach { c =>
+      val minIn = passesLow(c.minKey) && passesHigh(c.minKey)
+      val maxIn = passesLow(c.maxKey) && passesHigh(c.maxKey)
+      if (minIn && maxIn) keep += c
+      else if (passesHigh(c.minKey) && passesLow(c.maxKey)) edges += c
+      // else: fully out — dropped without reading (subtree pruning)
+    }
+    val edgeChunks = edges.result()
+    val recomputed: Seq[ChunkMeta] =
+      if (edgeChunks.isEmpty) Nil
+      else {
+        val df = spark.read.schema(m.schema)
+          .parquet(edgeChunks.map(c => store.chunkPath(c.hash)): _*)
+          .where(rangePredicate(m.keyCols, lower, upper))
+        Canonical.materialize(spark, store, df, m.keyCols, chunkTargetRows).chunks
+      }
+    val all = (keep.result() ++ recomputed)
+      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    val out = TableMeta(m.schemaJson, m.keyCols, chunkTargetRows, all)
+    store.saveTableMeta(out)
+    out
+  }
+
+  /** Point lookup (tableKeyRangeSingleton, Table.hs:151-168): prune to the
+    * chunk(s) containing the key, read only those. */
+  def lookup(ref: TableRef, key: Seq[Any]): DataFrame = {
+    val m = meta(ref)
+    val kb = boundBytes(m.schema, m.keyCols, Bound(key, inclusive = true))
+    val hit = m.chunks.filter(c =>
+      Hashing.compareBytes(c.minKey, kb) <= 0 &&
+        (Hashing.compareBytes(kb, c.maxKey) <= 0 || startsWith(c.maxKey, kb)))
+    if (hit.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else {
+      val pred = m.keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)
+      spark.read.schema(m.schema)
+        .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
+    }
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def startsWith(full: Array[Byte], prefix: Array[Byte]): Boolean =
+    full.length >= prefix.length && {
+      var i = 0
+      while (i < prefix.length) { if (full(i) != prefix(i)) return false; i += 1 }
+      true
+    }
+
+  private def boundBytes(schema: StructType, keyCols: Seq[String], b: Bound): Array[Byte] = {
+    val buf = new KeyCodec.ByteBuf(32)
+    b.prefix.zipWithIndex.foreach { case (v, i) =>
+      val dt = schema(keyCols(i)).dataType
+      KeyCodec.fieldEncoder(dt)(buf, v)
+    }
+    buf.toBytes
+  }
+
+  /** Lexicographic tuple-prefix predicate over typed key columns. */
+  def rangePredicate(keyCols: Seq[String], lower: Option[Bound],
+      upper: Option[Bound]): Column = {
+    def cmp(vals: Seq[Any], strict: Boolean, gt: Boolean): Column = {
+      // gt: key > prefix (or >= if !strict); !gt: key < prefix (or <=)
+      val n = vals.length
+      def rec(i: Int): Column =
+        if (i == n - 1) {
+          val c = col(keyCols(i)); val v = lit(vals(i))
+          if (gt) { if (strict) c > v else c >= v }
+          else { if (strict) c < v else c <= v }
+        } else {
+          val c = col(keyCols(i)); val v = lit(vals(i))
+          val head = if (gt) c > v else c < v
+          head || (c === v && rec(i + 1))
+        }
+      rec(0)
+    }
+    val lo = lower.map(b => cmp(b.prefix, strict = !b.inclusive, gt = true))
+    val hi = upper.map(b => cmp(b.prefix, strict = !b.inclusive, gt = false))
+    (lo, hi) match {
+      case (Some(l), Some(h)) => l && h
+      case (Some(l), None) => l
+      case (None, Some(h)) => h
+      case (None, None) => lit(true)
+    }
+  }
+}
+
+/** Projection-style transform: named output columns (aliased), a subset of
+  * which are the new key — the TransformFunc analogue with Ops-controlled
+  * projection so the source index column survives. */
+trait ColTransform extends Serializable {
+  def key: String
+  def outKeyCols: Seq[String]
+  def columns: Seq[Column]
+}
+
+object ColTransform {
+  def apply(k: String, keys: Seq[String], cols: Seq[Column]): ColTransform =
+    new ColTransform {
+      val key = k
+      val outKeyCols = keys
+      val columns = cols
+    }
+}

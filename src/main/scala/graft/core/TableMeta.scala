@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One immutable chunk: a PK-sorted parquet file named by the SHA-256 of
+  * its canonical row bytes; min/max key kept for pruning (the analogue of
+  * the reference's trie path prefixes). Keys are hex of the
+  * order-preserving KeyCodec encoding. */
+final case class ChunkMeta(hash: String, minKeyHex: String, maxKeyHex: String,
+    rows: Long) {
+  def minKey: Array[Byte] = Hashing.unhex(minKeyHex)
+  def maxKey: Array[Byte] = Hashing.unhex(maxKeyHex)
+}
+
+/** Canonical table = schema + key columns + chunk list sorted by minKey.
+  * Table hash (content identity, the trieHash analogue —
+  * /root/reference/messdb-base/src/MessDB/Trie.hs:237-240) is the SHA-256
+  * of the canonical meta string; equal logical content ⇒ equal chunking
+  * (content-defined boundaries) ⇒ equal hash, independent of history. */
+final case class TableMeta(schemaJson: String, keyCols: Seq[String],
+    chunkTargetRows: Long, chunks: Seq[ChunkMeta]) {
+
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def valueCols: Seq[String] = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+  def rows: Long = chunks.map(_.rows).sum
+
+  /** The content identity: depends only on schema, key cols, chunk
+    * granularity, and the ordered chunk content hashes. */
+  def tableHash: String = Hashing.sha256Hex(Seq(
+    "graft-table-v1".getBytes, schemaJson.getBytes,
+    keyCols.mkString(",").getBytes, chunkTargetRows.toString.getBytes,
+    chunks.map(_.hash).mkString(",").getBytes))
+
+  def toJson: String = {
+    import JsonDSL._
+    val j: JObject =
+      ("schema" -> JsonMethods.parse(schemaJson)) ~
+      ("keyCols" -> keyCols) ~
+      ("chunkTargetRows" -> chunkTargetRows) ~
+      ("chunks" -> chunks.map(c =>
+        ("hash" -> c.hash) ~ ("min" -> c.minKeyHex) ~ ("max" -> c.maxKeyHex) ~
+        ("rows" -> c.rows)))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+}
+
+object TableMeta {
+  def fromJson(json: String): TableMeta = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    TableMeta(
+      schemaJson = JsonMethods.compact(JsonMethods.render(j \ "schema")),
+      keyCols = (j \ "keyCols").extract[Seq[String]],
+      chunkTargetRows = (j \ "chunkTargetRows").extract[Long],
+      chunks = (j \ "chunks").extract[Seq[JValue]].map { c =>
+        ChunkMeta((c \ "hash").extract[String], (c \ "min").extract[String],
+          (c \ "max").extract[String], (c \ "rows").extract[Long])
+      })
+  }
+}

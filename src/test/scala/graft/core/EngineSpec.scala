@@ -1,0 +1,251 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import scala.util.Random
+
+/** Model-based tests of the canonical table + memoized op algebra, ported
+  * from the reference's trie model tests
+  * (/root/reference/messdb-base/test/MessDB/Test/TrieSpec.hs): a
+  * scala Map is the oracle for merge/transform/range; plus the
+  * determinism property (same rows, any input order/partitioning ⇒ same
+  * table hash) and the memo/incrementality contracts. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
+
+  private def newOps(target: Long = 8): Ops = {
+    val dir = Files.createTempDirectory("graft-test-").toString
+    new Ops(spark, new GraftStore(dir), target)
+  }
+
+  private def contents(ops: Ops, ref: TableRef): Map[String, Long] =
+    ops.scan(ref).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Random keys over a small alphabet (heavy prefix collisions), like
+    * TrieSpec's 3/26-letter generators. */
+  private def randRows(rnd: Random, n: Int, alpha: Int = 3): Seq[(String, Long)] =
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(6)
+      val k = (0 until len).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+      k -> rnd.nextLong(1000)
+    }
+
+  test("determinism: same rows under shuffled order and different partitioning => same hash") {
+    val ops = newOps()
+    val rnd = new Random(7)
+    val rows = randRows(rnd, 200, 26).distinctBy(_._1)
+    val r1 = ops.fromDataFrame(df(rows), Seq("k"))
+    val r2 = ops.fromDataFrame(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rnd.shuffle(rows).map(r => Row(r._1, r._2)), 7),
+        schema), Seq("k"))
+    assert(r1.hash == r2.hash)
+  }
+
+  test("fromDataFrame folds duplicate keys last-wins; contents match model") {
+    val ops = newOps()
+    val rows = Seq("a" -> 1L, "b" -> 2L, "a" -> 3L, "c" -> 4L, "b" -> 5L)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    // model: last occurrence wins
+    val model = rows.foldLeft(Map.empty[String, Long])(_ + _)
+    assert(contents(ops, ref) == model)
+  }
+
+  test("merge vs Map model, last-wins and sum folds, random sets") {
+    val ops = newOps()
+    val rnd = new Random(42)
+    (1 to 5).foreach { _ =>
+      val a = randRows(rnd, rnd.nextInt(120), 3).distinctBy(_._1)
+      val b = randRows(rnd, rnd.nextInt(120), 3).distinctBy(_._1)
+      val ra = ops.fromDataFrame(df(a), Seq("k"))
+      val rb = ops.fromDataFrame(df(b), Seq("k"))
+      val last = ops.merge(Seq(ra, rb), FoldSpec.FoldLast)
+      assert(contents(ops, last) == (a.toMap ++ b.toMap), "last-wins")
+      val sum = ops.merge(Seq(ra, rb), FoldSpec.FoldSum)
+      val model = (a ++ b).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(contents(ops, sum) == model, "sum fold")
+    }
+  }
+
+  test("merge idempotence: t merged with itself N times == t (TrieSpec.hs:31-38)") {
+    val ops = newOps()
+    val rows = randRows(new Random(1), 150, 3).distinctBy(_._1)
+    val t = ops.fromDataFrame(df(rows), Seq("k"))
+    val merged = ops.merge(Seq.fill(5)(t), FoldSpec.FoldLast)
+    assert(merged.hash == t.hash, "canonical form: merge with self is identity")
+  }
+
+  test("merge is memoized: second identical merge does zero work") {
+    val ops = newOps()
+    val rnd = new Random(9)
+    val ra = ops.fromDataFrame(df(randRows(rnd, 100).distinctBy(_._1)), Seq("k"))
+    val rb = ops.fromDataFrame(df(randRows(rnd, 100).distinctBy(_._1)), Seq("k"))
+    val m1 = ops.merge(Seq(ra, rb), FoldSpec.FoldLast)
+    ops.store.stats.reset()
+    val m2 = ops.merge(Seq(ra, rb), FoldSpec.FoldLast)
+    assert(m1.hash == m2.hash)
+    assert(ops.store.stats.snapshot("memoHits") == 1)
+    assert(ops.store.stats.snapshot("chunkSaves") == 0, "no recompute on memo hit")
+  }
+
+  test("incremental merge: small delta reuses almost all chunks (Trie.hs:346-348)") {
+    val ops = newOps(target = 16)
+    val rnd = new Random(5)
+    val base = (0 until 2000).map(i => f"key$i%05d" -> rnd.nextLong(100))
+    val rbase = ops.fromDataFrame(df(base), Seq("k"))
+    val nBase = ops.meta(rbase).chunks.length
+    assert(nBase > 20, s"want many chunks, got $nBase")
+    // delta: 5 updated keys
+    val delta = Seq("key00100" -> 999L, "key00101" -> 999L, "key01900" -> 999L,
+      "keyzzz" -> 1L, "key01500" -> 999L)
+    val rdelta = ops.fromDataFrame(df(delta), Seq("k"))
+    ops.store.stats.reset()
+    val merged = ops.upsert(rbase, rdelta)
+    val saved = ops.store.stats.snapshot("chunkSaves")
+    val mMeta = ops.meta(merged)
+    assert(contents(ops, merged) == (base.toMap ++ delta.toMap))
+    assert(saved < nBase / 2,
+      s"incremental merge should rewrite few chunks: rewrote $saved of $nBase")
+    // most result chunks are shared with the base table (same hashes)
+    val baseHashes = ops.meta(rbase).chunks.map(_.hash).toSet
+    val shared = mMeta.chunks.count(c => baseHashes.contains(c.hash))
+    assert(shared > mMeta.chunks.length / 2,
+      s"expected majority chunk reuse: $shared/${mMeta.chunks.length}")
+  }
+
+  test("incremental merge result hash == from-scratch hash (canonical form)") {
+    val ops = newOps(target = 16)
+    val rnd = new Random(11)
+    val base = (0 until 800).map(i => f"k$i%04d" -> rnd.nextLong(100))
+    val delta = Seq("k0100" -> 7777L, "knew1" -> 1L)
+    val rbase = ops.fromDataFrame(df(base), Seq("k"))
+    val rdelta = ops.fromDataFrame(df(delta), Seq("k"))
+    val incremental = ops.upsert(rbase, rdelta)
+    val scratch = ops.fromDataFrame(df((base.toMap ++ delta.toMap).toSeq), Seq("k"))
+    assert(incremental.hash == scratch.hash,
+      "history-independence: incremental and from-scratch builds agree")
+  }
+
+  test("range filter vs model with inclusive/exclusive/infinite ends") {
+    val ops = newOps(target = 8)
+    val rnd = new Random(3)
+    val rows = randRows(rnd, 300, 3).distinctBy(_._1)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val model = rows.toMap
+    val cases = Seq(
+      (Some(Bound(Seq("a"), true)), Some(Bound(Seq("b"), false))),
+      (Some(Bound(Seq("aa"), false)), None),
+      (None, Some(Bound(Seq("c"), true))),
+      (None, None),
+      (Some(Bound(Seq("b"), true)), Some(Bound(Seq("b"), true))))
+    cases.foreach { case (lo, hi) =>
+      val got = contents(ops, ops.rangeFilter(ref, lo, hi))
+      // single-column key: the bound covers the full key tuple, so the
+      // semantics are plain comparisons (tuple-prefix equality == string
+      // equality here; code-point order == byte order for a–z keys)
+      val want = model.filter { case (k, _) =>
+        lo.forall(b => if (b.inclusive) k >= b.prefix.head.toString
+          else k > b.prefix.head.toString) &&
+        hi.forall(b => if (b.inclusive) k <= b.prefix.head.toString
+          else k < b.prefix.head.toString)
+      }
+      assert(got == want, s"range $lo .. $hi")
+    }
+  }
+
+  test("range filter passes interior chunks through without rewriting") {
+    val ops = newOps(target = 16)
+    val base = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(base), Seq("k"))
+    ops.store.stats.reset()
+    val filtered = ops.rangeFilter(ref,
+      Some(Bound(Seq("key00100"), true)), Some(Bound(Seq("key01900"), false)))
+    val saved = ops.store.stats.snapshot("chunkSaves")
+    val total = ops.meta(ref).chunks.length
+    assert(saved <= 4, s"interior chunks must be reused: rewrote $saved of $total")
+    assert(contents(ops, filtered) ==
+      base.filter(r => r._1 >= "key00100" && r._1 < "key01900").toMap)
+  }
+
+  test("transform: re-key + fold matches model (TrieSpec.hs:40-45)") {
+    import org.apache.spark.sql.functions._
+    val ops = newOps()
+    val rows = randRows(new Random(8), 200, 3).distinctBy(_._1)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    // transform: key -> reverse(key), value kept; collisions folded by sum
+    val t = ColTransform("reverse_key_v1", Seq("k"),
+      Seq(reverse(col("k")).as("k"), col("v").as("v")))
+    val out = ops.transform(ref, t, FoldSpec.FoldSum)
+    val model = rows.toMap.toSeq.map { case (k, v) => k.reverse -> v }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(contents(ops, out) == model)
+    // memoized on second call
+    ops.store.stats.reset()
+    val out2 = ops.transform(ref, t, FoldSpec.FoldSum)
+    assert(out2.hash == out.hash && ops.store.stats.snapshot("chunkSaves") == 0)
+  }
+
+  test("catalog: put/get, versioned roots, old root remains valid (Repo.hs)") {
+    val ops = newOps()
+    val cat = new Catalog(ops.store)
+    assert(cat.root.isEmpty)
+    val t1 = ops.fromDataFrame(df(Seq("a" -> 1L)), Seq("k"))
+    val root1 = cat.put("t", t1)
+    assert(cat.get("t").contains(t1))
+    val t2 = ops.fromDataFrame(df(Seq("a" -> 2L)), Seq("k"))
+    val root2 = cat.put("t", t2)
+    assert(cat.get("t").contains(t2))
+    // old root is still readable (git-like snapshot)
+    assert(cat.rootAt(root1)("t").tableHash == t1.hash)
+    assert(root1 != root2)
+  }
+
+  test("store contract: chunk save idempotent, memo compute-once (testlib port)") {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val store = new GraftStore(dir)
+    var computes = 0
+    val h1 = store.memoized("op1") { computes += 1; "result1" }
+    val h2 = store.memoized("op1") { computes += 1; "result-different" }
+    assert(h1 == "result1" && h2 == "result1" && computes == 1,
+      "memo must compute once and return cached value thereafter")
+    // idempotent chunk save: second save of same hash discards the file
+    val f1 = Files.createTempFile("c", ".parquet"); Files.writeString(f1, "AAA")
+    val f2 = Files.createTempFile("c", ".parquet"); Files.writeString(f2, "BBB")
+    store.saveChunk("deadbeef", f1)
+    store.saveChunk("deadbeef", f2)
+    assert(Files.readString(java.nio.file.Paths.get(store.chunkPath("deadbeef"))) == "AAA")
+    assert(store.stats.snapshot("chunkSkips") == 1)
+  }
+
+  test("lookup: point query reads only the containing chunk") {
+    val ops = newOps(target = 16)
+    val base = (0 until 1000).map(i => f"key$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(base), Seq("k"))
+    val hit = ops.lookup(ref, Seq("key0500")).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 500L)
+    assert(ops.lookup(ref, Seq("nosuch")).collect().isEmpty)
+  }
+
+  test("empty and singleton tables (O5/O6)") {
+    val ops = newOps()
+    val e = ops.emptyTable(schema, Seq("k"))
+    assert(ops.scan(e).count() == 0)
+    val s1 = ops.fromDataFrame(df(Seq("x" -> 9L)), Seq("k"))
+    assert(contents(ops, s1) == Map("x" -> 9L))
+    // merging empty with t yields t's content and hash
+    val t = ops.fromDataFrame(df(Seq("a" -> 1L, "b" -> 2L)), Seq("k"))
+    val m = ops.merge(Seq(e, t), FoldSpec.FoldLast)
+    assert(m.hash == t.hash)
+  }
+}
