@@ -27,7 +27,10 @@ class QuerySmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).count()
     }
-    val empty = counts.filter(_._2 == 0)
+    // join_anti (parts never ordered) is legitimately empty at sf0.001
+    // where every part appears in lineitem; it has rows at sf0.01+.
+    val mayBeEmpty = Set("join_anti")
+    val empty = counts.filter(_._2 == 0).filterNot(c => mayBeEmpty(c._1))
     assert(empty.isEmpty, s"empty results: $empty")
   }
 

@@ -47,6 +47,12 @@ for name, sql in sorted(oracle.items()):
         continue
     eq = mine_s.equals(ref_s)
     if not eq:
+        dt_bad = [(c, str(mine_s[c].dtype), str(ref_s[c].dtype))
+                  for c in cols if str(mine_s[c].dtype) != str(ref_s[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            fails += 1
+            continue
         diff = (mine_s != ref_s) & ~(mine_s.isna() & ref_s.isna())
         bad = diff.any(axis=1)
         print(f"FAIL {name}: {bad.sum()} differing rows, e.g.:")
