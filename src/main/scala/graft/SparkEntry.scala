@@ -19,11 +19,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++
-      SetOps.queries ++ Scalars.queries ++ Events.queries
+      SetOps.queries ++ Scalars.queries ++ Events.queries ++
+      operators.Text.queries ++ operators.Dedup.queries ++
+      operators.Vectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
-      SetOps.oracles ++ Scalars.oracles ++ Events.oracles
+      SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
+      operators.Text.oracles ++ operators.Dedup.oracles ++
+      operators.Vectors.oracles
 }

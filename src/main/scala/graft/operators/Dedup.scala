@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact, fingerprint (canonicalized token set), shingle
+  * Jaccard via an inverted index, MinHash-LSH, SimHash. All scale
+  * linearly (inverted-index / banding joins, never an O(n²) cross join);
+  * jaccard thresholds compare with exact integer cross-multiplication so
+  * no float boundary exists.
+  */
+object Dedup {
+
+  /** 3-token shingles, distinct per doc. */
+  def shingles(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .withColumn("ts", split(col("text"), " "))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ts)-3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")))
+        .as("s"))
+  }
+
+  private val shinglesSql: String =
+    """SELECT doc_id,
+      |  unnest(list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |WHERE len(ts) >= 3""".stripMargin
+
+  /** Exact dedup: keep the minimum doc_id per distinct text (the
+    * deterministic dropDuplicates). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Fingerprint dedup: canonical token-set fingerprint groups; emit
+    * groups with >1 member (the near-dup clusters exact dedup misses). */
+  def dedupFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(split($"text", " "))))))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .where($"n_members" > 1)
+      .select($"keep_id", $"n_members", $"fp")
+      .orderBy($"keep_id")
+  }
+
+  val dedupFingerprintSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members, fp
+      |FROM (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
+
+  /** Near-dup pairs with 3-gram shingle Jaccard >= 0.5, via inverted
+    * index: join docs on shared shingles (linear in postings), count
+    * intersections, exact integer threshold 2*|A∩B| >= |A|+|B|-|A∩B|.
+    * At 100 TB the hot-shingle skew is bounded by dropping shingles with
+    * document frequency above a cap (not needed at test scale). */
+  def dedupShingle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), $"i" === $"sa.doc_id")
+      .join(sz.as("sb"), $"j" === $"sb.doc_id")
+      .where(lit(10) * $"c" >= lit(5) * ($"sa.n" + $"sb.n" - $"c"))
+      .select($"i", $"j",
+        $"c".as("n_common"), $"sa.n".as("n_i"), $"sb.n".as("n_j"))
+      .orderBy($"i", $"j")
+  }
+
+  val dedupShingleSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, c AS n_common, sa.n AS n_i, sb.n AS n_j
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE 10*c >= 5*(sa.n + sb.n - c)
+       |ORDER BY i, j""".stripMargin
+
+  // ---- MinHash-LSH (no SQL oracle: depends on xxhash64) ----------------
+
+  /** 64 minhash permutations h_i(x) = (a_i*x32 + b_i) mod P, banded into
+    * 16 bands of 4 rows (S-curve threshold ≈ 0.5); candidates share a
+    * band signature; candidates are then VERIFIED with exact shingle
+    * Jaccard, so the output equals the true >=0.5 pair set up to LSH
+    * recall (>= 1 - 2e-4 at j=0.8). */
+  val MinhashPerms = 64
+  val MinhashBands = 16
+  private val P = 4294967311L // prime > 2^32
+  private val perms: (Array[Long], Array[Long]) = {
+    // deterministic LCG-derived coefficients (a odd, < 2^30)
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state >>> 34 }
+    val as = Array.fill(MinhashPerms)((next() | 1L) % (1L << 30))
+    val bs = Array.fill(MinhashPerms)(next() % P)
+    (as, bs)
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    // per (doc, shingle): 64 permuted hashes; per doc: element-wise min
+    val permuted = sh
+      .withColumn("h32", xxhash64($"s").bitwiseAND(lit(0xffffffffL)))
+      .withColumn("aperm", typedLit(perms._1))
+      .withColumn("bperm", typedLit(perms._2))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, ${MinhashPerms - 1}), " +
+          "i -> pmod(aperm[i] * h32 + bperm[i], cast(4294967311 as bigint)))"))
+        .as(Seq("i", "v")))
+    val sig = permuted
+      .groupBy($"doc_id", $"i").agg(min($"v").as("mh"))
+      .withColumn("band", $"i" % MinhashBands)
+      .groupBy($"doc_id", $"band")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", ($"i" / MinhashBands).cast("int"), $"mh"))))).as("sig"))
+    val cands = sig.as("x").join(sig.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("i"), $"y.doc_id".as("j")).distinct()
+    verifyJaccard(sh, cands, num = 5, den = 10) // exact j >= 0.5
+      .orderBy($"i", $"j")
+  }
+
+  /** Join candidate pairs back to the shingle index and keep pairs with
+    * exact Jaccard >= num/den (integer cross-multiplied). */
+  private[operators] def verifyJaccard(sh: DataFrame, cands: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), $"i" === $"a.doc_id")
+      .join(sh.as("b"), $"j" === $"b.doc_id" && $"a.s" === $"b.s")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), $"i" === $"sa.doc_id")
+      .join(sz.as("sb"), $"j" === $"sb.doc_id")
+      .where(lit(den) * $"c" >= lit(num) * ($"sa.n" + $"sb.n" - $"c"))
+      .select($"i", $"j")
+  }
+
+  // ---- SimHash (no SQL oracle: JVM hash) -------------------------------
+
+  /** 64-bit SimHash over the 3-gram shingle set (unigram token sets are
+    * near-identical for same-vocabulary corpora — shingles separate);
+    * near-dups = Hamming distance <= 15, found by banding into 16 4-bit
+    * blocks (pigeonhole: any pair within distance 15 shares a block),
+    * then filtering on the exact distance. For a 100 TB corpus the
+    * 4-bit blocks are too collision-prone — use a 128-bit simhash with
+    * 8-bit blocks there; banding arithmetic is identical. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val simhashUdf = udf { (shs: scala.collection.Seq[String]) =>
+      val acc = new Array[Int](64)
+      shs.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val sim = shingles(s, dir)
+      .groupBy($"doc_id").agg(collect_list($"s").as("shs"))
+      .select($"doc_id", simhashUdf($"shs").as("sh")).cache()
+    val blocks = sim.select($"doc_id", $"sh", posexplode(expr(
+      "transform(sequence(0,15), b -> (sh >> (b*4)) & 15)")).as(Seq("b", "blk")))
+    blocks.as("x").join(blocks.as("y"),
+        $"x.b" === $"y.b" && $"x.blk" === $"y.blk" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
+        bit_count($"x.sh".bitwiseXOR($"y.sh")).as("hamming")).distinct()
+      .where($"hamming" <= 15)
+      .orderBy($"i", $"j")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_shingle" -> (dedupShingle _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  /** minhash/simhash are hash-function-dependent → no SQL oracle; the
+    * driver records rows-only checks and ScalaTest pins their semantics
+    * against the exact-jaccard ground truth. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_fingerprint" -> dedupFingerprintSql,
+    "dedup_shingle" -> dedupShingleSql)
+}

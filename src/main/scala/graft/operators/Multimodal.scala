@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * decoded/feature-extracted in partition batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): [[StubDecoder]] produces a deterministic fake frame from
+  * the payload bytes. Everything around it — the schema contract, the
+  * partition-batched invocation (one decoder instance per partition, the
+  * mapInPandas batch shape in Scala form), the output column layout — is
+  * real and tested; swapping in a real JNI/JavaCV decoder only replaces
+  * the [[Decoder]] implementation.
+  */
+object Multimodal {
+
+  /** One decoded frame: dimensions + a small feature vector. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  trait Decoder extends Serializable {
+    /** Decode one payload; called from executor partitions. */
+    def decode(payload: Array[Byte]): Row
+  }
+
+  /** STUB: a real implementation would parse the container format and
+    * run the codec. This fake derives deterministic dimensions from the
+    * byte length and a 4-float "embedding" from byte statistics, so the
+    * plumbing (batching, schema, partitioning) is exercised honestly. */
+  object StubDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Row = {
+      val w = payload.length % 64 + 1
+      val h = payload.length / 64 + 1
+      var s0 = 0L; var s1 = 0L
+      var i = 0
+      while (i < payload.length) {
+        s0 += payload(i) & 0xff
+        s1 ^= (payload(i) & 0xffL) << ((i % 8) * 8)
+        i += 1
+      }
+      val n = math.max(payload.length, 1)
+      Row(w, h, 1, Seq(
+        (s0.toDouble / n).toFloat, (s1 & 0xffff).toFloat,
+        ((s1 >>> 16) & 0xffff).toFloat, n.toFloat))
+    }
+  }
+
+  /** Decode a binary column into typed media columns, partition-batched:
+    * the decoder is instantiated once per partition and applied to the
+    * batch iterator (the Scala analogue of a pandas_udf over
+    * mapInPandas). Input: (id LONG, payload BINARY). */
+  def decodeBatches(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: decodedSchema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { batch =>
+      // per-partition decoder setup happens here (codec init, buffers)
+      val d = decoder
+      batch.map { r =>
+        val decoded = d.decode(r.getAs[Array[Byte]](pIdx))
+        Row.fromSeq(r.getLong(idIdx) +: decoded.toSeq)
+      }
+    }(enc)
+  }
+}

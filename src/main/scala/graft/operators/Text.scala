@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, document fingerprinting, and n-gram-heuristic
+  * language ID. All are pure column expressions (whole-stage codegen'd,
+  * no UDFs) and every metric uses exact integer arithmetic or a single
+  * final division so the DuckDB oracle hash-matches.
+  */
+object Text {
+
+  /** Stopword lists for the n-gram language heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "有", "和", "人", "不"))
+
+  /** Tokens / distinct tokens / type-token ratio / average token length /
+    * md5 fingerprint of the sorted distinct token set (canonical
+    * fingerprint dedup key). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("ts", split($"text", " "))
+      .select(
+        $"doc_id",
+        $"lang",
+        size($"ts").as("n_tokens"),
+        size(array_distinct($"ts")).as("n_distinct"),
+        (size(array_distinct($"ts")).cast("double") / size($"ts")).as("ttr"),
+        (aggregate(transform($"ts", t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size($"ts")).as("avg_len"),
+        md5(concat_ws(" ", array_sort(array_distinct($"ts"))))
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id, lang,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS ttr,
+      | CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS avg_len,
+      | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |   AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, short-token ratio, repetition —
+    * the heuristics used for pretraining-corpus filtering, as exact
+    * integer counts plus single divisions. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allStops = langStopwords.flatMap(_._2).distinct.sorted
+    Tables(s, dir, "documents")
+      .withColumn("ts", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"ts").as("n_tokens"),
+        size(filter($"ts", t => t.isin(allStops.map(x => x: Any): _*)))
+          .as("n_stop"),
+        (size(filter($"ts", t => t.isin(allStops.map(x => x: Any): _*)))
+          .cast("double") / size($"ts")).as("stop_ratio"),
+        size(filter($"ts", t => length(t) <= 2)).as("n_short"),
+        ($"n_chars" >= 100 && $"n_chars" <= 450).as("len_ok"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stops = langStopwords.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       | CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS INT) AS n_stop,
+       | CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS DOUBLE)
+       |   / len(string_split(text, ' ')) AS stop_ratio,
+       | CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS INT) AS n_short,
+       | n_chars >= 100 AND n_chars <= 450 AS len_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID: count distinct-token hits against each language's
+    * stopword list, argmax with deterministic tie-break (higher lang code
+    * wins ties — array_max over (score, lang) structs). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = langStopwords.map { case (lang, words) =>
+      struct(
+        size(array_intersect(array_distinct(split($"text", " ")),
+          lit(words.toArray))).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled"),
+        array_max(array(scored: _*)).getField("lang").as("guessed"),
+        array_max(array(scored: _*)).getField("score").as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String = {
+    def cnt(words: Seq[String]): String = {
+      val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), $l))"
+    }
+    val by = langStopwords.toMap
+    // descending lang order so ties resolve to the greater code, matching
+    // array_max over (score, lang) structs
+    s"""WITH c AS (SELECT doc_id, lang AS labeled,
+       |  ${cnt(by("de"))} AS de_c, ${cnt(by("en"))} AS en_c,
+       |  ${cnt(by("es"))} AS es_c, ${cnt(by("fr"))} AS fr_c,
+       |  ${cnt(by("zh"))} AS zh_c
+       | FROM documents)
+       |SELECT doc_id, labeled,
+       | CASE WHEN zh_c >= en_c AND zh_c >= de_c AND zh_c >= es_c AND zh_c >= fr_c THEN 'zh'
+       |      WHEN fr_c >= en_c AND fr_c >= de_c AND fr_c >= es_c THEN 'fr'
+       |      WHEN es_c >= en_c AND es_c >= de_c THEN 'es'
+       |      WHEN en_c >= de_c THEN 'en'
+       |      ELSE 'de' END AS guessed,
+       | CAST(GREATEST(de_c, en_c, es_c, fr_c, zh_c) AS INT) AS score
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Q._
+
+/** Similarity search over the embedding column (Array[Float]) and the
+  * multimodal binary-column plumbing.
+  *
+  * Determinism strategy: embeddings are quantized to integer
+  * ten-thousandths (`round(x*10000)` — exact in both engines), so dot
+  * products and norms are EXACT integer arithmetic, order-independent
+  * under aggregation; the only floating step is the single final
+  * `dot / sqrt(na*nb)`, which is correctly-rounded IEEE in both engines.
+  */
+object Vectors {
+
+  /** Quantized vector + squared norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "embeddings")
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
+      .withColumn("nq", expr(
+        "aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("label"), col("q"), col("nq"))
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-3: queries = vec_id < 10 (broadcast), corpus
+    * = the rest. The broadcast nested loop is the exact baseline; the
+    * LSH variant below is the scale path. */
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val qs = v.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nq".as("qn"))
+    val corpus = v.where($"vec_id" >= 10)
+    val scored = corpus.join(broadcast(qs))
+      .select($"query_id", $"vec_id",
+        (dot($"qq", $"q") /
+          sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val simTopkSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |      / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-dup pairs: cosine >= 0.4 decided ENTIRELY in integer
+    * arithmetic (dot>0 and 25·dot² >= 4·na·nb ⟺ cos >= 0.4) — no float
+    * threshold boundary at all. Self-join pruned by label block (the
+    * IVF-style partition key the generator provides). */
+  def simNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        dot($"a.q", $"b.q").as("d"),
+        $"a.nq".as("na"), $"b.nq".as("nb"))
+      .where($"d" > 0 && lit(25) * $"d" * $"d" >= lit(4) * $"na" * $"nb")
+      .select($"i", $"j")
+      .orderBy($"i", $"j")
+  }
+
+  val simNeardupSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv)
+      |SELECT a.vec_id AS i, b.vec_id AS j
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) > 0
+      |  AND 25 * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |         * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |      >= 4 * a.nq * b.nq
+      |ORDER BY i, j""".stripMargin
+
+  /** ANN via multi-table random-hyperplane LSH: 8 independent tables of
+    * 6-bit sign signatures from deterministic ±1 planes; candidates share
+    * any table's bucket, then exact cosine re-ranks the candidate union.
+    * No SQL oracle (JVM-derived planes); recall vs the brute-force
+    * baseline is pinned in ScalaTest. At 100 TB the bucket join replaces
+    * the broadcast nested loop and tables/bits trade recall for cost. */
+  val LshTables = 8
+  val LshBits = 6
+  private lazy val planes: Array[Array[Long]] = {
+    var state = 0x5deece66dL
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state >>> 30 }
+    Array.fill(LshTables * LshBits)(
+      Array.fill(64)(if ((next() & 1L) == 1L) 1L else -1L))
+  }
+
+  /** Array of per-table bucket signatures for a quantized vector. */
+  def lshSignatures(qCol: Column): Column = {
+    val sigs = (0 until LshTables).map { t =>
+      (0 until LshBits).map { b =>
+        val planeLit = typedLit(planes(t * LshBits + b))
+        when(aggregate(zip_with(qCol, planeLit, (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(sigs: _*)
+  }
+
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir).withColumn("sigs", lshSignatures($"q"))
+      .select($"vec_id", $"q", $"nq",
+        posexplode($"sigs").as(Seq("table", "sig")))
+    val qs = v.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nq".as("qn"),
+        $"table", $"sig")
+    val corpus = v.where($"vec_id" >= 10)
+    val cands = corpus.join(broadcast(qs), Seq("table", "sig")) // bucket join
+      .select($"query_id", $"vec_id", $"qq", $"qn", $"q", $"nq")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select($"query_id", $"vec_id",
+      (dot($"qq", $"q") / sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---- multimodal binary columns --------------------------------------
+
+  /** Multimodal metadata: treat the document text bytes as an opaque
+    * binary payload (the image/audio stand-in): exact byte length,
+    * SHA-256 content address, and a derived format tag — the schema/
+    * plumbing layer for binary columns, with the decode step stubbed in
+    * [[Multimodal]]. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("payload", encode($"text", "UTF-8").cast("binary"))
+      .select(
+        $"doc_id",
+        octet_length($"payload").as("n_bytes"),
+        sha2($"payload", 256).as("sha"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("modality"),
+        (octet_length($"payload") % 64 + 1).as("fake_width"),
+        (expr("cast(octet_length(payload) div 64 as int)") + 1).as("fake_height"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      | sha256(text) AS sha,
+      | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      | CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS fake_width,
+      | CAST(octet_length(encode(text)) // 64 AS INT) + 1 AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "sim_topk" -> (simTopk _),
+    "sim_neardup" -> (simNeardup _),
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" -> simTopkSql,
+    "sim_neardup" -> simNeardupSql,
+    "multimodal_meta" -> multimodalMetaSql)
+}

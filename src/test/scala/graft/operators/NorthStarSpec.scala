@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Pins the hash-function-dependent north-star ops (no SQL oracle) to
+  * ground truth computed with the exact operators. */
+class NorthStarSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH + verification equals exact shingle-jaccard pairs") {
+    val exact = pairs(Dedup.dedupShingle(spark, sf))
+    val lsh = pairs(Dedup.dedupMinhash(spark, sf))
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // verification makes precision exact; banding (16 bands × 4 rows)
+    // makes recall ≈ 1 at j >= 0.5 for this corpus
+    assert(lsh == exact,
+      s"minhash missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  }
+
+  test("simhash finds the planted near-dup clusters") {
+    val exact = pairs(Dedup.dedupShingle(spark, sf))
+    val sim = pairs(Dedup.dedupSimhash(spark, sf))
+    assert(sim.nonEmpty, "simhash should flag near-identical token sets")
+    // simhash(hamming<=3) targets high-similarity pairs; it must overlap
+    // the jaccard ground truth substantially and not explode in size
+    val overlap = (sim & exact).size
+    assert(overlap >= exact.size / 2,
+      s"simhash found $overlap of ${exact.size} jaccard pairs")
+    assert(sim.size <= exact.size * 4, s"simhash too noisy: ${sim.size} pairs")
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with decent recall") {
+    val bf = Vectors.simTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Vectors.simAnnLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random-hyperplane buckets on near-orthogonal random vectors: exact
+    // top-k recall is limited; what we pin is that the mechanism returns
+    // genuine neighbors (same scoring) and nonempty buckets
+    assert(ann.nonEmpty)
+    val recall = (ann & bf).size.toDouble / bf.size
+    assert(recall >= 0.1, f"ANN recall $recall%.2f vs brute force")
+  }
+
+  test("multimodal decode plumbing: schema, determinism, batch path") {
+    import spark.implicits._
+    val df = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val out = Multimodal.decodeBatches(df, "doc_id", "payload")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "width", "height", "n_frames", "features"))
+    val rows = out.orderBy($"id").limit(5).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 4)
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+    }
+    // determinism: same input ⇒ same features
+    val again = Multimodal.decodeBatches(df, "doc_id", "payload")
+      .orderBy($"id").limit(5).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("quantized cosine is symmetric and self-similarity is 1") {
+    import spark.implicits._
+    val v = graft.Tables(spark, sf, "embeddings").limit(20)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(round(cast(x as double)*10000) as bigint))"))
+    val d = v.as("a").join(v.as("b"), $"a.vec_id" === $"b.vec_id")
+      .select(expr("aggregate(zip_with(a.q, b.q, (x,y)->x*y), 0L, (acc,x)->acc+x)").as("dot"),
+        expr("aggregate(transform(a.q, x->x*x), 0L, (acc,x)->acc+x)").as("n"))
+      .collect()
+    d.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
