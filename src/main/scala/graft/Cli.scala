@@ -45,15 +45,22 @@ object Cli {
         case "import-parquet" :: table :: path :: keys :: Nil =>
           importDf(ops, cat, table, spark.read.parquet(path), keys.split(",").toSeq)
         case "import-csv" :: table :: path :: keys :: Nil =>
-          // header-row CSV, columns matched by name (Tool/Csv.hs:22-64);
-          // schema inferred unless the table already exists in the catalog
-          val existing = cat.schemaOf(table)
-          val reader = spark.read.option("header", "true")
-          val df = existing match {
-            case Some(s) => reader.schema(s).csv(path)
-            case None => reader.option("inferSchema", "true").csv(path)
+          // header-row CSV, columns matched by NAME in any order
+          // (Tool/Csv.hs:22-64, Row.hs:117-124); schema inferred unless
+          // the table already exists in the catalog
+          val df = cat.schemaOf(table) match {
+            case Some(s) => graft.sources.Csv.readNameMatched(spark, path, s)
+            case None => spark.read.option("header", "true")
+              .option("inferSchema", "true").csv(path)
           }
           importDf(ops, cat, table, df, keys.split(",").toSeq)
+        case "sql" :: stmt :: Nil =>
+          // O34: run a SQL statement; DDL mutates the catalog, queries
+          // print JSON lines (messdb-tool.hs:164-196)
+          graft.sql.GraftSql.execute(spark, ops, cat, stmt) match {
+            case Right(root) => println(s"root=$root")
+            case Left(df) => df.toJSON.collect().foreach(println)
+          }
         case "range" :: table :: lo :: hi :: Nil =>
           val ref = need(cat, table)
           val m = ops.meta(ref)

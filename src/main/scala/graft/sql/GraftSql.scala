@@ -1,0 +1,124 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core.{Catalog, Ops}
+
+/** SQL front-end.
+  *
+  * Reference parity (O26–O30): the reference implements ONLY
+  * `CREATE TABLE` — column list with PRIMARY KEY / NOT NULL constraints,
+  * postgres-style type names; everything else throws
+  * (/root/reference/messdb-sql/src/MessDB/SQL.hs:21-44,
+  * /root/reference/messdb-sql/src/MessDB/SQL/Schema.hs:35-115). We parse
+  * the same dialect subset with a small hand parser (the constraint
+  * grammar isn't in Spark's DDL parser) and register an empty canonical
+  * table in the catalog.
+  *
+  * Beyond the reference: any read-only SELECT can run against the
+  * catalog through Spark SQL — every named table is registered as a temp
+  * view over its chunk scan, so the whole Spark SQL surface applies to
+  * memoized canonical tables.
+  */
+object GraftSql {
+
+  final case class CreateTable(name: String, schema: StructType,
+      keyCols: Seq[String])
+
+  /** Type names accepted by the reference (SQL/Schema.hs:59-76). */
+  private val typeNames: Map[String, DataType] = Map(
+    "smallint" -> ShortType, "int2" -> ShortType, "int16" -> ShortType,
+    "integer" -> IntegerType, "int" -> IntegerType, "int4" -> IntegerType,
+    "int32" -> IntegerType,
+    "bigint" -> LongType, "int8" -> LongType, "int64" -> LongType,
+    "real" -> FloatType, "float4" -> FloatType,
+    "double precision" -> DoubleType, "float8" -> DoubleType,
+    "bytes" -> BinaryType, "bytea" -> BinaryType,
+    "text" -> StringType, "varchar" -> StringType,
+    // natural Spark extensions beyond the reference surface
+    "date" -> DateType, "timestamp" -> TimestampType,
+    "boolean" -> BooleanType)
+
+  final class SqlException(msg: String) extends RuntimeException(msg)
+
+  /** Parse `CREATE TABLE name ( col type [constraints], ... )`.
+    * PRIMARY KEY columns become key columns (declaration order); NOT NULL
+    * absent ⇒ nullable (the reference's Maybe wrapping); DEFAULT and
+    * table-level constraints are rejected like the reference
+    * (SQL/Schema.hs:49-57,124-132). */
+  def parseCreateTable(sqlText: String): CreateTable = {
+    val norm = sqlText.trim.stripSuffix(";")
+    val re = ("""(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?""" +
+      """("?[\w.]+"?)\s*\((.*)\)\s*$""").r
+    norm match {
+      case re(rawName, body) =>
+        val name = rawName.stripPrefix("\"").stripSuffix("\"")
+        val cols = splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
+        if (cols.exists(c => c.toLowerCase.matches(
+            "^(primary\\s+key|unique|check|constraint|foreign\\s+key).*")))
+          throw new SqlException("table-level constraints are not supported")
+        val fields = cols.map(parseColumn)
+        val keyCols = fields.filter(_._3).map(_._1.name)
+        if (keyCols.isEmpty)
+          throw new SqlException("at least one PRIMARY KEY column required")
+        CreateTable(name, StructType(fields.map(_._1)), keyCols)
+      case _ => throw new SqlException(s"unsupported statement: $sqlText")
+    }
+  }
+
+  /** (field, notNull, isKey) */
+  private def parseColumn(s: String): (StructField, Boolean, Boolean) = {
+    if (s.toLowerCase.contains("default"))
+      throw new SqlException(s"DEFAULT is not supported: $s")
+    val parts = s.split("\\s+").toList
+    val name = parts.head.stripPrefix("\"").stripSuffix("\"")
+    val rest = parts.tail.mkString(" ").toLowerCase
+    // longest matching type name ("double precision" before "double")
+    val (tyName, dt) = typeNames.toSeq.sortBy(-_._1.length)
+      .find { case (t, _) => rest.startsWith(t) }
+      .getOrElse(throw new SqlException(s"unsupported type in: $s"))
+    val constraints = rest.drop(tyName.length).trim
+    val isKey = constraints.contains("primary key")
+    val notNull = constraints.contains("not null") || isKey
+    constraints.replace("primary key", "").replace("not null", "").trim match {
+      case "" => ()
+      case other => throw new SqlException(s"unsupported constraint: $other")
+    }
+    (StructField(name, dt, nullable = !notNull), notNull, isKey)
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** Execute a statement: CREATE TABLE mutates the catalog (a new root),
+    * anything else runs as a Spark SQL query over the catalog's tables
+    * registered as temp views. Returns Right(newRootHash) for DDL,
+    * Left(df) for queries — the runRepoStatement/runRepoQuery split
+    * (Repo.hs:120-130). */
+  def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
+      sqlText: String): Either[DataFrame, String] = {
+    val t = sqlText.trim.toLowerCase
+    if (t.startsWith("create table")) {
+      val ct = parseCreateTable(sqlText)
+      val ref = ops.emptyTable(ct.schema, ct.keyCols)
+      Right(catalog.put(ct.name, ref))
+    } else {
+      catalog.root.keys.foreach { name =>
+        ops.scan(graft.core.TableRef(catalog.root(name).tableHash))
+          .createOrReplaceTempView(name)
+      }
+      Left(spark.sql(sqlText))
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core._
+
+/** Structured Streaming front door: a stream of events becomes an
+  * incrementally-maintained canonical table via foreachBatch → the same
+  * memoized merge operator used for batch (SURVEY.md §2.6 "Streaming":
+  * the reference has none; its incremental story is memoized batch
+  * recomputation — this wires Spark's native streaming to that story).
+  *
+  * Each micro-batch is aggregated to partial per-key aggregates, then
+  * merged into the named catalog table with a summing fold — so the
+  * catalog table always holds the exact running aggregate, every
+  * intermediate version remains addressable by hash, and a crashed job
+  * resumes idempotently (merge of an already-applied batch is a no-op
+  * memo hit when the batch content is unchanged).
+  */
+object StreamIngest {
+
+  /** Maintain `tableName` = running (count, value-cents sum) per
+    * (day, user_id) from a stream of events rows. */
+  def runningDailyAgg(spark: SparkSession, ops: Ops, catalog: Catalog,
+      events: DataFrame, tableName: String,
+      checkpointDir: String): StreamingQuery = {
+    val agg = events
+      .withWatermark("ts", "1 hour")
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(ops, catalog, batch, tableName)
+      }
+      .start()
+  }
+
+  /** The per-batch increment: batch rows → partial aggregate → merge
+    * (fold_sum) into the catalog table. Also the crash-recovery path:
+    * re-running an identical batch produces an identical delta table
+    * whose merge is memoized. */
+  def mergeBatch(ops: Ops, catalog: Catalog, batch: DataFrame,
+      tableName: String): Unit = {
+    if (batch.isEmpty) return
+    val delta = batch
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val deltaRef = ops.fromDataFrame(delta, Seq("day", "user_id"),
+      FoldSpec.FoldSum)
+    val merged = catalog.get(tableName) match {
+      case Some(existing) => ops.merge(Seq(existing, deltaRef), FoldSpec.FoldSum)
+      case None => deltaRef
+    }
+    catalog.put(tableName, merged)
+    ()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sql
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core._
+
+/** SQL DDL fixtures from FIXTURES.md §5 + name-matched CSV parse from
+  * FIXTURES.md §3. */
+class SqlAndSourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def newOps(): (Ops, Catalog) = {
+    val store = new GraftStore(Files.createTempDirectory("graft-sql-").toString)
+    (new Ops(spark, store, 64), new Catalog(store))
+  }
+
+  test("CREATE TABLE: PK/NOT NULL/type names (SQL/Schema.hs fixtures)") {
+    val ct = GraftSql.parseCreateTable(
+      """CREATE TABLE t
+        |  ( id bigint PRIMARY KEY NOT NULL
+        |  , name text NOT NULL
+        |  , score real
+        |  , payload bytes
+        |  , small smallint NOT NULL
+        |  );""".stripMargin)
+    assert(ct.name == "t")
+    assert(ct.keyCols == Seq("id"))
+    assert(ct.schema == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("score", FloatType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("small", ShortType, nullable = false))))
+  }
+
+  test("CREATE TABLE rejections: DEFAULT, table constraints, bad types") {
+    def bad(sql: String): Unit =
+      assertThrows[GraftSql.SqlException](GraftSql.parseCreateTable(sql))
+    bad("CREATE TABLE t (id bigint PRIMARY KEY, x int DEFAULT 3)")
+    bad("CREATE TABLE t (id bigint, PRIMARY KEY (id))")
+    bad("CREATE TABLE t (id uuid PRIMARY KEY)")
+    bad("DROP TABLE t")
+    bad("CREATE TABLE t (id bigint)") // no PK
+  }
+
+  test("execute: DDL creates empty catalog table; SELECT runs over catalog") {
+    val (ops, cat) = newOps()
+    val Right(_) = GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv (k text PRIMARY KEY, v bigint NOT NULL)"): @unchecked
+    assert(cat.get("kv").isDefined)
+    assert(ops.scan(cat.get("kv").get).count() == 0)
+    // upsert some data through ops, then SQL over it
+    import spark.implicits._
+    val ref = ops.fromDataFrame(
+      Seq(("a", 1L), ("b", 2L), ("c", 30L)).toDF("k", "v"), Seq("k"))
+    cat.put("kv", ops.upsert(cat.get("kv").get, ref))
+    val Left(df) = GraftSql.execute(spark, ops, cat,
+      "SELECT k, v FROM kv WHERE v >= 2 ORDER BY k"): @unchecked
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2L), ("c", 30L)))
+  }
+
+  test("CSV import matches columns by name under shuffled header (Row.hs:117-124)") {
+    val (ops, _) = newOps()
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", FloatType)))
+    val dir = Files.createTempDirectory("graft-csv-")
+    // shuffled header b,d,a,c with extra column d (ignored by name-match)
+    Files.writeString(dir.resolve("data.csv"),
+      "b,d,a,c\nhello,junk,1,1.5\nworld,junk,2,2.5\n")
+    val df = graft.sources.Csv.readNameMatched(spark,
+      dir.resolve("data.csv").toString, schema)
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy("a").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("hello", "world"))
+    assert(rows.map(_.getFloat(2)).toSeq == Seq(1.5f, 2.5f))
+    // missing required column fails loudly
+    Files.writeString(dir.resolve("bad.csv"), "a,b\n1,x\n")
+    assertThrows[IllegalArgumentException] {
+      graft.sources.Csv.readNameMatched(spark, dir.resolve("bad.csv").toString, schema)
+    }
+  }
+}

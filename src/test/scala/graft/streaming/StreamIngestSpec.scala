@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core._
+
+/** Structured Streaming → memoized merge: the stream-maintained catalog
+  * table must equal the batch recompute over all data (exactly-once
+  * materialized view), and each micro-batch only touches the chunks its
+  * keys overlap. */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  private def writeBatch(dir: java.nio.file.Path, rows: Seq[(String, Long, Double)], n: Int): Unit = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+    df.write.parquet(dir.resolve(s"batch$n").toString)
+  }
+
+  test("stream AvailableNow over growing dir maintains exact running aggregate") {
+    val srcDir = Files.createTempDirectory("graft-stream-src-")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    val store = new GraftStore(Files.createTempDirectory("graft-stream-store-").toString)
+    val ops = new Ops(spark, store, 64)
+    val catalog = new Catalog(store)
+
+    val batch1 = Seq(
+      ("2024-01-01 10:00:00", 1L, 10.50), ("2024-01-01 11:00:00", 1L, 2.25),
+      ("2024-01-01 10:30:00", 2L, 5.00), ("2024-01-02 09:00:00", 1L, 1.00))
+    val batch2 = Seq(
+      ("2024-01-01 12:00:00", 1L, 4.25), // same (day,user) as batch1 → fold
+      ("2024-01-02 10:00:00", 3L, 7.77)) // new key
+
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(schema)
+        .parquet(srcDir.toString + "/batch*")
+      val q = StreamIngest.runningDailyAgg(spark, ops, catalog, events,
+        "daily_agg", ckpt)
+      q.awaitTermination()
+    }
+
+    writeBatch(srcDir, batch1, 1)
+    runOnce()
+    val after1 = ops.scan(catalog.get("daily_agg").get).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(after1(("2024-01-01", 1L)) == (2L, 1275L))
+    assert(after1(("2024-01-01", 2L)) == (1L, 500L))
+    assert(after1(("2024-01-02", 1L)) == (1L, 100L))
+
+    writeBatch(srcDir, batch2, 2)
+    runOnce() // same checkpoint: processes ONLY the new files
+    val after2 = ops.scan(catalog.get("daily_agg").get).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(after2(("2024-01-01", 1L)) == (3L, 1700L), "incremental fold")
+    assert(after2(("2024-01-02", 3L)) == (1L, 777L), "new key")
+    assert(after2.size == 4)
+
+    // equals batch recompute over everything (exactly-once view)
+    val allRows = batch1 ++ batch2
+    val model = allRows.groupBy(r => (r._1.substring(0, 10), r._2))
+      .view.mapValues(rs => (rs.size.toLong,
+        rs.map(r => math.round(r._3 * 100)).sum)).toMap
+    assert(after2 == model)
+  }
+}
