@@ -14,15 +14,21 @@ import graft.queries.Q._
   */
 object Dedup {
 
-  /** 3-token shingles, distinct per doc. */
-  def shingles(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "documents")
-      .withColumn("ts", split(col("text"), " "))
-      .where(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ts)-3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")))
-        .as("s"))
-  }
+  /** 3-token shingles, distinct per doc; cached once per (session, dir)
+    * so the dedup family shares one materialization. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir), {
+      Tables(s, dir, "documents")
+        .withColumn("ts", split(col("text"), " "))
+        .where(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ts)-3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")))
+          .as("s"))
+        .cache()
+    })
 
   private val shinglesSql: String =
     """SELECT doc_id,
@@ -74,7 +80,7 @@ object Dedup {
     * document frequency above a cap (not needed at test scale). */
   def dedupShingle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -124,22 +130,32 @@ object Dedup {
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
-    // per (doc, shingle): 64 permuted hashes; per doc: element-wise min
-    val permuted = sh
+    val sh = shingles(s, dir)
+    // one tight loop per doc computes all 64 permutation minima and the
+    // 16 band hashes (explode-per-permutation costs a 64× row blowup)
+    val as = perms._1; val bs = perms._2
+    val bandsUdf = udf { (hs: scala.collection.Seq[Long]) =>
+      val mins = Array.fill(MinhashPerms)(Long.MaxValue)
+      hs.foreach { h =>
+        var i = 0
+        while (i < MinhashPerms) {
+          val v = (as(i) * h + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      // band b takes rows {b, b+16, b+32, b+48}; mix into one hash
+      Array.tabulate(MinhashBands) { b =>
+        var acc = 1125899906842597L
+        var r = b
+        while (r < MinhashPerms) { acc = acc * 31 + mins(r); r += MinhashBands }
+        acc
+      }
+    }
+    val sig = sh
       .withColumn("h32", xxhash64($"s").bitwiseAND(lit(0xffffffffL)))
-      .withColumn("aperm", typedLit(perms._1))
-      .withColumn("bperm", typedLit(perms._2))
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, ${MinhashPerms - 1}), " +
-          "i -> pmod(aperm[i] * h32 + bperm[i], cast(4294967311 as bigint)))"))
-        .as(Seq("i", "v")))
-    val sig = permuted
-      .groupBy($"doc_id", $"i").agg(min($"v").as("mh"))
-      .withColumn("band", $"i" % MinhashBands)
-      .groupBy($"doc_id", $"band")
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", ($"i" / MinhashBands).cast("int"), $"mh"))))).as("sig"))
+      .groupBy($"doc_id").agg(collect_list($"h32").as("hs"))
+      .select($"doc_id", posexplode(bandsUdf($"hs")).as(Seq("band", "sig")))
     val cands = sig.as("x").join(sig.as("y"),
         $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
           $"x.doc_id" < $"y.doc_id")

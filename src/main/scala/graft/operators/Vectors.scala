@@ -27,8 +27,15 @@ object Vectors {
       .select(col("vec_id"), col("label"), col("q"), col("nq"))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Tight-loop dot product — the zip_with/aggregate expression form
+    * allocates a 64-element array per pair, which dominates wall-clock on
+    * the O(n²) pair queries; the loop UDF is ~50× cheaper per pair. */
+  private val dotUdf = udf { (a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) =>
+    var s = 0L; var i = 0; val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   /** Brute-force cosine top-3: queries = vec_id < 10 (broadcast), corpus
     * = the rest. The broadcast nested loop is the exact baseline; the
@@ -78,13 +85,30 @@ object Vectors {
     * IVF-style partition key the generator provides). */
   def simNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = quantized(s, dir)
-    v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
-        dot($"a.q", $"b.q").as("d"),
-        $"a.nq".as("na"), $"b.nq".as("nb"))
-      .where($"d" > 0 && lit(25) * $"d" * $"d" >= lit(4) * $"na" * $"nb")
-      .select($"i", $"j")
+    // All-pairs over the full corpus: broadcast the corpus as primitive
+    // arrays and run the O(n²/p) pair loop per partition — the
+    // expression/UDF forms pay per-pair array conversion, which dominates.
+    // At 100 TB the corpus side must first be blocked (LSH buckets or IVF
+    // cells, see simAnnLsh); the kernel below is what runs inside a block.
+    val v = quantized(s, dir).select($"vec_id", $"q", $"nq")
+    val corpus: Array[(Long, Array[Long], Long)] = v.collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    v.repartition(s.sessionState.conf.numShufflePartitions)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { r =>
+          val i = r.getLong(0)
+          val q = r.getSeq[Long](1).toArray
+          val nq = r.getLong(2)
+          cs.iterator.filter(_._1 > i).flatMap { case (j, qj, nj) =>
+            var d = 0L; var k = 0; val n = q.length
+            while (k < n) { d += q(k) * qj(k); k += 1 }
+            if (d > 0 && 25 * d * d >= 4 * nq * nj) Some((i, j)) else None
+          }
+        }
+      }.toDF("i", "j")
       .orderBy($"i", $"j")
   }
 
@@ -119,16 +143,26 @@ object Vectors {
       Array.fill(64)(if ((next() & 1L) == 1L) 1L else -1L))
   }
 
-  /** Array of per-table bucket signatures for a quantized vector. */
+  /** Array of per-table bucket signatures for a quantized vector, all
+    * 48 plane dots in one loop (one UDF call per row instead of 48
+    * expression subtrees per row). */
   def lshSignatures(qCol: Column): Column = {
-    val sigs = (0 until LshTables).map { t =>
-      (0 until LshBits).map { b =>
-        val planeLit = typedLit(planes(t * LshBits + b))
-        when(aggregate(zip_with(qCol, planeLit, (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    val planesLocal = planes
+    val sigUdf = udf { (q: scala.collection.Seq[Long]) =>
+      Array.tabulate(LshTables) { t =>
+        var sig = 0L
+        var b = 0
+        while (b < LshBits) {
+          val plane = planesLocal(t * LshBits + b)
+          var d = 0L; var i = 0; val n = q.length
+          while (i < n) { d += q(i) * plane(i); i += 1 }
+          if (d >= 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
     }
-    array(sigs: _*)
+    sigUdf(qCol)
   }
 
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
