@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Physical-plan assertions: the properties that make these plans hold at
+  * 1000 executors — filters reaching the parquet scan, column-pruned
+  * reads, dimension broadcasts, whole-stage codegen — are pinned here so
+  * a regression (e.g. a UDF sneaking into a hot path and breaking
+  * pushdown) fails the build, not the benchmark. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // let AQE finalize so codegen annotations are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("range_filter: PK range predicate is pushed to the parquet scan") {
+    val p = plan("range_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_orderkey,1000"),
+      s"range not pushed:\n$p")
+  }
+
+  test("point_lookup: equality predicate pushed (row-group skip at scale)") {
+    val p = plan("point_lookup")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderkey,100"),
+      s"lookup not pushed:\n$p")
+  }
+
+  test("q1: column-pruned scan (reads only the 7 needed of 11 columns)") {
+    val p = plan("q1_pricing_summary")
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"),
+      s"scan not pruned:\n$p")
+    assert(p.contains("*("), "aggregation not whole-stage codegen'd")
+  }
+
+  test("q3/q5: dimension sides are broadcast, not shuffled") {
+    assert(plan("q3_top_revenue").contains("BroadcastHashJoin"))
+    val q5 = plan("q5_nation_revenue")
+    assert(q5.contains("BroadcastHashJoin"), s"q5 missing broadcast:\n$q5")
+  }
+
+  test("join_semi/anti plan as semi/anti joins (no materialized distinct)") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("q1 partial aggregation happens map-side (two HashAggregate phases)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial agg:\n$p")
+  }
+
+  test("merge_upsert: single key shuffle + final sort, nothing else") {
+    val p = plan("merge_upsert")
+    // distinct partitionings: one hash shuffle for the fold, one range
+    // partition for the ordered output — the plan a 1000-executor merge
+    // wants (AQE prints nodes twice, so count distinct specs)
+    val kinds = "(hash|range)partitioning\\(k".r.findAllIn(p).toSet
+    assert(kinds == Set("hashpartitioning(k", "rangepartitioning(k"),
+      s"unexpected exchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), "accidental NL join")
+  }
+}
