@@ -17,25 +17,22 @@ import graft.queries.Q._
   */
 object Vectors {
 
-  /** Quantized vector + squared norm. */
+  import graft.functions.VectorExpressions.dot_long
+
+  /** Quantized vector + squared norm (norm = dot_long(q,q), the native
+    * codegen'd expression). */
   private def quantized(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "embeddings")
+    val withQ = Tables(s, dir, "embeddings")
       .withColumn("q", expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
-      .withColumn("nq", expr(
-        "aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x)"))
+    withQ
+      .withColumn("nq", dot_long(col("q"), col("q")))
       .select(col("vec_id"), col("label"), col("q"), col("nq"))
   }
 
-  /** Tight-loop dot product — the zip_with/aggregate expression form
-    * allocates a 64-element array per pair, which dominates wall-clock on
-    * the O(n²) pair queries; the loop UDF is ~50× cheaper per pair. */
-  private val dotUdf = udf { (a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) =>
-    var s = 0L; var i = 0; val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Native codegen'd dot product (graft.functions.DotProductLong) —
+    * stays inside whole-stage codegen with primitive ArrayData access. */
+  private def dot(a: Column, b: Column): Column = dot_long(a, b)
 
   /** Brute-force cosine top-3: queries = vec_id < 10 (broadcast), corpus
     * = the rest. The broadcast nested loop is the exact baseline; the
