@@ -161,6 +161,127 @@ object Canonical {
     }
   }
 
+  /** Grouped materialization: like [[materialize]], but the input carries
+    * a group column and every group becomes its own canonical table in
+    * one pass (one write job + one hash job for ALL groups). Used by the
+    * chunk-level incremental transform, where each source chunk's
+    * transformed rows are materialized as an independent memoizable
+    * sub-table (the per-subtree results of sortNode,
+    * /root/reference/messdb-base/src/MessDB/Trie.hs:467-470). */
+  def materializeGrouped(spark: SparkSession, store: GraftStore,
+      df0: DataFrame, groupCol: String, keyCols: Seq[String],
+      chunkTargetRows: Long): Map[String, TableMeta] = {
+    val cols = canonicalColumns(
+      StructType(df0.schema.filterNot(_.name == groupCol)), keyCols)
+    val df = df0.select((cols :+ groupCol).map(col): _*)
+    val dataSchema = StructType(df.schema.filterNot(_.name == groupCol))
+    val schemaJson = normalizeSchema(dataSchema, keyCols).json
+
+    val kbDf = withKeyBytesKeeping(df, keyCols, groupCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val target = chunkTargetRows
+      val isB = pmod(xxhash64(col(KB)), lit(target)) === 0
+      val boundaries: Map[String, Array[Array[Byte]]] = kbDf.where(isB)
+        .select(col(groupCol), col(KB)).collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          g -> rows.map(_.getAs[Array[Byte]](1))
+            .sortWith(Hashing.compareBytes(_, _) < 0)
+        }
+      val bcB = spark.sparkContext.broadcast(boundaries)
+      val chunkIdUdf = udf { (g: String, kb: Array[Byte]) =>
+        val bs = bcB.value.getOrElse(g, Array.empty[Array[Byte]])
+        var lo = 0; var hi = bs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+
+      val tmpDir = Files.createTempDirectory("graft-canon-g-").toString
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      kbDf.withColumn(CHUNK, chunkIdUdf(col(groupCol), col(KB)))
+        .repartition(nPart, col(groupCol), col(CHUNK))
+        .sortWithinPartitions(col(groupCol) +: col(CHUNK) +: keyCols.map(col): _*)
+        .select((cols :+ groupCol :+ CHUNK).map(col): _*)
+        .write.mode("overwrite").partitionBy(groupCol, CHUNK).parquet(tmpDir)
+
+      val writtenSchema = dataSchema
+        .add(StructField(groupCol, StringType))
+        .add(StructField(CHUNK, IntegerType))
+      val written = spark.read.schema(writtenSchema).parquet(tmpDir)
+      val rbEnc = KeyCodec.rowEncoder(dataSchema, cols)
+      val kEnc = KeyCodec.rowEncoder(dataSchema, keyCols)
+      val hashInSchema = StructType(Seq(
+        StructField(groupCol, StringType), StructField(CHUNK, IntegerType),
+        StructField("kb", BinaryType), StructField("rb", BinaryType)))
+      val hashInEnc = RowEncoder.encoderFor(hashInSchema)
+      val colIdx = cols.map(written.schema.fieldIndex)
+      val gIdx = written.schema.fieldIndex(groupCol)
+      val cIdx = written.schema.fieldIndex(CHUNK)
+      val perRow = written.mapPartitions { it =>
+        it.map { r =>
+          val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
+          Row(r.getString(gIdx), r.get(cIdx), kEnc(proj), rbEnc(proj))
+        }
+      }(hashInEnc)
+      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
+        Hashing.sha256Hex(rbs.toSeq)
+      }
+      val chunkRows = perRow.groupBy(col(groupCol), col(CHUNK))
+        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
+          count(lit(1)).as("rows"),
+          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
+        .collect()
+
+      val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>
+        val metas = rows.map { r =>
+          val id = r.getAs[Int](CHUNK)
+          val hash = r.getAs[String]("hash")
+          val dir = Paths.get(tmpDir, s"$groupCol=${urlEnc(g)}", s"$CHUNK=$id")
+          val files = Files.list(dir).filter(_.toString.endsWith(".parquet"))
+            .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          require(files.length == 1, s"expected 1 file for ($g, $id)")
+          store.saveChunk(hash, files.head)
+          ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
+            Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
+        }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+        val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
+        store.saveTableMeta(meta)
+        g -> meta
+      }
+      deleteRecursively(Paths.get(tmpDir))
+      out
+    } finally {
+      kbDf.unpersist()
+      ()
+    }
+  }
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** withKeyBytes preserving an extra column outside the canonical set. */
+  private def withKeyBytesKeeping(df: DataFrame, keyCols: Seq[String],
+      keep: String): DataFrame = {
+    val dataSchema = StructType(df.schema.filterNot(_.name == keep))
+    val enc = KeyCodec.rowEncoder(normalizeSchema(dataSchema, keyCols), keyCols)
+    val keepIdx = df.schema.fieldIndex(keep)
+    val dataIdx = dataSchema.fieldNames.map(df.schema.fieldIndex)
+    val outSchema = normalizeSchema(dataSchema, keyCols)
+      .add(StructField(keep, StringType))
+      .add(StructField(KB, BinaryType, nullable = false))
+    val outEnc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val data = Row.fromSeq(dataIdx.map(i => r.get(i)).toSeq)
+        Row.fromSeq(data.toSeq :+ r.getString(keepIdx) :+ enc(data))
+      }
+    }(outEnc)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -182,22 +182,94 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   // ---- transform (O2) --------------------------------------------------
 
   /** Column-level transform spec: Ops controls the projection so the
-    * source-order index survives for deterministic collision folds. */
+    * source-order index survives for deterministic collision folds.
+    *
+    * Key-preserving transforms take the chunk-level incremental path:
+    * each source chunk's transform is memoized independently
+    * (sortNode's per-subtree memoization, Trie.hs:467-470), so
+    * re-transforming a table after a small upsert recomputes only the
+    * chunks the upsert touched. Re-keying transforms shuffle globally
+    * and memoize at whole-table granularity. */
   def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
     val opHash = Hashing.sha256Hex(Seq(
       "graft-op-transform-v1".getBytes, t.key.getBytes, fold.key.getBytes,
       chunkTargetRows.toString.getBytes, ref.hash.getBytes))
     TableRef(store.memoized(opHash) {
-      val m = meta(ref)
-      val src = Canonical.withKeyBytes(scan(ref), m.keyCols)
-      val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
-      val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
-        .filterNot(_ == SRC).toSeq
-      val folded = projected.groupBy(t.outKeyCols.map(col): _*)
-        .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-      Canonical.materialize(spark, store, folded, t.outKeyCols, chunkTargetRows)
-        .tableHash
+      if (t.keyPreserving) transformPerChunk(ref, t)
+      else {
+        val m = meta(ref)
+        val src = Canonical.withKeyBytes(scan(ref), m.keyCols)
+        val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
+        val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
+          .filterNot(_ == SRC).toSeq
+        val folded = projected.groupBy(t.outKeyCols.map(col): _*)
+          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        Canonical.materialize(spark, store, folded, t.outKeyCols, chunkTargetRows)
+          .tableHash
+      }
     })
+  }
+
+  /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
+    * for all missing chunks, results spliced in key order (keys are
+    * preserved, so source chunk ranges stay disjoint and ordered). */
+  private def transformPerChunk(ref: TableRef, t: ColTransform): String = {
+    val m = meta(ref)
+    def subOp(c: ChunkMeta): String = Hashing.sha256Hex(Seq(
+      "graft-op-transform-chunk-v1".getBytes, t.key.getBytes,
+      chunkTargetRows.toString.getBytes, c.hash.getBytes))
+    val memoized: Map[String, Option[String]] =
+      m.chunks.map(c => c.hash -> store.memoGet(subOp(c))).toMap
+    val missing = m.chunks.filter(c => memoized(c.hash).isEmpty)
+
+    val computed: Map[String, TableMeta] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val grp = "_graft_grp"
+        val pathToHash = missing.map(c =>
+          store.chunkPath(c.hash) -> c.hash).toMap
+        val bc = spark.sparkContext.broadcast(pathToHash)
+        val fileToHash = udf { (f: String) =>
+          // input_file_name yields a URI (file:///...); key by plain path
+          val p = new java.net.URI(f).getPath
+          bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
+        }
+        val df = spark.read.schema(m.schema)
+          .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
+          .withColumn(grp, fileToHash(input_file_name()))
+        val projected = df.select(t.columns :+ col(grp): _*)
+        val metas = Canonical.materializeGrouped(spark, store, projected, grp,
+          t.outKeyCols, chunkTargetRows)
+        metas.foreach { case (srcHash, sub) =>
+          store.memoPut(Hashing.sha256Hex(Seq(
+            "graft-op-transform-chunk-v1".getBytes, t.key.getBytes,
+            chunkTargetRows.toString.getBytes, srcHash.getBytes)),
+            sub.tableHash)
+        }
+        metas
+      }
+
+    // splice: keys preserved ⇒ per-chunk outputs cover the same disjoint
+    // ranges in the same order
+    val allChunks = m.chunks.flatMap { c =>
+      val subMeta = memoized(c.hash) match {
+        case Some(h) => store.loadTableMeta(h)
+        case None => computed.getOrElse(c.hash,
+          // a chunk may map to no output rows if the transform's
+          // projection drops none — grouped materialize always emits a
+          // group for every input chunk with >=1 row, so absence means
+          // empty input, which cannot happen for a stored chunk
+          sys.error(s"missing transform result for chunk ${c.hash}"))
+      }
+      subMeta.chunks
+    }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    val outSchemaJson = (memoized.values.flatten.headOption.map(store.loadTableMeta)
+      orElse computed.values.headOption)
+      .map(_.schemaJson)
+      .getOrElse(m.schemaJson) // empty table: schema unchanged only if projection is identity-shaped
+    val out = TableMeta(outSchemaJson, t.outKeyCols, chunkTargetRows, allChunks)
+    store.saveTableMeta(out)
+    out.tableHash
   }
 
   // ---- range filter (O3) -----------------------------------------------
@@ -331,13 +403,20 @@ trait ColTransform extends Serializable {
   def key: String
   def outKeyCols: Seq[String]
   def columns: Seq[Column]
+  /** Declare true when the transform leaves key VALUES untouched (it may
+    * still change value columns): unlocks chunk-level incremental
+    * memoization. The contract is the caller's responsibility, like the
+    * reference's FuncKey discipline. */
+  def keyPreserving: Boolean = false
 }
 
 object ColTransform {
-  def apply(k: String, keys: Seq[String], cols: Seq[Column]): ColTransform =
+  def apply(k: String, keys: Seq[String], cols: Seq[Column],
+      preservesKeys: Boolean = false): ColTransform =
     new ColTransform {
       val key = k
       val outKeyCols = keys
       val columns = cols
+      override val keyPreserving = preservesKeys
     }
 }

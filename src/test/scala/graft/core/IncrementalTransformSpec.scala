@@ -1,0 +1,79 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import scala.util.Random
+
+/** Chunk-level incremental transform: per-chunk memoization must make a
+  * re-transform after a small upsert O(delta), and its result must be
+  * bit-identical (same table hash) to the non-incremental computation —
+  * the sortNode subtree-memo behavior (Trie.hs:467-470). */
+class IncrementalTransformSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
+
+  private val doubleV = ColTransform("double_v_v1", Seq("k"),
+    Seq(col("k"), (col("v") * 2).as("v")), preservesKeys = true)
+
+  test("key-preserving transform: content correct, equals whole-table result hash") {
+    val store = new GraftStore(Files.createTempDirectory("graft-it-").toString)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val out = ops.transform(ref, doubleV, FoldSpec.FoldLast)
+    val got = ops.scan(out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == rows.map { case (k, v) => k -> v * 2 }.toMap)
+    // canonical: equals building the same content from scratch
+    val scratch = ops.fromDataFrame(df(rows.map { case (k, v) => k -> v * 2 }), Seq("k"))
+    assert(out.hash == scratch.hash)
+  }
+
+  test("re-transform after small upsert recomputes only touched chunks") {
+    val store = new GraftStore(Files.createTempDirectory("graft-it2-").toString)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val t1 = ops.transform(base, doubleV, FoldSpec.FoldLast)
+    val nChunks = ops.meta(base).chunks.length
+    assert(nChunks > 20)
+
+    val delta = Seq("key00500" -> 999999L, "keyzz" -> 5L)
+    val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+    store.stats.reset()
+    val t2 = ops.transform(merged, doubleV, FoldSpec.FoldLast)
+    val saves = store.stats.snapshot("chunkSaves")
+    val hits = store.stats.snapshot("memoHits")
+    assert(saves <= 6,
+      s"incremental transform should rewrite few chunks, wrote $saves of $nChunks")
+    assert(hits > nChunks / 2, s"expected chunk-level memo hits, got $hits")
+    // content + canonical identity
+    val want = (rows.toMap ++ delta.toMap).map { case (k, v) => k -> v * 2 }
+    val got = ops.scan(t2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val scratch = ops.fromDataFrame(df(want.toSeq), Seq("k"))
+    assert(t2.hash == scratch.hash)
+    assert(t1.hash != t2.hash)
+  }
+
+  test("same transform key on unchanged table is a whole-op memo hit") {
+    val store = new GraftStore(Files.createTempDirectory("graft-it3-").toString)
+    val ops = new Ops(spark, store, 16)
+    val ref = ops.fromDataFrame(df((0 until 300).map(i => s"k$i" -> i.toLong)), Seq("k"))
+    val a = ops.transform(ref, doubleV, FoldSpec.FoldLast)
+    store.stats.reset()
+    val b = ops.transform(ref, doubleV, FoldSpec.FoldLast)
+    assert(a.hash == b.hash)
+    assert(store.stats.snapshot("chunkSaves") == 0)
+  }
+}
