@@ -84,6 +84,17 @@ object Cli {
         case "print-schema" :: table :: Nil =>
           val m = ops.meta(need(cat, table))
           println(s"""{"keyCols":${m.keyCols.mkString("[\"", "\",\"", "\"]")},"schema":${m.schema.json}}""")
+        case "describe" :: table :: Nil =>
+          // debugPrintTrie analogue (Trie.hs:633-668): chunk-tree dump
+          val ref = need(cat, table)
+          val m = ops.meta(ref)
+          println(s"table=$table hash=${ref.hash} rows=${m.rows} " +
+            s"chunks=${m.chunks.length} target=${m.chunkTargetRows} " +
+            s"keys=${m.keyCols.mkString(",")}")
+          m.chunks.foreach { c =>
+            println(s"  chunk ${c.hash.take(12)}… rows=${c.rows} " +
+              s"min=${c.minKeyHex.take(16)} max=${c.maxKeyHex.take(16)}")
+          }
         case "tables" :: Nil =>
           cat.root.toSeq.sortBy(_._1).foreach { case (n, e) =>
             println(s"$n\t${e.tableHash}\tkeys=${e.keyCols.mkString(",")}")
