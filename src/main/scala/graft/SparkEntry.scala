@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ Events.queries ++
+      Sketches.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
       operators.Vectors.queries
 
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
+      Sketches.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
       operators.Vectors.oracles
 }
