@@ -49,6 +49,28 @@ object FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => max(col(c)).as(c))
   }
+
+  /** General NON-commutative pairwise fold in source order — the full
+    * FoldFunc semantics (`V.foldl1 (fold key)` over colliding values in
+    * input order, Trie.hs:396-401): collect (src, value) pairs, sort by
+    * source index, reduce left-to-right with an arbitrary binary Column
+    * function. Costs a collect_list per key — use the aggregate-style
+    * folds above when the function is commutative. */
+  final case class FoldPairwise(key: String,
+      reduce: (Column, Column) => Column) extends FoldSpec {
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map { c =>
+        val pairs = sort_array(collect_list(struct(col(SRC).as("s"), col(c).as("v"))))
+        val vs = transform(pairs, p => p.getField("v"))
+        // tail = slice(vs, 2, size-1); slice's length must not overflow
+        aggregate(slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+          element_at(vs, 1), (acc, x) => reduce(acc, x)).as(c)
+      }
+  }
+
+  /** Example non-commutative fold: ordered string concatenation. */
+  val FoldConcat: FoldPairwise =
+    FoldPairwise("fold_concat_v1", (a, b) => concat(a, lit("|"), b))
 }
 
 /** Named row transform: (k,v) → (k',v') over the whole table, possibly
