@@ -127,13 +127,46 @@ object Text {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-ish regex tokenization (word pieces + punctuation as separate
+    * tokens) and a polynomial rolling-hash fingerprint — both in exact
+    * integer arithmetic so the oracle hash-matches. The rolling hash is
+    * the order-SENSITIVE fingerprint (md5-of-sorted-set in textStats is
+    * the order-free one). */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Column API, not expr strings: SQL literals would eat the \s escape
+    val tokenRe = lit("[a-z0-9]+|[^a-z0-9\\s]")
+    // Spark's split("",-1) keeps a trailing empty string — drop empties
+    val chars = filter(split($"text", ""), c => c =!= "")
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", tokenRe, lit(0))).as("n_bpe_tokens"),
+        aggregate(transform(chars, c => ascii(c).cast("long")), lit(7L),
+          (acc, x) => (acc * 31 + x) % 2147483647L).as("rolling_hash"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      | list_reduce(
+      |   list_prepend(CAST(7 AS BIGINT),
+      |     list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |   (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
-    "text_langid" -> (textLangid _))
+    "text_langid" -> (textLangid _),
+    "text_tokens" -> (textTokens _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "text_tokens" -> textTokensSql)
 }
