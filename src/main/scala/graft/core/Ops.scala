@@ -148,24 +148,75 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (!dirty(r)) regionChunks(r).map(_._2) else Nil
     }.toVector
 
-    val dirtyChunks: Seq[(Int, ChunkMeta)] = (0 until nRegions).iterator
-      .flatMap(r => if (dirty(r)) regionChunks(r) else Nil)
-      .toVector.distinctBy { case (s, c) => (s, c.hash) }
+    // Contiguous dirty regions form RANGES; every dirty chunk belongs to
+    // exactly one range (a spanning chunk dirties all its — consecutive —
+    // regions). Each range recompute is memoized independently, keyed by
+    // the fold and its src-ordered participating chunk hashes — the
+    // recursive mergeNodes memoization (Trie.hs:302-312): a later merge
+    // sharing a range (e.g. the same two tables plus a disjoint third)
+    // reuses the range result without recomputation.
+    val ranges: Seq[Seq[(Int, ChunkMeta)]] = {
+      val out = Vector.newBuilder[Seq[(Int, ChunkMeta)]]
+      var r = 0
+      while (r < nRegions) {
+        if (dirty(r)) {
+          var hi = r
+          while (hi + 1 < nRegions && dirty(hi + 1)) hi += 1
+          out += (r to hi).flatMap(regionChunks(_))
+            .distinctBy { case (s, c) => (s, c.hash) }
+            .sortBy { case (s, c) => (s, c.minKeyHex) }
+          r = hi + 1
+        } else r += 1
+      }
+      out.result()
+    }
 
-    val recomputed: Seq[ChunkMeta] =
-      if (dirtyChunks.isEmpty) Nil
+    def rangeOp(chunks: Seq[(Int, ChunkMeta)]): String = Hashing.sha256Hex(Seq(
+      "graft-op-merge-region-v1".getBytes, fold.key.getBytes,
+      chunkTargetRows.toString.getBytes,
+      chunks.map { case (s, c) => s"$s:${c.hash}" }.mkString(",").getBytes))
+
+    val memoizedRanges: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
+      ranges.map(r => { val op = rangeOp(r); (r, op, store.memoGet(op)) })
+
+    val missing = memoizedRanges.filter(_._3.isEmpty)
+    val computed: Map[String, TableMeta] =
+      if (missing.isEmpty) Map.empty
       else {
-        val bySrc = dirtyChunks.groupBy(_._1)
-        val parts = bySrc.toSeq.sortBy(_._1).map { case (src, cs) =>
+        val grp = "_graft_grp"
+        // map chunk file path -> (src, rangeOp); a chunk appears in one
+        // range, but possibly under several srcs if two inputs share it —
+        // key by (src, path) via per-src reads
+        val bySrc: Map[Int, Seq[(String, String)]] = missing
+          .flatMap { case (chunks, op, _) =>
+            chunks.map { case (s, c) => (s, store.chunkPath(c.hash), op) }
+          }
+          .groupBy(_._1)
+          .view.mapValues(_.map(t => (t._2, t._3))).toMap
+        val parts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
+          val bc = spark.sparkContext.broadcast(files.toMap)
+          val fileToOp = udf { (f: String) =>
+            val p = new java.net.URI(f).getPath
+            bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
+          }
           spark.read.schema(metas.head.schema)
-            .parquet(cs.map(c => store.chunkPath(c._2.hash)): _*)
+            .parquet(files.map(_._1).distinct: _*)
             .withColumn(SRC, lit(src.toLong))
+            .withColumn(grp, fileToOp(input_file_name()))
         }
         val union = parts.reduce(_.unionByName(_))
-        val folded = union.groupBy(keyCols.map(col): _*)
+        val folded = union.groupBy(col(grp) +: keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-        Canonical.materialize(spark, store, folded, keyCols, chunkTargetRows).chunks
+        val subMetas = Canonical.materializeGrouped(spark, store, folded, grp,
+          keyCols, chunkTargetRows)
+        subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
+        subMetas
       }
+
+    val recomputed: Seq[ChunkMeta] = memoizedRanges.flatMap {
+      case (_, op, Some(hit)) => store.loadTableMeta(hit).chunks
+      case (_, op, None) => computed(op).chunks
+    }
 
     val all = (passthrough ++ recomputed)
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)

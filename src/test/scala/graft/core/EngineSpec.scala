@@ -124,6 +124,29 @@ class EngineSpec extends AnyFunSuite {
       s"expected majority chunk reuse: $shared/${mMeta.chunks.length}")
   }
 
+  test("region-level merge memo: a later merge sharing ranges reuses them (Trie.hs:302-312)") {
+    val ops = newOps(target = 16)
+    val rnd = new Random(23)
+    val a = (0 until 1500).map(i => f"k$i%04d" -> rnd.nextLong(100))
+    val b = (100 until 200).map(i => f"k$i%04d" -> 777L) // overlaps a
+    val c = (0 until 100).map(i => f"m$i%04d" -> 1L) // disjoint keyspace
+    val ra = ops.fromDataFrame(df(a), Seq("k"))
+    val rb = ops.fromDataFrame(df(b), Seq("k"))
+    val rc = ops.fromDataFrame(df(c), Seq("k"))
+    val first = ops.merge(Seq(ra, rb), FoldSpec.FoldLast)
+    ops.store.stats.reset()
+    // different whole-op (3 inputs), but the (a,b) overlap ranges are the
+    // same sub-merges → range memo hits; only the a/c junction recomputes
+    val second = ops.merge(Seq(ra, rb, rc), FoldSpec.FoldLast)
+    val snap = ops.store.stats.snapshot
+    assert(snap("memoHits") >= 1, s"expected range-level memo hits: $snap")
+    val firstSaves = ops.meta(first).chunks.length
+    assert(snap("chunkSaves") < firstSaves,
+      s"second merge should reuse shared range results: $snap")
+    // content correct
+    assert(contents(ops, second) == (a.toMap ++ b.toMap ++ c.toMap))
+  }
+
   test("incremental merge result hash == from-scratch hash (canonical form)") {
     val ops = newOps(target = 16)
     val rnd = new Random(11)
