@@ -400,6 +400,74 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     }
   }
 
+  /** Integrity check — the checkTrie analogue (Trie.hs:593-631): verify
+    * every chunk's content hash, row count, key range, sort order, and
+    * chunk disjointness against the stored metadata. Returns the list of
+    * violations (empty = table verifies). */
+  def verifyTable(ref: TableRef): Seq[String] = {
+    val m = meta(ref)
+    val problems = Vector.newBuilder[String]
+    // chunk ranges must be sorted and disjoint
+    m.chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (Hashing.compareBytes(a.maxKey, b.minKey) >= 0)
+          problems += s"chunks ${a.hash.take(8)}/${b.hash.take(8)} overlap or misordered"
+      case _ => ()
+    }
+    m.chunks.foreach { c =>
+      if (!store.hasChunk(c.hash)) problems += s"missing chunk file ${c.hash}"
+    }
+    if (m.chunks.nonEmpty) {
+      val cols = m.schema.fieldNames.toSeq
+      val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
+      val rEnc = KeyCodec.rowEncoder(m.schema, cols)
+      val byPath = m.chunks.map(c => store.chunkPath(c.hash) -> c.hash).toMap
+      val bc = spark.sparkContext.broadcast(byPath)
+      val fileOf = udf { (f: String) =>
+        bc.value.getOrElse(new java.net.URI(f).getPath, "?")
+      }
+      val hashed = spark.read.schema(m.schema)
+        .parquet(m.chunks.map(c => store.chunkPath(c.hash)): _*)
+        .withColumn("_f", fileOf(input_file_name()))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rowSchema = StructType(Seq(StructField("_f", StringType),
+        StructField("kb", BinaryType), StructField("rb", BinaryType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(rowSchema)
+      val fIdx = hashed.schema.fieldIndex("_f")
+      val cIdx = cols.map(hashed.schema.fieldIndex)
+      val perRow = hashed.mapPartitions { it =>
+        it.map { r =>
+          val proj = Row.fromSeq(cIdx.map(i => r.get(i)))
+          Row(r.getString(fIdx), kEnc(proj), rEnc(proj))
+        }
+      }(enc)
+      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
+        Hashing.sha256Hex(rbs.toSeq)
+      }
+      val actual = perRow.groupBy(col("_f"))
+        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
+          count(lit(1)).as("rows"),
+          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
+      m.chunks.foreach { c =>
+        actual.get(c.hash) match {
+          case None => problems += s"chunk ${c.hash.take(8)} produced no rows"
+          case Some(r) =>
+            if (r.getAs[String]("hash") != c.hash)
+              problems += s"chunk ${c.hash.take(8)} content hash mismatch"
+            if (r.getAs[Long]("rows") != c.rows)
+              problems += s"chunk ${c.hash.take(8)} row count ${r.getAs[Long]("rows")} != ${c.rows}"
+            if (Hashing.hex(r.getAs[Array[Byte]]("minkb")) != c.minKeyHex ||
+                Hashing.hex(r.getAs[Array[Byte]]("maxkb")) != c.maxKeyHex)
+              problems += s"chunk ${c.hash.take(8)} key range mismatch"
+        }
+      }
+    }
+    problems.result()
+  }
+
   // ---- helpers ---------------------------------------------------------
 
   private def startsWith(full: Array[Byte], prefix: Array[Byte]): Boolean =

@@ -105,6 +105,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(gotFull == wantFull)
   }
 
+  test("verifyTable: clean table verifies; corrupted chunk is detected (checkTrie parity)") {
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val ops = newOps(target = 16)
+    val rows = (0 until 500).map(i => Row(f"key$i%04d", i.toLong))
+    val ref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema),
+      Seq("k"))
+    assert(ops.verifyTable(ref).isEmpty, "fresh table must verify")
+    // corrupt: swap one chunk file for another chunk's content
+    val m = ops.meta(ref)
+    assert(m.chunks.length >= 2)
+    val p0 = java.nio.file.Paths.get(ops.store.chunkPath(m.chunks(0).hash))
+    val p1 = java.nio.file.Paths.get(ops.store.chunkPath(m.chunks(1).hash))
+    Files.copy(p1, p0, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val problems = ops.verifyTable(ref)
+    assert(problems.nonEmpty, "corruption must be detected")
+  }
+
   test("heavy skew: one key group with thousands of colliding rows folds correctly") {
     val schema = StructType(Seq(
       StructField("k", StringType, nullable = false),
