@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Stateful streaming sessionization: sessions close via event-time
+  * timeout as the watermark advances; results must match the batch
+  * gaps-and-islands computation. */
+class SessionizeStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  test("flatMapGroupsWithState sessions match batch gaps-and-islands") {
+    val srcDir = Files.createTempDirectory("graft-sess-src-")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-sess-out-").toString
+
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val batch1 = Seq(
+      ("2024-01-01 10:00:00", 1L, 1.00), ("2024-01-01 10:10:00", 1L, 2.00),
+      ("2024-01-01 12:00:00", 1L, 4.00), // new session (110-min gap)
+      ("2024-01-01 10:05:00", 2L, 8.00))
+    // batch 2 advances watermark far enough to close everything
+    val batch2 = Seq(("2024-01-02 00:00:00", 99L, 0.01))
+
+    def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+        .write.parquet(srcDir.resolve(s"b$n").toString)
+
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(schema)
+        .parquet(srcDir.toString + "/b*")
+      val q = SessionizeStream.sessions(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    writeBatch(batch1, 1)
+    runOnce()
+    writeBatch(batch2, 2)
+    runOnce()
+
+    val sessions = spark.read.parquet(outDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("start").toString,
+        r.getAs[Timestamp]("end").toString,
+        r.getAs[Int]("n_events"), r.getAs[Long]("total_cents")))
+      .toSet
+    // user 1 session 1: 10:00-10:10, 2 events, 300 cents
+    assert(sessions.contains(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2, 300L)))
+    // user 1 session 2: single event at 12:00, 400 cents
+    assert(sessions.contains(
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1, 400L)))
+    // user 2: single event session
+    assert(sessions.contains(
+      (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1, 800L)))
+    assert(sessions.size >= 3)
+  }
+}
