@@ -99,6 +99,15 @@ object Cli {
           cat.root.toSeq.sortBy(_._1).foreach { case (n, e) =>
             println(s"$n\t${e.tableHash}\tkeys=${e.keyCols.mkString(",")}")
           }
+        case "log" :: Nil =>
+          // git-like history: every statement created a new root
+          cat.log().foreach { h =>
+            val names = cat.rootAt(h).keys.toSeq.sorted.mkString(",")
+            println(s"$h\ttables=[$names]")
+          }
+        case "checkout" :: rootHash :: Nil =>
+          cat.checkout(rootHash)
+          println(s"root=$rootHash")
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           sys.exit(2)

@@ -20,7 +20,7 @@ final class Catalog(store: GraftStore) {
 
   def rootAt(rootHash: String): Map[String, CatalogEntry] = {
     implicit val fmts: Formats = DefaultFormats
-    val j = JsonMethods.parse(store.loadRoot(rootHash))
+    val j = JsonMethods.parse(store.loadRoot(rootHash)) \ "tables"
     j.extract[Map[String, JValue]].map { case (name, e) =>
       name -> CatalogEntry((e \ "table").extract[String],
         (e \ "keyCols").extract[Seq[String]],
@@ -44,13 +44,43 @@ final class Catalog(store: GraftStore) {
     root.get(name).map(e => org.apache.spark.sql.types.DataType
       .fromJson(e.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
 
-  /** runRepoStatement: root → root, atomically installed (Repo.hs:120-130). */
+  /** runRepoStatement: root → root, atomically installed (Repo.hs:120-130).
+    * Each root records its parent, so the version history is a git-like
+    * chain walkable from the current pointer. */
   def statement(f: Map[String, CatalogEntry] => Map[String, CatalogEntry]): String = {
     val next = f(root)
-    val j: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>
+    val parent = store.currentRootHash
+    val tables: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>
       name -> (("table" -> e.tableHash) ~ ("keyCols" -> e.keyCols) ~
         ("schema" -> JsonMethods.parse(e.schemaJson)))
     })
+    val j: JObject = ("tables" -> tables) ~ ("parent" -> parent)
     store.saveRoot(JsonMethods.compact(JsonMethods.render(j)))
+  }
+
+  /** Parent of a root version (None for the first root). */
+  def parentOf(rootHash: String): Option[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(store.loadRoot(rootHash)) \ "parent").extractOpt[String]
+  }
+
+  /** Version history from the current root, newest first. */
+  def log(limit: Int = 100): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var cur = store.currentRootHash
+    var n = 0
+    while (cur.isDefined && n < limit) {
+      out += cur.get
+      cur = parentOf(cur.get)
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Move the root pointer to an existing version (git checkout; the old
+    * chain stays content-addressed and reachable by hash). */
+  def checkout(rootHash: String): Unit = {
+    store.loadRoot(rootHash) // validate existence
+    store.setRootPointer(rootHash)
   }
 }

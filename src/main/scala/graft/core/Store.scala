@@ -117,6 +117,10 @@ final class GraftStore(val rootDir: String) {
     hash
   }
 
+  /** Repoint `root` to an existing version (checkout). */
+  def setRootPointer(rootHash: String): Unit =
+    writeAtomic(root.resolve("root"), rootHash)
+
   def currentRootHash: Option[String] = {
     val p = root.resolve("root")
     if (Files.exists(p)) Some(Files.readString(p).trim) else None

@@ -232,6 +232,15 @@ class EngineSpec extends AnyFunSuite {
     // old root is still readable (git-like snapshot)
     assert(cat.rootAt(root1)("t").tableHash == t1.hash)
     assert(root1 != root2)
+    // history chain: newest first, parent links intact
+    assert(cat.log() == Seq(root2, root1))
+    assert(cat.parentOf(root2).contains(root1))
+    assert(cat.parentOf(root1).isEmpty)
+    // checkout an old version, then the new one again
+    cat.checkout(root1)
+    assert(cat.get("t").contains(t1))
+    cat.checkout(root2)
+    assert(cat.get("t").contains(t2))
   }
 
   test("store contract: chunk save idempotent, memo compute-once (testlib port)") {
