@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ Events.queries ++
-      Sketches.queries ++ Subqueries.queries ++
+      Sketches.queries ++ Subqueries.queries ++ Generators.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
       operators.Vectors.queries
 
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
-      Sketches.oracles ++ Subqueries.oracles ++
+      Sketches.oracles ++ Subqueries.oracles ++ Generators.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
       operators.Vectors.oracles
 }
