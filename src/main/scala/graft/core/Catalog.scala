@@ -46,8 +46,13 @@ final class Catalog(store: GraftStore) {
 
   /** runRepoStatement: root → root, atomically installed (Repo.hs:120-130).
     * Each root records its parent, so the version history is a git-like
-    * chain walkable from the current pointer. */
-  def statement(f: Map[String, CatalogEntry] => Map[String, CatalogEntry]): String = {
+    * chain walkable from the current pointer.
+    *
+    * The read-modify-write of the root pointer is serialized on the store
+    * instance so two concurrent in-process writers cannot both read the
+    * same parent and silently drop one update (lost update). Cross-process
+    * writers need an external lock on the store directory. */
+  def statement(f: Map[String, CatalogEntry] => Map[String, CatalogEntry]): String = store.synchronized {
     val next = f(root)
     val parent = store.currentRootHash
     val tables: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>

@@ -18,6 +18,11 @@ trait FoldSpec extends Serializable {
   def key: String
   /** One aggregate Column per value column (aliased to the column name). */
   def aggs(valueCols: Seq[String]): Seq[Column]
+  /** True iff fold(v, v) == v — merging a table with itself is the
+    * identity. The reference only establishes this for fold_to_last
+    * (TrieSpec.hs:31-38); sum-like folds double values and must take the
+    * general path. Gates the self-merge fast path in Ops.merge. */
+  def idempotent: Boolean = false
 }
 
 object FoldSpec {
@@ -29,6 +34,7 @@ object FoldSpec {
     val key = "fold_to_last"
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => max_by(col(c), col(SRC)).as(c))
+    override val idempotent = true
   }
 
   /** Commutative numeric sum fold. */
@@ -42,12 +48,14 @@ object FoldSpec {
     val key = "fold_min"
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => min(col(c)).as(c))
+    override val idempotent = true
   }
 
   case object FoldMax extends FoldSpec {
     val key = "fold_max"
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => max(col(c)).as(c))
+    override val idempotent = true
   }
 
   /** General NON-commutative pairwise fold in source order — the full

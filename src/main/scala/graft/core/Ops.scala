@@ -88,8 +88,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     if (nonEmpty.isEmpty) return refs.head
     if (nonEmpty.length == 1) return nonEmpty.head._1
     // idempotence fast path: merging any number of copies of one table is
-    // the identity for per-key folds over distinct keys (TrieSpec.hs:31-38)
-    if (nonEmpty.map(_._1.hash).distinct.length == 1) return nonEmpty.head._1
+    // the identity ONLY for idempotent folds (fold(v,v)==v, e.g.
+    // fold_to_last — TrieSpec.hs:31-38); sum-like folds must take the
+    // general path so duplicated inputs combine consistently
+    if (fold.idempotent && nonEmpty.map(_._1.hash).distinct.length == 1)
+      return nonEmpty.head._1
 
     val opHash = Hashing.sha256Hex(Seq(
       "graft-op-merge-v1".getBytes, fold.key.getBytes,

@@ -32,13 +32,30 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  // a null ELEMENT makes the result null (malformed embedding is surfaced,
+  // not silently read as garbage); a length mismatch is a hard error
+  override def nullable: Boolean = super.nullable || elemsNullable
+
+  private def lengthError(nx: Int, ny: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"dot_long: array length mismatch ($nx vs $ny)")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) lengthError(n, y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i); i += 1
+    }
     s
   }
 
@@ -47,13 +64,23 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // the element null check is emitted only when the static element
+      // type admits nulls, keeping the common non-null loop branch-free
+      val nullCheck = if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_long: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

@@ -76,6 +76,20 @@ object Vectors {
       |FROM ranked WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** cos >= 0.4 ⟺ dot>0 ∧ 25·dot² >= 4·na·nb, in exact integer
+    * arithmetic. 25·d² overflows Long when |d| > ~6.07e8 (reachable at
+    * ~6.4e9 for 64-dim vectors quantized at 1e4/element), and 4·na·nb
+    * when na·nb > 2^61 — the DuckDB oracle computes in INT128, so a
+    * silent Long wrap would diverge only on large-magnitude embeddings.
+    * Fast Long path inside the proven-safe bounds, exact BigInt otherwise. */
+  private[operators] def cosAtLeast25(d: Long, nq: Long, nj: Long): Boolean =
+    d > 0 && {
+      // 25·d·d <= Long.Max ⟸ d <= 6.07e8; 4·nq·nj <= Long.Max ⟸ both <= 1.518e9
+      if (d <= 607000000L && nq <= 1518500000L && nj <= 1518500000L)
+        25 * d * d >= 4 * nq * nj
+      else BigInt(25) * BigInt(d) * BigInt(d) >= BigInt(4) * BigInt(nq) * BigInt(nj)
+    }
+
   /** Embedding near-dup pairs: cosine >= 0.4 decided ENTIRELY in integer
     * arithmetic (dot>0 and 25·dot² >= 4·na·nb ⟺ cos >= 0.4) — no float
     * threshold boundary at all. Self-join pruned by label block (the
@@ -102,7 +116,7 @@ object Vectors {
           cs.iterator.filter(_._1 > i).flatMap { case (j, qj, nj) =>
             var d = 0L; var k = 0; val n = q.length
             while (k < n) { d += q(k) * qj(k); k += 1 }
-            if (d > 0 && 25 * d * d >= 4 * nq * nj) Some((i, j)) else None
+            if (cosAtLeast25(d, nq, nj)) Some((i, j)) else None
           }
         }
       }.toDF("i", "j")

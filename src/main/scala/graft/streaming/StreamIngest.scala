@@ -31,29 +31,44 @@ object StreamIngest {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(ops, catalog, batch, tableName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(ops, catalog, batch, tableName, checkpointDir, batchId)
       }
       .start()
   }
 
   /** The per-batch increment: batch rows → partial aggregate → merge
-    * (fold_sum) into the catalog table. Also the crash-recovery path:
-    * re-running an identical batch produces an identical delta table
-    * whose merge is memoized. */
+    * (fold_sum) into the catalog table.
+    *
+    * Exactly-once on replay: foreachBatch re-delivers a batch (same
+    * batchId, same rows) if the job crashes between our catalog commit
+    * and the streaming checkpoint commit. A sum fold is NOT idempotent,
+    * so the applied result hash is recorded in the memo store under
+    * (checkpointDir, tableName, batchId) — the replayed batch finds the
+    * marker and only re-points the catalog instead of merging twice
+    * (the standard foreachBatch exactly-once pattern). */
   def mergeBatch(ops: Ops, catalog: Catalog, batch: DataFrame,
-      tableName: String): Unit = {
+      tableName: String, checkpointDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val delta = batch
-      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-    val deltaRef = ops.fromDataFrame(delta, Seq("day", "user_id"),
-      FoldSpec.FoldSum)
-    val merged = catalog.get(tableName) match {
-      case Some(existing) => ops.merge(Seq(existing, deltaRef), FoldSpec.FoldSum)
-      case None => deltaRef
+    val batchKey = Hashing.sha256Hex(Seq(
+      "graft-stream-batch-v1".getBytes, checkpointDir.getBytes,
+      tableName.getBytes, batchId.toString.getBytes))
+    val merged = ops.store.memoGet(batchKey) match {
+      case Some(applied) => TableRef(applied) // replay: already merged
+      case None =>
+        val delta = batch
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        val deltaRef = ops.fromDataFrame(delta, Seq("day", "user_id"),
+          FoldSpec.FoldSum)
+        val out = catalog.get(tableName) match {
+          case Some(existing) => ops.merge(Seq(existing, deltaRef), FoldSpec.FoldSum)
+          case None => deltaRef
+        }
+        ops.store.memoPut(batchKey, out.hash)
+        out
     }
     catalog.put(tableName, merged)
     ()

@@ -86,6 +86,30 @@ class EngineSpec extends AnyFunSuite {
     assert(merged.hash == t.hash, "canonical form: merge with self is identity")
   }
 
+  test("self-merge with a non-idempotent fold takes the general path and doubles") {
+    val ops = newOps()
+    val rows = Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)
+    val t = ops.fromDataFrame(df(rows), Seq("k"))
+    val doubled = ops.merge(Seq(t, t), FoldSpec.FoldSum)
+    assert(contents(ops, doubled) == Map("a" -> 2L, "b" -> 4L, "c" -> 6L),
+      "merge(Seq(t,t), FoldSum) must double, consistent with merge(Seq(t,t,b))")
+    // and idempotent folds still hit the identity fast path
+    assert(ops.merge(Seq(t, t), FoldSpec.FoldMin).hash == t.hash)
+    assert(ops.merge(Seq(t, t), FoldSpec.FoldMax).hash == t.hash)
+  }
+
+  test("concurrent catalog statements serialize: no lost updates") {
+    val ops = newOps()
+    val catalog = new Catalog(ops.store)
+    val t = ops.fromDataFrame(df(Seq("a" -> 1L)), Seq("k"))
+    val threads = (0 until 8).map { i =>
+      new Thread(() => { catalog.put(s"table_$i", t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(catalog.root.keySet == (0 until 8).map(i => s"table_$i").toSet,
+      "every writer's table must survive the concurrent root updates")
+  }
+
   test("merge is memoized: second identical merge does zero work") {
     val ops = newOps()
     val rnd = new Random(9)

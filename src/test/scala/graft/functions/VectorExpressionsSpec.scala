@@ -46,6 +46,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("null element yields null result, interpreted and codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1L), None, Some(3L)), Seq(Some(4L), Some(5L), Some(6L))),
+      (Seq(Some(1L), Some(2L), Some(3L)), Seq(Some(4L), Some(5L), Some(6L)))
+    ).toDF("a", "b")
+    val rows = df.select(VectorExpressions.dot_long($"a", $"b")).collect()
+    assert(rows(0).isNullAt(0), "malformed embedding surfaces as null, not garbage")
+    assert(rows(1).getLong(0) == 4L + 10L + 18L)
+  }
+
+  test("length mismatch is a hard error") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.dot_long($"a", $"b")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c => Option(c.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("type mismatch rejected at analysis") {
     import spark.implicits._
     val df = Seq((Seq("x"), Seq(1L))).toDF("a", "b")

@@ -69,6 +69,21 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("integer cosine threshold matches BigInt ground truth at overflow magnitudes") {
+    val rnd = new scala.util.Random(11)
+    def bigTruth(d: Long, nq: Long, nj: Long): Boolean =
+      d > 0 && BigInt(25) * BigInt(d) * BigInt(d) >= BigInt(4) * BigInt(nq) * BigInt(nj)
+    // magnitudes around and far beyond the Long-safe bounds, incl. the
+    // d*25*d overflow zone (d up to 6.4e9 for 64-dim 1e4-quantized vectors)
+    val ds = Seq(0L, 1L, 606999999L, 607000001L, 6400000000L, -5L) ++
+      Seq.fill(200)(rnd.nextLong(6400000000L))
+    val ns = Seq(1L, 1518499999L, 1518500001L, 6400000000L) ++
+      Seq.fill(50)(rnd.nextLong(6400000000L) + 1)
+    for (d <- ds; nq <- ns; nj <- ns.take(8))
+      assert(Vectors.cosAtLeast25(d, nq, nj) == bigTruth(d, nq, nj),
+        s"d=$d nq=$nq nj=$nj")
+  }
+
   test("quantized cosine is symmetric and self-similarity is 1") {
     import spark.implicits._
     val v = graft.Tables(spark, sf, "embeddings").limit(20)

@@ -72,4 +72,31 @@ class StreamIngestSpec extends AnyFunSuite {
         rs.map(r => math.round(r._3 * 100)).sum)).toMap
     assert(after2 == model)
   }
+
+  test("batch replay is idempotent: same batchId merged twice applies once") {
+    val store = new GraftStore(Files.createTempDirectory("graft-replay-store-").toString)
+    val ops = new Ops(spark, store, 64)
+    val catalog = new Catalog(store)
+    val rows = Seq(("2024-03-01 10:00:00", 1L, 10.00), ("2024-03-01 11:00:00", 1L, 5.00))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+
+    StreamIngest.mergeBatch(ops, catalog, batch, "t", "ckpt-A", batchId = 0L)
+    val once = ops.scan(catalog.get("t").get).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(once(("2024-03-01", 1L)) == (2L, 1500L))
+
+    // crash-replay of the SAME batch: foreachBatch re-delivers (ckpt, id)
+    StreamIngest.mergeBatch(ops, catalog, batch, "t", "ckpt-A", batchId = 0L)
+    val twice = ops.scan(catalog.get("t").get).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(twice == once, "sum fold must not double-count on replay")
+
+    // a genuinely new batch (next id) still merges
+    StreamIngest.mergeBatch(ops, catalog, batch, "t", "ckpt-A", batchId = 1L)
+    val next = ops.scan(catalog.get("t").get).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(next(("2024-03-01", 1L)) == (4L, 3000L))
+  }
 }
