@@ -185,11 +185,18 @@ object Dedup {
 
   /** 64-bit SimHash over the 3-gram shingle set (unigram token sets are
     * near-identical for same-vocabulary corpora — shingles separate);
-    * near-dups = Hamming distance <= 15, found by banding into 16 4-bit
-    * blocks (pigeonhole: any pair within distance 15 shares a block),
-    * then filtering on the exact distance. For a 100 TB corpus the
-    * 4-bit blocks are too collision-prone — use a 128-bit simhash with
-    * 8-bit blocks there; banding arithmetic is identical. */
+    * near-dups = Hamming distance <= 15.
+    *
+    * Pair generation: signatures are 8 bytes/doc, so the corpus side
+    * broadcasts (5000 docs = 40 KB; even 100M docs = 800 MB, still a
+    * plausible broadcast) and each partition scans its docs against the
+    * broadcast array with primitive XOR+popcount — no shuffle, no
+    * candidate materialization. A 4-bit block band join is strictly worse
+    * at ANY scale: 16 values per block position means every bucket holds
+    * n/16 of the corpus, i.e. the join degenerates to all-pairs THROUGH a
+    * shuffle. When the corpus outgrows a broadcast, the scale path is a
+    * 128-bit simhash banded into 8-bit blocks (256-way buckets, distance
+    * budget per pigeonhole unchanged) — same final exact-distance filter. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val simhashUdf = udf { (shs: scala.collection.Seq[String]) =>
@@ -207,15 +214,29 @@ object Dedup {
     }
     val sim = shingles(s, dir)
       .groupBy($"doc_id").agg(collect_list($"s").as("shs"))
-      .select($"doc_id", simhashUdf($"shs").as("sh")).cache()
-    val blocks = sim.select($"doc_id", $"sh", posexplode(expr(
-      "transform(sequence(0,15), b -> (sh >> (b*4)) & 15)")).as(Seq("b", "blk")))
-    blocks.as("x").join(blocks.as("y"),
-        $"x.b" === $"y.b" && $"x.blk" === $"y.blk" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
-        bit_count($"x.sh".bitwiseXOR($"y.sh")).as("hamming")).distinct()
-      .where($"hamming" <= 15)
+      .select($"doc_id", simhashUdf($"shs").as("sh"))
+    val corpus: Array[(Long, Long)] = sim.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val shs = corpus.map(_._2)
+    val bcIds = s.sparkContext.broadcast(ids)
+    val bcShs = s.sparkContext.broadcast(shs)
+    s.createDataFrame(
+      s.sparkContext.parallelize(corpus.indices, s.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val is = bcIds.value; val hs = bcShs.value
+          it.flatMap { a =>
+            val ha = hs(a); val ia = is(a)
+            Iterator.range(a + 1, hs.length).flatMap { b =>
+              val d = java.lang.Long.bitCount(ha ^ hs(b))
+              if (d <= 15) Some(org.apache.spark.sql.Row(ia, is(b), d)) else None
+            }
+          }
+        },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType, false))))
       .orderBy($"i", $"j")
   }
 
