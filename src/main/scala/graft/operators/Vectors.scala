@@ -197,6 +197,87 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the FAISS-style
+    * scale path next to LSH: corpus vectors with vec_id%10==5 serve as
+    * deterministic cell centroids; every corpus vector is assigned to its
+    * nearest centroid by EXACT integer squared-L2 (nv + nc − 2·dot, ties
+    * to the smaller centroid id); a query probes its nprobe=2 nearest
+    * cells and exact cosine re-ranks only those cells' members. Fully
+    * deterministic and integer-decided ⇒ DuckDB-oracle-backed, unlike
+    * the JVM-plane LSH variant. At 100 TB: centroids come from a sampled
+    * k-means and `cell` becomes the table's partition key, so a probe
+    * reads nprobe partitions instead of the corpus. */
+  val IvfProbes = 2
+
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val cents = v.where($"vec_id" >= 10 && $"vec_id" % 10 === 5)
+      .select($"vec_id".as("c_id"), $"q".as("cq"), $"nq".as("cn"))
+    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
+      val d2 = (col("nq") + col("cn") - lit(2L) * dot(col("q"), col("cq"))).as("d2")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+      side.join(broadcast(cents))
+        .select(side.columns.map(col) :+ col("c_id") :+ d2: _*)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+    }
+    val assigned = nearestCells(v.where($"vec_id" >= 10), 1)
+      .select($"vec_id", $"q", $"nq", $"c_id".as("cell"))
+    val probes = nearestCells(v.where($"vec_id" < 10), IvfProbes)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nq".as("qn"),
+        $"c_id".as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .select($"query_id", $"vec_id",
+        (dot($"qq", $"q") / sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val simAnnIvfSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv),
+      |cents AS (SELECT vec_id AS c_id, q AS cq, nq AS cn
+      |  FROM n WHERE vec_id >= 10 AND vec_id % 10 = 5),
+      |assigned AS (
+      |  SELECT vec_id, q, nq, c_id AS cell FROM (
+      |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+      |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+      |    FROM n a, cents c WHERE a.vec_id >= 10)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, q AS qq, nq AS qn, c_id AS cell FROM (
+      |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+      |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+      |    FROM n a, cents c WHERE a.vec_id < 10)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(p.qq)+1),
+      |      k -> p.qq[k]*a.q[k])) AS BIGINT)
+      |      / sqrt(CAST(p.qn * a.nq AS DOUBLE)) AS cos
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, cos
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---- multimodal binary columns --------------------------------------
 
   /** Multimodal metadata: treat the document text bytes as an opaque
@@ -232,10 +313,12 @@ object Vectors {
     "sim_topk" -> (simTopk _),
     "sim_neardup" -> (simNeardup _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_neardup" -> simNeardupSql,
+    "sim_ann_ivf" -> simAnnIvfSql,
     "multimodal_meta" -> multimodalMetaSql)
 }

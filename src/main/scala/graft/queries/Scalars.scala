@@ -120,15 +120,54 @@ object Scalars {
       | event_type = 'purchase' AS is_purchase
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Array/higher-order functions over the token array of each document:
+    * element access, slice, distinct, sort, filter/transform/aggregate
+    * lambdas — outputs reduced to scalars so both engines hash the same
+    * flat schema. */
+  def scalarArray(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("ts", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"ts").as("n_tokens"),
+        element_at($"ts", 1).as("first_tok"),
+        element_at($"ts", -1).as("last_tok"),
+        array_join(slice($"ts", 1, 3), "_").as("head3"),
+        size(array_distinct($"ts")).as("n_distinct"),
+        array_contains($"ts", "the").as("has_the"),
+        array_join(array_sort(array_distinct(slice($"ts", 1, 5))), ",").as("sorted5"),
+        aggregate(transform($"ts", t => length(t)), lit(0), (a, x) => a + x)
+          .as("sum_len"),
+        size(filter($"ts", t => length(t) > 4)).as("n_long"))
+      .orderBy($"doc_id")
+  }
+
+  val scalarArraySql: String =
+    """SELECT doc_id,
+      | CAST(len(ts) AS INT) AS n_tokens,
+      | ts[1] AS first_tok,
+      | ts[-1] AS last_tok,
+      | array_to_string(list_slice(ts, 1, 3), '_') AS head3,
+      | CAST(len(list_distinct(ts)) AS INT) AS n_distinct,
+      | list_contains(ts, 'the') AS has_the,
+      | array_to_string(list_sort(list_distinct(list_slice(ts, 1, 5))), ',') AS sorted5,
+      | CAST(list_sum(list_transform(ts, t -> length(t))) AS INT) AS sum_len,
+      | CAST(len(list_filter(ts, t -> length(t) > 4)) AS INT) AS n_long
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
     "scalar_math" -> (scalarMath _),
+    "scalar_array" -> (scalarArray _),
     "scalar_case_json" -> (scalarCaseJson _))
 
   val oracles: Map[String, String] = Map(
     "scalar_string" -> scalarStringSql,
     "scalar_date" -> scalarDateSql,
     "scalar_math" -> scalarMathSql,
+    "scalar_array" -> scalarArraySql,
     "scalar_case_json" -> scalarCaseJsonSql)
 }

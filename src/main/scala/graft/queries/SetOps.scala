@@ -48,6 +48,34 @@ object SetOps {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Multiset INTERSECT ALL: per-customer open/finished order counts
+    * intersect with multiplicity = min(count_O, count_F) copies kept. */
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    openCust(s, dir).intersectAll(finishedCust(s, dir))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("o_custkey"))
+
+  val setIntersectAllSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_copies FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Multiset EXCEPT ALL: open-order multiset minus finished-order
+    * multiset, surviving multiplicities. */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    openCust(s, dir).exceptAll(finishedCust(s, dir))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("o_custkey"))
+
+  val setExceptAllSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_copies FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Distinct aggregate: distinct parts and suppliers per return flag. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -124,6 +152,8 @@ object SetOps {
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
     "set_union" -> (setUnion _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
@@ -133,6 +163,8 @@ object SetOps {
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,
     "set_union" -> setUnionSql,
+    "set_intersect_all" -> setIntersectAllSql,
+    "set_except_all" -> setExceptAllSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,

@@ -77,13 +77,39 @@ object Windows {
        |FROM events
        |ORDER BY event_id""".stripMargin
 
+  /** Value-based RANGE frame: per event, the user's value sum over the
+    * trailing 30 minutes (frame bounds on the event-time axis in µs, not
+    * row counts — peers with equal timestamps share the frame). */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-1800000000L, 0L)
+    Tables(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("trail_cents", sum(cents($"value")).over(w))
+      .select($"event_id", $"user_id",
+        ($"trail_cents" / 100.0).as("trail_30m"))
+      .orderBy($"event_id")
+  }
+
+  val windowRangeSql: String =
+    s"""SELECT event_id, user_id,
+       | CAST(SUM(${centsSql("value")}) OVER (
+       |   PARTITION BY user_id ORDER BY epoch_us(ts)
+       |   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |  / CAST(100.0 AS DOUBLE) AS trail_30m
+       |FROM events
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "window_topn" -> (windowTopn _),
     "window_running" -> (windowRunning _),
+    "window_range" -> (windowRange _),
     "window_lag" -> (windowLag _))
 
   val oracles: Map[String, String] = Map(
     "window_topn" -> windowTopnSql,
     "window_running" -> windowRunningSql,
+    "window_range" -> windowRangeSql,
     "window_lag" -> windowLagSql)
 }
