@@ -164,6 +164,26 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  /** Scale guard for the inverted-index join: drop shingles whose
+    * document frequency exceeds `maxDf`. A shingle in f docs costs
+    * f·(f−1)/2 join pairs, so one hot shingle ("in the the") can
+    * dominate the whole join; dropping it loses no discriminative
+    * signal. Sizes are recomputed on the FILTERED universe so the
+    * Jaccard threshold stays internally consistent (it becomes Jaccard
+    * over rare shingles — the standard production semantics). Returns
+    * (filtered index, sizes). Not applied in the oracle-checked
+    * dedup_shingle query (exact semantics there); wired for corpora
+    * beyond ~10M docs where df skew is certain. */
+  private[operators] def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("_df"))
+      .where($"_df" <= maxDf)
+      .select($"s")
+    sh.join(df, "s") // broadcast-able when the surviving vocab is small;
+                     // shuffle join otherwise — Catalyst/AQE decides
+      .select(sh.columns.map(col): _*)
+  }
+
   /** Join candidate pairs back to the shingle index and keep pairs with
     * exact Jaccard >= num/den (integer cross-multiplied). */
   private[operators] def verifyJaccard(sh: DataFrame, cands: DataFrame,

@@ -101,24 +101,78 @@ object GraftSql {
     out.result()
   }
 
-  /** Execute a statement: CREATE TABLE mutates the catalog (a new root),
-    * anything else runs as a Spark SQL query over the catalog's tables
-    * registered as temp views. Returns Right(newRootHash) for DDL,
-    * Left(df) for queries — the runRepoStatement/runRepoQuery split
-    * (Repo.hs:120-130). */
+  private val insertRe =
+    """(?is)^\s*insert\s+into\s+("?[\w.]+"?)\s+((?:select|values|with|table)\b.*)$""".r
+  private val ctasRe = ("""(?is)^\s*create\s+table\s+("?[\w.]+"?)\s+""" +
+    """primary\s+key\s*\(([^)]*)\)\s+as\s+((?:select|with)\b.*)$""").r
+  private val dropRe =
+    """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*;?\s*$""".r
+
+  private def unquote(s: String): String =
+    s.stripPrefix("\"").stripSuffix("\"")
+
+  /** Execute a statement. Write statements mutate the catalog (each
+    * produces a new root) and return Right(newRootHash); reads run as
+    * Spark SQL over the catalog's tables registered as temp views and
+    * return Left(df) — the runRepoStatement/runRepoQuery split
+    * (Repo.hs:120-130).
+    *
+    * Beyond the reference's CREATE TABLE (O26/O27):
+    *  - `INSERT INTO t <query>` — the query result upserts into t through
+    *    the memoized merge (last-wins per PK), the import-csv merge path
+    *    (O31) exposed as SQL. Columns align by name when they all match,
+    *    else by position (cast to the table schema).
+    *  - `CREATE TABLE t PRIMARY KEY (k, ...) AS <select>` — CTAS with an
+    *    explicit key clause (our tables are keyed maps, so a PK is
+    *    mandatory — dialect extension).
+    *  - `DROP TABLE [IF EXISTS] t`.
+    */
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
-    val t = sqlText.trim.toLowerCase
-    if (t.startsWith("create table")) {
-      val ct = parseCreateTable(sqlText)
-      val ref = ops.emptyTable(ct.schema, ct.keyCols)
-      Right(catalog.put(ct.name, ref))
-    } else {
+    def registerViews(): Unit =
       catalog.root.keys.foreach { name =>
         ops.scan(graft.core.TableRef(catalog.root(name).tableHash))
           .createOrReplaceTempView(name)
       }
-      Left(spark.sql(sqlText))
+    sqlText.trim.stripSuffix(";") match {
+      case ctasRe(rawName, keys, query) =>
+        registerViews()
+        val name = unquote(rawName)
+        val keyCols = keys.split(",").map(k => unquote(k.trim)).toSeq
+        val df = spark.sql(query)
+        keyCols.foreach { k =>
+          if (!df.columns.contains(k))
+            throw new SqlException(s"PRIMARY KEY column $k not in query output")
+        }
+        Right(catalog.put(name, ops.fromDataFrame(df, keyCols)))
+      case insertRe(rawName, query) =>
+        registerViews()
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val raw = spark.sql(query)
+        if (raw.columns.length != schema.length)
+          throw new SqlException(
+            s"INSERT arity ${raw.columns.length} != table arity ${schema.length}")
+        val aligned =
+          if (raw.columns.toSet == schema.fieldNames.toSet)
+            raw.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+          else raw.toDF(schema.fieldNames: _*) // positional
+        val casted = aligned.select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+        val delta = ops.fromDataFrame(casted, entry.keyCols)
+        val merged = ops.upsert(graft.core.TableRef(entry.tableHash), delta)
+        Right(catalog.put(name, merged))
+      case dropRe(rawName) =>
+        Right(catalog.drop(unquote(rawName)))
+      case t if t.toLowerCase.startsWith("create table") =>
+        val ct = parseCreateTable(sqlText)
+        val ref = ops.emptyTable(ct.schema, ct.keyCols)
+        Right(catalog.put(ct.name, ref))
+      case _ =>
+        registerViews()
+        Left(spark.sql(sqlText))
     }
   }
 }

@@ -69,6 +69,73 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("hot-shingle df cap drops only high-frequency shingles") {
+    import spark.implicits._
+    // shingle "hot" in 4 docs, "rare1/2" in 2 docs each
+    val sh = Seq(
+      (1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "hot"),
+      (1L, "rare1"), (2L, "rare1"), (3L, "rare2"), (4L, "rare2"))
+      .toDF("doc_id", "s")
+    val capped = Dedup.capDocFreq(sh, maxDf = 3)
+    val left = capped.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((1L, "rare1"), (2L, "rare1"), (3L, "rare2"), (4L, "rare2")),
+      "df>3 shingle removed, rare shingles intact")
+    // cap above max df is the identity
+    assert(Dedup.capDocFreq(sh, maxDf = 4).count() == 8)
+  }
+
+  test("stream-stream join equals the batch join (purchase attribution)") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    def mk(rows: Seq[(String, Long, Long)], dir: java.nio.file.Path): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          Row(Timestamp.valueOf(r._1), r._2, r._3, 1.0)), 2), schema)
+        .write.mode("append").parquet(dir.toString)
+    val clickDir = Files.createTempDirectory("graft-sj-clicks-")
+    val purchDir = Files.createTempDirectory("graft-sj-purch-")
+    val clicks = Seq(
+      ("2024-01-01 10:00:00", 1L, 100L), // 25 min before purchase -> joins
+      ("2024-01-01 09:50:00", 1L, 101L), // 35 min before -> out of range
+      ("2024-01-01 10:20:00", 2L, 102L), // other user, in range for 201
+      ("2024-01-01 10:30:00", 1L, 103L)) // 5 min after purchase -> no
+    val purchases = Seq(
+      ("2024-01-01 10:25:00", 1L, 200L),
+      ("2024-01-01 10:40:00", 2L, 201L))
+    mk(clicks, clickDir); mk(purchases, purchDir)
+
+    // batch ground truth through the same operator
+    val batch = graft.streaming.StreamJoin.purchaseAttribution(
+      spark.read.schema(schema).parquet(clickDir.toString),
+      spark.read.schema(schema).parquet(purchDir.toString))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch == Set((200L, 100L), (201L, 102L)))
+
+    // streaming run over the same files
+    val out = Files.createTempDirectory("graft-sj-out-").toString
+    val q = graft.streaming.StreamJoin.purchaseAttribution(
+      spark.readStream.schema(schema).parquet(clickDir.toString),
+      spark.readStream.schema(schema).parquet(purchDir.toString))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sj-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(streamed == batch, "stream-stream join must equal the batch join")
+  }
+
   test("integer cosine threshold matches BigInt ground truth at overflow magnitudes") {
     val rnd = new scala.util.Random(11)
     def bigTruth(d: Long, nq: Long, nj: Long): Boolean =

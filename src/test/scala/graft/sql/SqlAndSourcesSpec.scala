@@ -62,6 +62,45 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       Seq(("b", 2L), ("c", 30L)))
   }
 
+  test("INSERT INTO upserts through the memoized merge; last write wins per PK") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv (k text PRIMARY KEY, v bigint NOT NULL)")
+    val Right(_) = GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv SELECT * FROM VALUES ('a', 1), ('b', 2) AS t(k, v)"): @unchecked
+    // overwrite 'b', add 'c'; positional alignment + cast (ints -> bigint)
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv VALUES ('b', 20), ('c', 3)")
+    val got = ops.scanOrdered(cat.get("kv").get).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+    // arity mismatch rejected
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv VALUES ('x')"))
+    // unknown table rejected
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "INSERT INTO nope VALUES ('x', 1)"))
+  }
+
+  test("CREATE TABLE ... PRIMARY KEY (...) AS SELECT and DROP TABLE") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE src (k text PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO src VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val Right(_) = GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE big PRIMARY KEY (k) AS SELECT k, v * 10 AS v FROM src WHERE v >= 2"): @unchecked
+    val got = ops.scanOrdered(cat.get("big").get).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("b", 20L), ("c", 30L)))
+    // PK column must exist in the query output
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE bad PRIMARY KEY (nope) AS SELECT k, v FROM src"))
+    GraftSql.execute(spark, ops, cat, "DROP TABLE big")
+    assert(cat.get("big").isEmpty)
+    assert(cat.get("src").isDefined)
+  }
+
   test("CSV import matches columns by name under shuffled header (Row.hs:117-124)") {
     val (ops, _) = newOps()
     val schema = StructType(Seq(
