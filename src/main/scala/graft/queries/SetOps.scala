@@ -131,6 +131,67 @@ object SetOps {
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (region totals, nation totals, grand total —
+    * not the rollup/cube lattice). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    val c = Tables(s, dir, "customer")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupingSets(Seq(Seq($"r_name"), Seq($"n_name"), Seq()),
+        $"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Statistical aggregates with cross-engine bit-exactness: mean,
+    * population variance and stddev derived from EXACT integer moments
+    * (n, Σcents, Σcents² — the latter in 38-digit decimal / HUGEINT so
+    * squares of 7-digit cents cannot overflow), with a single final fp
+    * division per output. Direct stddev()/var_pop() over doubles would
+    * be aggregation-order-dependent and never hash-match. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = cents($"l_extendedprice")
+    val cd = c.cast("decimal(38,0)")
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(c).as("s1"),
+        sum(cd * cd).as("s2"))
+      .select($"l_returnflag", $"n",
+        ($"s1".cast("double") / ($"n" * 100L).cast("double")).as("mean"),
+        (($"s2" * $"n" - $"s1".cast("decimal(38,0)") * $"s1").cast("double") /
+          ($"n" * $"n" * 10000L).cast("double")).as("var_pop"))
+      .withColumn("std_pop", sqrt($"var_pop"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggStatsSql: String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS s1,
+       |    SUM(CAST(${centsSql("l_extendedprice")} AS HUGEINT)
+       |      * ${centsSql("l_extendedprice")}) AS s2
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  CAST(s1 AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean,
+       |  CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+       |    / CAST(n * n * 10000 AS DOUBLE) AS var_pop,
+       |  sqrt(CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+       |    / CAST(n * n * 10000 AS DOUBLE)) AS std_pop
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** Global aggregate (no grouping — single row). */
   def aggGlobal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -157,6 +218,8 @@ object SetOps {
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_stats" -> (aggStats _),
     "agg_global" -> (aggGlobal _))
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +231,7 @@ object SetOps {
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_stats" -> aggStatsSql,
     "agg_global" -> aggGlobalSql)
 }
