@@ -55,6 +55,29 @@ class PlanSpec extends AnyFunSuite {
       s"no partial agg:\n$p")
   }
 
+  test("sim_ann_ivf: probe join is a broadcast hash join on the cell key") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), s"cell join not broadcast:\n$p")
+  }
+
+  test("agg_stats: pruned scan + two-phase hash aggregation") {
+    val p = plan("agg_stats")
+    assert(!p.contains("l_partkey") && !p.contains("l_shipdate"),
+      s"scan not pruned:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+  }
+
+  test("window_range: one hash shuffle on user_id, then a running window") {
+    val p = plan("window_range")
+    assert(p.contains("hashpartitioning(user_id"), s"missing user shuffle:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("events_sliding: partial aggregation below the shuffle") {
+    val p = plan("events_sliding")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+  }
+
   test("merge_upsert: single key shuffle + final sort, nothing else") {
     val p = plan("merge_upsert")
     // distinct partitionings: one hash shuffle for the fold, one range
