@@ -86,6 +86,9 @@ object Dedup {
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .agg(count(lit(1)).as("c"))
+    // the doc-size joins are left to AQE: it broadcasts the (id, count)
+    // side while it fits and falls back to shuffle beyond (measured: an
+    // explicit broadcast() hint here is slightly slower than AQE's plan)
     inter
       .join(sz.as("sa"), $"i" === $"sa.doc_id")
       .join(sz.as("sb"), $"j" === $"sb.doc_id")

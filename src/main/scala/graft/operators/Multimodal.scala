@@ -52,6 +52,58 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: a "video" payload → one row per sampled frame
+    * (every `everyNth` of the payload's frames, always including frame
+    * 0) — the 1→N generator shape over binary columns. The codec is
+    * stubbed: fixed-size payload slices stand in for decoded frames,
+    * each with its own deterministic feature vector; a real decoder
+    * replaces [[frameOf]] only. Output: (id, frame_idx, width, height,
+    * features). */
+  private val FrameBytes = 256
+
+  private def frameOf(payload: Array[Byte], idx: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(payload,
+      math.min(idx * FrameBytes, payload.length),
+      math.min((idx + 1) * FrameBytes, payload.length))
+
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      everyNth: Int = 10, decoder: Decoder = StubDecoder): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +:
+      StructField("frame_idx", IntegerType, nullable = false) +:
+      decodedSchema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { batch =>
+      val d = decoder
+      batch.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val nFrames = math.max(1, (payload.length + FrameBytes - 1) / FrameBytes)
+        Iterator.range(0, nFrames, everyNth).map { f =>
+          val decoded = d.decode(frameOf(payload, f))
+          Row.fromSeq(r.getLong(idIdx) +: f +: decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize: decoded frames → fixed target dimensions with the feature
+    * vector rescaled deterministically (the stub stand-in for an actual
+    * pixel resample — a pure 1→1 column transform, so it runs inside the
+    * same partition batch as the decode). Expects decodeBatches /
+    * sampleFrames output columns. */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sx = col("width").cast("float") / targetW.toFloat
+    val sy = col("height").cast("float") / targetH.toFloat
+    df.withColumn("features",
+        transform(col("features"), f => f / sqrt((sx * sy).cast("double")).cast("float")))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+  }
+
   /** Decode a binary column into typed media columns, partition-batched:
     * the decoder is instantiated once per partition and applied to the
     * batch iterator (the Scala analogue of a pandas_udf over

@@ -86,6 +86,45 @@ class EngineSpec extends AnyFunSuite {
     assert(merged.hash == t.hash, "canonical form: merge with self is identity")
   }
 
+  test("merge planning is metadata-only: 200k disjoint chunks plan and pass through without reading data") {
+    // 100 TB posture: at 128 MB chunks a 100 TB table has ~800k chunk
+    // entries; merge planning must stay O(#chunks log #chunks) DRIVER
+    // metadata work with zero data IO when regions don't overlap. Build
+    // two interleaved 100k-chunk tables (synthetic metas, no chunk files
+    // on disk) whose regions are all single-source and merge them.
+    val ops = newOps(target = 2) // boundary density 1/2 keeps synthesis cheap
+    def keyBytes(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def boundaryAt(base: Long): Array[Byte] = {
+      var v = base
+      while (!Canonical.isBoundaryKey(keyBytes(v), 2)) v += 1
+      keyBytes(v)
+    }
+    val t0 = System.nanoTime()
+    val schemaJson = Canonical.normalizeSchema(schema, Seq("k")).json
+    def mkMeta(offset: Int): TableMeta = {
+      val chunks = (0 until 100000).map { i =>
+        val min = boundaryAt((i.toLong * 2 + offset) * 1000)
+        ChunkMeta(f"deadbeef$offset%02d$i%08x", Hashing.hex(min),
+          Hashing.hex(min :+ 0x01.toByte), 2)
+      }
+      val m = TableMeta(schemaJson, Seq("k"), 2, chunks)
+      ops.store.saveTableMeta(m)
+      m
+    }
+    val (a, b) = (mkMeta(0), mkMeta(1))
+    val merged = ops.merge(Seq(TableRef(a.tableHash), TableRef(b.tableHash)),
+      FoldSpec.FoldLast)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val outMeta = ops.store.loadTableMeta(merged.hash)
+    assert(outMeta.chunks.length == 200000, "pure passthrough union")
+    assert(outMeta.chunks.map(_.minKeyHex) ==
+      (a.chunks ++ b.chunks).map(_.minKeyHex).sorted,
+      "chunks spliced in key order")
+    assert(ops.store.stats.snapshot("chunkSaves") == 0, "no data written")
+    assert(elapsedSec < 30.0, f"planning took $elapsedSec%.1fs — not metadata-bound")
+  }
+
   test("self-merge with a non-idempotent fold takes the general path and doubles") {
     val ops = newOps()
     val rows = Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)

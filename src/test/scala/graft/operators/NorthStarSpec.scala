@@ -69,6 +69,31 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("frame sampling emits every Nth frame; resize fixes dimensions") {
+    import spark.implicits._
+    val df = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .limit(20)
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", everyNth = 2)
+    assert(frames.schema.fieldNames.toSeq ==
+      Seq("id", "frame_idx", "width", "height", "n_frames", "features"))
+    // model: ceil(nFrames/2) sampled frames per doc, indices 0,2,4,...
+    val lens = df.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("payload").length).toMap
+    val got = frames.collect().groupBy(_.getLong(0))
+    got.foreach { case (id, rows) =>
+      val nFrames = math.max(1, (lens(id) + 255) / 256)
+      val want = Range(0, nFrames, 2).toSeq
+      assert(rows.map(_.getInt(1)).sorted.toSeq == want, s"doc $id")
+    }
+    // determinism + resize
+    val resized = Multimodal.resize(frames, 32, 32).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 4)
+    }
+  }
+
   test("hot-shingle df cap drops only high-frequency shingles") {
     import spark.implicits._
     // shingle "hot" in 4 docs, "rare1/2" in 2 docs each
