@@ -60,9 +60,25 @@ object Sketches {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate percentiles via the t-digest-style sketch
+    * (approx_percentile) — the O(1)-memory path for 100 TB where exact
+    * percentile's per-group sort/collect is infeasible. Estimator is
+    * engine-specific (no oracle); error vs the exact quantiles is pinned
+    * in SketchSpec. */
+  def aggApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, QFn] = Map(
     "agg_quantiles" -> (aggQuantiles _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
+    "agg_approx_quantiles" -> (aggApproxQuantiles _),
     "agg_approx_distinct" -> (aggApproxDistinct _))
 
   val oracles: Map[String, String] = Map(

@@ -7,6 +7,20 @@ class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("approx_percentile lands within the exact interquartile neighborhood") {
+    val approx = Sketches.aggApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Sketches.aggQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(r.fieldIndex("p90_price")))).toMap
+    exact.foreach { case (k, (mq, p90)) =>
+      val (amq, ap90) = approx(k)
+      // accuracy=1000 => rank error <= 1/1000; generous value-space bound
+      assert(math.abs(amq - mq) / math.max(mq, 1.0) < 0.05, s"$k median: $amq vs $mq")
+      assert(math.abs(ap90 - p90) / p90 < 0.05, s"$k p90: $ap90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct within its 2% rsd bound of exact counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -73,6 +73,37 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(after2 == model)
   }
 
+  test("streaming dedup drops in-horizon redeliveries; state is watermark-bounded") {
+    val schemaD = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val srcDir = Files.createTempDirectory("graft-sdedup-src-")
+    val rows = Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-01 10:05:00", 1L, 1.0), // redelivery of event 1
+      ("2024-01-01 10:10:00", 2L, 2.0),
+      ("2024-01-01 10:10:00", 2L, 2.0), // same-batch duplicate
+      ("2024-01-01 11:00:00", 3L, 3.0))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schemaD)
+      .write.parquet(srcDir.resolve("b1").toString)
+
+    val out = Files.createTempDirectory("graft-sdedup-out-").toString
+    val q = StreamDedup.dedupEvents(
+        spark.readStream.schema(schemaD).parquet(srcDir.toString + "/b*"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdedup-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), "one row per event_id")
+  }
+
   test("batch replay is idempotent: same batchId merged twice applies once") {
     val store = new GraftStore(Files.createTempDirectory("graft-replay-store-").toString)
     val ops = new Ops(spark, store, 64)
