@@ -112,6 +112,61 @@ object Dedup {
        |WHERE 10*c >= 5*(sa.n + sb.n - c)
        |ORDER BY i, j""".stripMargin
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every 3-token gram
+    * (md5 prefix — identical in both engines, and lexicographic min over
+    * hex strings is engine-independent), slide a window of 4 gram hashes,
+    * keep each window's minimum — guarantees any shared run of ≥6 tokens
+    * contributes a shared fingerprint, while storing ~1/4 of the grams.
+    * Near-dups = fingerprint-set Jaccard >= 0.3 via the same inverted
+    * index as dedup_shingle (integer cross-multiplied threshold). */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables(s, dir, "documents")
+      .withColumn("ts", split(col("text"), " "))
+      .where(size($"ts") >= 6) // >= 4 grams -> >= 1 window
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(ts)-3), i -> substring(md5(concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])), 1, 8))"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(grams)-3), i -> array_min(slice(grams, i, 4)))")))
+        .as("fp"))
+    val sz = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = fps.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), $"i" === $"sa.doc_id")
+      .join(sz.as("sb"), $"j" === $"sb.doc_id")
+      .where(lit(10) * $"c" >= lit(3) * ($"sa.n" + $"sb.n" - $"c"))
+      .select($"i", $"j",
+        $"c".as("n_common"), $"sa.n".as("n_i"), $"sb.n".as("n_j"))
+      .orderBy($"i", $"j")
+  }
+
+  val dedupWinnowSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(ts)-1),
+      |      i -> substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 6),
+      |fps AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(grams)-2),
+      |      i -> list_aggregate(list_slice(grams, i, i+3), 'min')))) AS fp
+      |  FROM g),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, c AS n_common, sa.n AS n_i, sb.n AS n_j
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = i
+      |JOIN sz sb ON sb.doc_id = j
+      |WHERE 10*c >= 3*(sa.n + sb.n - c)
+      |ORDER BY i, j""".stripMargin
+
   // ---- MinHash-LSH (no SQL oracle: depends on xxhash64) ----------------
 
   /** 64 minhash permutations h_i(x) = (a_i*x32 + b_i) mod P, banded into
@@ -267,6 +322,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_shingle" -> (dedupShingle _),
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _))
 
@@ -276,5 +332,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
-    "dedup_shingle" -> dedupShingleSql)
+    "dedup_shingle" -> dedupShingleSql,
+    "dedup_winnow" -> dedupWinnowSql)
 }
