@@ -108,6 +108,14 @@ object Cli {
         case "checkout" :: rootHash :: Nil =>
           cat.checkout(rootHash)
           println(s"root=$rootHash")
+        case "gc" :: rest if rest.isEmpty || rest == List("--keep-history") =>
+          // default sweeps everything outside the CURRENT root; pass
+          // --keep-history to retain every version in the root log
+          val keep = if (rest.isEmpty) Seq.empty else cat.log()
+          val s = graft.core.Gc.run(ops.store, keep)
+          println(s"kept roots=${s.keptRoots} tables=${s.keptTables} chunks=${s.keptChunks}; " +
+            s"deleted roots=${s.deletedRoots} tables=${s.deletedTables} " +
+            s"chunks=${s.deletedChunks} memos=${s.deletedMemos}")
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           sys.exit(2)

@@ -137,6 +137,44 @@ class EngineSpec extends AnyFunSuite {
     assert(ops.merge(Seq(t, t), FoldSpec.FoldMax).hash == t.hash)
   }
 
+  test("gc keeps shared chunks, sweeps exclusive history and dangling memos") {
+    val ops = newOps(target = 16)
+    val catalog = new Catalog(ops.store)
+    val base = (0 until 2000).map(i => f"key$i%05d" -> 1L)
+    val rbase = ops.fromDataFrame(df(base), Seq("k"))
+    catalog.put("t", rbase)
+    val rootOld = ops.store.currentRootHash.get
+    // small delta: most chunks shared between versions
+    val delta = ops.fromDataFrame(df(Seq("key00100" -> 9L)), Seq("k"))
+    val merged = ops.merge(Seq(rbase, delta), FoldSpec.FoldLast)
+    catalog.put("t", merged)
+    val oldChunks = ops.meta(rbase).chunks.map(_.hash).toSet
+    val newChunks = ops.meta(merged).chunks.map(_.hash).toSet
+    assert((oldChunks & newChunks).nonEmpty, "versions share chunks")
+    assert((oldChunks -- newChunks).nonEmpty, "old version has exclusive chunks")
+
+    // keep all roots: both catalog versions stay fully intact; only the
+    // anonymous working tables (the delta, merge sub-results) are swept
+    val all = Gc.run(ops.store, catalog.log())
+    assert(all.deletedRoots == 0)
+    assert(all.deletedMemos > 0,
+      "memos pointing at swept working tables dropped with them")
+    assert(ops.store.hasTable(rbase.hash) && ops.store.hasTable(merged.hash))
+    assert(ops.verifyTable(rbase).isEmpty, "old version intact under its root")
+
+    // keep only the current root: the old version's exclusive chunks go
+    val gc = Gc.run(ops.store, Seq.empty)
+    assert(!ops.store.hasTable(rbase.hash), "unreferenced old version swept")
+    assert(gc.deletedChunks == (oldChunks -- newChunks).size)
+    // surviving table is fully intact
+    assert(ops.verifyTable(merged).isEmpty)
+    assert(contents(ops, merged) == (base.toMap + ("key00100" -> 9L)))
+    // swept merge memo recomputes correctly from scratch... but the input
+    // table was swept too; re-ingesting yields the identical hash chain
+    val rbase2 = ops.fromDataFrame(df(base), Seq("k"))
+    assert(rbase2.hash == rbase.hash, "content addressing restores identity")
+  }
+
   test("concurrent catalog statements serialize: no lost updates") {
     val ops = newOps()
     val catalog = new Catalog(ops.store)
