@@ -18,9 +18,11 @@ object Bench {
       Tables.names.foreach { t =>
         Tables(spark, sfDir, t).cache().count()
       }
-      // the shared shingle inverted index: a one-time build amortized
-      // across the whole dedup family, like the source-table cache
+      // the shared shingle inverted index and quantized vector index:
+      // one-time builds amortized across the dedup / similarity
+      // families, like the source-table cache
       graft.operators.Dedup.shingles(spark, sfDir).count()
+      graft.operators.Vectors.quantized(spark, sfDir).count()
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }

@@ -20,15 +20,21 @@ object Vectors {
   import graft.functions.VectorExpressions.dot_long
 
   /** Quantized vector + squared norm (norm = dot_long(q,q), the native
-    * codegen'd expression). */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    val withQ = Tables(s, dir, "embeddings")
-      .withColumn("q", expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
-    withQ
-      .withColumn("nq", dot_long(col("q"), col("q")))
-      .select(col("vec_id"), col("label"), col("q"), col("nq"))
-  }
+    * codegen'd expression); cached once per (session, dir) — the shared
+    * vector index of the whole sim_* family, like the dedup family's
+    * shingle index. */
+  private val quantizedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedCache.getOrElseUpdate((s, dir), {
+      Tables(s, dir, "embeddings")
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
+        .withColumn("nq", dot_long(col("q"), col("q")))
+        .select(col("vec_id"), col("label"), col("q"), col("nq"))
+        .cache()
+    })
 
   /** Native codegen'd dot product (graft.functions.DotProductLong) —
     * stays inside whole-stage codegen with primitive ArrayData access. */
