@@ -69,6 +69,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("salted join equals the plain join and spreads hot keys") {
+    import spark.implicits._
+    // heavy skew: 50k rows of one key + a uniform tail
+    val fact = spark.range(0, 50000).select(lit(7L).as("k"), $"id".as("v"))
+      .union(spark.range(0, 5000).select(($"id" % 100).as("k"), $"id".as("v")))
+    val dim = spark.range(0, 100).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+    val plain = fact.join(dim, "k")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), buckets = 8)
+    assert(salted.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy($"k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy($"k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "salt must not change join semantics")
+    // the hot key's rows really spread across salt buckets pre-join
+    val spread = fact.where($"k" === 7)
+      .withColumn("s", pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
+      .groupBy($"s").count().count()
+    assert(spread == 8, "hot key occupies all salt buckets")
+  }
+
   test("frame sampling emits every Nth frame; resize fixes dimensions") {
     import spark.implicits._
     val df = graft.Tables(spark, sf, "documents")
