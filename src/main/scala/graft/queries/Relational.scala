@@ -112,6 +112,55 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q10-style: top-20 customers by returned-item revenue (4-way
+    * join, two broadcast dims, exact-cents revenue, deterministic
+    * ordering). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val cust = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        / 10000.0).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+       | SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / CAST(10000.0 AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name, c_acctbal
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** UNPIVOT (wide → long): the measure columns of a lineitem slice
+    * melted into (measure, val) rows — the inverse of pivot_status. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem").where($"l_orderkey" <= 1000)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount"), "measure", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
+  val unpivotMeasuresSql: String =
+    """SELECT * FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |           FROM lineitem WHERE l_orderkey <= 1000)
+      |  ON l_quantity, l_discount INTO NAME measure VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   /** messdb O1/O7/O15: n-way merge with last-wins fold — base table merged
     * with a delta (10% of keys, bumped value); the delta wins per key.
     * `max_by(v, src)` keeps the fold order explicit (Trie.hs:396-401 folds
@@ -220,6 +269,8 @@ object Relational {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "unpivot_measures" -> (unpivotMeasures _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_fold_sum" -> (mergeFoldSum _),
     "range_filter" -> (rangeFilter _),
@@ -231,6 +282,8 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_top_revenue" -> q3TopRevenueSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "unpivot_measures" -> unpivotMeasuresSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_fold_sum" -> mergeFoldSumSql,
     "range_filter" -> rangeFilterSql,
