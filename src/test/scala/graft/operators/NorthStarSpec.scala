@@ -69,6 +69,35 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("IVF cells as canonical-table key prefix: a probe is a chunk-pruned range read") {
+    // The 100 TB ANN layout: corpus stored as a canonical table keyed
+    // (cell, vec_id). A probe = rangeFilter on the cell prefix — the
+    // engine's chunk pruning makes it read only that cell's chunks, the
+    // inverted-file property expressed through the core table format.
+    import spark.implicits._
+    import graft.core._
+    val ops = new Ops(spark,
+      new GraftStore(java.nio.file.Files.createTempDirectory("graft-ivf-").toString), 32)
+    val v = Vectors.quantized(spark, sf)
+    val cells = v.select(pmod($"vec_id", lit(8L)).as("cell"), $"vec_id", $"q", $"nq")
+    val ref = ops.fromDataFrame(cells, Seq("cell", "vec_id"))
+    val total = ops.meta(ref).chunks.length
+    assert(total > 6, s"want enough chunks to prune, got $total")
+
+    ops.store.stats.reset()
+    val probe = ops.rangeFilter(ref,
+      Some(Bound(Seq(3L), inclusive = true)), Some(Bound(Seq(3L), inclusive = true)))
+    val got = ops.scan(probe).select($"vec_id").collect().map(_.getLong(0)).sorted
+    val want = v.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 8 == 3).sorted
+    assert(got.toSeq == want.toSeq, "probe returns exactly the cell members")
+    // pruning evidence: at most the two edge chunks were rewritten; the
+    // probe table is a small subset of the corpus chunk set
+    val probedChunks = ops.meta(probe).chunks.length
+    assert(probedChunks < total / 2, s"probe kept $probedChunks of $total chunks")
+    assert(ops.store.stats.snapshot("chunkSaves") <= 2, "edge-only rewrite")
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     import spark.implicits._
     // heavy skew: 50k rows of one key + a uniform tail
