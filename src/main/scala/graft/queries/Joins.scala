@@ -128,17 +128,52 @@ object Joins {
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of: each purchase matched to the user's FIRST click
+    * STRICTLY after it. Same union+window pattern, mirrored: clicks sort
+    * before purchases at equal ts, so the strictly-following frame never
+    * sees a same-timestamp click. */
+  def joinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", lit(0).as("_is_p"),
+        $"ts".as("_click_ts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("_is_p"),
+        lit(null).cast("timestamp").as("_click_ts"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"_is_p", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click", first($"_click_ts", ignoreNulls = true).over(w))
+      .where($"_is_p" === 1)
+      .select($"event_id",
+        date_format($"next_click", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_click"))
+      .orderBy($"event_id")
+  }
+
+  val joinAsofFwdSql: String =
+    """SELECT p.event_id,
+      | strftime(min(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS next_click
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_outer" -> (joinOuter _),
     "join_range" -> (joinRange _),
-    "join_asof" -> (joinAsof _))
+    "join_asof" -> (joinAsof _),
+    "join_asof_fwd" -> (joinAsofFwd _))
 
   val oracles: Map[String, String] = Map(
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_outer" -> joinOuterSql,
     "join_range" -> joinRangeSql,
-    "join_asof" -> joinAsofSql)
+    "join_asof" -> joinAsofSql,
+    "join_asof_fwd" -> joinAsofFwdSql)
 }

@@ -73,6 +73,38 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(after2 == model)
   }
 
+  test("native streaming windowed agg equals the batch windowed agg") {
+    val srcDir = Files.createTempDirectory("graft-swin-src-")
+    val rows = Seq(
+      ("2024-01-01 10:05:00", 1L, 10.00), ("2024-01-01 10:55:00", 2L, 5.50),
+      ("2024-01-01 11:05:00", 1L, 2.25), ("2024-01-01 12:30:00", 3L, 7.00))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+      .write.parquet(srcDir.resolve("b1").toString)
+    // batch ground truth through the same operator (user_id plays the
+    // event_type role in this 3-column schema)
+    val batchDf = spark.read.schema(schema).parquet(srcDir.toString + "/b*")
+      .withColumnRenamed("user_id", "event_type")
+    val want = StreamWindow.tumblingCounts(batchDf).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+    val q = StreamWindow.tumblingCounts(
+        spark.readStream.schema(schema).parquet(srcDir.toString + "/b*")
+          .withColumnRenamed("user_id", "event_type"))
+      .writeStream.format("memory").queryName("swin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("swin").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == want, "stream windowed agg must equal batch")
+    assert(got.map(_._1).distinct.size == 3, "three hourly windows")
+  }
+
   test("streaming dedup drops in-horizon redeliveries; state is watermark-bounded") {
     val schemaD = StructType(Seq(
       StructField("ts", TimestampType, nullable = false),
