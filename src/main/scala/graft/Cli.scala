@@ -55,11 +55,14 @@ object Cli {
           }
           importDf(ops, cat, table, df, keys.split(",").toSeq)
         case "sql" :: stmt :: Nil =>
-          // O34: run a SQL statement; DDL mutates the catalog, queries
-          // print JSON lines (messdb-tool.hs:164-196)
-          graft.sql.GraftSql.execute(spark, ops, cat, stmt) match {
-            case Right(root) => println(s"root=$root")
-            case Left(df) => df.toJSON.collect().foreach(println)
+          // O34: run N ;-separated SQL statements in order; DDL/writes
+          // mutate the catalog, queries print JSON lines
+          // (messdb-tool.hs:164-196 runs statement lists the same way)
+          graft.sql.GraftSql.splitStatements(stmt).foreach { s =>
+            graft.sql.GraftSql.execute(spark, ops, cat, s) match {
+              case Right(root) => println(s"root=$root")
+              case Left(df) => df.toJSON.collect().foreach(println)
+            }
           }
         case "range" :: table :: lo :: hi :: Nil =>
           val ref = need(cat, table)

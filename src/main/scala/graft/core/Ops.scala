@@ -71,6 +71,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     scan(ref).orderBy(m.keyCols.map(col): _*)
   }
 
+  /** COUNT(*) answered from chunk metadata alone — no data read (the
+    * aggregate-pushdown analogue of parquet's row-group counts, one
+    * level up: per-chunk row counts are part of the table identity). */
+  def rowCount(ref: TableRef): Long = meta(ref).chunks.map(_.rows).sum
+
   // ---- merge (O1) ------------------------------------------------------
 
   /** N-way merge with per-key fold; left-to-right input order is carried

@@ -111,6 +111,30 @@ object GraftSql {
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
 
+  /** Split a script into statements on top-level semicolons (quoted
+    * strings and double-quoted identifiers are respected) — the
+    * reference tool accepts N statements per invocation. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Execute a statement. Write statements mutate the catalog (each
     * produces a new root) and return Right(newRootHash); reads run as
     * Spark SQL over the catalog's tables registered as temp views and

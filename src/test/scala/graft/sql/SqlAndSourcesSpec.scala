@@ -101,6 +101,24 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(cat.get("src").isDefined)
   }
 
+  test("statement splitting respects quoted semicolons; scripts run in order") {
+    assert(GraftSql.splitStatements(
+      "CREATE TABLE a (k text PRIMARY KEY); INSERT INTO a VALUES ('x;y', 1);") ==
+      Seq("CREATE TABLE a (k text PRIMARY KEY)",
+        "INSERT INTO a VALUES ('x;y', 1)"))
+    val (ops, cat) = newOps()
+    GraftSql.splitStatements(
+      """CREATE TABLE s (k text PRIMARY KEY, v bigint NOT NULL);
+        |INSERT INTO s VALUES ('a;b', 1), ('c', 2);""".stripMargin)
+      .foreach(GraftSql.execute(spark, ops, cat, _))
+    val got = ops.scanOrdered(cat.get("s").get).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a;b", 1L), ("c", 2L)))
+    // metadata-only COUNT(*)
+    assert(new graft.core.Ops(spark, ops.store, 64)
+      .rowCount(cat.get("s").get) == 2L)
+  }
+
   test("CSV import matches columns by name under shuffled header (Row.hs:117-124)") {
     val (ops, _) = newOps()
     val schema = StructType(Seq(
