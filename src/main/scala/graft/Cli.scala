@@ -114,7 +114,7 @@ object Cli {
         case "gc" :: rest if rest.isEmpty || rest == List("--keep-history") =>
           // default sweeps everything outside the CURRENT root; pass
           // --keep-history to retain every version in the root log
-          val keep = if (rest.isEmpty) Seq.empty else cat.log()
+          val keep = if (rest.isEmpty) Seq.empty else cat.log(Int.MaxValue)
           val s = graft.core.Gc.run(ops.store, keep)
           println(s"kept roots=${s.keptRoots} tables=${s.keptTables} chunks=${s.keptChunks}; " +
             s"deleted roots=${s.deletedRoots} tables=${s.deletedTables} " +

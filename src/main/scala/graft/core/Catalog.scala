@@ -63,16 +63,20 @@ final class Catalog(store: GraftStore) {
     store.saveRoot(JsonMethods.compact(JsonMethods.render(j)))
   }
 
-  /** Parent of a root version (None for the first root). */
+  /** Parent of a root version: None for the first root, and None when
+    * the parent was garbage-collected (the chain is then shallow, like
+    * a git shallow clone — the kept root stays fully usable). */
   def parentOf(rootHash: String): Option[String] = {
     implicit val fmts: Formats = DefaultFormats
     (JsonMethods.parse(store.loadRoot(rootHash)) \ "parent").extractOpt[String]
+      .filter(store.hasRoot)
   }
 
-  /** Version history from the current root, newest first. */
+  /** Version history from the current root, newest first; stops at the
+    * first GC'd ancestor. */
   def log(limit: Int = 100): Seq[String] = {
     val out = Vector.newBuilder[String]
-    var cur = store.currentRootHash
+    var cur = store.currentRootHash.filter(store.hasRoot)
     var n = 0
     while (cur.isDefined && n < limit) {
       out += cur.get

@@ -49,27 +49,35 @@ object Gc {
 
     // ---- sweep
     val dir = Paths.get(store.rootDir)
-    def sweep(sub: String, strip: String, keep: String => Boolean): Int = {
-      var n = 0
-      Files.list(dir.resolve(sub)).iterator().asScala.foreach { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(strip) && !name.contains(".tmp-")) {
-          val hash = name.stripSuffix(strip)
-          if (!keep(hash)) { Files.deleteIfExists(p); n += 1 }
-        }
-      }
-      n
+    def listing[A](sub: String)(f: Iterator[java.nio.file.Path] => A): A = {
+      val s = Files.list(dir.resolve(sub))
+      try f(s.iterator().asScala) finally s.close()
     }
+    def sweep(sub: String, strip: String, keep: String => Boolean): Int =
+      listing(sub) { it =>
+        var n = 0
+        it.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.endsWith(strip) && !name.contains(".tmp-")) {
+            val hash = name.stripSuffix(strip)
+            if (!keep(hash)) { Files.deleteIfExists(p); n += 1 }
+          }
+        }
+        n
+      }
     val delRoots = sweep("roots", ".json", roots.contains)
     val delTables = sweep("tables", ".json", tables.contains)
     val delChunks = sweep("chunks", ".parquet", chunks.contains)
     // memo values must point at surviving tables
-    var delMemos = 0
-    Files.list(dir.resolve("memo")).iterator().asScala.foreach { p =>
-      if (!p.getFileName.toString.contains(".tmp-")) {
-        val target = Files.readString(p).trim
-        if (!tables.contains(target)) { Files.deleteIfExists(p); delMemos += 1 }
+    val delMemos = listing("memo") { it =>
+      var n = 0
+      it.foreach { p =>
+        if (!p.getFileName.toString.contains(".tmp-")) {
+          val target = Files.readString(p).trim
+          if (!tables.contains(target)) { Files.deleteIfExists(p); n += 1 }
+        }
       }
+      n
     }
     GcStats(roots.size, tables.size, chunks.size,
       delRoots, delTables, delChunks, delMemos)

@@ -129,6 +129,9 @@ final class GraftStore(val rootDir: String) {
   def loadRoot(rootHash: String): String =
     Files.readString(root.resolve("roots").resolve(s"$rootHash.json"))
 
+  def hasRoot(rootHash: String): Boolean =
+    Files.exists(root.resolve("roots").resolve(s"$rootHash.json"))
+
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
     Files.writeString(tmp, content)

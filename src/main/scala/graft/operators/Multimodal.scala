@@ -96,10 +96,14 @@ object Multimodal {
     * sampleFrames output columns. */
   def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sx = col("width").cast("float") / targetW.toFloat
-    val sy = col("height").cast("float") / targetH.toFloat
+    val sx = col("width").cast("double") / targetW
+    val sy = col("height").cast("double") / targetH
+    // divide in double space, then cast back so the features column keeps
+    // its declared ArrayType(FloatType) (decodedSchema contract — resized
+    // and un-resized frames must union/store interchangeably)
     df.withColumn("features",
-        transform(col("features"), f => f / sqrt((sx * sy).cast("double")).cast("float")))
+        transform(col("features"),
+          f => (f.cast("double") / sqrt(sx * sy)).cast("float")))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
   }

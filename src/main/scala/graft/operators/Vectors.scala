@@ -52,7 +52,7 @@ object Vectors {
     val scored = corpus.join(broadcast(qs))
       .select($"query_id", $"vec_id",
         (dot($"qq", $"q") /
-          sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+          sqrt($"qn".cast("double") * $"nq")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
@@ -71,7 +71,7 @@ object Vectors {
       |scored AS (
       |  SELECT a.vec_id AS query_id, b.vec_id,
       |    CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
-      |      / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos
+      |      / sqrt(CAST(a.nq AS DOUBLE) * b.nq) AS cos
       |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id >= 10),
       |ranked AS (
       |  SELECT query_id, vec_id, cos,
@@ -140,9 +140,9 @@ object Vectors {
       |SELECT a.vec_id AS i, b.vec_id AS j
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) > 0
-      |  AND 25 * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |  AND 25 * CAST(CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) AS HUGEINT)
       |         * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
-      |      >= 4 * a.nq * b.nq
+      |      >= 4 * CAST(a.nq AS HUGEINT) * b.nq
       |ORDER BY i, j""".stripMargin
 
   /** ANN via multi-table random-hyperplane LSH: 8 independent tables of
@@ -195,7 +195,7 @@ object Vectors {
       .select($"query_id", $"vec_id", $"qq", $"qn", $"q", $"nq")
       .dropDuplicates("query_id", "vec_id")
     val scored = cands.select($"query_id", $"vec_id",
-      (dot($"qq", $"q") / sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+      (dot($"qq", $"q") / sqrt($"qn".cast("double") * $"nq")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
@@ -235,7 +235,7 @@ object Vectors {
         $"c_id".as("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .select($"query_id", $"vec_id",
-        (dot($"qq", $"q") / sqrt(($"qn" * $"nq").cast("double"))).as("cos"))
+        (dot($"qq", $"q") / sqrt($"qn".cast("double") * $"nq")).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= 3)
@@ -273,7 +273,7 @@ object Vectors {
       |  SELECT p.query_id, a.vec_id,
       |    CAST(list_sum(list_transform(range(1, len(p.qq)+1),
       |      k -> p.qq[k]*a.q[k])) AS BIGINT)
-      |      / sqrt(CAST(p.qn * a.nq AS DOUBLE)) AS cos
+      |      / sqrt(CAST(p.qn AS DOUBLE) * a.nq) AS cos
       |  FROM assigned a JOIN probes p ON a.cell = p.cell),
       |ranked AS (
       |  SELECT query_id, vec_id, cos,

@@ -171,8 +171,12 @@ object SetOps {
         sum(cd * cd).as("s2"))
       .select($"l_returnflag", $"n",
         ($"s1".cast("double") / ($"n" * 100L).cast("double")).as("mean"),
+        // denominator in double space: n·n·10000 overflows Long at the
+        // billions-of-rows-per-group scale this query targets; the
+        // left-associated double product is the same correctly-rounded
+        // sequence the oracle computes
         (($"s2" * $"n" - $"s1".cast("decimal(38,0)") * $"s1").cast("double") /
-          ($"n" * $"n" * 10000L).cast("double")).as("var_pop"))
+          ($"n".cast("double") * $"n" * 10000.0)).as("var_pop"))
       .withColumn("std_pop", sqrt($"var_pop"))
       .orderBy($"l_returnflag")
   }
@@ -187,9 +191,9 @@ object SetOps {
        |SELECT l_returnflag, n,
        |  CAST(s1 AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean,
        |  CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-       |    / CAST(n * n * 10000 AS DOUBLE) AS var_pop,
+       |    / (CAST(n AS DOUBLE) * n * 10000) AS var_pop,
        |  sqrt(CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-       |    / CAST(n * n * 10000 AS DOUBLE)) AS std_pop
+       |    / (CAST(n AS DOUBLE) * n * 10000)) AS std_pop
        |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Global aggregate (no grouping — single row). */

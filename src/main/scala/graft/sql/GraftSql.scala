@@ -111,9 +111,11 @@ object GraftSql {
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
 
-  /** Split a script into statements on top-level semicolons (quoted
-    * strings and double-quoted identifiers are respected) — the
-    * reference tool accepts N statements per invocation. */
+  /** Split a script into statements on top-level semicolons. Quoted
+    * strings / double-quoted identifiers, backslash escapes inside
+    * single-quoted literals (Spark's escaping), and `--` line comments
+    * are all respected — the reference tool accepts N statements per
+    * invocation. */
   def splitStatements(script: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
@@ -123,7 +125,12 @@ object GraftSql {
       val c = script.charAt(i)
       if (quote != 0) {
         cur += c
-        if (c == quote) quote = 0
+        if (c == '\\' && quote == '\'' && i + 1 < script.length) {
+          cur += script.charAt(i + 1); i += 1 // escaped char stays literal
+        } else if (c == quote) quote = 0
+      } else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+        cur += '\n'
       } else c match {
         case '\'' | '"' => quote = c; cur += c
         case ';' => out += cur.toString; cur.clear()
@@ -179,9 +186,16 @@ object GraftSql {
         if (raw.columns.length != schema.length)
           throw new SqlException(
             s"INSERT arity ${raw.columns.length} != table arity ${schema.length}")
+        // by-name alignment is decided case-insensitively (matching
+        // Spark's own resolver) so a differently-cased alias cannot
+        // silently demote the insert to positional order
+        val rawLower = raw.columns.map(_.toLowerCase)
+        val byName = rawLower.distinct.length == raw.columns.length &&
+          rawLower.toSet == schema.fieldNames.map(_.toLowerCase).toSet
         val aligned =
-          if (raw.columns.toSet == schema.fieldNames.toSet)
-            raw.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+          if (byName)
+            raw.select(schema.fieldNames.map(f =>
+              raw.col(raw.columns(rawLower.indexOf(f.toLowerCase))).as(f)): _*)
           else raw.toDF(schema.fieldNames: _*) // positional
         val casted = aligned.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)

@@ -173,6 +173,11 @@ class EngineSpec extends AnyFunSuite {
     // table was swept too; re-ingesting yields the identical hash chain
     val rbase2 = ops.fromDataFrame(df(base), Seq("k"))
     assert(rbase2.hash == rbase.hash, "content addressing restores identity")
+    // history is shallow after GC, not broken: log/checkout still work
+    assert(catalog.log() == Seq(ops.store.currentRootHash.get),
+      "log stops at the GC'd ancestor instead of crashing")
+    catalog.checkout(ops.store.currentRootHash.get)
+    assert(catalog.get("t").map(_.hash).contains(merged.hash))
   }
 
   test("concurrent catalog statements serialize: no lost updates") {

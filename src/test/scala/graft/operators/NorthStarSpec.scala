@@ -135,8 +135,17 @@ class NorthStarSpec extends AnyFunSuite {
       val want = Range(0, nFrames, 2).toSeq
       assert(rows.map(_.getInt(1)).sorted.toSeq == want, s"doc $id")
     }
-    // determinism + resize
-    val resized = Multimodal.resize(frames, 32, 32).collect()
+    // determinism + resize; resized frames keep the decodedSchema types
+    // so they union/store interchangeably with un-resized frames
+    val resizedDf = Multimodal.resize(frames, 32, 32)
+    resizedDf.schema("features").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        assert(et == org.apache.spark.sql.types.FloatType,
+          "resize must not widen the feature element type")
+      case other => fail(s"features is not an array: $other")
+    }
+    assert(frames.unionByName(resizedDf).count() == frames.count() * 2)
+    val resized = resizedDf.collect()
     resized.foreach { r =>
       assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
       assert(r.getAs[scala.collection.Seq[Float]]("features").length == 4)

@@ -74,6 +74,13 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     val got = ops.scanOrdered(cat.get("kv").get).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+    // by-name alignment is case-insensitive like Spark's resolver: V/K
+    // aliases in reversed order still land in the right columns
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv SELECT * FROM VALUES (99, 'd') AS t(V, K)")
+    val afterCase = ops.scanOrdered(cat.get("kv").get).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(afterCase("d") == 99L, "case-insensitive by-name alignment")
     // arity mismatch rejected
     assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
       "INSERT INTO kv VALUES ('x')"))
@@ -106,6 +113,12 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "CREATE TABLE a (k text PRIMARY KEY); INSERT INTO a VALUES ('x;y', 1);") ==
       Seq("CREATE TABLE a (k text PRIMARY KEY)",
         "INSERT INTO a VALUES ('x;y', 1)"))
+    // backslash-escaped quote inside a literal must not end the literal
+    assert(GraftSql.splitStatements("""SELECT 'don\'t; stop'; SELECT 2""") ==
+      Seq("""SELECT 'don\'t; stop'""", "SELECT 2"))
+    // -- comments are stripped to end of line, including any ';' in them
+    assert(GraftSql.splitStatements("SELECT 1 -- note; not a split\n; SELECT 2") ==
+      Seq("SELECT 1", "SELECT 2"))
     val (ops, cat) = newOps()
     GraftSql.splitStatements(
       """CREATE TABLE s (k text PRIMARY KEY, v bigint NOT NULL);
