@@ -56,15 +56,33 @@ object Canonical {
   def normalizeSchema(schema: StructType, keyCols: Seq[String]): StructType =
     StructType(schema.fields.map(f => f.copy(nullable = !keyCols.contains(f.name))))
 
-  /** Add the key-bytes column via the order-preserving codec. */
+  /** Add the key-bytes column via the order-preserving codec. Key
+    * columns are non-null by the table contract (normalizeSchema marks
+    * them so); a null key is reported with a clear error instead of an
+    * opaque encoder failure deep in the job. */
   def withKeyBytes(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val schema = normalizeSchema(df.schema, keyCols)
     val enc = KeyCodec.rowEncoder(schema, keyCols)
+    val keyIdx = keyCols.map(schema.fieldIndex)
     val outSchema = schema.add(StructField(KB, BinaryType, nullable = false))
     val outEnc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
-      it.map { r => Row.fromSeq(r.toSeq :+ enc(r)) }
+      it.map { r =>
+        keyIdx.foreach { i =>
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"null key in key column '${schema.fieldNames(i)}' — key columns are non-nullable")
+        }
+        Row.fromSeq(r.toSeq :+ enc(r))
+      }
     }(outEnc)
+  }
+
+  /** List a directory's entries with the stream closed deterministically
+    * (Files.list leaks an fd per call otherwise). */
+  private def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+    finally s.close()
   }
 
   /** Materialize df (one row per key, columns already canonical-ordered)
@@ -104,7 +122,11 @@ object Canonical {
         .repartition(nPart, col(CHUNK))
         .sortWithinPartitions(col(CHUNK) +: keyCols.map(col): _*)
         .select((cols :+ CHUNK).map(col): _*)
-        .write.mode("overwrite").partitionBy(CHUNK).parquet(tmpDir)
+        .write.mode("overwrite")
+        // one file per chunk is a format invariant; don't let a session
+        // maxRecordsPerFile split chunk files
+        .option("maxRecordsPerFile", 0)
+        .partitionBy(CHUNK).parquet(tmpDir)
 
       // 3. per-chunk canonical hash from the written files (rows sorted by
       //    key within each chunk file; row bytes are self-delimiting so
@@ -142,8 +164,7 @@ object Canonical {
         val id = r.getAs[Int](CHUNK)
         val hash = r.getAs[String]("hash")
         val dir = Paths.get(tmpDir, s"$CHUNK=$id")
-        val files = Files.list(dir).filter(_.toString.endsWith(".parquet"))
-          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
         require(files.length == 1,
           s"expected exactly one file per chunk, got ${files.length} for chunk $id")
         store.saveChunk(hash, files.head)
@@ -206,7 +227,9 @@ object Canonical {
         .repartition(nPart, col(groupCol), col(CHUNK))
         .sortWithinPartitions(col(groupCol) +: col(CHUNK) +: keyCols.map(col): _*)
         .select((cols :+ groupCol :+ CHUNK).map(col): _*)
-        .write.mode("overwrite").partitionBy(groupCol, CHUNK).parquet(tmpDir)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
+        .partitionBy(groupCol, CHUNK).parquet(tmpDir)
 
       val writtenSchema = dataSchema
         .add(StructField(groupCol, StringType))
@@ -237,12 +260,17 @@ object Canonical {
         .collect()
 
       val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>
+        // group values become partition directory names; only accept
+        // characters Spark's path escaping leaves untouched so the
+        // constructed read-back path cannot diverge (all callers pass
+        // hex hashes; richer values need escapePathName-aware listing)
+        require(g.matches("[A-Za-z0-9_-]+"),
+          s"group value '$g' is not path-safe")
         val metas = rows.map { r =>
           val id = r.getAs[Int](CHUNK)
           val hash = r.getAs[String]("hash")
-          val dir = Paths.get(tmpDir, s"$groupCol=${urlEnc(g)}", s"$CHUNK=$id")
-          val files = Files.list(dir).filter(_.toString.endsWith(".parquet"))
-            .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          val dir = Paths.get(tmpDir, s"$groupCol=$g", s"$CHUNK=$id")
+          val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
           require(files.length == 1, s"expected 1 file for ($g, $id)")
           store.saveChunk(hash, files.head)
           ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
@@ -259,9 +287,6 @@ object Canonical {
       ()
     }
   }
-
-  private def urlEnc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   /** withKeyBytes preserving an extra column outside the canonical set. */
   private def withKeyBytesKeeping(df: DataFrame, keyCols: Seq[String],

@@ -35,15 +35,32 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   /** Bulk load (tableFromRows analogue, Table.hs:125-140): fold duplicate
     * keys (last occurrence wins for FoldLast, using the input row order
     * index), canonicalize, store. */
+  /** For order-sensitive folds (fold_to_last), "input order" is the
+    * (partition index, offset) order of `df` — deterministic for a
+    * stable source layout (files read in order), but NOT meaningful
+    * after a shuffle. Order-sensitive ingest of shuffled data should
+    * carry its own ordering column and fold with max_by over it. */
   def fromDataFrame(df: DataFrame, keyCols: Seq[String],
       fold: FoldSpec = FoldSpec.FoldLast): TableRef = {
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
     val folded = df.withColumn(SRC, monotonically_increasing_id())
       .groupBy(keyCols.map(col): _*)
       .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-    val meta = Canonical.materialize(spark, store, folded, keyCols, chunkTargetRows)
+    val meta = Canonical.materialize(spark, store,
+      castValues(folded, df.schema, valueCols), keyCols, chunkTargetRows)
     TableRef(meta.tableHash)
   }
+
+  /** Folds widen types (sum(int)=long, sum(decimal(p,s))=decimal(p+10,s));
+    * the canonical format keeps the declared column types, so fold
+    * outputs are cast back before materialization — otherwise chunk
+    * parquet types drift from the stamped schemaJson. */
+  private def castValues(df: DataFrame, declared: StructType,
+      valueCols: Seq[String]): DataFrame =
+    df.select(df.columns.toSeq.map { c =>
+      if (valueCols.contains(c)) col(c).cast(declared(c).dataType).as(c)
+      else col(c)
+    }: _*)
 
   def emptyTable(schema: StructType, keyCols: Seq[String]): TableRef = {
     val df = spark.createDataFrame(
@@ -99,10 +116,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     if (fold.idempotent && nonEmpty.map(_._1.hash).distinct.length == 1)
       return nonEmpty.head._1
 
-    val opHash = Hashing.sha256Hex(Seq(
-      "graft-op-merge-v1".getBytes, fold.key.getBytes,
-      chunkTargetRows.toString.getBytes,
-      refs.map(_.hash).mkString(",").getBytes))
+    val opHash = Hashing.opHash(Seq(
+      "graft-op-merge-v2", fold.key, chunkTargetRows.toString) ++
+      refs.map(_.hash))
     TableRef(store.memoized(opHash) {
       computeMerge(nonEmpty.map(_._2), fold).tableHash
     })
@@ -179,10 +195,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       out.result()
     }
 
-    def rangeOp(chunks: Seq[(Int, ChunkMeta)]): String = Hashing.sha256Hex(Seq(
-      "graft-op-merge-region-v1".getBytes, fold.key.getBytes,
-      chunkTargetRows.toString.getBytes,
-      chunks.map { case (s, c) => s"$s:${c.hash}" }.mkString(",").getBytes))
+    def rangeOp(chunks: Seq[(Int, ChunkMeta)]): String = Hashing.opHash(Seq(
+      "graft-op-merge-region-v2", fold.key, chunkTargetRows.toString) ++
+      chunks.map { case (s, c) => s"$s:${c.hash}" })
 
     val memoizedRanges: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
       ranges.map(r => { val op = rangeOp(r); (r, op, store.memoGet(op)) })
@@ -215,7 +230,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val union = parts.reduce(_.unionByName(_))
         val folded = union.groupBy(col(grp) +: keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-        val subMetas = Canonical.materializeGrouped(spark, store, folded, grp,
+        val subMetas = Canonical.materializeGrouped(spark, store,
+          castValues(folded, metas.head.schema, valueCols), grp,
           keyCols, chunkTargetRows)
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
@@ -250,9 +266,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * chunks the upsert touched. Re-keying transforms shuffle globally
     * and memoize at whole-table granularity. */
   def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
-    val opHash = Hashing.sha256Hex(Seq(
-      "graft-op-transform-v1".getBytes, t.key.getBytes, fold.key.getBytes,
-      chunkTargetRows.toString.getBytes, ref.hash.getBytes))
+    // chunk granularity is intrinsic to the input table (its boundary
+    // rule), not to this Ops instance — a differently-configured Ops
+    // over the same store must produce identically-chunked results
+    val target = meta(ref).chunkTargetRows
+    val opHash = Hashing.opHash(Seq(
+      "graft-op-transform-v2", t.key, fold.key, target.toString, ref.hash))
     TableRef(store.memoized(opHash) {
       if (t.keyPreserving) transformPerChunk(ref, t)
       else {
@@ -263,8 +282,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .filterNot(_ == SRC).toSeq
         val folded = projected.groupBy(t.outKeyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-        Canonical.materialize(spark, store, folded, t.outKeyCols, chunkTargetRows)
-          .tableHash
+        Canonical.materialize(spark, store,
+          castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
+            valueCols),
+          t.outKeyCols, target).tableHash
       }
     })
   }
@@ -274,9 +295,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * preserved, so source chunk ranges stay disjoint and ordered). */
   private def transformPerChunk(ref: TableRef, t: ColTransform): String = {
     val m = meta(ref)
-    def subOp(c: ChunkMeta): String = Hashing.sha256Hex(Seq(
-      "graft-op-transform-chunk-v1".getBytes, t.key.getBytes,
-      chunkTargetRows.toString.getBytes, c.hash.getBytes))
+    def subOp(c: ChunkMeta): String = Hashing.opHash(Seq(
+      "graft-op-transform-chunk-v2", t.key,
+      m.chunkTargetRows.toString, c.hash))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(subOp(c))).toMap
     val missing = m.chunks.filter(c => memoized(c.hash).isEmpty)
@@ -298,11 +319,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .withColumn(grp, fileToHash(input_file_name()))
         val projected = df.select(t.columns :+ col(grp): _*)
         val metas = Canonical.materializeGrouped(spark, store, projected, grp,
-          t.outKeyCols, chunkTargetRows)
+          t.outKeyCols, m.chunkTargetRows)
         metas.foreach { case (srcHash, sub) =>
-          store.memoPut(Hashing.sha256Hex(Seq(
-            "graft-op-transform-chunk-v1".getBytes, t.key.getBytes,
-            chunkTargetRows.toString.getBytes, srcHash.getBytes)),
+          store.memoPut(Hashing.opHash(Seq(
+            "graft-op-transform-chunk-v2", t.key,
+            m.chunkTargetRows.toString, srcHash)),
             sub.tableHash)
         }
         metas
@@ -325,8 +346,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val outSchemaJson = (memoized.values.flatten.headOption.map(store.loadTableMeta)
       orElse computed.values.headOption)
       .map(_.schemaJson)
-      .getOrElse(m.schemaJson) // empty table: schema unchanged only if projection is identity-shaped
-    val out = TableMeta(outSchemaJson, t.outKeyCols, chunkTargetRows, allChunks)
+      .getOrElse {
+        // empty table: derive the output schema by applying the
+        // projection to an empty frame of the source schema
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        Canonical.normalizeSchema(
+          empty.select(t.columns: _*).schema, t.outKeyCols).json
+      }
+    val out = TableMeta(outSchemaJson, t.outKeyCols, m.chunkTargetRows, allChunks)
     store.saveTableMeta(out)
     out.tableHash
   }
@@ -341,11 +369,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val enc = boundBytes(m.schema, m.keyCols, _: Bound)
     val loB = lower.map(b => (enc(b), b.inclusive))
     val hiB = upper.map(b => (enc(b), b.inclusive))
-    val opHash = Hashing.sha256Hex(Seq(
-      "graft-op-range-v1".getBytes,
-      loB.map(b => Hashing.hex(b._1) + b._2).getOrElse("-inf").getBytes,
-      hiB.map(b => Hashing.hex(b._1) + b._2).getOrElse("+inf").getBytes,
-      ref.hash.getBytes))
+    val opHash = Hashing.opHash(Seq(
+      "graft-op-range-v2",
+      loB.map(b => Hashing.hex(b._1) + b._2).getOrElse("-inf"),
+      hiB.map(b => Hashing.hex(b._1) + b._2).getOrElse("+inf"),
+      ref.hash))
     TableRef(store.memoized(opHash) {
       computeRange(m, lower, upper, loB, hiB).tableHash
     })
@@ -381,11 +409,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val df = spark.read.schema(m.schema)
           .parquet(edgeChunks.map(c => store.chunkPath(c.hash)): _*)
           .where(rangePredicate(m.keyCols, lower, upper))
-        Canonical.materialize(spark, store, df, m.keyCols, chunkTargetRows).chunks
+        // edge rewrite keeps the TABLE's chunk granularity (passthrough
+        // chunks are cut at it; a mixed-granularity meta would break the
+        // boundary assumptions of later merges)
+        Canonical.materialize(spark, store, df, m.keyCols, m.chunkTargetRows).chunks
       }
     val all = (keep.result() ++ recomputed)
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
-    val out = TableMeta(m.schemaJson, m.keyCols, chunkTargetRows, all)
+    val out = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, all)
     store.saveTableMeta(out)
     out
   }
@@ -395,8 +426,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   def lookup(ref: TableRef, key: Seq[Any]): DataFrame = {
     val m = meta(ref)
     val kb = boundBytes(m.schema, m.keyCols, Bound(key, inclusive = true))
+    // `key` may be a key PREFIX: a chunk intersects the prefix range when
+    // its minKey is <= kb OR itself extends kb (kb is lexicographically
+    // smaller than its extensions), and symmetrically for maxKey
     val hit = m.chunks.filter(c =>
-      Hashing.compareBytes(c.minKey, kb) <= 0 &&
+      (Hashing.compareBytes(c.minKey, kb) <= 0 || startsWith(c.minKey, kb)) &&
         (Hashing.compareBytes(kb, c.maxKey) <= 0 || startsWith(c.maxKey, kb)))
     if (hit.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)

@@ -156,6 +156,23 @@ object Hashing {
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
   }
+  /** Operation-hash builder: each part is length-prefixed so distinct
+    * part splits can never concatenate to the same byte stream (e.g.
+    * ("ab","x") vs ("a","bx")) — op identities must be injective in
+    * their components or the memo store returns wrong results. */
+  def opHash(parts: Seq[String]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    parts.foreach { p =>
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    val d = md.digest()
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
   def hex(bytes: Array[Byte]): String = {
     val sb = new StringBuilder(bytes.length * 2)
     bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))

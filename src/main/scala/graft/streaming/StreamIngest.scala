@@ -50,9 +50,8 @@ object StreamIngest {
   def mergeBatch(ops: Ops, catalog: Catalog, batch: DataFrame,
       tableName: String, checkpointDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val batchKey = Hashing.sha256Hex(Seq(
-      "graft-stream-batch-v1".getBytes, checkpointDir.getBytes,
-      tableName.getBytes, batchId.toString.getBytes))
+    val batchKey = Hashing.opHash(Seq(
+      "graft-stream-batch-v2", checkpointDir, tableName, batchId.toString))
     val merged = ops.store.memoGet(batchKey) match {
       case Some(applied) => TableRef(applied) // replay: already merged
       case None =>

@@ -125,6 +125,66 @@ class EngineSpec extends AnyFunSuite {
     assert(elapsedSec < 30.0, f"planning took $elapsedSec%.1fs — not metadata-bound")
   }
 
+  test("sum fold over int values keeps the declared int type (no silent widening)") {
+    val ops = newOps()
+    val intSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    def intDf(rows: Seq[(String, Int)]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), intSchema)
+    val a = ops.fromDataFrame(intDf(Seq("a" -> 1, "b" -> 2)), Seq("k"))
+    val b = ops.fromDataFrame(intDf(Seq("a" -> 10, "c" -> 3)), Seq("k"))
+    val merged = ops.merge(Seq(a, b), FoldSpec.FoldSum)
+    // sum(int) widens to long inside the fold; the canonical table must
+    // still read back as int with correct values
+    assert(ops.meta(merged).schema("v").dataType == IntegerType)
+    val got = ops.scan(merged).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 11, "b" -> 2, "c" -> 3))
+    assert(ops.verifyTable(merged).isEmpty, "chunk hashes consistent after cast-back")
+  }
+
+  test("lookup with a key PREFIX finds rows in chunks whose minKey extends the prefix") {
+    val ops = newOps(target = 4)
+    val twoKey = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val rows = for (a <- 1L to 5L; b <- 1L to 10L) yield Row(a, b, a * 100 + b)
+    val ref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), twoKey),
+      Seq("a", "b"))
+    (1L to 5L).foreach { a =>
+      val got = ops.lookup(ref, Seq(a)).collect().map(_.getLong(2)).sorted
+      assert(got.toSeq == (1L to 10L).map(a * 100 + _),
+        s"prefix lookup a=$a must return all 10 rows")
+    }
+    assert(ops.lookup(ref, Seq(3L, 7L)).collect().map(_.getLong(2)).toSeq == Seq(307L))
+  }
+
+  test("rangeFilter/transform keep the INPUT table's chunk granularity across Ops instances") {
+    val ops = newOps(target = 8)
+    val rows = (0 until 500).map(i => f"k$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    // a differently-configured Ops over the same store
+    val ops2 = new Ops(spark, ops.store, chunkTargetRows = 64)
+    val filtered = ops2.rangeFilter(ref,
+      Some(Bound(Seq("k0100"), inclusive = true)),
+      Some(Bound(Seq("k0399"), inclusive = true)))
+    assert(ops2.meta(filtered).chunkTargetRows == 8,
+      "result keeps the table's granularity, not the instance's")
+    assert(ops2.scan(filtered).count() == 300)
+    // and the result still merges with tables of the original granularity
+    val delta = ops.fromDataFrame(df(Seq("k0100" -> 9999L)), Seq("k"))
+    val merged = ops.merge(Seq(filtered, delta), FoldSpec.FoldLast)
+    assert(contents(ops, merged)("k0100") == 9999L)
+  }
+
+  test("op hashes are injective in their parts (no concatenation collisions)") {
+    assert(Hashing.opHash(Seq("ab", "x")) != Hashing.opHash(Seq("a", "bx")))
+    assert(Hashing.opHash(Seq("a", "", "b")) != Hashing.opHash(Seq("a", "b", "")))
+    assert(Hashing.opHash(Seq("a")) != Hashing.opHash(Seq("a", "")))
+  }
+
   test("self-merge with a non-idempotent fold takes the general path and doubles") {
     val ops = newOps()
     val rows = Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)
