@@ -57,6 +57,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got2 == Map(1L -> Some("x"), 2L -> Some("now"), 3L -> None))
   }
 
+  test("null KEY is rejected with a clear error (keys are non-nullable)") {
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val ops = newOps()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", 1L), Row(null, 2L)), 2), schema)
+    val e = intercept[Exception](ops.fromDataFrame(df, Seq("k")))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("null key in key column"))),
+      s"wanted the explicit null-key error, got: $e")
+  }
+
   test("binary keys with embedded zeros") {
     val schema = StructType(Seq(
       StructField("k", BinaryType, nullable = false),
