@@ -98,6 +98,20 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ops.store.stats.snapshot("chunkSaves") <= 2, "edge-only rewrite")
   }
 
+  test("bloom prefilter keeps all matches and prunes most non-matches") {
+    import spark.implicits._
+    val fact = spark.range(0, 100000).select(($"id" % 10000).as("k"), $"id".as("v"))
+    val dim = spark.range(0, 100).select(($"id" * 7).as("dk")) // 100 of 10000 keys
+    val pruned = graft.operators.BloomPrune.prefilter(fact, "k", dim, "dk", 100)
+    val exact = fact.join(dim, $"k" === $"dk").count()
+    val joined = graft.operators.BloomPrune.join(fact, "k", dim, "dk", 100).count()
+    assert(joined == exact, "no matching row may be dropped (false positives only)")
+    val kept = pruned.count()
+    // 100/10000 keys survive exactly; 1% fpp keeps ~1% extra
+    assert(kept >= exact && kept < fact.count() / 20,
+      s"pruned to $kept of 100000 — bloom should cut ~99%")
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     import spark.implicits._
     // heavy skew: 50k rows of one key + a uniform tail
