@@ -22,32 +22,49 @@ object BloomPrune {
 
   /** Fact rows whose `factKey` might be present among `dimKeys`.
     * `expectedDim` sizes the filter; fpp defaults to 1%. */
-  def prefilter(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, expectedDim: Long, fpp: Double = 0.01): DataFrame = {
+  private def family(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
-    val bloom = dim.stat.bloomFilter(dimKey, expectedDim, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val pred: Column = fact.schema(factKey).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        val might = udf { (k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k)
-        }
-        might(col(factKey).cast("long"))
-      case StringType =>
-        val might = udf { (k: String) =>
-          k != null && bc.value.mightContainString(k)
-        }
-        might(col(factKey))
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "integral"
+      case StringType => "string"
       case other => throw new IllegalArgumentException(
         s"bloom prefilter supports integral/string keys, got $other")
     }
-    fact.where(pred)
+  }
+
+  def prefilter(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, expectedDim: Long, fpp: Double = 0.01): DataFrame = {
+    // insert and probe must use the SAME representation: a filter built
+    // from string keys probed with longs silently drops every match
+    val fam = family(fact.schema(factKey).dataType)
+    require(fam == family(dim.schema(dimKey).dataType),
+      s"fact key and dim key must share a type family, " +
+        s"got ${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType}")
+    if (fam == "integral") {
+      val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
+        .stat.bloomFilter(dimKey, expectedDim, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+      val might = udf { (k: java.lang.Long) =>
+        k != null && bc.value.mightContainLong(k)
+      }
+      fact.where(might(col(factKey).cast("long")))
+    } else {
+      val bloom = dim.stat.bloomFilter(dimKey, expectedDim, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+      val might = udf { (k: String) =>
+        k != null && bc.value.mightContainString(k)
+      }
+      fact.where(might(col(factKey)))
+    }
   }
 
   /** Convenience: prefiltered equi-join (inner). The join itself is left
     * to Catalyst/AQE; only the fact side arrives pruned. */
   def join(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, expectedDim: Long): DataFrame =
-    prefilter(fact, factKey, dim, dimKey, expectedDim)
-      .join(dim, col(factKey) === dim(dimKey))
+      dimKey: String, expectedDim: Long): DataFrame = {
+    val pruned = prefilter(fact, factKey, dim, dimKey, expectedDim)
+    // resolve both key references against their own plans so a shared
+    // column name cannot become AMBIGUOUS_REFERENCE
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
 }

@@ -15,9 +15,16 @@ import graft.queries.Q._
 object Dedup {
 
   /** 3-token shingles, distinct per doc; cached once per (session, dir)
-    * so the dedup family shares one materialization. */
+    * so the dedup family shares one materialization. The cache assumes
+    * the source dir is immutable (content-addressed-store discipline);
+    * call [[invalidateCache]] after rewriting data in place. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def invalidateCache(): Unit = {
+    shingleCache.values.foreach(_.unpersist())
+    shingleCache.clear()
+  }
 
   def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s, dir), {
@@ -226,10 +233,10 @@ object Dedup {
     * document frequency exceeds `maxDf`. A shingle in f docs costs
     * f·(f−1)/2 join pairs, so one hot shingle ("in the the") can
     * dominate the whole join; dropping it loses no discriminative
-    * signal. Sizes are recomputed on the FILTERED universe so the
-    * Jaccard threshold stays internally consistent (it becomes Jaccard
-    * over rare shingles — the standard production semantics). Returns
-    * (filtered index, sizes). Not applied in the oracle-checked
+    * signal. Returns the filtered index; callers must recompute doc
+    * sizes on the FILTERED universe so the Jaccard threshold stays
+    * internally consistent (it becomes Jaccard over rare shingles — the
+    * standard production semantics). Not applied in the oracle-checked
     * dedup_shingle query (exact semantics there); wired for corpora
     * beyond ~10M docs where df skew is certain. */
   private[operators] def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame = {

@@ -95,6 +95,8 @@ object Multimodal {
     * same partition batch as the decode). Expects decodeBatches /
     * sampleFrames output columns. */
   def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
     import org.apache.spark.sql.functions._
     val sx = col("width").cast("double") / targetW
     val sy = col("height").cast("double") / targetH

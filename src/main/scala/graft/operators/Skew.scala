@@ -28,6 +28,13 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    // the dim side is replicated buckets×, so join types that emit
+    // unmatched DIM rows (right/full outer) would duplicate them — only
+    // fact-driven join types preserve plain-join semantics under salt
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter",
+      "leftsemi", "semi", "leftanti", "anti").contains(normalized),
+      s"saltedJoin supports fact-driven join types (inner/left/semi/anti), got $joinType")
     val salted = fact.withColumn(SALT,
       pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)))
     val replicated = dim.withColumn(SALT,

@@ -26,6 +26,13 @@ object Vectors {
   private val quantizedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The cache assumes the source dir is immutable; call after
+    * rewriting data in place. */
+  def invalidateCache(): Unit = {
+    quantizedCache.values.foreach(_.unpersist())
+    quantizedCache.clear()
+  }
+
   def quantized(s: SparkSession, dir: String): DataFrame =
     quantizedCache.getOrElseUpdate((s, dir), {
       Tables(s, dir, "embeddings")

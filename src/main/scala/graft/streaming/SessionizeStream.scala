@@ -10,53 +10,62 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * mechanism for operator state the built-in windowed aggregations can't
   * express (the reference has no streaming at all; SURVEY.md §2.6).
   *
-  * A session = events of one user separated by < `gapSeconds`. Sessions
-  * are emitted when closed by the event-time timeout; state per key is
-  * one open session (bounded memory per user — safe at any scale).
+  * A session = events of one user separated by < `gapSeconds`. State per
+  * key is the user's OPEN sessions as disjoint merged intervals (late
+  * in-watermark events may open an earlier interval or bridge two, so a
+  * single-open-session state would mis-merge out-of-order arrivals); a
+  * session is emitted only once the event-time watermark passes its
+  * close deadline, at which point no in-watermark event can change it —
+  * the emitted set equals the batch gaps-and-islands computation. Open
+  * intervals per user are bounded by the watermark horizon / gap, so
+  * state stays small at any scale.
   */
 object SessionizeStream {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, cents: Long)
+  case class OpenSessions(sessions: Seq[SessionState])
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Int, total_cents: Long)
 
   val GapSeconds = 1800L
 
-  /** Processes one user's new events against the open-session state.
-    * Event order within a batch is not guaranteed — sort locally (the
-    * per-group batch fits memory: one user's events per micro-batch). */
+  /** Processes one user's new events against the open-session state. */
   def updateSessions(userId: Long, events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[OpenSessions]): Iterator[Session] = {
+    val gapMs = GapSeconds * 1000
     val out = Vector.newBuilder[Session]
     def close(s: SessionState): Unit =
       out += Session(userId, new Timestamp(s.start), new Timestamp(s.last),
         s.n, s.cents)
+    def arm(open: Seq[SessionState]): Unit = {
+      state.update(OpenSessions(open))
+      // earliest close deadline; must stay strictly above the watermark
+      state.setTimeoutTimestamp(math.max(
+        open.map(_.last).min + gapMs, state.getCurrentWatermarkMs() + 1))
+    }
     if (state.hasTimedOut) {
-      state.getOption.foreach(close)
-      state.remove()
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = state.get.sessions.partition(_.last + gapMs <= wm)
+      closed.sortBy(_.start).foreach(close)
+      if (open.isEmpty) state.remove() else arm(open)
     } else {
-      val sorted = events.toVector.sortBy(_.ts.getTime)
-      var cur = state.getOption
-      sorted.foreach { e =>
+      val incoming = events.map { e =>
         val t = e.ts.getTime
-        val cents = math.round(e.value * 100)
-        cur match {
-          case Some(s) if t - s.last <= GapSeconds * 1000 =>
-            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-              cents = s.cents + cents))
-          case Some(s) =>
-            close(s)
-            cur = Some(SessionState(t, t, 1, cents))
-          case None =>
-            cur = Some(SessionState(t, t, 1, cents))
+        SessionState(t, t, 1, math.round(e.value * 100))
+      }.toVector
+      val all = (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++ incoming)
+        .sortBy(s => (s.start, s.last))
+      // interval merge: adjacent sessions within the gap coalesce
+      val merged = all.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.start - p.last <= gapMs =>
+            acc.init :+ p.copy(last = math.max(p.last, s.last),
+              n = p.n + s.n, cents = p.cents + s.cents)
+          case _ => acc :+ s
         }
       }
-      cur.foreach { s =>
-        state.update(s)
-        // close the session once event time passes last+gap
-        state.setTimeoutTimestamp(s.last + GapSeconds * 1000)
-      }
+      if (merged.nonEmpty) arm(merged)
     }
     out.result().iterator
   }
@@ -70,7 +79,7 @@ object SessionizeStream {
       .withWatermark("ts", "1 hour")
       .select($"user_id", $"ts", $"value").as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateSessions)
   }
 }

@@ -47,11 +47,23 @@ object StreamIngest {
     * (checkpointDir, tableName, batchId) — the replayed batch finds the
     * marker and only re-points the catalog instead of merging twice
     * (the standard foreachBatch exactly-once pattern). */
+  /** Identity of the checkpoint CONTENTS, not its path: Spark writes a
+    * fresh query id into <ckpt>/metadata whenever the checkpoint is
+    * (re)created, so wiping and recreating a checkpoint at the same
+    * path restarts batchIds AND rotates this id — stale replay markers
+    * from the old incarnation can then never match. */
+  private def checkpointIdentity(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "metadata")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+    else checkpointDir
+  }
+
   def mergeBatch(ops: Ops, catalog: Catalog, batch: DataFrame,
       tableName: String, checkpointDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val batchKey = Hashing.opHash(Seq(
-      "graft-stream-batch-v2", checkpointDir, tableName, batchId.toString))
+      "graft-stream-batch-v3", checkpointIdentity(checkpointDir),
+      tableName, batchId.toString))
     val merged = ops.store.memoGet(batchKey) match {
       case Some(applied) => TableRef(applied) // replay: already merged
       case None =>
@@ -59,7 +71,7 @@ object StreamIngest {
           .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
             col("user_id"))
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 100).cast("long")).as("cents"))
+            sum(graft.queries.Q.cents(col("value"))).as("cents"))
         val deltaRef = ops.fromDataFrame(delta, Seq("day", "user_id"),
           FoldSpec.FoldSum)
         val out = catalog.get(tableName) match {

@@ -17,7 +17,7 @@ object StreamWindow {
     val src = if (events.isStreaming) events.withWatermark("ts", horizon) else events
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
+        sum(graft.queries.Q.cents(col("value"))).as("cents"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("cents"))
   }

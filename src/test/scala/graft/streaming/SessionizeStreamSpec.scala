@@ -73,4 +73,43 @@ class SessionizeStreamSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1, 800L)))
     assert(sessions.size >= 3)
   }
+
+  test("late in-watermark event forms its own earlier session, not a merge into the open one") {
+    val srcDir = Files.createTempDirectory("graft-sess2-src-")
+    val ckpt = Files.createTempDirectory("graft-sess2-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-sess2-out-").toString
+    def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+        .write.parquet(srcDir.resolve(s"b$n").toString)
+    def runOnce(): Unit = {
+      val q = SessionizeStream.sessions(
+          spark.readStream.schema(schema).parquet(srcDir.toString + "/b*"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 opens a session at 10:00; watermark stays at 09:00
+    writeBatch(Seq(("2024-01-01 10:00:00", 1L, 1.00)), 1)
+    runOnce()
+    // batch 2 delivers a LATE event at 09:05 (inside the 1h watermark,
+    // 55 min before the open session — batch semantics: separate session)
+    writeBatch(Seq(("2024-01-01 09:05:00", 1L, 2.00)), 2)
+    runOnce()
+    // batch 3 pushes the watermark past everything to close both
+    writeBatch(Seq(("2024-01-02 00:00:00", 99L, 0.01)), 3)
+    runOnce()
+    val sessions = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("start").toString, r.getAs[Int]("n_events")))
+      .filter(_._1 == 1L).toSet
+    assert(sessions == Set(
+      (1L, "2024-01-01 09:05:00.0", 1),
+      (1L, "2024-01-01 10:00:00.0", 1)),
+      s"late event must be its own session; got $sessions")
+  }
 }
