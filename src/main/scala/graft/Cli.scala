@@ -111,6 +111,13 @@ object Cli {
         case "checkout" :: rootHash :: Nil =>
           cat.checkout(rootHash)
           println(s"root=$rootHash")
+        case "diff" :: table :: oldRoot :: Nil =>
+          // git-like: what changed in `table` since version `oldRoot`
+          val cur = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
+          val old = cat.rootAt(oldRoot).getOrElse(table,
+            sys.error(s"table $table absent in root $oldRoot"))
+          ops.diff(graft.core.TableRef(old.tableHash), cur)
+            .toJSON.collect().foreach(println)
         case "gc" :: rest if rest.isEmpty || rest == List("--keep-history") =>
           // default sweeps everything outside the CURRENT root; pass
           // --keep-history to retain every version in the root log

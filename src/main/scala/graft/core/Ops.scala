@@ -442,6 +442,44 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     }
   }
 
+  /** Key-level diff of two table versions (git-diff over the canonical
+    * format): returns (key cols..., change ∈ added|removed|changed).
+    * Content addressing does the heavy lifting — chunks SHARED between
+    * the versions cannot contain differences and are skipped without
+    * reading, so diff cost is O(changed chunks), not O(table): the same
+    * structural-sharing property that makes incremental merge cheap.
+    * Rows that landed in different chunks only because a boundary moved
+    * compare equal and are filtered out. */
+  def diff(a: TableRef, b: TableRef): DataFrame = {
+    val ma = meta(a); val mb = meta(b)
+    require(ma.schemaJson == mb.schemaJson && ma.keyCols == mb.keyCols,
+      "diff requires identically-shaped tables")
+    val hashesA = ma.chunks.map(_.hash).toSet
+    val hashesB = mb.chunks.map(_.hash).toSet
+    val onlyA = ma.chunks.filterNot(c => hashesB(c.hash))
+    val onlyB = mb.chunks.filterNot(c => hashesA(c.hash))
+    val keyCols = ma.keyCols
+    val valueCols = ma.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    def read(chunks: Seq[ChunkMeta]): DataFrame =
+      if (chunks.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ma.schema)
+      else spark.read.schema(ma.schema)
+        .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+    def packed(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        struct(valueCols.map(col): _*).as(s"_v_$tag"): _*)
+    val joined = packed(read(onlyA), "a")
+      .join(packed(read(onlyB), "b"), keyCols, "full_outer")
+    joined.select(keyCols.map(col) :+
+      when(col("_v_a").isNull, lit("added"))
+        .when(col("_v_b").isNull, lit("removed"))
+        .otherwise(lit("changed")).as("change") :+
+      col("_v_a") :+ col("_v_b"): _*)
+      .where(col("_v_a").isNull || col("_v_b").isNull ||
+        !(col("_v_a") <=> col("_v_b"))) // boundary-shift duplicates drop out
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Integrity check — the checkTrie analogue (Trie.hs:593-631): verify
     * every chunk's content hash, row count, key range, sort order, and
     * chunk disjointness against the stored metadata. Returns the list of

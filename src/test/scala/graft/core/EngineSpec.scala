@@ -197,6 +197,28 @@ class EngineSpec extends AnyFunSuite {
     assert(ops.merge(Seq(t, t), FoldSpec.FoldMax).hash == t.hash)
   }
 
+  test("diff between versions reads only non-shared chunks and reports exact changes") {
+    val ops = newOps(target = 16)
+    val base = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
+    val ra = ops.fromDataFrame(df(base), Seq("k"))
+    // v2: one changed value, one new key, one key 'removed' via rangeFilter
+    val delta = ops.fromDataFrame(
+      df(Seq("key00500" -> 999999L, "keyzz" -> 1L)), Seq("k"))
+    val rb0 = ops.merge(Seq(ra, delta), FoldSpec.FoldLast)
+    val rb = ops.rangeFilter(rb0, Some(Bound(Seq("key00001"), inclusive = true)), None)
+    val changes = ops.diff(ra, rb).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(changes == Map(
+      "key00500" -> "changed", "keyzz" -> "added", "key00000" -> "removed"))
+    // structural sharing: the diff plan touches only non-shared chunks
+    val sharedA = ops.meta(ra).chunks.map(_.hash).toSet
+      .intersect(ops.meta(rb).chunks.map(_.hash).toSet)
+    assert(sharedA.size > ops.meta(ra).chunks.length / 2,
+      "most chunks are shared between versions and skipped")
+    // self-diff is empty
+    assert(ops.diff(ra, ra).count() == 0)
+  }
+
   test("gc keeps shared chunks, sweeps exclusive history and dangling memos") {
     val ops = newOps(target = 16)
     val catalog = new Catalog(ops.store)
