@@ -77,13 +77,8 @@ object Canonical {
     }(outEnc)
   }
 
-  /** List a directory's entries with the stream closed deterministically
-    * (Files.list leaks an fd per call otherwise). */
-  private def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(dir)
-    try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
-    finally s.close()
-  }
+  private def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    FsUtil.listDir(dir)
 
   /** Materialize df (one row per key, columns already canonical-ordered)
     * into the store; returns the stored TableMeta. */

@@ -35,6 +35,9 @@ object Gc {
     * pointer is always kept). Returns kept/deleted counts. */
   def run(store: GraftStore, keepRoots: Seq[String]): GcStats = {
     val catalog = new Catalog(store)
+    val unknown = keepRoots.filterNot(store.hasRoot)
+    require(unknown.isEmpty,
+      s"unknown root(s) in keepRoots (mistyped or already GC'd): ${unknown.mkString(", ")}")
     val roots = (store.currentRootHash.toSeq ++ keepRoots).distinct
 
     // ---- mark
@@ -49,35 +52,27 @@ object Gc {
 
     // ---- sweep
     val dir = Paths.get(store.rootDir)
-    def listing[A](sub: String)(f: Iterator[java.nio.file.Path] => A): A = {
-      val s = Files.list(dir.resolve(sub))
-      try f(s.iterator().asScala) finally s.close()
-    }
-    def sweep(sub: String, strip: String, keep: String => Boolean): Int =
-      listing(sub) { it =>
-        var n = 0
-        it.foreach { p =>
-          val name = p.getFileName.toString
-          if (name.endsWith(strip) && !name.contains(".tmp-")) {
-            val hash = name.stripSuffix(strip)
-            if (!keep(hash)) { Files.deleteIfExists(p); n += 1 }
-          }
+    def sweep(sub: String, strip: String, keep: String => Boolean): Int = {
+      var n = 0
+      FsUtil.listDir(dir.resolve(sub)).foreach { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(strip) && !name.contains(".tmp-")) {
+          val hash = name.stripSuffix(strip)
+          if (!keep(hash)) { Files.deleteIfExists(p); n += 1 }
         }
-        n
       }
+      n
+    }
     val delRoots = sweep("roots", ".json", roots.contains)
     val delTables = sweep("tables", ".json", tables.contains)
     val delChunks = sweep("chunks", ".parquet", chunks.contains)
     // memo values must point at surviving tables
-    val delMemos = listing("memo") { it =>
-      var n = 0
-      it.foreach { p =>
-        if (!p.getFileName.toString.contains(".tmp-")) {
-          val target = Files.readString(p).trim
-          if (!tables.contains(target)) { Files.deleteIfExists(p); n += 1 }
-        }
+    var delMemos = 0
+    FsUtil.listDir(dir.resolve("memo")).foreach { p =>
+      if (!p.getFileName.toString.contains(".tmp-")) {
+        val target = Files.readString(p).trim
+        if (!tables.contains(target)) { Files.deleteIfExists(p); delMemos += 1 }
       }
-      n
     }
     GcStats(roots.size, tables.size, chunks.size,
       delRoots, delTables, delChunks, delMemos)

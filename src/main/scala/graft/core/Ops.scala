@@ -33,13 +33,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   // ---- ingest ----------------------------------------------------------
 
   /** Bulk load (tableFromRows analogue, Table.hs:125-140): fold duplicate
-    * keys (last occurrence wins for FoldLast, using the input row order
-    * index), canonicalize, store. */
-  /** For order-sensitive folds (fold_to_last), "input order" is the
-    * (partition index, offset) order of `df` — deterministic for a
-    * stable source layout (files read in order), but NOT meaningful
-    * after a shuffle. Order-sensitive ingest of shuffled data should
-    * carry its own ordering column and fold with max_by over it. */
+    * keys, canonicalize, store. For order-sensitive folds
+    * (fold_to_last), "input order" is the (partition index, offset)
+    * order of `df` — deterministic for a stable source layout (files
+    * read in order), but NOT meaningful after a shuffle; order-sensitive
+    * ingest of shuffled data should carry its own ordering column and
+    * fold with max_by over it. */
   def fromDataFrame(df: DataFrame, keyCols: Seq[String],
       fold: FoldSpec = FoldSpec.FoldLast): TableRef = {
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
@@ -103,8 +102,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val metas = refs.map(meta)
     val schemaJson = metas.head.schemaJson
     val keyCols = metas.head.keyCols
+    // granularity is intrinsic to the TABLES (they must agree with each
+    // other, not with this Ops instance — transform/rangeFilter results
+    // keep their input's granularity and must remain mergeable)
     require(metas.forall(m => m.schemaJson == schemaJson && m.keyCols == keyCols
-      && m.chunkTargetRows == chunkTargetRows),
+      && m.chunkTargetRows == metas.head.chunkTargetRows),
       "merge requires identically-shaped tables")
     val nonEmpty = refs.zip(metas).filter(_._2.chunks.nonEmpty)
     if (nonEmpty.isEmpty) return refs.head
@@ -117,7 +119,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       return nonEmpty.head._1
 
     val opHash = Hashing.opHash(Seq(
-      "graft-op-merge-v2", fold.key, chunkTargetRows.toString) ++
+      "graft-op-merge-v2", fold.key, metas.head.chunkTargetRows.toString) ++
       refs.map(_.hash))
     TableRef(store.memoized(opHash) {
       computeMerge(nonEmpty.map(_._2), fold).tableHash
@@ -127,6 +129,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   private def computeMerge(metas: Seq[TableMeta], fold: FoldSpec): TableMeta = {
     val keyCols = metas.head.keyCols
     val valueCols = metas.head.valueCols
+    val target = metas.head.chunkTargetRows // the TABLES' granularity
     val chunks: Seq[(Int, ChunkMeta)] =
       metas.zipWithIndex.flatMap { case (m, i) => m.chunks.map(c => (i, c)) }
 
@@ -136,7 +139,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // starts — all available from metadata, no data read.
     val boundaries: Array[Array[Byte]] = chunks
       .map(_._2.minKey)
-      .filter(Canonical.isBoundaryKey(_, chunkTargetRows))
+      .filter(Canonical.isBoundaryKey(_, target))
       .sortWith(Hashing.compareBytes(_, _) < 0)
       .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
         if (acc.nonEmpty && Hashing.compareBytes(acc.last, k) == 0) acc
@@ -196,7 +199,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     }
 
     def rangeOp(chunks: Seq[(Int, ChunkMeta)]): String = Hashing.opHash(Seq(
-      "graft-op-merge-region-v2", fold.key, chunkTargetRows.toString) ++
+      "graft-op-merge-region-v2", fold.key, target.toString) ++
       chunks.map { case (s, c) => s"$s:${c.hash}" })
 
     val memoizedRanges: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
@@ -232,7 +235,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
         val subMetas = Canonical.materializeGrouped(spark, store,
           castValues(folded, metas.head.schema, valueCols), grp,
-          keyCols, chunkTargetRows)
+          keyCols, target)
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
       }
@@ -244,7 +247,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
 
     val all = (passthrough ++ recomputed)
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
-    val meta = TableMeta(metas.head.schemaJson, keyCols, chunkTargetRows, all)
+    val meta = TableMeta(metas.head.schemaJson, keyCols, target, all)
     store.saveTableMeta(meta)
     meta
   }

@@ -141,6 +141,17 @@ final class GraftStore(val rootDir: String) {
   }
 }
 
+/** Small filesystem helpers shared across the store layer. */
+object FsUtil {
+  /** Directory listing with the stream closed deterministically
+    * (Files.list leaks an fd per call otherwise). */
+  def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path]).toSeq
+    finally s.close()
+  }
+}
+
 object Hashing {
   def sha256Hex(bytes: Array[Byte]): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(bytes)

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * broadcast joins, available here for shuffle joins and for reuse
   * across multiple consumers.
   *
-  * False positives only (never drops a matching row), so correctness of
-  * the downstream join is unaffected; fpp trades filter size for
-  * residual shuffle volume.
+  * False positives only (never drops a MATCHING row), so INNER and
+  * LEFT SEMI joins downstream are unaffected; fpp trades filter size
+  * for residual shuffle volume. Do NOT prefilter the preserved side of
+  * an outer join or an anti join — those must also emit the non-matching
+  * rows this filter removes.
   */
 object BloomPrune {
 

@@ -69,6 +69,10 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
       everyNth: Int = 10, decoder: Decoder = StubDecoder): DataFrame = {
     require(everyNth >= 1, "everyNth must be >= 1")
+    require(df.schema(idCol).dataType == LongType,
+      s"$idCol must be LongType, got ${df.schema(idCol).dataType}")
+    require(df.schema(payloadCol).dataType == BinaryType,
+      s"$payloadCol must be BinaryType, got ${df.schema(payloadCol).dataType}")
     val outSchema = StructType(
       StructField("id", LongType, nullable = false) +:
       StructField("frame_idx", IntegerType, nullable = false) +:

@@ -125,7 +125,9 @@ object GraftSql {
       val c = script.charAt(i)
       if (quote != 0) {
         cur += c
-        if (c == '\\' && quote == '\'' && i + 1 < script.length) {
+        // Spark treats BOTH quote styles as string literals with
+        // backslash escaping, so honor \x inside either
+        if (c == '\\' && i + 1 < script.length) {
           cur += script.charAt(i + 1); i += 1 // escaped char stays literal
         } else if (c == quote) quote = 0
       } else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
@@ -151,8 +153,11 @@ object GraftSql {
     * Beyond the reference's CREATE TABLE (O26/O27):
     *  - `INSERT INTO t <query>` — the query result upserts into t through
     *    the memoized merge (last-wins per PK), the import-csv merge path
-    *    (O31) exposed as SQL. Columns align by name when they all match,
-    *    else by position (cast to the table schema).
+    *    (O31) exposed as SQL. Columns align by name (case-insensitive)
+    *    when they all match; otherwise BY POSITION against the table's
+    *    CANONICAL column order — key columns first, as reported by
+    *    print-schema/scan — which may differ from the CREATE TABLE
+    *    declaration order. Positional VALUES should follow print-schema.
     *  - `CREATE TABLE t PRIMARY KEY (k, ...) AS <select>` — CTAS with an
     *    explicit key clause (our tables are keyed maps, so a PK is
     *    mandatory — dialect extension).
