@@ -177,6 +177,11 @@ class EngineSpec extends AnyFunSuite {
     val delta = ops.fromDataFrame(df(Seq("k0100" -> 9999L)), Seq("k"))
     val merged = ops.merge(Seq(filtered, delta), FoldSpec.FoldLast)
     assert(contents(ops, merged)("k0100") == 9999L)
+    // ... including when the merge is issued from the differently-
+    // configured instance (granularity agreement is between the TABLES)
+    val merged2 = ops2.merge(Seq(filtered, delta), FoldSpec.FoldLast)
+    assert(merged2.hash == merged.hash,
+      "same inputs => same result hash from any Ops instance")
   }
 
   test("op hashes are injective in their parts (no concatenation collisions)") {

@@ -66,6 +66,40 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(t1.hash != t2.hash)
   }
 
+  test("views: refresh is free when the source is unchanged, O(delta) after an upsert") {
+    val ops = new Ops(spark,
+      new GraftStore(Files.createTempDirectory("graft-views-").toString), 64)
+    val catalog = new Catalog(ops.store)
+    val views = new Views(ops, catalog)
+    val base = (0 until 1500).map(i => f"key$i%05d" -> i.toLong)
+    catalog.put("src", ops.fromDataFrame(df(base), Seq("k")))
+
+    val v1 = views.define("doubled", "src", doubleV)
+    assert(ops.scan(v1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == base.toMap.view.mapValues(_ * 2).toMap)
+
+    // unchanged source: refresh is a whole-op memo hit, zero chunk writes
+    ops.store.stats.reset()
+    val v2 = views.refresh("doubled")
+    assert(v2.hash == v1.hash)
+    assert(ops.store.stats.snapshot("chunkSaves") == 0, "refresh did work on unchanged source")
+
+    // small source delta: refresh recomputes only the touched chunks
+    val delta = ops.fromDataFrame(df(Seq("key00700" -> 9999L)), Seq("k"))
+    catalog.put("src", ops.upsert(catalog.get("src").get, delta))
+    ops.store.stats.reset()
+    val v3 = views.refresh("doubled")
+    val totalChunks = ops.meta(v3).chunks.length
+    val written = ops.store.stats.snapshot("chunkSaves")
+    assert(written > 0 && written < totalChunks / 4,
+      s"delta refresh wrote $written of $totalChunks chunks — not incremental")
+    val got = ops.scan(v3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("key00700") == 19998L)
+    assert(got("key00000") == 0L)
+    // the view's previous versions remain addressable through root history
+    assert(catalog.log(10).length >= 3)
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new GraftStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
