@@ -27,11 +27,14 @@ final case class TableMeta(schemaJson: String, keyCols: Seq[String],
   def rows: Long = chunks.map(_.rows).sum
 
   /** The content identity: depends only on schema, key cols, chunk
-    * granularity, and the ordered chunk content hashes. */
-  def tableHash: String = Hashing.sha256Hex(Seq(
-    "graft-table-v1".getBytes, schemaJson.getBytes,
-    keyCols.mkString(",").getBytes, chunkTargetRows.toString.getBytes,
-    chunks.map(_.hash).mkString(",").getBytes))
+    * granularity, and the ordered chunk content hashes — NOT on the meta
+    * storage encoding (a storage-format swap never changes identities).
+    * Parts are length-prefixed (opHash) so no two distinct component
+    * lists can concatenate to the same byte stream. */
+  def tableHash: String = Hashing.opHash(
+    Seq("graft-table-v2", schemaJson, chunkTargetRows.toString,
+      keyCols.length.toString) ++ // count delimits the two variadic lists
+      keyCols ++ chunks.map(_.hash))
 
   def toJson: String = {
     import JsonDSL._
