@@ -41,6 +41,48 @@ class EngineSpec extends AnyFunSuite {
       k -> rnd.nextLong(1000)
     }
 
+  test("random operation sequences match the Map model and replay to identical hashes") {
+    // generative capstone: a random program of upserts / sum-merges /
+    // range filters, executed against the engine AND an in-memory Map
+    // model (the TrieSpec discipline, lifted from single ops to whole
+    // programs); then the same program replayed in a FRESH store must
+    // reproduce the exact same table hash at every step.
+    def runProgram(ops: Ops, seed: Int): (Vector[String], Map[String, Long]) = {
+      val rnd = new Random(seed)
+      var model = randRows(rnd, 300, 4).distinctBy(_._1).toMap
+      var ref = ops.fromDataFrame(df(model.toSeq), Seq("k"))
+      val hashes = Vector.newBuilder[String]
+      (1 to 12).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // upsert a small delta (last wins)
+            val delta = randRows(rnd, rnd.nextInt(20) + 1, 4).distinctBy(_._1)
+            ref = ops.upsert(ref, ops.fromDataFrame(df(delta), Seq("k")))
+            model = model ++ delta.toMap
+          case 1 => // sum-merge a delta
+            val delta = randRows(rnd, rnd.nextInt(20) + 1, 4).distinctBy(_._1)
+            ref = ops.merge(Seq(ref, ops.fromDataFrame(df(delta), Seq("k"))),
+              FoldSpec.FoldSum)
+            model = delta.foldLeft(model) { case (m, (k, v)) =>
+              m + (k -> (m.getOrElse(k, 0L) + v))
+            }
+          case 2 => // keep a key range
+            val lo = ('a' + rnd.nextInt(3)).toChar.toString
+            ref = ops.rangeFilter(ref, Some(Bound(Seq(lo), inclusive = true)), None)
+            model = model.filter(_._1 >= lo)
+        }
+        hashes += ref.hash
+      }
+      val got = contents(ops, ref)
+      assert(got == model, s"engine diverged from model (seed $seed)")
+      (hashes.result(), model)
+    }
+    Seq(13, 77).foreach { seed =>
+      val (h1, _) = runProgram(newOps(target = 16), seed)
+      val (h2, _) = runProgram(newOps(target = 16), seed) // fresh store
+      assert(h1 == h2, s"replay produced different hash chain (seed $seed)")
+    }
+  }
+
   test("determinism: same rows under shuffled order and different partitioning => same hash") {
     val ops = newOps()
     val rnd = new Random(7)
