@@ -41,7 +41,9 @@ final class Views(ops: Ops, catalog: Catalog) {
     val src = catalog.get(d.source).getOrElse(
       throw new NoSuchElementException(s"view $view: missing source table ${d.source}"))
     val out = ops.transform(src, d.transform, d.fold)
-    catalog.put(view, out)
+    // don't mint a new catalog root for a no-op refresh (the git
+    // equivalent of refusing an empty commit)
+    if (!catalog.get(view).contains(out)) catalog.put(view, out)
     out
   }
 

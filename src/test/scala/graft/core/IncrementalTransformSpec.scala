@@ -79,10 +79,13 @@ class IncrementalTransformSpec extends AnyFunSuite {
       == base.toMap.view.mapValues(_ * 2).toMap)
 
     // unchanged source: refresh is a whole-op memo hit, zero chunk writes
+    // AND no new catalog root (no empty commits)
+    val rootBefore = ops.store.currentRootHash
     ops.store.stats.reset()
     val v2 = views.refresh("doubled")
     assert(v2.hash == v1.hash)
     assert(ops.store.stats.snapshot("chunkSaves") == 0, "refresh did work on unchanged source")
+    assert(ops.store.currentRootHash == rootBefore, "no-op refresh minted a root")
 
     // small source delta: refresh recomputes only the touched chunks
     val delta = ops.fromDataFrame(df(Seq("key00700" -> 9999L)), Seq("k"))
