@@ -111,6 +111,10 @@ object Cli {
         case "checkout" :: rootHash :: Nil =>
           cat.checkout(rootHash)
           println(s"root=$rootHash")
+        case "count" :: table :: Nil =>
+          // COUNT(*) from chunk metadata — no data read
+          val ref = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
+          println(ops.rowCount(ref))
         case "diff" :: table :: oldRoot :: Nil =>
           // git-like: what changed in `table` since version `oldRoot`
           val cur = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
