@@ -122,10 +122,15 @@ object Cli {
             sys.error(s"table $table absent in root $oldRoot"))
           ops.diff(graft.core.TableRef(old.tableHash), cur)
             .toJSON.collect().foreach(println)
-        case "gc" :: rest if rest.isEmpty || rest == List("--keep-history") =>
-          // default sweeps everything outside the CURRENT root; pass
-          // --keep-history to retain every version in the root log
-          val keep = if (rest.isEmpty) Seq.empty else cat.log(Int.MaxValue)
+        case "gc" :: rest if rest.isEmpty ||
+            rest == List("--keep-history") || rest == List("--prune-history") =>
+          // default (and --keep-history) retains every version in the
+          // root log — safe for a git-like versioned store; the
+          // destructive sweep of all non-current history requires an
+          // explicit --prune-history
+          val keep =
+            if (rest == List("--prune-history")) Seq.empty
+            else cat.log(Int.MaxValue)
           val s = graft.core.Gc.run(ops.store, keep)
           println(s"kept roots=${s.keptRoots} tables=${s.keptTables} chunks=${s.keptChunks}; " +
             s"deleted roots=${s.deletedRoots} tables=${s.deletedTables} " +

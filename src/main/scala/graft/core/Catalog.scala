@@ -9,8 +9,12 @@ import org.json4s.JsonDSL._
   * (structural sharing via content addressing) — the Repo layer analogue
   * (/root/reference/messdb-repo/src/MessDB/Repo.hs:43-130).
   */
+/** @param declaredCols user-facing column order (the CREATE TABLE
+  *   declaration / original import order), which may differ from the
+  *   canonical keys-first order of `schemaJson` — positional SQL INSERTs
+  *   align against it. */
 final case class CatalogEntry(tableHash: String, keyCols: Seq[String],
-    schemaJson: String)
+    schemaJson: String, declaredCols: Seq[String])
 
 final class Catalog(store: GraftStore) {
 
@@ -22,17 +26,31 @@ final class Catalog(store: GraftStore) {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(store.loadRoot(rootHash)) \ "tables"
     j.extract[Map[String, JValue]].map { case (name, e) =>
+      val schemaJson = JsonMethods.compact(JsonMethods.render(e \ "schema"))
+      val declared = (e \ "declared").extractOpt[Seq[String]].getOrElse {
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      }
       name -> CatalogEntry((e \ "table").extract[String],
-        (e \ "keyCols").extract[Seq[String]],
-        JsonMethods.compact(JsonMethods.render(e \ "schema")))
+        (e \ "keyCols").extract[Seq[String]], schemaJson, declared)
     }
   }
 
   /** saveRepoTable: upsert a named table, produce + install a new root
-    * (Repo.hs:106-118). Returns the new root hash. */
-  def put(name: String, ref: TableRef): String = {
+    * (Repo.hs:106-118). Returns the new root hash.
+    *
+    * `declared` pins the user-facing column order; when absent, an
+    * existing entry's declared order survives as long as the column set
+    * is unchanged (so an INSERT-driven re-put doesn't reset a CREATE
+    * TABLE declaration to canonical order). */
+  def put(name: String, ref: TableRef, declared: Option[Seq[String]] = None): String = {
     val m = store.loadTableMeta(ref.hash)
-    statement(_ + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson)))
+    val fieldNames = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val order = declared
+      .orElse(root.get(name).map(_.declaredCols).filter(_.toSet == fieldNames.toSet))
+      .getOrElse(fieldNames)
+    statement(_ + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order)))
   }
 
   def drop(name: String): String = statement(_ - name)
@@ -57,6 +75,7 @@ final class Catalog(store: GraftStore) {
     val parent = store.currentRootHash
     val tables: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>
       name -> (("table" -> e.tableHash) ~ ("keyCols" -> e.keyCols) ~
+        ("declared" -> e.declaredCols) ~
         ("schema" -> JsonMethods.parse(e.schemaJson)))
     })
     val j: JObject = ("tables" -> tables) ~ ("parent" -> parent)

@@ -102,7 +102,7 @@ object GraftSql {
   }
 
   private val insertRe =
-    """(?is)^\s*insert\s+into\s+("?[\w.]+"?)\s+((?:select|values|with|table)\b.*)$""".r
+    """(?is)^\s*insert\s+into\s+("?[\w.]+"?)\s*(?:\(([^()]*)\)\s*)?((?:select|values|with|table)\b.*)$""".r
   private val ctasRe = ("""(?is)^\s*create\s+table\s+("?[\w.]+"?)\s+""" +
     """primary\s+key\s*\(([^)]*)\)\s+as\s+((?:select|with)\b.*)$""").r
   private val dropRe =
@@ -126,15 +126,16 @@ object GraftSql {
       if (quote != 0) {
         cur += c
         // Spark treats BOTH quote styles as string literals with
-        // backslash escaping, so honor \x inside either
-        if (c == '\\' && i + 1 < script.length) {
+        // backslash escaping, so honor \x inside either. Backtick
+        // identifiers have NO backslash escaping (`` is the escape).
+        if (quote != '`' && c == '\\' && i + 1 < script.length) {
           cur += script.charAt(i + 1); i += 1 // escaped char stays literal
         } else if (c == quote) quote = 0
       } else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
         while (i < script.length && script.charAt(i) != '\n') i += 1
         cur += '\n'
       } else c match {
-        case '\'' | '"' => quote = c; cur += c
+        case '\'' | '"' | '`' => quote = c; cur += c
         case ';' => out += cur.toString; cur.clear()
         case _ => cur += c
       }
@@ -151,13 +152,15 @@ object GraftSql {
     * (Repo.hs:120-130).
     *
     * Beyond the reference's CREATE TABLE (O26/O27):
-    *  - `INSERT INTO t <query>` — the query result upserts into t through
-    *    the memoized merge (last-wins per PK), the import-csv merge path
-    *    (O31) exposed as SQL. Columns align by name (case-insensitive)
-    *    when they all match; otherwise BY POSITION against the table's
-    *    CANONICAL column order — key columns first, as reported by
-    *    print-schema/scan — which may differ from the CREATE TABLE
-    *    declaration order. Positional VALUES should follow print-schema.
+    *  - `INSERT INTO t [(col, ...)] <query>` — the query result upserts
+    *    into t through the memoized merge (last-wins per PK), the
+    *    import-csv merge path (O31) exposed as SQL. With a column list,
+    *    query output binds positionally to the listed columns (unlisted
+    *    value columns are filled with NULL; unlisted key columns are an
+    *    error). Without one, columns align by name
+    *    (case-insensitive) when they all match; otherwise BY POSITION
+    *    against the table's DECLARED column order (the CREATE TABLE
+    *    declaration, preserved in the catalog).
     *  - `CREATE TABLE t PRIMARY KEY (k, ...) AS <select>` — CTAS with an
     *    explicit key clause (our tables are keyed maps, so a PK is
     *    mandatory — dialect extension).
@@ -180,28 +183,60 @@ object GraftSql {
           if (!df.columns.contains(k))
             throw new SqlException(s"PRIMARY KEY column $k not in query output")
         }
-        Right(catalog.put(name, ops.fromDataFrame(df, keyCols)))
-      case insertRe(rawName, query) =>
+        Right(catalog.put(name, ops.fromDataFrame(df, keyCols),
+          declared = Some(df.columns.toSeq)))
+      case insertRe(rawName, colList, query) =>
         registerViews()
         val name = unquote(rawName)
         val entry = catalog.root.getOrElse(name,
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val raw = spark.sql(query)
-        if (raw.columns.length != schema.length)
-          throw new SqlException(
-            s"INSERT arity ${raw.columns.length} != table arity ${schema.length}")
-        // by-name alignment is decided case-insensitively (matching
-        // Spark's own resolver) so a differently-cased alias cannot
-        // silently demote the insert to positional order
-        val rawLower = raw.columns.map(_.toLowerCase)
-        val byName = rawLower.distinct.length == raw.columns.length &&
-          rawLower.toSet == schema.fieldNames.map(_.toLowerCase).toSet
-        val aligned =
+        val aligned = if (colList != null) {
+          // explicit column list: bind query output positionally to the
+          // listed columns; unlisted nullable columns are NULL-filled
+          val listed = colList.split(",").map(c => unquote(c.trim)).toSeq
+          val resolved = listed.map { c =>
+            schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new SqlException(s"INSERT column $c not in table $name"))
+          }
+          if (resolved.distinct.length != resolved.length)
+            throw new SqlException(s"duplicate column in INSERT column list")
+          if (raw.columns.length != resolved.length)
+            throw new SqlException(
+              s"INSERT arity ${raw.columns.length} != column list arity ${resolved.length}")
+          val bound = raw.toDF(resolved: _*)
+          // canonical schemas keep only key columns non-nullable
+          // (Canonical.normalizeSchema), so that is the omission gate
+          schema.fields.filterNot(f => resolved.contains(f.name)).foreach { f =>
+            if (!f.nullable) throw new SqlException(
+              s"INSERT column list omits non-nullable column ${f.name}")
+          }
+          bound.select(schema.fieldNames.map { f =>
+            if (resolved.contains(f)) org.apache.spark.sql.functions.col(f)
+            else org.apache.spark.sql.functions.lit(null).as(f)
+          }: _*)
+        } else {
+          if (raw.columns.length != schema.length)
+            throw new SqlException(
+              s"INSERT arity ${raw.columns.length} != table arity ${schema.length}")
+          // by-name alignment is decided case-insensitively (matching
+          // Spark's own resolver) so a differently-cased alias cannot
+          // silently demote the insert to positional order
+          val rawLower = raw.columns.map(_.toLowerCase)
+          val byName = rawLower.distinct.length == raw.columns.length &&
+            rawLower.toSet == schema.fieldNames.map(_.toLowerCase).toSet
           if (byName)
             raw.select(schema.fieldNames.map(f =>
               raw.col(raw.columns(rawLower.indexOf(f.toLowerCase))).as(f)): _*)
-          else raw.toDF(schema.fieldNames: _*) // positional
+          else {
+            // positional: bind to the DECLARED (CREATE TABLE) order, not
+            // the canonical keys-first order — two same-typed adjacent
+            // columns would otherwise swap silently
+            val bound = raw.toDF(entry.declaredCols: _*)
+            bound.select(schema.fieldNames.map(bound.col): _*)
+          }
+        }
         val casted = aligned.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
         val delta = ops.fromDataFrame(casted, entry.keyCols)
@@ -212,7 +247,7 @@ object GraftSql {
       case t if t.toLowerCase.startsWith("create table") =>
         val ct = parseCreateTable(sqlText)
         val ref = ops.emptyTable(ct.schema, ct.keyCols)
-        Right(catalog.put(ct.name, ref))
+        Right(catalog.put(ct.name, ref, declared = Some(ct.schema.fieldNames.toSeq)))
       case _ =>
         registerViews()
         Left(spark.sql(sqlText))

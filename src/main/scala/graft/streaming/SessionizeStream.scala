@@ -50,7 +50,13 @@ object SessionizeStream {
       closed.sortBy(_.start).foreach(close)
       if (open.isEmpty) state.remove() else arm(open)
     } else {
-      val incoming = events.map { e =>
+      // Drop past-watermark stragglers: flatMapGroupsWithState does NOT
+      // pre-filter late rows (unlike built-in windowed aggs), and a
+      // too-late event would re-open an already-emitted session and emit
+      // a duplicate — the batch gaps-and-islands equivalence only holds
+      // for in-watermark data.
+      val wm = state.getCurrentWatermarkMs()
+      val incoming = events.filter(_.ts.getTime >= wm).map { e =>
         val t = e.ts.getTime
         SessionState(t, t, 1, math.round(e.value * 100))
       }.toVector

@@ -89,6 +89,46 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "INSERT INTO nope VALUES ('x', 1)"))
   }
 
+  test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
+    val (ops, cat) = newOps()
+    // declared order (v, k): canonical keys-first order is (k, v) — both
+    // text, so a canonical positional bind would silently swap them
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE sw (v text NOT NULL, k text PRIMARY KEY)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO sw SELECT * FROM VALUES ('value1', 'key1') AS t(c1, c2)")
+    val got = ops.scanOrdered(cat.get("sw").get).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("key1", "value1")),
+      s"positional bind must follow CREATE TABLE declaration order; got $got")
+  }
+
+  test("INSERT with explicit column list aligns, NULL-fills, and rejects bad lists") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE cl (k text PRIMARY KEY, a bigint NOT NULL, b text)")
+    // reversed list binds by position within the list
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO cl (b, a, k) VALUES ('bee', 7, 'x')")
+    // partial list: nullable b omitted → NULL
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO cl (k, a) VALUES ('y', 8)")
+    val got = ops.scanOrdered(cat.get("cl").get).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(("x", 7L, Some("bee")), ("y", 8L, None)))
+    // omitting a key column is an error (value columns are nullable in
+    // the canonical schema — Canonical.normalizeSchema — so only keys
+    // are mandatory)
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "INSERT INTO cl (a, b) VALUES (9, 'oops')"))
+    // unknown column in the list is an error
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "INSERT INTO cl (k, a, nope) VALUES ('z', 1, 2)"))
+    // duplicate column in the list is an error
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "INSERT INTO cl (k, a, a) VALUES ('z', 1, 2)"))
+  }
+
   test("CREATE TABLE ... PRIMARY KEY (...) AS SELECT and DROP TABLE") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
@@ -119,6 +159,9 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     // -- comments are stripped to end of line, including any ';' in them
     assert(GraftSql.splitStatements("SELECT 1 -- note; not a split\n; SELECT 2") ==
       Seq("SELECT 1", "SELECT 2"))
+    // backtick identifiers may contain ';' and '--' (no backslash escapes)
+    assert(GraftSql.splitStatements("SELECT `a;b` FROM t; SELECT `x--y\\` FROM u") ==
+      Seq("SELECT `a;b` FROM t", "SELECT `x--y\\` FROM u"))
     val (ops, cat) = newOps()
     GraftSql.splitStatements(
       """CREATE TABLE s (k text PRIMARY KEY, v bigint NOT NULL);

@@ -112,4 +112,43 @@ class SessionizeStreamSpec extends AnyFunSuite {
       (1L, "2024-01-01 10:00:00.0", 1)),
       s"late event must be its own session; got $sessions")
   }
+
+  test("past-watermark straggler is dropped, not re-emitted as a duplicate session") {
+    val srcDir = Files.createTempDirectory("graft-sess3-src-")
+    val ckpt = Files.createTempDirectory("graft-sess3-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-sess3-out-").toString
+    def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+        .write.parquet(srcDir.resolve(s"b$n").toString)
+    def runOnce(): Unit = {
+      val q = SessionizeStream.sessions(
+          spark.readStream.schema(schema).parquet(srcDir.toString + "/b*"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 opens + batch 2 closes user 1's session (watermark → 23:00)
+    writeBatch(Seq(("2024-01-01 10:00:00", 1L, 1.00)), 1)
+    runOnce()
+    writeBatch(Seq(("2024-01-02 00:00:00", 99L, 0.01)), 2)
+    runOnce()
+    // batch 3 delivers a PAST-WATERMARK straggler inside the already
+    // emitted session's interval — must be dropped, not re-opened
+    writeBatch(Seq(("2024-01-01 10:01:00", 1L, 5.00)), 3)
+    runOnce()
+    // batch 4 pushes the watermark further so anything re-opened would emit
+    writeBatch(Seq(("2024-01-03 00:00:00", 99L, 0.01)), 4)
+    runOnce()
+    val user1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("start").toString, r.getAs[Int]("n_events")))
+      .filter(_._1 == 1L).toSeq
+    assert(user1 == Seq((1L, "2024-01-01 10:00:00.0", 1)),
+      s"straggler below the watermark must not duplicate the session; got $user1")
+  }
 }
