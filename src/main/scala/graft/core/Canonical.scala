@@ -284,7 +284,7 @@ object Canonical {
   }
 
   /** withKeyBytes preserving an extra column outside the canonical set. */
-  private def withKeyBytesKeeping(df: DataFrame, keyCols: Seq[String],
+  private[core] def withKeyBytesKeeping(df: DataFrame, keyCols: Seq[String],
       keep: String): DataFrame = {
     val dataSchema = StructType(df.schema.filterNot(_.name == keep))
     val enc = KeyCodec.rowEncoder(normalizeSchema(dataSchema, keyCols), keyCols)

@@ -23,6 +23,13 @@ trait FoldSpec extends Serializable {
     * (TrieSpec.hs:31-38); sum-like folds double values and must take the
     * general path. Gates the self-merge fast path in Ops.merge. */
   def idempotent: Boolean = false
+  /** True when the fold is commutative, associative, AND folding partial
+    * fold results equals folding the raw values (sum of sums == sum, min
+    * of mins == min). Unlocks the O(delta) re-keying transform path
+    * (per-chunk pre-fold + region-memoized merge) and source-order-free
+    * region memo keys. fold_to_last is NOT combinable: its result depends
+    * on the source index ordering. */
+  def combinable: Boolean = false
 }
 
 object FoldSpec {
@@ -42,6 +49,7 @@ object FoldSpec {
     val key = "fold_sum"
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => sum(col(c)).as(c))
+    override val combinable = true
   }
 
   case object FoldMin extends FoldSpec {
@@ -49,6 +57,7 @@ object FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => min(col(c)).as(c))
     override val idempotent = true
+    override val combinable = true
   }
 
   case object FoldMax extends FoldSpec {
@@ -56,6 +65,7 @@ object FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => max(col(c)).as(c))
     override val idempotent = true
+    override val combinable = true
   }
 
   /** General NON-commutative pairwise fold in source order — the full

@@ -130,6 +130,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val keyCols = metas.head.keyCols
     val valueCols = metas.head.valueCols
     val target = metas.head.chunkTargetRows // the TABLES' granularity
+    val schema = metas.head.schema
+    val schemaJson = metas.head.schemaJson
     val chunks: Seq[(Int, ChunkMeta)] =
       metas.zipWithIndex.flatMap { case (m, i) => m.chunks.map(c => (i, c)) }
 
@@ -145,6 +147,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         if (acc.nonEmpty && Hashing.compareBytes(acc.last, k) == 0) acc
         else acc :+ k
       }.toArray
+    val boundariesHex = boundaries.map(Hashing.hex)
 
     def regionOf(kb: Array[Byte]): Int = {
       var lo = 0; var hi = boundaries.length
@@ -155,99 +158,174 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       lo
     }
 
+    // ---- split spanning chunks into per-region pieces (memoized) ----
+    // A chunk spanning several regions (it crosses boundary keys absent
+    // from its own data — typical for a wide delta over a chunked base)
+    // previously dirtied every spanned region, turning a small merge
+    // into an O(table) recompute. Cutting it into per-region pieces
+    // first means regions where it has NO rows stay clean. Piece
+    // identity is (chunk content, region bounds) — stable under
+    // boundary changes elsewhere, so refreshes re-read nothing for
+    // unchanged chunks (the subtree reuse of mergeNodes,
+    // /root/reference/messdb-base/src/MessDB/Trie.hs:297-348).
+    def regionLoHex(r: Int): String = if (r == 0) "-inf" else boundariesHex(r - 1)
+    def regionHiHex(r: Int): String =
+      if (r == boundaries.length) "+inf" else boundariesHex(r)
+    def pieceOp(chunkHash: String, r: Int): String = Hashing.opHash(Seq(
+      "graft-op-merge-piece-v3", chunkHash, regionLoHex(r), regionHiHex(r)))
+
+    val spanning: Seq[ChunkMeta] = chunks.map(_._2).distinctBy(_.hash)
+      .filter(c => regionOf(c.minKey) != regionOf(c.maxKey))
+    val neededPieces: Seq[(ChunkMeta, Int)] = spanning.flatMap(c =>
+      (regionOf(c.minKey) to regionOf(c.maxKey)).map(r => (c, r)))
+    val pieceMemo: Map[(String, Int), Option[String]] = neededPieces.map {
+      case (c, r) => (c.hash, r) -> store.memoGet(pieceOp(c.hash, r))
+    }.toMap
+    val toSplit: Seq[ChunkMeta] = spanning.filter(c =>
+      (regionOf(c.minKey) to regionOf(c.maxKey))
+        .exists(r => pieceMemo((c.hash, r)).isEmpty))
+    val splitComputed: Map[(String, Int), TableMeta] =
+      if (toSplit.isEmpty) Map.empty
+      else {
+        val grp = "_graft_grp"
+        val bcP = spark.sparkContext.broadcast(
+          toSplit.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
+        val bcB = spark.sparkContext.broadcast(boundaries)
+        val fileToHash = udf { (f: String) =>
+          val p = new java.net.URI(f).getPath
+          bcP.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
+        }
+        val regionIdx = udf { (kb: Array[Byte]) =>
+          val bs = bcB.value
+          var lo = 0; var hi = bs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        val src = spark.read.schema(schema)
+          .parquet(toSplit.map(c => store.chunkPath(c.hash)): _*)
+          .withColumn(grp, fileToHash(input_file_name()))
+        val tagged = Canonical.withKeyBytesKeeping(src, keyCols, grp)
+          .withColumn(grp,
+            concat_ws("-", col(grp), regionIdx(col(Canonical.KB))))
+          .drop(Canonical.KB)
+        Canonical.materializeGrouped(spark, store, tagged, grp, keyCols, target)
+          .map { case (g, m) =>
+            val i = g.lastIndexOf('-')
+            ((g.substring(0, i), g.substring(i + 1).toInt), m)
+          }
+      }
+    lazy val emptyPiece: TableMeta = {
+      val em = TableMeta(schemaJson, keyCols, target, Nil)
+      store.saveTableMeta(em)
+      em
+    }
+    val pieces: Map[(String, Int), Seq[ChunkMeta]] = neededPieces.map {
+      case (c, r) =>
+        val k = (c.hash, r)
+        val sub: TableMeta = pieceMemo(k) match {
+          case Some(h) => store.loadTableMeta(h)
+          case None =>
+            // a spanning chunk may have no rows in a spanned region
+            // (its keys skip it) — memoize the empty piece too
+            val m = splitComputed.getOrElse(k, emptyPiece)
+            store.memoPut(pieceOp(c.hash, r), m.tableHash)
+            m
+        }
+        k -> sub.chunks
+    }.toMap
+
+    // ---- region participants (each chunk/piece now in ONE region) ----
     val nRegions = boundaries.length + 1
-    val regionChunks = Array.fill(nRegions)(List.empty[(Int, ChunkMeta)])
-    val dirty = new Array[Boolean](nRegions)
+    val parts = Array.fill(nRegions)(List.empty[(Int, ChunkMeta)])
     chunks.foreach { case (src, c) =>
       val rLo = regionOf(c.minKey); val rHi = regionOf(c.maxKey)
-      var r = rLo
-      while (r <= rHi) {
-        regionChunks(r) ::= ((src, c))
-        if (rLo != rHi) dirty(r) = true // spanning chunk must split
-        r += 1
+      if (rLo == rHi) parts(rLo) ::= ((src, c))
+      else {
+        var r = rLo
+        while (r <= rHi) {
+          pieces((c.hash, r)).foreach(pc => parts(r) ::= ((src, pc)))
+          r += 1
+        }
       }
     }
-    (0 until nRegions).foreach { r =>
-      if (regionChunks(r).length > 1) dirty(r) = true
-    }
 
-    val passthrough = (0 until nRegions).iterator.flatMap { r =>
-      if (!dirty(r)) regionChunks(r).map(_._2) else Nil
-    }.toVector
-
-    // Contiguous dirty regions form RANGES; every dirty chunk belongs to
-    // exactly one range (a spanning chunk dirties all its — consecutive —
-    // regions). Each range recompute is memoized independently, keyed by
-    // the fold and its src-ordered participating chunk hashes — the
-    // recursive mergeNodes memoization (Trie.hs:302-312): a later merge
-    // sharing a range (e.g. the same two tables plus a disjoint third)
-    // reuses the range result without recomputation.
-    val ranges: Seq[Seq[(Int, ChunkMeta)]] = {
-      val out = Vector.newBuilder[Seq[(Int, ChunkMeta)]]
-      var r = 0
-      while (r < nRegions) {
-        if (dirty(r)) {
-          var hi = r
-          while (hi + 1 < nRegions && dirty(hi + 1)) hi += 1
-          out += (r to hi).flatMap(regionChunks(_))
-            .distinctBy { case (s, c) => (s, c.hash) }
-            .sortBy { case (s, c) => (s, c.minKeyHex) }
-          r = hi + 1
-        } else r += 1
+    // Clean region (single participant) → passthrough without reading
+    // (Trie.hs:346-348). A sole surviving PIECE is the region's full
+    // content and canonical by construction, so it passes through too.
+    // Dirty regions are memoized INDEPENDENTLY, keyed by the fold and
+    // participating chunk hashes (src-tagged for order-sensitive folds;
+    // src-free + sorted for combinable ones, so the same participant
+    // set reuses regardless of input numbering).
+    val passthrough = Vector.newBuilder[ChunkMeta]
+    val dirtyRegions = Vector.newBuilder[Seq[(Int, ChunkMeta)]]
+    var r = 0
+    while (r < nRegions) {
+      parts(r).sortBy { case (s, c) => (s, c.minKeyHex) } match {
+        case Seq() => ()
+        case Seq((_, only)) => passthrough += only
+        case ps => dirtyRegions += ps
       }
-      out.result()
+      r += 1
     }
 
-    def rangeOp(chunks: Seq[(Int, ChunkMeta)]): String = Hashing.opHash(Seq(
-      "graft-op-merge-region-v2", fold.key, target.toString) ++
-      chunks.map { case (s, c) => s"$s:${c.hash}" })
+    def regionOp(ps: Seq[(Int, ChunkMeta)]): String =
+      if (fold.combinable) Hashing.opHash(
+        Seq("graft-op-merge-region-v3c", fold.key, target.toString) ++
+          ps.map(_._2.hash).sorted)
+      else Hashing.opHash(
+        Seq("graft-op-merge-region-v3", fold.key, target.toString) ++
+          ps.map { case (s, c) => s"$s:${c.hash}" })
 
-    val memoizedRanges: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
-      ranges.map(r => { val op = rangeOp(r); (r, op, store.memoGet(op)) })
+    val memoizedRegions: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
+      dirtyRegions.result().map(ps => {
+        val op = regionOp(ps); (ps, op, store.memoGet(op))
+      })
 
-    val missing = memoizedRanges.filter(_._3.isEmpty)
+    val missing = memoizedRegions.filter(_._3.isEmpty)
     val computed: Map[String, TableMeta] =
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        // map chunk file path -> (src, rangeOp); a chunk appears in one
-        // range, but possibly under several srcs if two inputs share it —
-        // key by (src, path) via per-src reads
+        // map chunk file path -> regionOp per src; regions have disjoint
+        // key ranges so a (src, path) pair belongs to exactly one region,
+        // and per-src reads keep duplicate-table srcs separate
         val bySrc: Map[Int, Seq[(String, String)]] = missing
-          .flatMap { case (chunks, op, _) =>
-            chunks.map { case (s, c) => (s, store.chunkPath(c.hash), op) }
+          .flatMap { case (ps, op, _) =>
+            ps.map { case (s, c) => (s, store.chunkPath(c.hash), op) }
           }
           .groupBy(_._1)
           .view.mapValues(_.map(t => (t._2, t._3))).toMap
-        val parts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
+        val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
           val bc = spark.sparkContext.broadcast(files.toMap)
           val fileToOp = udf { (f: String) =>
             val p = new java.net.URI(f).getPath
             bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
           }
-          spark.read.schema(metas.head.schema)
+          spark.read.schema(schema)
             .parquet(files.map(_._1).distinct: _*)
             .withColumn(SRC, lit(src.toLong))
             .withColumn(grp, fileToOp(input_file_name()))
         }
-        val union = parts.reduce(_.unionByName(_))
+        val union = srcParts.reduce(_.unionByName(_))
         val folded = union.groupBy(col(grp) +: keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
         val subMetas = Canonical.materializeGrouped(spark, store,
-          castValues(folded, metas.head.schema, valueCols), grp,
-          keyCols, target)
+          castValues(folded, schema, valueCols), grp, keyCols, target)
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
       }
 
-    val recomputed: Seq[ChunkMeta] = memoizedRanges.flatMap {
-      case (_, op, Some(hit)) => store.loadTableMeta(hit).chunks
+    val recomputed: Seq[ChunkMeta] = memoizedRegions.flatMap {
+      case (_, _, Some(hit)) => store.loadTableMeta(hit).chunks
       case (_, op, None) => computed(op).chunks
     }
 
-    val all = (passthrough ++ recomputed)
+    val all = (passthrough.result() ++ recomputed)
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
-    val meta = TableMeta(metas.head.schemaJson, keyCols, target, all)
+    val meta = TableMeta(schemaJson, keyCols, target, all)
     store.saveTableMeta(meta)
     meta
   }
@@ -266,8 +344,17 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * each source chunk's transform is memoized independently
     * (sortNode's per-subtree memoization, Trie.hs:467-470), so
     * re-transforming a table after a small upsert recomputes only the
-    * chunks the upsert touched. Re-keying transforms shuffle globally
-    * and memoize at whole-table granularity. */
+    * chunks the upsert touched.
+    *
+    * RE-KEYING transforms with a combinable fold (sum/min/max) are also
+    * incremental: each source chunk is transformed + pre-folded into a
+    * memoized mini-table, and the minis feed the region-memoized merge —
+    * the sortNode per-subtree sort + mergeNodes structure
+    * (Trie.hs:446-470,297-430). After a small source upsert, only the
+    * touched chunks' minis recompute, and only output regions whose
+    * participant set changed re-merge. Order-sensitive re-keying folds
+    * (fold_to_last collisions depend on source order) stay at
+    * whole-table memo granularity. */
   def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
     // chunk granularity is intrinsic to the input table (its boundary
     // rule), not to this Ops instance — a differently-configured Ops
@@ -277,6 +364,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       "graft-op-transform-v2", t.key, fold.key, target.toString, ref.hash))
     TableRef(store.memoized(opHash) {
       if (t.keyPreserving) transformPerChunk(ref, t)
+      else if (fold.combinable && meta(ref).chunks.nonEmpty)
+        transformRekeyIncremental(ref, t, fold)
       else {
         val m = meta(ref)
         val src = Canonical.withKeyBytes(scan(ref), m.keyCols)
@@ -291,6 +380,63 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           t.outKeyCols, target).tableHash
       }
     })
+  }
+
+  /** Incremental re-keying transform (combinable folds): per source
+    * chunk, transform + fold collisions + canonicalize into a memoized
+    * mini-table (one batched job for all missing chunks), then fold-merge
+    * the minis through the region-memoized merge. Partial-fold-then-fold
+    * equals direct fold exactly because the fold is combinable. */
+  private def transformRekeyIncremental(ref: TableRef, t: ColTransform,
+      fold: FoldSpec): String = {
+    val m = meta(ref)
+    def miniOp(chunkHash: String): String = Hashing.opHash(Seq(
+      "graft-op-rekey-chunk-v1", t.key, fold.key,
+      m.chunkTargetRows.toString, chunkHash))
+    val memoized: Map[String, Option[String]] =
+      m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
+    val missing = m.chunks.filter(c => memoized(c.hash).isEmpty)
+
+    val computed: Map[String, TableMeta] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val grp = "_graft_grp"
+        val bc = spark.sparkContext.broadcast(
+          missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
+        val fileToHash = udf { (f: String) =>
+          val p = new java.net.URI(f).getPath
+          bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
+        }
+        val df = spark.read.schema(m.schema)
+          .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
+          .withColumn(grp, fileToHash(input_file_name()))
+        val projected = df.select(t.columns :+ col(grp): _*)
+        val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
+          .filterNot(_ == grp).toSeq
+        // pre-fold within (source chunk, output key): combinable folds
+        // satisfy fold(fold(xs), fold(ys)) == fold(xs ++ ys)
+        val folded = projected.groupBy(col(grp) +: t.outKeyCols.map(col): _*)
+          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        val casted = castValues(folded,
+          StructType(projected.schema.filterNot(_.name == grp)), valueCols)
+        val metas = Canonical.materializeGrouped(spark, store, casted, grp,
+          t.outKeyCols, m.chunkTargetRows)
+        metas.foreach { case (srcHash, sub) =>
+          store.memoPut(miniOp(srcHash), sub.tableHash)
+        }
+        metas
+      }
+
+    val miniRefs: Seq[TableRef] = m.chunks.map { c =>
+      TableRef(memoized(c.hash) match {
+        case Some(h) => h
+        case None => computed.getOrElse(c.hash,
+          // a select projection is 1:1 over rows, so a stored (non-empty)
+          // chunk always yields a non-empty mini
+          sys.error(s"missing re-key result for chunk ${c.hash}")).tableHash
+      })
+    }
+    merge(miniRefs, fold).hash
   }
 
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job

@@ -103,6 +103,74 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(catalog.log(10).length >= 3)
   }
 
+  test("re-keying aggregate view: refresh after a 1-key upsert is O(delta), hash-equals from-scratch") {
+    // The north-star case (VERDICT r2 #1): an AGGREGATE view — re-keyed
+    // and folded — must refresh in O(delta) after a small source upsert,
+    // via per-chunk mini-transforms (sortNode per-subtree memo,
+    // Trie.hs:446-470) feeding the region-memoized merge with
+    // spanning-chunk piece splitting (mergeNodes reuse, Trie.hs:297-430).
+    val store = new GraftStore(Files.createTempDirectory("graft-rekey-").toString)
+    val ops = new Ops(spark, store, 64)
+    // group key REVERSES the digits — a scattering, locality-destroying
+    // re-key: each source chunk's groups spread across the whole output
+    // keyspace, the hard case for incremental refresh
+    val rekeySum = ColTransform("rekey_sum_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        col("v")))
+    val rows = (0 until 20000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val nSrcChunks = ops.meta(base).chunks.length
+    assert(nSrcChunks > 100, s"want many source chunks, got $nSrcChunks")
+
+    val v1 = ops.transform(base, rekeySum, FoldSpec.FoldSum)
+    def model(data: Map[String, Long]): Map[String, Long] =
+      data.toSeq.groupBy { case (k, _) => "g" + k.substring(1, 5).reverse }
+        .view.mapValues(_.map(_._2).sum).toMap
+    val got1 = ops.scan(v1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got1 == model(rows.toMap))
+
+    // 1-key update -> 1-2 source chunks change
+    val delta = Seq("k00100" -> 777777L)
+    val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+    val changedSrcChunks = {
+      val baseHashes = ops.meta(base).chunks.map(_.hash).toSet
+      ops.meta(merged).chunks.count(c => !baseHashes(c.hash))
+    }
+    assert(changedSrcChunks <= 3, s"upsert touched $changedSrcChunks chunks")
+
+    store.stats.reset()
+    val v2 = ops.transform(merged, rekeySum, FoldSpec.FoldSum)
+    val snap = store.stats.snapshot
+    // O(delta): only the changed chunks' minis recompute (everything else
+    // is a mini memo hit); the changed mini's pieces dedupe against the
+    // old pieces by content, so only regions whose participant content
+    // actually changed re-merge. The whole refresh writes a handful of
+    // chunks out of hundreds of regions.
+    assert(snap("chunkSaves") <= 12,
+      s"refresh should write O(delta) chunks, wrote ${snap("chunkSaves")} (stats $snap)")
+    assert(snap("memoHits") >= nSrcChunks - changedSrcChunks,
+      s"unchanged chunks must hit their mini memos: $snap")
+    // result correct and bit-identical to a from-scratch build in a
+    // FRESH store (history independence of the canonical form)
+    val want = model(rows.toMap ++ delta.toMap)
+    val got2 = ops.scan(v2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+    assert(got2("g0010") == want("g0010"))
+    val ops2 = new Ops(spark,
+      new GraftStore(Files.createTempDirectory("graft-rekey2-").toString), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df((rows.toMap ++ delta.toMap).toSeq), Seq("k")),
+      rekeySum, FoldSpec.FoldSum)
+    assert(v2.hash == scratch.hash,
+      "incremental aggregate refresh must hash-equal the from-scratch build")
+    // most output chunks are structurally shared with the previous view
+    val v1Hashes = ops.meta(v1).chunks.map(_.hash).toSet
+    val shared = ops.meta(v2).chunks.count(c => v1Hashes(c.hash))
+    val total = ops.meta(v2).chunks.length
+    assert(shared >= total - 6,
+      s"expected near-total chunk sharing after 1-key update: $shared/$total")
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new GraftStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
