@@ -268,53 +268,80 @@ object Dedup {
 
   // ---- SimHash (no SQL oracle: JVM hash) -------------------------------
 
-  /** 64-bit SimHash over the 3-gram shingle set (unigram token sets are
+  /** 128-bit SimHash over the 3-gram shingle set (unigram token sets are
     * near-identical for same-vocabulary corpora — shingles separate);
-    * near-dups = Hamming distance <= 15.
+    * near-dups = Hamming distance <= [[SimhashMaxHamming]].
     *
-    * Pair generation: signatures are 8 bytes/doc, so the corpus side
-    * broadcasts (5000 docs = 40 KB; even 100M docs = 800 MB, still a
-    * plausible broadcast) and each partition scans its docs against the
-    * broadcast array with primitive XOR+popcount — no shuffle, no
-    * candidate materialization. A 4-bit block band join is strictly worse
-    * at ANY scale: 16 values per block position means every bucket holds
-    * n/16 of the corpus, i.e. the join degenerates to all-pairs THROUGH a
-    * shuffle. When the corpus outgrows a broadcast, the scale path is a
-    * 128-bit simhash banded into 8-bit blocks (256-way buckets, distance
-    * budget per pigeonhole unchanged) — same final exact-distance filter. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    * Pair generation is SIZE-GATED between two plans that provably give
+    * the SAME pair set (pinned in NorthStarSpec):
+    *  - small corpus: broadcast the 16-byte signatures, scan each
+    *    partition against the broadcast array with XOR+popcount;
+    *  - large corpus: band the 128 bits into 16 8-bit blocks and bucket-
+    *    join on (block index, block value). Pigeonhole: distance <= 15
+    *    over 16 blocks forces at least one block to match exactly, so
+    *    banded candidates lose NOTHING; the exact-distance filter then
+    *    makes both paths identical. 256-way buckets per block position
+    *    keep the join linear-ish — unlike 4-bit blocks over 64 bits
+    *    (16-way buckets), which degenerate to all-pairs through a
+    *    shuffle (measured in round 1; never reintroduce).
+    * The gate therefore changes COST only, never semantics. */
+  val SimhashMaxHamming = 15
+  val SimhashBlocks = 16
+  /** 16-byte signatures: 2M docs = 32 MB broadcast — past that, band. */
+  val SimhashBroadcastMaxDocs = 2000000L
+
+  /** (doc_id, h1, h2) — the 128-bit signature as two longs. */
+  private[operators] def simhash128(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val simhashUdf = udf { (shs: scala.collection.Seq[String]) =>
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](128)
       shs.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32 |
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32 |
           (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 2).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 3).toLong & 0xffffffffL)
         var b = 0
-        while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+        while (b < 64) {
+          acc(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1)
+          acc(b + 64) += (if (((h2 >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
-      var out = 0L
+      var o1 = 0L; var o2 = 0L
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
+      while (b < 64) {
+        if (acc(b) > 0) o1 |= (1L << b)
+        if (acc(b + 64) > 0) o2 |= (1L << b)
+        b += 1
+      }
+      (o1, o2)
     }
-    val sim = shingles(s, dir)
+    shingles(s, dir)
       .groupBy($"doc_id").agg(collect_list($"s").as("shs"))
-      .select($"doc_id", simhashUdf($"shs").as("sh"))
-    val corpus: Array[(Long, Long)] = sim.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val ids = corpus.map(_._1)
-    val shs = corpus.map(_._2)
-    val bcIds = s.sparkContext.broadcast(ids)
-    val bcShs = s.sparkContext.broadcast(shs)
+      .select($"doc_id", simhashUdf($"shs").as("sig"))
+      .select($"doc_id", $"sig._1".as("h1"), $"sig._2".as("h2"))
+  }
+
+  /** Broadcast scan path: exact pair set for corpora whose signature
+    * array fits a broadcast. */
+  private[operators] def simhashBroadcast(sim: DataFrame): DataFrame = {
+    val s = sim.sparkSession
+    import s.implicits._
+    val corpus: Array[(Long, Long, Long)] = sim.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    val maxD = SimhashMaxHamming
     s.createDataFrame(
       s.sparkContext.parallelize(corpus.indices, s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
-          val is = bcIds.value; val hs = bcShs.value
+          val cs = bc.value
           it.flatMap { a =>
-            val ha = hs(a); val ia = is(a)
-            Iterator.range(a + 1, hs.length).flatMap { b =>
-              val d = java.lang.Long.bitCount(ha ^ hs(b))
-              if (d <= 15) Some(org.apache.spark.sql.Row(ia, is(b), d)) else None
+            val (ia, a1, a2) = cs(a)
+            Iterator.range(a + 1, cs.length).flatMap { b =>
+              val (ib, b1, b2) = cs(b)
+              val d = java.lang.Long.bitCount(a1 ^ b1) +
+                java.lang.Long.bitCount(a2 ^ b2)
+              if (d <= maxD) Some(org.apache.spark.sql.Row(ia, ib, d)) else None
             }
           }
         },
@@ -322,7 +349,38 @@ object Dedup {
         org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType, false))))
-      .orderBy($"i", $"j")
+  }
+
+  /** Banded bucket-join path: 16 8-bit blocks, candidates share any
+    * (block, value) bucket, exact distance filter — the 100 TB plan. */
+  private[operators] def simhashBanded(sim: DataFrame): DataFrame = {
+    val s = sim.sparkSession
+    import s.implicits._
+    val blocks = array((0 until SimhashBlocks).map { b =>
+      val h = if (b < 8) col("h1") else col("h2")
+      shiftrightunsigned(h, 8 * (b % 8)).bitwiseAND(lit(0xffL))
+    }: _*)
+    val sigB = sim.select($"doc_id", $"h1", $"h2",
+      posexplode(blocks).as(Seq("blk", "bval")))
+    sigB.as("x").join(sigB.as("y"),
+        $"x.blk" === $"y.blk" && $"x.bval" === $"y.bval" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("i"), $"y.doc_id".as("j"),
+        (bit_count($"x.h1".bitwiseXOR($"y.h1")) +
+          bit_count($"x.h2".bitwiseXOR($"y.h2"))).cast("int").as("hamming"))
+      .where($"hamming" <= SimhashMaxHamming)
+      .distinct() // a pair can share several blocks
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sim = simhash128(s, dir)
+    // metadata-cheap gate: the two paths are result-identical (pigeonhole
+    // + exact filter), so this picks a PLAN, not a semantics
+    val path =
+      if (sim.count() <= SimhashBroadcastMaxDocs) simhashBroadcast(sim)
+      else simhashBanded(sim)
+    path.orderBy($"i", $"j")
   }
 
   val queries: Map[String, QFn] = Map(

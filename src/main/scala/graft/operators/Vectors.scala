@@ -103,17 +103,52 @@ object Vectors {
       else BigInt(25) * BigInt(d) * BigInt(d) >= BigInt(4) * BigInt(nq) * BigInt(nj)
     }
 
-  /** Embedding near-dup pairs: cosine >= 0.4 decided ENTIRELY in integer
-    * arithmetic (dot>0 and 25·dot² >= 4·na·nb ⟺ cos >= 0.4) — no float
-    * threshold boundary at all. Self-join pruned by label block (the
-    * IVF-style partition key the generator provides). */
+  /** Embedding near-dup pairs, BLOCKED by IVF cell (the 100 TB shape):
+    * every vector is assigned to its nearest deterministic centroid by
+    * exact integer squared-L2 (same rule as [[simAnnIvf]]), and candidate
+    * pairs are generated only WITHIN a cell through a cell-keyed shuffle
+    * join — no driver collect, no all-pairs, work O(Σ cell²) spread
+    * across the cluster. cosine >= 0.4 is decided ENTIRELY in integer
+    * arithmetic (dot>0 ∧ 25·dot² >= 4·na·nb, decimal(38) — the oracle's
+    * HUGEINT), so both engines agree bit-exactly on the same blocked
+    * semantics. Recall vs the brute-force all-pairs baseline (kept in
+    * [[NorthStarSpec]] as `bruteNeardup`) is pinned in ScalaTest. */
+  /** Near-dup blocking: every 20th vector is a centroid, and each vector
+    * joins its 2 nearest cells (multi-assignment trades a 2× data copy
+    * for cross-boundary recall, the standard IVF near-dup trick). */
+  val NeardupAssign = 2
+
   def simNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // All-pairs over the full corpus: broadcast the corpus as primitive
-    // arrays and run the O(n²/p) pair loop per partition — the
-    // expression/UDF forms pay per-pair array conversion, which dominates.
-    // At 100 TB the corpus side must first be blocked (LSH buckets or IVF
-    // cells, see simAnnLsh); the kernel below is what runs inside a block.
+    val v = quantized(s, dir)
+    val cents = v.where($"vec_id" % 20 === 5)
+      .select($"vec_id".as("c_id"), $"q".as("cq"), $"nq".as("cn"))
+    val d2 = (col("nq") + col("cn") - lit(2L) * dot(col("q"), col("cq"))).as("d2")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    val assigned = v.join(broadcast(cents))
+      .select($"vec_id", $"q", $"nq", $"c_id", d2)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= NeardupAssign)
+      .select($"c_id".as("cell"), $"vec_id", $"q", $"nq")
+    val a = assigned.select($"cell", $"vec_id".as("i"), $"q".as("qi"), $"nq".as("ni"))
+    val b = assigned.select($"cell", $"vec_id".as("j"), $"q".as("qj"), $"nq".as("nj"))
+    val dec = "decimal(38,0)"
+    a.join(b, "cell") // co-partitioned by cell: pairs only inside a cell
+      .where($"i" < $"j")
+      .withColumn("d", dot($"qi", $"qj"))
+      .where($"d" > 0 &&
+        lit(25).cast(dec) * $"d".cast(dec) * $"d".cast(dec) >=
+          lit(4).cast(dec) * $"ni".cast(dec) * $"nj".cast(dec))
+      .select($"i", $"j")
+      .distinct() // a pair may share both assigned cells
+      .orderBy($"i", $"j")
+  }
+
+  /** The in-cell kernel run corpus-wide — brute-force all-pairs ground
+    * truth for [[simNeardup]]'s recall pin. TEST-ONLY at any real scale:
+    * collects the corpus to the driver. */
+  private[graft] def bruteNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val v = quantized(s, dir).select($"vec_id", $"q", $"nq")
     val corpus: Array[(Long, Array[Long], Long)] = v.collect().map { r =>
       (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
@@ -143,9 +178,19 @@ object Vectors {
       |  FROM embeddings),
       |n AS (SELECT vec_id,
       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
-      |  FROM qv)
-      |SELECT a.vec_id AS i, b.vec_id AS j
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  FROM qv),
+      |cents AS (SELECT vec_id AS c_id, q AS cq, nq AS cn
+      |  FROM n WHERE vec_id % 20 = 5),
+      |assigned AS (
+      |  SELECT vec_id, q, nq, c_id AS cell FROM (
+      |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+      |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+      |    FROM n a, cents c)
+      |  WHERE rn <= 2)
+      |SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) > 0
       |  AND 25 * CAST(CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) AS HUGEINT)
       |         * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)

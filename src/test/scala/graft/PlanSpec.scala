@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
   }
 
+  test("sim_neardup: cell-keyed join, no cartesian/NL all-pairs, no driver collect shape") {
+    val p = plan("sim_neardup")
+    // the pair source must be a hash join KEYED BY the IVF cell — never
+    // a cartesian product over the corpus (the round-2 driver-collect
+    // plan had no join at all). The one nested-loop join allowed is the
+    // corpus × broadcast-centroids assignment cross (same shape as
+    // sim_ann_ivf), whose build side is the small centroid set.
+    assert("HashJoin \\[cell".r.findFirstIn(p).isDefined,
+      s"pair join not keyed by cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian all-pairs:\n$p")
+  }
+
   test("merge_upsert: single key shuffle + final sort, nothing else") {
     val p = plan("merge_upsert")
     // distinct partitionings: one hash shuffle for the fold, one range

@@ -35,6 +35,23 @@ class NorthStarSpec extends AnyFunSuite {
     assert(sim.size <= exact.size * 4, s"simhash too noisy: ${sim.size} pairs")
   }
 
+  test("simhash banded bucket join == broadcast scan (size gate is semantics-free)") {
+    // 16 8-bit blocks over the 128-bit signature: hamming <= 15 forces
+    // at least one block to match exactly (pigeonhole), so the banded
+    // candidates are lossless and the exact filter makes the two plans
+    // return the identical pair set — the gate only ever changes cost.
+    val sim = Dedup.simhash128(spark, sf).cache()
+    try {
+      val broad = Dedup.simhashBroadcast(sim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = Dedup.simhashBanded(sim).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(broad.nonEmpty, "corpus should contain simhash near-dups")
+      assert(banded == broad,
+        s"banded missed ${(broad -- banded).size}, extra ${(banded -- broad).size}")
+    } finally { sim.unpersist(); () }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates with decent recall") {
     val bf = Vectors.simTopk(spark, sf)
       .select("query_id", "neighbor_id").collect()
@@ -48,6 +65,23 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
     val recall = (ann & bf).size.toDouble / bf.size
     assert(recall >= 0.1, f"ANN recall $recall%.2f vs brute force")
+  }
+
+  test("cell-blocked near-dup is a subset of brute force with pinned recall") {
+    // sim_neardup's registered query blocks by IVF cell (no driver
+    // collect, no all-pairs); brute force all-pairs stays here as the
+    // ground-truth oracle. Blocking is exact WITHIN a cell, so the
+    // blocked set is precisely the brute pairs whose members share a
+    // cell — no invented pairs ever.
+    val brute = pairs(Vectors.bruteNeardup(spark, sf))
+    val blocked = pairs(Vectors.simNeardup(spark, sf))
+    assert(brute.nonEmpty, "test data should contain near-dup pairs")
+    assert(blocked.nonEmpty)
+    assert(blocked.subsetOf(brute),
+      s"cell blocking invented pairs: ${(blocked -- brute).take(5)}")
+    val recall = blocked.size.toDouble / brute.size
+    info(f"blocked near-dup recall vs brute force: $recall%.2f (${blocked.size}/${brute.size})")
+    assert(recall >= 0.3, f"recall $recall%.2f collapsed — cell blocking broken")
   }
 
   test("multimodal decode plumbing: schema, determinism, batch path") {
