@@ -37,7 +37,7 @@ object Cli {
 
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case storeDir :: rest =>
-      val store = new GraftStore(storeDir)
+      val store = new FsStore(storeDir)
       val ops = new Ops(spark, store,
         sys.env.getOrElse("SPARK_GRAFT_CHUNK_ROWS", "8192").toLong)
       val cat = new Catalog(store)

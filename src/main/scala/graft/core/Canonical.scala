@@ -154,7 +154,10 @@ object Canonical {
           shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
         .collect()
 
-      // 4. move chunk files into the content-addressed store
+      // 4. commit chunk files into the content-addressed store — ONE
+      //    batched commit for the whole materialization (object-store
+      //    backends turn this into a single commit op, not N renames)
+      val batch = Vector.newBuilder[(String, java.nio.file.Path)]
       val metas = chunkRows.map { r =>
         val id = r.getAs[Int](CHUNK)
         val hash = r.getAs[String]("hash")
@@ -162,10 +165,11 @@ object Canonical {
         val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
         require(files.length == 1,
           s"expected exactly one file per chunk, got ${files.length} for chunk $id")
-        store.saveChunk(hash, files.head)
+        batch += ((hash, files.head))
         ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
           Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
       }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+      store.saveChunks(batch.result())
 
       deleteRecursively(Paths.get(tmpDir))
       val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
@@ -254,6 +258,7 @@ object Canonical {
           shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
         .collect()
 
+      val batch = Vector.newBuilder[(String, java.nio.file.Path)]
       val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>
         // group values become partition directory names; only accept
         // characters Spark's path escaping leaves untouched so the
@@ -267,14 +272,17 @@ object Canonical {
           val dir = Paths.get(tmpDir, s"$groupCol=$g", s"$CHUNK=$id")
           val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
           require(files.length == 1, s"expected 1 file for ($g, $id)")
-          store.saveChunk(hash, files.head)
+          batch += ((hash, files.head))
           ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
             Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
         }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
         val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
-        store.saveTableMeta(meta)
         g -> meta
       }
+      // one batched chunk commit for ALL groups, then the metas (a meta
+      // must never be readable before its chunks are durable)
+      store.saveChunks(batch.result())
+      out.values.foreach(store.saveTableMeta)
       deleteRecursively(Paths.get(tmpDir))
       out
     } finally {

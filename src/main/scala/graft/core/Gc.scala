@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 final case class GcStats(keptRoots: Int, keptTables: Int, keptChunks: Int,
     deletedRoots: Int, deletedTables: Int, deletedChunks: Int,
@@ -50,29 +48,16 @@ object Gc {
       store.loadTableMeta(t).chunks.foreach(c => chunks += c.hash)
     }
 
-    // ---- sweep
-    val dir = Paths.get(store.rootDir)
-    def sweep(sub: String, strip: String, keep: String => Boolean): Int = {
-      var n = 0
-      FsUtil.listDir(dir.resolve(sub)).foreach { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(strip) && !name.contains(".tmp-")) {
-          val hash = name.stripSuffix(strip)
-          if (!keep(hash)) { Files.deleteIfExists(p); n += 1 }
-        }
-      }
-      n
-    }
-    val delRoots = sweep("roots", ".json", roots.contains)
-    val delTables = sweep("tables", ".json", tables.contains)
-    val delChunks = sweep("chunks", ".parquet", chunks.contains)
+    // ---- sweep (backend-agnostic: the GraftStore enumeration surface)
+    def sweep(listed: Seq[String], keep: String => Boolean,
+        delete: String => Unit): Int =
+      listed.count { h => if (!keep(h)) { delete(h); true } else false }
+    val delRoots = sweep(store.listRoots, roots.contains, store.deleteRoot)
+    val delTables = sweep(store.listTables, tables.contains, store.deleteTable)
+    val delChunks = sweep(store.listChunks, chunks.contains, store.deleteChunk)
     // memo values must point at surviving tables
-    var delMemos = 0
-    FsUtil.listDir(dir.resolve("memo")).foreach { p =>
-      if (!p.getFileName.toString.contains(".tmp-")) {
-        val target = Files.readString(p).trim
-        if (!tables.contains(target)) { Files.deleteIfExists(p); delMemos += 1 }
-      }
+    val delMemos = store.listMemos.count { case (op, target) =>
+      if (!tables.contains(target)) { store.deleteMemo(op); true } else false
     }
     GcStats(roots.size, tables.size, chunks.size,
       delRoots, delTables, delChunks, delMemos)

@@ -5,14 +5,97 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.concurrent.atomic.AtomicLong
 
-/** Content-addressed store + memo store + root pointer, on a filesystem
-  * directory. Mirrors the reference's Store/MemoStore/RepoStore contracts:
+/** Observable counters — the Store/Stat.hs analogue
+  * (/root/reference/messdb-base/src/MessDB/Store/Stat.hs:31-52). */
+final class StoreStats {
+  val chunkSaves = new AtomicLong
+  val chunkSkips = new AtomicLong // idempotent save: key already present
+  val metaSaves = new AtomicLong
+  val memoHits = new AtomicLong
+  val memoMisses = new AtomicLong
+  val renames = new AtomicLong // per-object rename ops (FS backend)
+  val batchCommits = new AtomicLong // batched chunk-commit operations
+  def snapshot: Map[String, Long] = Map(
+    "chunkSaves" -> chunkSaves.get, "chunkSkips" -> chunkSkips.get,
+    "metaSaves" -> metaSaves.get,
+    "memoHits" -> memoHits.get, "memoMisses" -> memoMisses.get,
+    "renames" -> renames.get, "batchCommits" -> batchCommits.get)
+  def reset(): Unit = Seq(chunkSaves, chunkSkips, metaSaves, memoHits,
+    memoMisses, renames, batchCommits).foreach(_.set(0))
+}
+
+/** Content-addressed store + memo store + root pointer — the contract the
+  * whole engine runs against, mirroring the reference's
+  * Store/MemoStore/RepoStore classes
+  * (/root/reference/messdb-base/src/MessDB/Store.hs:28-37, which has four
+  * backends: file, SQLite, LMDB, memory):
   *   - idempotent save: producing work is skipped when the key exists
-  *     (/root/reference/messdb-base/src/MessDB/Store.hs:28-30)
-  *   - memo: operation-hash → result-hash small-value cache (Store.hs:32-37)
-  *   - single mutable root, atomically replaced via tmp+rename
-  *     (/root/reference/messdb-base/src/MessDB/Store/File.hs:15-27,
-  *      /root/reference/messdb-repo/src/MessDB/Repo.hs:75-98)
+  *   - memo: operation-hash → result-hash small-value cache
+  *   - single mutable root, atomically replaced
+  *
+  * Contract (StoreContractSpec runs it against every backend — the
+  * messdb-base-testlib Store/MemoStore test port):
+  *   - every path except the root pointer is write-once by content key;
+  *   - `chunkPath` returns a location Spark can read parquet from;
+  *   - `saveChunks` commits a batch of produced chunks — backends where
+  *     per-object renames are the metadata bottleneck (object stores)
+  *     override it with a single batched commit.
+  */
+trait GraftStore {
+  val stats = new StoreStats
+
+  // ---- chunk store -----------------------------------------------------
+  def chunkPath(hash: String): String
+  def hasChunk(hash: String): Boolean
+  /** Move a produced file into the store under its content hash.
+    * Idempotent: if the hash is already present the new file is
+    * discarded — the reference's storeSave bytes-for-keys guarantee. */
+  def saveChunk(hash: String, producedFile: Path): Unit
+  /** Batched commit of one materialization's chunks: default loops over
+    * [[saveChunk]]; object-store backends commit the whole set in one
+    * operation instead of one rename per chunk. */
+  def saveChunks(batch: Seq[(String, Path)]): Unit = {
+    batch.foreach { case (h, p) => saveChunk(h, p) }
+    if (batch.nonEmpty) { stats.batchCommits.incrementAndGet(); () }
+  }
+
+  // ---- table meta ------------------------------------------------------
+  def saveTableMeta(meta: TableMeta): String
+  def loadTableMeta(tableHash: String): TableMeta
+  def hasTable(tableHash: String): Boolean
+
+  // ---- memo store ------------------------------------------------------
+  def memoGet(opHash: String): Option[String]
+  def memoPut(opHash: String, resultHash: String): Unit
+  /** Memoized computation: the reference's `memoize`
+    * (/root/reference/messdb-base/src/MessDB/Trie.hs:280-295). */
+  def memoized(opHash: String)(compute: => String): String =
+    memoGet(opHash) match {
+      case Some(h) => h
+      case None => val h = compute; memoPut(opHash, h); h
+    }
+
+  // ---- root pointer ----------------------------------------------------
+  def saveRoot(json: String): String
+  def setRootPointer(rootHash: String): Unit
+  def currentRootHash: Option[String]
+  def loadRoot(rootHash: String): String
+  def hasRoot(rootHash: String): Boolean
+
+  // ---- enumeration + deletion (GC surface) -----------------------------
+  def listRoots: Seq[String]
+  def listTables: Seq[String]
+  def listChunks: Seq[String]
+  /** (opHash, resultTableHash) pairs. */
+  def listMemos: Seq[(String, String)]
+  def deleteRoot(hash: String): Unit
+  def deleteTable(hash: String): Unit
+  def deleteChunk(hash: String): Unit
+  def deleteMemo(opHash: String): Unit
+}
+
+/** Filesystem (POSIX/DFS) backend: atomicity via tmp+rename
+  * (/root/reference/messdb-base/src/MessDB/Store/File.hs:15-27).
   *
   * Layout under `root/`:
   *   chunks/<sha256>.parquet   immutable PK-sorted row chunks
@@ -20,30 +103,11 @@ import java.util.concurrent.atomic.AtomicLong
   *   memo/<sha256>             op-hash → result table hash
   *   root                      current catalog root hash (pointer file)
   *   roots/<sha256>.json       catalog versions (content-addressed)
-  *
-  * On a cluster this directory lives on shared storage (object store /
-  * DFS); every path below is write-once except `root`.
   */
-final class GraftStore(val rootDir: String) {
+final class FsStore(val rootDir: String) extends GraftStore {
   private val root = Paths.get(rootDir)
   Seq("chunks", "tables", "memo", "roots").foreach { d =>
     Files.createDirectories(root.resolve(d))
-  }
-
-  /** Observable counters — the Store/Stat.hs analogue
-    * (/root/reference/messdb-base/src/MessDB/Store/Stat.hs:31-52). */
-  object stats {
-    val chunkSaves = new AtomicLong
-    val chunkSkips = new AtomicLong // idempotent save: key already present
-    val metaSaves = new AtomicLong
-    val memoHits = new AtomicLong
-    val memoMisses = new AtomicLong
-    def snapshot: Map[String, Long] = Map(
-      "chunkSaves" -> chunkSaves.get, "chunkSkips" -> chunkSkips.get,
-      "metaSaves" -> metaSaves.get,
-      "memoHits" -> memoHits.get, "memoMisses" -> memoMisses.get)
-    def reset(): Unit = Seq(chunkSaves, chunkSkips, metaSaves, memoHits,
-      memoMisses).foreach(_.set(0))
   }
 
   def chunkPath(hash: String): String =
@@ -51,9 +115,6 @@ final class GraftStore(val rootDir: String) {
 
   def hasChunk(hash: String): Boolean = Files.exists(Paths.get(chunkPath(hash)))
 
-  /** Move a produced file into the store under its content hash.
-    * Idempotent: if the hash is already present the new file is discarded —
-    * same bytes-for-keys guarantee as the reference's storeSave. */
   def saveChunk(hash: String, producedFile: Path): Unit = {
     val dst = Paths.get(chunkPath(hash))
     if (Files.exists(dst)) { stats.chunkSkips.incrementAndGet(); Files.deleteIfExists(producedFile); () }
@@ -61,7 +122,7 @@ final class GraftStore(val rootDir: String) {
       stats.chunkSaves.incrementAndGet()
       val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
       Files.move(producedFile, tmp, StandardCopyOption.REPLACE_EXISTING)
-      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      try { Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE); stats.renames.incrementAndGet() }
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
       ()
     }
@@ -86,8 +147,6 @@ final class GraftStore(val rootDir: String) {
   def hasTable(tableHash: String): Boolean =
     Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
 
-  // ---- memo store ------------------------------------------------------
-
   def memoGet(opHash: String): Option[String] = {
     val p = root.resolve("memo").resolve(opHash)
     if (Files.exists(p)) { stats.memoHits.incrementAndGet(); Some(Files.readString(p).trim) }
@@ -98,16 +157,6 @@ final class GraftStore(val rootDir: String) {
     val p = root.resolve("memo").resolve(opHash)
     if (!Files.exists(p)) writeAtomic(p, resultHash)
   }
-
-  /** Memoized computation: the reference's `memoize`
-    * (/root/reference/messdb-base/src/MessDB/Trie.hs:280-295). */
-  def memoized(opHash: String)(compute: => String): String =
-    memoGet(opHash) match {
-      case Some(h) => h
-      case None => val h = compute; memoPut(opHash, h); h
-    }
-
-  // ---- root pointer ----------------------------------------------------
 
   def saveRoot(json: String): String = {
     val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
@@ -132,12 +181,167 @@ final class GraftStore(val rootDir: String) {
   def hasRoot(rootHash: String): Boolean =
     Files.exists(root.resolve("roots").resolve(s"$rootHash.json"))
 
+  private def listHashes(sub: String, strip: String): Seq[String] =
+    FsUtil.listDir(root.resolve(sub)).map(_.getFileName.toString)
+      .filter(n => n.endsWith(strip) && !n.contains(".tmp-"))
+      .map(_.stripSuffix(strip))
+
+  def listRoots: Seq[String] = listHashes("roots", ".json")
+  def listTables: Seq[String] = listHashes("tables", ".json")
+  def listChunks: Seq[String] = listHashes("chunks", ".parquet")
+  def listMemos: Seq[(String, String)] =
+    FsUtil.listDir(root.resolve("memo")).map(_.getFileName.toString)
+      .filterNot(_.contains(".tmp-"))
+      .map(op => op -> Files.readString(root.resolve("memo").resolve(op)).trim)
+
+  def deleteRoot(hash: String): Unit = {
+    Files.deleteIfExists(root.resolve("roots").resolve(s"$hash.json")); ()
+  }
+  def deleteTable(hash: String): Unit = {
+    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json")); ()
+  }
+  def deleteChunk(hash: String): Unit = {
+    Files.deleteIfExists(Paths.get(chunkPath(hash))); ()
+  }
+  def deleteMemo(opHash: String): Unit = {
+    Files.deleteIfExists(root.resolve("memo").resolve(opHash)); ()
+  }
+
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
     Files.writeString(tmp, content)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     ()
+  }
+}
+
+/** Object-store-semantics backend (an S3-alike simulated on local disk):
+  * every write is a direct PUT of a whole object under its final key —
+  * NO renames anywhere (object stores have none; their PUT is atomic by
+  * contract, which the simulation inherits per-file on local disk for
+  * test purposes). Chunk batches commit as ONE operation: all objects
+  * are PUT, then a single manifest line records the batch — the
+  * O(1)-commit answer to the O(#chunks) rename storm a file backend
+  * would suffer against S3-likes (SCALE.md "batch commit protocol").
+  * Content-addressing makes double PUTs idempotent by value, so the
+  * last-writer-wins PUT semantics of object stores are safe here. */
+final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
+  private val root = Paths.get(rootDir)
+  Seq("chunks", "tables", "memo", "roots").foreach { d =>
+    Files.createDirectories(root.resolve(d))
+  }
+  private val manifest = root.resolve("commits.log")
+
+  private def put(p: Path, bytes: Array[Byte]): Unit = {
+    Files.write(p, bytes) // simulated atomic object PUT
+    ()
+  }
+  private def putString(p: Path, s: String): Unit =
+    put(p, s.getBytes(StandardCharsets.UTF_8))
+
+  def chunkPath(hash: String): String =
+    root.resolve("chunks").resolve(s"$hash.parquet").toString
+
+  def hasChunk(hash: String): Boolean = Files.exists(Paths.get(chunkPath(hash)))
+
+  def saveChunk(hash: String, producedFile: Path): Unit = {
+    val dst = Paths.get(chunkPath(hash))
+    if (Files.exists(dst)) { stats.chunkSkips.incrementAndGet(); Files.deleteIfExists(producedFile); () }
+    else {
+      stats.chunkSaves.incrementAndGet()
+      put(dst, Files.readAllBytes(producedFile)) // upload = whole-object PUT
+      Files.deleteIfExists(producedFile)
+      ()
+    }
+  }
+
+  /** The batched commit: N object PUTs + ONE manifest append — a single
+    * commit operation regardless of chunk count. */
+  override def saveChunks(batch: Seq[(String, Path)]): Unit = {
+    if (batch.nonEmpty) {
+      batch.foreach { case (h, p) => saveChunk(h, p) }
+      val line = batch.map(_._1).mkString(",") + "\n"
+      Files.write(manifest, line.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      stats.batchCommits.incrementAndGet()
+      ()
+    }
+  }
+
+  def saveTableMeta(meta: TableMeta): String = {
+    val hash = meta.tableHash
+    val p = root.resolve("tables").resolve(s"$hash.json")
+    if (!Files.exists(p)) {
+      stats.metaSaves.incrementAndGet()
+      putString(p, meta.toJson)
+    }
+    hash
+  }
+
+  def loadTableMeta(tableHash: String): TableMeta =
+    TableMeta.fromJson(Files.readString(
+      root.resolve("tables").resolve(s"$tableHash.json")))
+
+  def hasTable(tableHash: String): Boolean =
+    Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
+
+  def memoGet(opHash: String): Option[String] = {
+    val p = root.resolve("memo").resolve(opHash)
+    if (Files.exists(p)) { stats.memoHits.incrementAndGet(); Some(Files.readString(p).trim) }
+    else { stats.memoMisses.incrementAndGet(); None }
+  }
+
+  def memoPut(opHash: String, resultHash: String): Unit = {
+    val p = root.resolve("memo").resolve(opHash)
+    if (!Files.exists(p)) putString(p, resultHash)
+  }
+
+  def saveRoot(json: String): String = {
+    val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
+    val p = root.resolve("roots").resolve(s"$hash.json")
+    if (!Files.exists(p)) putString(p, json)
+    putString(root.resolve("root"), hash)
+    hash
+  }
+
+  def setRootPointer(rootHash: String): Unit =
+    putString(root.resolve("root"), rootHash)
+
+  def currentRootHash: Option[String] = {
+    val p = root.resolve("root")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def loadRoot(rootHash: String): String =
+    Files.readString(root.resolve("roots").resolve(s"$rootHash.json"))
+
+  def hasRoot(rootHash: String): Boolean =
+    Files.exists(root.resolve("roots").resolve(s"$rootHash.json"))
+
+  private def listKeys(sub: String, strip: String): Seq[String] =
+    FsUtil.listDir(root.resolve(sub)).map(_.getFileName.toString)
+      .filter(_.endsWith(strip)).map(_.stripSuffix(strip))
+
+  def listRoots: Seq[String] = listKeys("roots", ".json")
+  def listTables: Seq[String] = listKeys("tables", ".json")
+  def listChunks: Seq[String] = listKeys("chunks", ".parquet")
+  def listMemos: Seq[(String, String)] =
+    FsUtil.listDir(root.resolve("memo")).map(_.getFileName.toString)
+      .map(op => op -> Files.readString(root.resolve("memo").resolve(op)).trim)
+
+  def deleteRoot(hash: String): Unit = {
+    Files.deleteIfExists(root.resolve("roots").resolve(s"$hash.json")); ()
+  }
+  def deleteTable(hash: String): Unit = {
+    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json")); ()
+  }
+  def deleteChunk(hash: String): Unit = {
+    Files.deleteIfExists(Paths.get(chunkPath(hash))); ()
+  }
+  def deleteMemo(opHash: String): Unit = {
+    Files.deleteIfExists(root.resolve("memo").resolve(opHash)); ()
   }
 }
 

@@ -14,7 +14,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(target: Long = 8): Ops =
-    new Ops(spark, new GraftStore(
+    new Ops(spark, new FsStore(
       Files.createTempDirectory("graft-edge-").toString), target)
 
   test("unicode and empty-string keys round-trip with stable hash") {

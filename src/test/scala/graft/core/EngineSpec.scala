@@ -26,7 +26,7 @@ class EngineSpec extends AnyFunSuite {
 
   private def newOps(target: Long = 8): Ops = {
     val dir = Files.createTempDirectory("graft-test-").toString
-    new Ops(spark, new GraftStore(dir), target)
+    new Ops(spark, new FsStore(dir), target)
   }
 
   private def contents(ops: Ops, ref: TableRef): Map[String, Long] =
@@ -480,7 +480,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("store contract: chunk save idempotent, memo compute-once (testlib port)") {
     val dir = Files.createTempDirectory("graft-store-").toString
-    val store = new GraftStore(dir)
+    val store = new FsStore(dir)
     var computes = 0
     val h1 = store.memoized("op1") { computes += 1; "result1" }
     val h2 = store.memoized("op1") { computes += 1; "result-different" }

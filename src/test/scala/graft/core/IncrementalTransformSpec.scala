@@ -27,7 +27,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     Seq(col("k"), (col("v") * 2).as("v")), preservesKeys = true)
 
   test("key-preserving transform: content correct, equals whole-table result hash") {
-    val store = new GraftStore(Files.createTempDirectory("graft-it-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-it-").toString)
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
     val ref = ops.fromDataFrame(df(rows), Seq("k"))
@@ -40,7 +40,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("re-transform after small upsert recomputes only touched chunks") {
-    val store = new GraftStore(Files.createTempDirectory("graft-it2-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-it2-").toString)
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
     val base = ops.fromDataFrame(df(rows), Seq("k"))
@@ -68,7 +68,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
 
   test("views: refresh is free when the source is unchanged, O(delta) after an upsert") {
     val ops = new Ops(spark,
-      new GraftStore(Files.createTempDirectory("graft-views-").toString), 64)
+      new FsStore(Files.createTempDirectory("graft-views-").toString), 64)
     val catalog = new Catalog(ops.store)
     val views = new Views(ops, catalog)
     val base = (0 until 1500).map(i => f"key$i%05d" -> i.toLong)
@@ -109,7 +109,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     // via per-chunk mini-transforms (sortNode per-subtree memo,
     // Trie.hs:446-470) feeding the region-memoized merge with
     // spanning-chunk piece splitting (mergeNodes reuse, Trie.hs:297-430).
-    val store = new GraftStore(Files.createTempDirectory("graft-rekey-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-rekey-").toString)
     val ops = new Ops(spark, store, 64)
     // group key REVERSES the digits — a scattering, locality-destroying
     // re-key: each source chunk's groups spread across the whole output
@@ -157,7 +157,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(got2 == want)
     assert(got2("g0010") == want("g0010"))
     val ops2 = new Ops(spark,
-      new GraftStore(Files.createTempDirectory("graft-rekey2-").toString), 64)
+      new FsStore(Files.createTempDirectory("graft-rekey2-").toString), 64)
     val scratch = ops2.transform(
       ops2.fromDataFrame(df((rows.toMap ++ delta.toMap).toSeq), Seq("k")),
       rekeySum, FoldSpec.FoldSum)
@@ -172,7 +172,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("same transform key on unchanged table is a whole-op memo hit") {
-    val store = new GraftStore(Files.createTempDirectory("graft-it3-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
     val ref = ops.fromDataFrame(df((0 until 300).map(i => s"k$i" -> i.toLong)), Seq("k"))
     val a = ops.transform(ref, doubleV, FoldSpec.FoldLast)

@@ -1,0 +1,145 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The store contract run against EVERY backend — the port of the
+  * reference's backend-independent store tests
+  * (/root/reference/messdb-base-testlib/src/MessDB/Test/Store.hs,
+  * MemoStore.hs, which the file/SQLite/LMDB/memory backends all pass).
+  * Adding a backend means adding one line to `backends`. */
+class StoreContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def backends: Seq[(String, () => GraftStore)] = Seq(
+    "fs" -> (() => new FsStore(Files.createTempDirectory("graft-cs-fs-").toString)),
+    "objectstore-sim" -> (() =>
+      new ObjectStoreSimStore(Files.createTempDirectory("graft-cs-os-").toString)))
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
+
+  for ((name, mk) <- backends) {
+
+    test(s"$name: chunk save is idempotent by content key (storeSave contract)") {
+      val store = mk()
+      def produced(content: String): java.nio.file.Path = {
+        val p = Files.createTempFile("graft-chunk-", ".parquet")
+        Files.writeString(p, content)
+        p
+      }
+      val hash = Hashing.sha256Hex("payload-1".getBytes)
+      assert(!store.hasChunk(hash))
+      store.saveChunk(hash, produced("payload-1"))
+      assert(store.hasChunk(hash))
+      assert(Files.readString(java.nio.file.Paths.get(store.chunkPath(hash))) == "payload-1")
+      // second save of the same key: skipped, produced file consumed,
+      // stored bytes untouched
+      val dup = produced("different bytes, same claimed key")
+      store.saveChunk(hash, dup)
+      assert(!Files.exists(dup), "idempotent save must consume the produced file")
+      assert(Files.readString(java.nio.file.Paths.get(store.chunkPath(hash))) == "payload-1",
+        "existing content must never be overwritten")
+      assert(store.stats.snapshot("chunkSaves") == 1)
+      assert(store.stats.snapshot("chunkSkips") == 1)
+      assert(store.listChunks == Seq(hash))
+      store.deleteChunk(hash)
+      assert(!store.hasChunk(hash))
+    }
+
+    test(s"$name: memo computes once and replays (MemoStore contract)") {
+      val store = mk()
+      var computes = 0
+      val op = Hashing.opHash(Seq("contract-op", name))
+      val r1 = store.memoized(op) { computes += 1; "result-hash" }
+      val r2 = store.memoized(op) { computes += 1; "WRONG" }
+      assert(r1 == "result-hash" && r2 == "result-hash")
+      assert(computes == 1, "memoized computation must run exactly once")
+      assert(store.memoGet(op).contains("result-hash"))
+      assert(store.listMemos.contains(op -> "result-hash"))
+      store.deleteMemo(op)
+      assert(store.memoGet(op).isEmpty)
+    }
+
+    test(s"$name: roots are content-addressed; the pointer swaps atomically") {
+      val store = mk()
+      assert(store.currentRootHash.isEmpty)
+      val h1 = store.saveRoot("""{"tables":{},"parent":null}""")
+      assert(store.currentRootHash.contains(h1))
+      val h2 = store.saveRoot(s"""{"tables":{},"parent":"$h1"}""")
+      assert(store.currentRootHash.contains(h2))
+      assert(store.hasRoot(h1) && store.hasRoot(h2), "old roots stay addressable")
+      store.setRootPointer(h1) // checkout
+      assert(store.currentRootHash.contains(h1))
+      assert(store.loadRoot(h2).contains(h1))
+      assert(store.listRoots.toSet == Set(h1, h2))
+    }
+
+    test(s"$name: table meta round-trips under its content identity") {
+      val store = mk()
+      val meta = TableMeta(
+        Canonical.normalizeSchema(schema, Seq("k")).json, Seq("k"), 64,
+        Seq(ChunkMeta("ab" * 32, "00", "ff", 7)))
+      val h = store.saveTableMeta(meta)
+      assert(h == meta.tableHash)
+      assert(store.hasTable(h))
+      assert(store.loadTableMeta(h) == meta)
+      assert(store.listTables == Seq(h))
+    }
+
+    test(s"$name: the engine runs end-to-end on this backend") {
+      val store = mk()
+      val ops = new Ops(spark, store, 16)
+      val rows = (0 until 300).map(i => f"k$i%04d" -> i.toLong)
+      val base = ops.fromDataFrame(df(rows), Seq("k"))
+      val delta = Seq("k0100" -> 999L, "knew" -> 1L)
+      val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+      val got = ops.scanOrdered(merged).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == rows.toMap ++ delta.toMap)
+      // catalog + gc on the same backend
+      val cat = new Catalog(store)
+      cat.put("t", merged)
+      val gc = Gc.run(store, Seq.empty)
+      assert(gc.deletedChunks > 0, "intermediate chunks should be swept")
+      assert(ops.scanOrdered(cat.get("t").get).count() == got.size.toLong,
+        "kept table must survive gc intact")
+    }
+  }
+
+  test("cross-backend determinism: same data => same table hash on every backend") {
+    val rows = (0 until 200).map(i => f"x$i%04d" -> (i * 3).toLong)
+    val hashes = backends.map { case (name, mk) =>
+      val ops = new Ops(spark, mk(), 16)
+      name -> ops.fromDataFrame(df(rows), Seq("k")).hash
+    }
+    assert(hashes.map(_._2).distinct.length == 1,
+      s"content identity must not depend on the backend: $hashes")
+  }
+
+  test("objectstore-sim: a materialization is ONE batched commit, zero renames") {
+    val store = new ObjectStoreSimStore(
+      Files.createTempDirectory("graft-cs-batch-").toString)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 500).map(i => f"k$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val n = ops.meta(ref).chunks.length
+    assert(n > 10, s"want many chunks, got $n")
+    val snap = store.stats.snapshot
+    assert(snap("batchCommits") == 1,
+      s"N chunks must commit as one batch: $snap")
+    assert(snap("renames") == 0, s"object stores have no rename: $snap")
+    assert(snap("chunkSaves") == n.toLong)
+    // and the commit log records exactly that batch
+    val manifest = java.nio.file.Paths.get(store.rootDir, "commits.log")
+    assert(Files.readAllLines(manifest).size() == 1)
+  }
+}

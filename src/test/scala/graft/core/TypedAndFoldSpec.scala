@@ -11,7 +11,7 @@ class TypedAndFoldSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(): Ops =
-    new Ops(spark, new GraftStore(
+    new Ops(spark, new FsStore(
       Files.createTempDirectory("graft-typed-").toString), 16)
 
   test("typed facade: round trip, upsert, lookup, range") {

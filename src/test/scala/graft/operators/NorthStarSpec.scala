@@ -111,7 +111,7 @@ class NorthStarSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.core._
     val ops = new Ops(spark,
-      new GraftStore(java.nio.file.Files.createTempDirectory("graft-ivf-").toString), 32)
+      new FsStore(java.nio.file.Files.createTempDirectory("graft-ivf-").toString), 32)
     val v = Vectors.quantized(spark, sf)
     val cells = v.select(pmod($"vec_id", lit(8L)).as("cell"), $"vec_id", $"q", $"nq")
     val ref = ops.fromDataFrame(cells, Seq("cell", "vec_id"))

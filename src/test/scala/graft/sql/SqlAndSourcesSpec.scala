@@ -12,7 +12,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(): (Ops, Catalog) = {
-    val store = new GraftStore(Files.createTempDirectory("graft-sql-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-sql-").toString)
     (new Ops(spark, store, 64), new Catalog(store))
   }
 

@@ -30,7 +30,7 @@ class StreamIngestSpec extends AnyFunSuite {
   test("stream AvailableNow over growing dir maintains exact running aggregate") {
     val srcDir = Files.createTempDirectory("graft-stream-src-")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
-    val store = new GraftStore(Files.createTempDirectory("graft-stream-store-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-stream-store-").toString)
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
 
@@ -137,7 +137,7 @@ class StreamIngestSpec extends AnyFunSuite {
   }
 
   test("batch replay is idempotent: same batchId merged twice applies once") {
-    val store = new GraftStore(Files.createTempDirectory("graft-replay-store-").toString)
+    val store = new FsStore(Files.createTempDirectory("graft-replay-store-").toString)
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     val rows = Seq(("2024-03-01 10:00:00", 1L, 10.00), ("2024-03-01 11:00:00", 1L, 5.00))
