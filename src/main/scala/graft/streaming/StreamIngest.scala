@@ -21,10 +21,18 @@ import graft.core._
 object StreamIngest {
 
   /** Maintain `tableName` = running (count, value-cents sum) per
-    * (day, user_id) from a stream of events rows. */
+    * (day, user_id) from a stream of events rows.
+    *
+    * When `views` is given, every registered view refreshes after each
+    * micro-batch merge — streaming keeps the whole DOWNSTREAM view graph
+    * fresh, and each refresh is the memoized O(delta) transform (views
+    * over unrelated tables are whole-op memo hits; views over
+    * `tableName` recompute only the regions the batch touched). View
+    * refresh is idempotent, so a crash-replayed batch re-refreshes to
+    * the identical hashes and mints no new roots. */
   def runningDailyAgg(spark: SparkSession, ops: Ops, catalog: Catalog,
-      events: DataFrame, tableName: String,
-      checkpointDir: String): StreamingQuery = {
+      events: DataFrame, tableName: String, checkpointDir: String,
+      views: Option[Views] = None): StreamingQuery = {
     val agg = events
       .withWatermark("ts", "1 hour")
     agg.writeStream
@@ -33,6 +41,7 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(ops, catalog, batch, tableName, checkpointDir, batchId)
+        views.foreach(_.refreshAll())
       }
       .start()
   }

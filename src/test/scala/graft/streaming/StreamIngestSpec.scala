@@ -136,6 +136,58 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), "one row per event_id")
   }
 
+  test("streaming keeps registered aggregate views fresh; refresh work is memoized O(delta)") {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft-sview-src-")
+    val ckpt = Files.createTempDirectory("graft-sview-ckpt-").toString
+    val store = new FsStore(Files.createTempDirectory("graft-sview-store-").toString)
+    val ops = new Ops(spark, store, 64)
+    val catalog = new Catalog(store)
+    val views = new Views(ops, catalog)
+
+    val batch1 = Seq(
+      ("2024-01-01 10:00:00", 1L, 10.50), ("2024-01-01 11:00:00", 1L, 2.25),
+      ("2024-01-01 10:30:00", 2L, 5.00), ("2024-01-02 09:00:00", 1L, 1.00))
+    val batch2 = Seq(
+      ("2024-01-01 12:00:00", 1L, 4.25),
+      ("2024-01-02 10:00:00", 3L, 7.77))
+
+    def runOnce(v: Option[Views]): Unit = {
+      val events = spark.readStream.schema(schema)
+        .parquet(srcDir.toString + "/batch*")
+      val q = StreamIngest.runningDailyAgg(spark, ops, catalog, events,
+        "daily_agg", ckpt, v)
+      q.awaitTermination()
+    }
+
+    writeBatch(srcDir, batch1, 1)
+    runOnce(None)
+    // a RE-KEYING aggregate view over the stream-maintained table:
+    // per-user totals across days (user_totals = sum over the day axis)
+    val userTotals = graft.core.ColTransform("user_totals_v1", Seq("uid"),
+      Seq(col("user_id").as("uid"), col("n"), col("cents")))
+    views.define("user_totals", "daily_agg", userTotals, FoldSpec.FoldSum)
+
+    writeBatch(srcDir, batch2, 2)
+    runOnce(Some(views)) // foreachBatch merges AND refreshes the view
+
+    val all = batch1 ++ batch2
+    val model = all.groupBy(_._2).view.mapValues(rs =>
+      (rs.size.toLong, rs.map(r => math.round(r._3 * 100)).sum)).toMap
+    val got = ops.scan(catalog.get("user_totals").get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == model, "view after streamed batches must equal batch recompute")
+
+    // the streamed refresh was memoized work, and a re-refresh with no
+    // new data is a whole-op memo hit with zero writes and no new root
+    val rootBefore = store.currentRootHash
+    store.stats.reset()
+    views.refreshAll()
+    assert(store.stats.snapshot("chunkSaves") == 0, "idle refresh did work")
+    assert(store.stats.snapshot("memoHits") >= 1)
+    assert(store.currentRootHash == rootBefore, "idle refresh minted a root")
+  }
+
   test("batch replay is idempotent: same batchId merged twice applies once") {
     val store = new FsStore(Files.createTempDirectory("graft-replay-store-").toString)
     val ops = new Ops(spark, store, 64)
