@@ -39,7 +39,8 @@ object Cli {
     case storeDir :: rest =>
       val store = new FsStore(storeDir)
       val ops = new Ops(spark, store,
-        sys.env.getOrElse("SPARK_GRAFT_CHUNK_ROWS", "8192").toLong)
+        sys.env.get("SPARK_GRAFT_CHUNK_ROWS").map(_.toLong)
+          .getOrElse(Ops.DefaultChunkTargetRows))
       val cat = new Catalog(store)
       rest match {
         case "import-parquet" :: table :: path :: keys :: Nil =>

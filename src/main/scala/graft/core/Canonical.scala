@@ -20,10 +20,11 @@ import org.apache.spark.sql.types._
   * neighbor), the analogue of radix-trie locality.
   *
   * Scale posture: boundary keys are 1/chunkTargetRows of rows (default
-  * 1/8192). They are collected to the driver and broadcast for chunk-id
-  * assignment; at 100 TB with 64 MB chunks that list is ~1.6M entries ×
-  * ~key bytes — still driver-feasible, but the design point for beyond
-  * that is to keep the boundary set as its own table and range-join
+  * 1/2^20 — the 64–256 MB chunk band). They are collected to the driver
+  * and broadcast for chunk-id assignment; at 100 TB with the default
+  * granularity that list is ~1e6 entries × ~key bytes —
+  * driver-feasible; the design point beyond that is to keep the
+  * boundary set as its own table and range-join
   * (documented, not needed at test scale).
   */
 object Canonical {
@@ -79,6 +80,54 @@ object Canonical {
 
   private def listFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
     FsUtil.listDir(dir)
+
+  /** Per-chunk digest with CONSTANT task memory: input rows carry
+    * (groupKeyCols..., kb, rb); rows are shuffled by group, sorted
+    * within partitions by (group, rb) — rb is the canonical row bytes
+    * with the key bytes as prefix, so rb order == key order — and a
+    * single pass folds each consecutive group into (minkb, maxkb, rows,
+    * sha256 of the concatenated sorted rb). Replaces the former
+    * `sort_array(collect_list(rb))` aggregation, which buffered a whole
+    * chunk (up to the 64–256 MB scale-guidance sizes) in one
+    * aggregation buffer. The digested bytes are identical, so chunk
+    * hashes are unchanged. */
+  private[core] def chunkDigests(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val inSchema = df.schema
+    val gIdx = groupCols.map(inSchema.fieldIndex)
+    val kbIdx = inSchema.fieldIndex("kb")
+    val rbIdx = inSchema.fieldIndex("rb")
+    val outSchema = StructType(
+      groupCols.map(c => inSchema(c)) ++ Seq(
+        StructField("minkb", BinaryType), StructField("maxkb", BinaryType),
+        StructField("rows", LongType), StructField("hash", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.repartition(nPart, groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols.map(col) :+ col("rb")): _*)
+      .mapPartitions { it =>
+        val base = it.buffered
+        new Iterator[Row] {
+          def hasNext: Boolean = base.hasNext
+          def next(): Row = {
+            val key: Seq[Any] = gIdx.map(base.head.get)
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            var minKb: Array[Byte] = null
+            var maxKb: Array[Byte] = null
+            var n = 0L
+            while (base.hasNext && gIdx.map(base.head.get) == key) {
+              val r = base.next()
+              md.update(r.getAs[Array[Byte]](rbIdx))
+              val kb = r.getAs[Array[Byte]](kbIdx)
+              if (minKb == null) minKb = kb
+              maxKb = kb
+              n += 1
+            }
+            Row.fromSeq(key ++ Seq(minKb, maxKb, n, Hashing.hex(md.digest())))
+          }
+        }
+      }(enc)
+  }
 
   /** Materialize df (one row per key, columns already canonical-ordered)
     * into the store; returns the stored TableMeta. */
@@ -145,14 +194,7 @@ object Canonical {
           Row(r.get(chunkIdx), kEnc(proj), rbEnc(proj))
         }
       }(hashInEnc)
-      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
-        Hashing.sha256Hex(rbs.toSeq)
-      }
-      val chunkRows = perRow.groupBy(col(CHUNK))
-        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
-          count(lit(1)).as("rows"),
-          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
-        .collect()
+      val chunkRows = chunkDigests(perRow, Seq(CHUNK)).collect()
 
       // 4. commit chunk files into the content-addressed store — ONE
       //    batched commit for the whole materialization (object-store
@@ -249,14 +291,7 @@ object Canonical {
           Row(r.getString(gIdx), r.get(cIdx), kEnc(proj), rbEnc(proj))
         }
       }(hashInEnc)
-      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
-        Hashing.sha256Hex(rbs.toSeq)
-      }
-      val chunkRows = perRow.groupBy(col(groupCol), col(CHUNK))
-        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
-          count(lit(1)).as("rows"),
-          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
-        .collect()
+      val chunkRows = chunkDigests(perRow, Seq(groupCol, CHUNK)).collect()
 
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
       val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>

@@ -26,7 +26,8 @@ final case class Bound(prefix: Seq[Any], inclusive: Boolean)
   * that makes 100 TB view refresh feasible.
   */
 final class Ops(val spark: SparkSession, val store: GraftStore,
-    val chunkTargetRows: Long = 8192, val registry: FuncRegistry = new FuncRegistry) {
+    val chunkTargetRows: Long = Ops.DefaultChunkTargetRows,
+    val registry: FuncRegistry = new FuncRegistry) {
 
   import FoldSpec.SRC
 
@@ -671,14 +672,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           Row(r.getString(fIdx), kEnc(proj), rEnc(proj))
         }
       }(enc)
-      val shaUdf = udf { (rbs: scala.collection.Seq[Array[Byte]]) =>
-        Hashing.sha256Hex(rbs.toSeq)
-      }
-      val actual = perRow.groupBy(col("_f"))
-        .agg(min(col("kb")).as("minkb"), max(col("kb")).as("maxkb"),
-          count(lit(1)).as("rows"),
-          shaUdf(sort_array(collect_list(col("rb")))).as("hash"))
-        .collect()
+      val actual = Canonical.chunkDigests(perRow, Seq("_f")).collect()
         .map(r => r.getString(0) -> r).toMap
       m.chunks.foreach { c =>
         actual.get(c.hash) match {
@@ -742,6 +736,17 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       case (None, None) => lit(true)
     }
   }
+}
+
+object Ops {
+  /** Default chunk granularity: ~1M rows ⇒ chunks land in the 64–256 MB
+    * parquet-file band SCALE.md prescribes for 100 TB tables (boundary
+    * keys are 1/target of rows, so the driver-resident boundary list at
+    * 1e12 rows is ~1e6 entries — comfortable). Tests and small stores
+    * pass an explicit smaller target; the granularity is stamped into
+    * each table and travels with it, so mixed-target stores stay
+    * consistent (merge derives granularity from the tables). */
+  val DefaultChunkTargetRows: Long = 1L << 20
 }
 
 /** Projection-style transform: named output columns (aliased), a subset of
