@@ -81,6 +81,26 @@ object KeyCodec {
   def encodeString(buf: ByteBuf, v: String): Unit =
     encodeBytes(buf, v.getBytes(StandardCharsets.UTF_8))
 
+  /** Decimal(p ≤ 38, s): scale-normalize to the COLUMN's scale (every
+    * value of the column shares it, so unscaled order == value order),
+    * then the unscaled integer as fixed 16-byte big-endian
+    * two's-complement with the sign bit flipped — the same
+    * sign-flip-big-endian recipe as the int encoders, widened to the
+    * 38-digit range (10^38 < 2^127). Order-preserving within the
+    * column; decimal primary keys (money schemas) become graft keys. */
+  def encodeDecimal(buf: ByteBuf, unscaled: java.math.BigInteger): Unit = {
+    val src = unscaled.toByteArray // minimal big-endian two's complement
+    require(src.length <= 16, s"decimal unscaled value exceeds 128 bits: $unscaled")
+    val fill: Byte = if (unscaled.signum() < 0) -1 else 0
+    var i = 0
+    val pad = 16 - src.length
+    while (i < 16) {
+      val b = if (i < pad) fill else src(i - pad)
+      buf += (if (i == 0) (b ^ 0x80).toByte else b)
+      i += 1
+    }
+  }
+
   // ---- row-level encoding ---------------------------------------------
 
   final class ByteBuf(initial: Int = 64) {
@@ -111,6 +131,17 @@ object KeyCodec {
       case BooleanType => (b, v) => b += (if (v.asInstanceOf[Boolean]) 1 else 0)
       case StringType => (b, v) => encodeString(b, v.asInstanceOf[String])
       case BinaryType => (b, v) => encodeBytes(b, v.asInstanceOf[Array[Byte]])
+      case dt: DecimalType => (b, v) => {
+        val bd = v match {
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case other => throw new IllegalArgumentException(s"not a decimal: $other")
+        }
+        // values of a DecimalType(p,s) column carry scale s already;
+        // setScale is belt-and-braces (exact by construction)
+        encodeDecimal(b, bd.setScale(dt.scale).unscaledValue())
+      }
       case TimestampType => (b, v) =>
         encodeLong(b, DateTimeUtil.timestampMicros(v))
       case TimestampNTZType => (b, v) =>

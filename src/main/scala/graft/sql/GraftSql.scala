@@ -66,6 +66,9 @@ object GraftSql {
     }
   }
 
+  private val decimalRe =
+    """^(?:decimal|numeric)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?""".r
+
   /** (field, notNull, isKey) */
   private def parseColumn(s: String): (StructField, Boolean, Boolean) = {
     if (s.toLowerCase.contains("default"))
@@ -73,10 +76,19 @@ object GraftSql {
     val parts = s.split("\\s+").toList
     val name = parts.head.stripPrefix("\"").stripSuffix("\"")
     val rest = parts.tail.mkString(" ").toLowerCase
+    // decimal/numeric carry (precision[, scale]) parameters
+    val decimalMatch = decimalRe.findFirstMatchIn(rest).map { m =>
+      val p = Option(m.group(1)).map(_.toInt).getOrElse(10)
+      val sc = Option(m.group(2)).map(_.toInt).getOrElse(0)
+      if (p < 1 || p > 38 || sc < 0 || sc > p)
+        throw new SqlException(s"unsupported decimal precision/scale in: $s")
+      (m.matched, DecimalType(p, sc))
+    }
     // longest matching type name ("double precision" before "double")
-    val (tyName, dt) = typeNames.toSeq.sortBy(-_._1.length)
-      .find { case (t, _) => rest.startsWith(t) }
-      .getOrElse(throw new SqlException(s"unsupported type in: $s"))
+    val (tyName, dt) = decimalMatch.getOrElse(
+      typeNames.toSeq.sortBy(-_._1.length)
+        .find { case (t, _) => rest.startsWith(t) }
+        .getOrElse(throw new SqlException(s"unsupported type in: $s")))
     val constraints = rest.drop(tyName.length).trim
     val isKey = constraints.contains("primary key")
     val notNull = constraints.contains("not null") || isKey

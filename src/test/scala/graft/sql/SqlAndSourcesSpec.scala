@@ -129,6 +129,29 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "INSERT INTO cl (k, a, a) VALUES ('z', 1, 2)"))
   }
 
+  test("decimal primary key: CREATE TABLE round-trips, inserts, sorts numerically") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE px (price decimal(12,2) PRIMARY KEY, name text)")
+    assert(cat.schemaOf("px").get.apply("price").dataType == DecimalType(12, 2))
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO px VALUES (10.50, 'c'), (-3.25, 'a'), (2.00, 'b'), (100, 'd')")
+    val got = ops.scanOrdered(cat.get("px").get).collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getString(1))).toSeq
+    assert(got == Seq(("-3.25", "a"), ("2.00", "b"), ("10.50", "c"), ("100.00", "d")),
+      s"decimal PK must sort numerically: $got")
+    // upsert on the decimal key
+    GraftSql.execute(spark, ops, cat, "INSERT INTO px VALUES (2.00, 'B2')")
+    val after = ops.scanOrdered(cat.get("px").get).collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getString(1))).toSeq
+    assert(after.contains(("2.00", "B2")) && after.length == 4)
+    // bare numeric + rejection of silly precision
+    GraftSql.execute(spark, ops, cat, "CREATE TABLE n0 (id numeric PRIMARY KEY)")
+    assert(cat.schemaOf("n0").get.apply("id").dataType == DecimalType(10, 0))
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE bad (id decimal(99,2) PRIMARY KEY)"))
+  }
+
   test("CREATE TABLE ... PRIMARY KEY (...) AS SELECT and DROP TABLE") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
