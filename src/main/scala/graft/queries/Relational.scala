@@ -143,6 +143,78 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name, c_acctbal
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q2-shaped (adapted: the testdata has no partsupp): the
+    * top-account-balance supplier(s) per region through the
+    * supplier→nation→region dim chain. The correlated scalar MAX
+    * subquery of Q2 is planned as a join against the per-region
+    * aggregate — the shape that scales (one pass, broadcast dims)
+    * instead of a per-row subquery; the DuckDB oracle keeps the
+    * textbook correlated form, proving the two agree. Balances compare
+    * in exact cents (no float equality boundary). */
+  def q2TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_cents"),
+        $"s_nationkey")
+    val joined = sup
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+    val maxPerRegion = joined.groupBy($"r_regionkey".as("mrk"))
+      .agg(max($"acctbal_cents").as("max_bal"))
+    joined.join(broadcast(maxPerRegion),
+        $"r_regionkey" === $"mrk" && $"acctbal_cents" === $"max_bal")
+      .select($"r_name", $"n_name", $"s_name", $"s_suppkey", $"acctbal_cents")
+      .orderBy($"r_name", $"s_suppkey")
+  }
+
+  val q2TopSupplierSql: String =
+    s"""WITH s AS (
+       |  SELECT s_suppkey, s_name, ${centsSql("s_acctbal")} AS acctbal_cents,
+       |    s_nationkey
+       |  FROM supplier)
+       |SELECT r_name, n_name, s_name, s_suppkey, acctbal_cents
+       |FROM s
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE acctbal_cents = (
+       |  SELECT MAX(${centsSql("s2.s_acctbal")})
+       |  FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |  WHERE n2.n_regionkey = nation.n_regionkey)
+       |ORDER BY r_name, s_suppkey""".stripMargin
+
+  /** TPC-H Q18-shaped: customers with large orders — semi-style join of
+    * orders/customer against the AGGREGATED lineitem key set (orders
+    * whose total quantity exceeds 250). The aggregate runs FIRST and
+    * shrinks the key set before any join touches the fact table twice —
+    * the large-IN-on-aggregated-key plan. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").cast("long").as("total_qty"))
+      .where($"total_qty" > 250)
+    Tables(s, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_date"),
+        cents($"o_totalprice").as("total_cents"), $"total_qty")
+      .orderBy($"total_cents".desc, $"o_orderkey")
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(SUM(l_quantity) AS BIGINT) > 250)
+       |SELECT c_name, c_custkey, o_orderkey,
+       |  CAST(o_orderdate AS DATE) AS o_date,
+       |  ${centsSql("o_totalprice")} AS total_cents, total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_cents DESC, o_orderkey""".stripMargin
+
   /** UNPIVOT (wide → long): the measure columns of a lineitem slice
     * melted into (measure, val) rows — the inverse of pivot_status. */
   def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
@@ -270,6 +342,8 @@ object Relational {
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q2_top_supplier" -> (q2TopSupplier _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "unpivot_measures" -> (unpivotMeasures _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_fold_sum" -> (mergeFoldSum _),
@@ -283,6 +357,8 @@ object Relational {
     "q3_top_revenue" -> q3TopRevenueSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
+    "q2_top_supplier" -> q2TopSupplierSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "unpivot_measures" -> unpivotMeasuresSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_fold_sum" -> mergeFoldSumSql,
