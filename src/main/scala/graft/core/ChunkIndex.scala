@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.MessageTypeParser
+
+/** Parquet-backed chunk index: the chunk list of a large table stored as
+  * a columnar sidecar instead of inline JSON. A 100 TB table at the
+  * default granularity has ~1e5–1e6 chunks and re-merges constantly; a
+  * multi-megabyte JSON array parsed with a tree parser on every
+  * `loadTableMeta` is the wrong driver cost (SCALE.md "parquet-backed
+  * index"). This reader/writer runs driver-side through parquet-hadoop
+  * directly (no Spark job — metadata must stay metadata), streams
+  * row-by-row in chunk-key order, and the file is content-addressed by
+  * its table's hash, so it is write-once like everything else. */
+object ChunkIndex {
+
+  private val schema = MessageTypeParser.parseMessageType(
+    """message graft_chunk_index {
+      |  required binary hash (UTF8);
+      |  required binary min (UTF8);
+      |  required binary max (UTF8);
+      |  required int64 rows;
+      |}""".stripMargin)
+
+  def write(file: java.nio.file.Path, chunks: Seq[ChunkMeta]): Unit = {
+    val conf = new Configuration()
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file.toString))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try chunks.foreach { c =>
+      val g = factory.newGroup()
+      g.append("hash", c.hash)
+      g.append("min", c.minKeyHex)
+      g.append("max", c.maxKeyHex)
+      g.append("rows", c.rows)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  def read(file: java.nio.file.Path): Seq[ChunkMeta] = {
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file.toString))
+      .withConf(new Configuration())
+      .build()
+    val out = Vector.newBuilder[ChunkMeta]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        out += ChunkMeta(g.getString("hash", 0), g.getString("min", 0),
+          g.getString("max", 0), g.getLong("rows", 0))
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+}

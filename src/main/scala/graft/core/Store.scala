@@ -128,20 +128,38 @@ final class FsStore(val rootDir: String) extends GraftStore {
     }
   }
 
-  /** Store meta under its content identity (meta.tableHash). */
+  private def chunkIndexPath(hash: String) =
+    root.resolve("tables").resolve(s"$hash.chunks.parquet")
+
+  /** Store meta under its content identity (meta.tableHash). Large chunk
+    * lists go to a parquet sidecar ([[ChunkIndex]]) instead of inline
+    * JSON — the meta stays a small envelope however many chunks the
+    * table has. */
   def saveTableMeta(meta: TableMeta): String = {
     val hash = meta.tableHash
     val p = root.resolve("tables").resolve(s"$hash.json")
     if (!Files.exists(p)) {
       stats.metaSaves.incrementAndGet()
-      writeAtomic(p, meta.toJson)
+      if (meta.chunks.length > TableMeta.InlineChunkLimit) {
+        val idx = chunkIndexPath(hash)
+        if (!Files.exists(idx)) {
+          val tmp = idx.resolveSibling(
+            idx.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
+          ChunkIndex.write(tmp, meta.chunks)
+          try Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+          Files.deleteIfExists(tmp.resolveSibling("." + tmp.getFileName + ".crc"))
+        }
+        writeAtomic(p, meta.toJsonIndexed)
+      } else writeAtomic(p, meta.toJson)
     }
     hash
   }
 
   def loadTableMeta(tableHash: String): TableMeta = {
     val p = root.resolve("tables").resolve(s"$tableHash.json")
-    TableMeta.fromJson(Files.readString(p))
+    TableMeta.fromJson(Files.readString(p),
+      () => ChunkIndex.read(chunkIndexPath(tableHash)))
   }
 
   def hasTable(tableHash: String): Boolean =
@@ -198,7 +216,10 @@ final class FsStore(val rootDir: String) extends GraftStore {
     Files.deleteIfExists(root.resolve("roots").resolve(s"$hash.json")); ()
   }
   def deleteTable(hash: String): Unit = {
-    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json")); ()
+    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json"))
+    Files.deleteIfExists(chunkIndexPath(hash))
+    Files.deleteIfExists(root.resolve("tables").resolve(s".$hash.chunks.parquet.crc"))
+    ()
   }
   def deleteChunk(hash: String): Unit = {
     Files.deleteIfExists(Paths.get(chunkPath(hash))); ()
@@ -270,19 +291,27 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
     }
   }
 
+  private def chunkIndexPath(hash: String) =
+    root.resolve("tables").resolve(s"$hash.chunks.parquet")
+
   def saveTableMeta(meta: TableMeta): String = {
     val hash = meta.tableHash
     val p = root.resolve("tables").resolve(s"$hash.json")
     if (!Files.exists(p)) {
       stats.metaSaves.incrementAndGet()
-      putString(p, meta.toJson)
+      if (meta.chunks.length > TableMeta.InlineChunkLimit) {
+        val idx = chunkIndexPath(hash)
+        if (!Files.exists(idx)) ChunkIndex.write(idx, meta.chunks) // object PUT
+        putString(p, meta.toJsonIndexed)
+      } else putString(p, meta.toJson)
     }
     hash
   }
 
   def loadTableMeta(tableHash: String): TableMeta =
-    TableMeta.fromJson(Files.readString(
-      root.resolve("tables").resolve(s"$tableHash.json")))
+    TableMeta.fromJson(
+      Files.readString(root.resolve("tables").resolve(s"$tableHash.json")),
+      () => ChunkIndex.read(chunkIndexPath(tableHash)))
 
   def hasTable(tableHash: String): Boolean =
     Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
@@ -335,7 +364,10 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
     Files.deleteIfExists(root.resolve("roots").resolve(s"$hash.json")); ()
   }
   def deleteTable(hash: String): Unit = {
-    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json")); ()
+    Files.deleteIfExists(root.resolve("tables").resolve(s"$hash.json"))
+    Files.deleteIfExists(chunkIndexPath(hash))
+    Files.deleteIfExists(root.resolve("tables").resolve(s".$hash.chunks.parquet.crc"))
+    ()
   }
   def deleteChunk(hash: String): Unit = {
     Files.deleteIfExists(Paths.get(chunkPath(hash))); ()

@@ -47,19 +47,52 @@ final case class TableMeta(schemaJson: String, keyCols: Seq[String],
         ("rows" -> c.rows)))
     JsonMethods.compact(JsonMethods.render(j))
   }
+
+  /** Envelope for metas whose chunk list lives in a parquet sidecar
+    * ([[ChunkIndex]]): the JSON carries everything EXCEPT the chunk
+    * array, plus the expected count as a consistency check. The table
+    * hash is unchanged either way — it is defined over the logical
+    * components, never the storage encoding. */
+  def toJsonIndexed: String = {
+    import JsonDSL._
+    val j: JObject =
+      ("schema" -> JsonMethods.parse(schemaJson)) ~
+      ("keyCols" -> keyCols) ~
+      ("chunkTargetRows" -> chunkTargetRows) ~
+      ("chunksIndexed" -> chunks.length)
+    JsonMethods.compact(JsonMethods.render(j))
+  }
 }
 
 object TableMeta {
-  def fromJson(json: String): TableMeta = {
+  /** Above this chunk count, stores keep the chunk list as a parquet
+    * sidecar instead of inline JSON (multi-MB tree-parsed JSON arrays
+    * are the wrong driver cost for 1e5+-chunk tables). */
+  val InlineChunkLimit = 10000
+
+  /** Parse a meta; `loadIndex` supplies the chunk list when the JSON is
+    * the indexed envelope. */
+  def fromJson(json: String,
+      loadIndex: () => Seq[ChunkMeta] = () =>
+        sys.error("indexed table meta requires an index loader")): TableMeta = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
+    val chunks = (j \ "chunksIndexed").extractOpt[Long] match {
+      case Some(n) =>
+        val loaded = loadIndex()
+        require(loaded.length.toLong == n,
+          s"chunk index holds ${loaded.length} entries, meta expects $n")
+        loaded
+      case None =>
+        (j \ "chunks").extract[Seq[JValue]].map { c =>
+          ChunkMeta((c \ "hash").extract[String], (c \ "min").extract[String],
+            (c \ "max").extract[String], (c \ "rows").extract[Long])
+        }
+    }
     TableMeta(
       schemaJson = JsonMethods.compact(JsonMethods.render(j \ "schema")),
       keyCols = (j \ "keyCols").extract[Seq[String]],
       chunkTargetRows = (j \ "chunkTargetRows").extract[Long],
-      chunks = (j \ "chunks").extract[Seq[JValue]].map { c =>
-        ChunkMeta((c \ "hash").extract[String], (c \ "min").extract[String],
-          (c \ "max").extract[String], (c \ "rows").extract[Long])
-      })
+      chunks = chunks)
   }
 }

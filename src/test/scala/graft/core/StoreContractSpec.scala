@@ -95,6 +95,29 @@ class StoreContractSpec extends AnyFunSuite {
       assert(store.listTables == Seq(h))
     }
 
+    test(s"$name: large metas round-trip through the parquet chunk index") {
+      val store = mk()
+      val chunks = (0 until TableMeta.InlineChunkLimit + 500).map { i =>
+        ChunkMeta(f"cafe$i%08x" * 2, f"$i%016x", f"$i%016xff", 3)
+      }
+      val meta = TableMeta(
+        Canonical.normalizeSchema(schema, Seq("k")).json, Seq("k"), 64, chunks)
+      val h = store.saveTableMeta(meta)
+      // the JSON envelope is tiny; the chunk list lives in the sidecar
+      val envelope = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(store match {
+          case f: FsStore => f.rootDir
+          case o: ObjectStoreSimStore => o.rootDir
+        }, "tables", s"$h.json"))
+      assert(envelope.length < 10000, "indexed meta must stay an envelope")
+      assert(envelope.contains("chunksIndexed"))
+      val loaded = store.loadTableMeta(h)
+      assert(loaded == meta, "indexed round-trip must be lossless")
+      assert(loaded.tableHash == h)
+      store.deleteTable(h)
+      assert(!store.hasTable(h))
+    }
+
     test(s"$name: the engine runs end-to-end on this backend") {
       val store = mk()
       val ops = new Ops(spark, store, 16)
