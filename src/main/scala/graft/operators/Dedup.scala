@@ -374,11 +374,13 @@ object Dedup {
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // gate on the corpus row count (a parquet-footer count, no signature
+    // computation): the two paths are result-identical (pigeonhole +
+    // exact filter), so this picks a PLAN, not a semantics
+    val nDocs = Tables(s, dir, "documents").count()
     val sim = simhash128(s, dir)
-    // metadata-cheap gate: the two paths are result-identical (pigeonhole
-    // + exact filter), so this picks a PLAN, not a semantics
     val path =
-      if (sim.count() <= SimhashBroadcastMaxDocs) simhashBroadcast(sim)
+      if (nDocs <= SimhashBroadcastMaxDocs) simhashBroadcast(sim)
       else simhashBanded(sim)
     path.orderBy($"i", $"j")
   }
