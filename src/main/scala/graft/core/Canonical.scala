@@ -51,6 +51,33 @@ object Canonical {
   def canonicalColumns(schema: StructType, keyCols: Seq[String]): Seq[String] =
     keyCols ++ schema.fieldNames.filterNot(keyCols.contains)
 
+  /** First index i with bs(i) > kb — equivalently the count of sorted
+    * boundary keys <= kb, i.e. the chunk/region id of kb. THE one
+    * boundary binary search: every path that assigns rows or chunks to
+    * boundary intervals (materialize, grouped materialize, merge region
+    * planning, spanning-chunk splits) must use it, or the canonical
+    * chunking silently diverges between paths. */
+  def boundaryIndex(bs: Array[Array[Byte]], kb: Array[Byte]): Int = {
+    var lo = 0; var hi = bs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** UDF resolving input_file_name() URIs to a caller tag (chunk hash /
+    * region op) through a broadcast path map — the one place the
+    * URI-to-path normalization lives. */
+  def fileTagUdf(spark: SparkSession,
+      pathToTag: Map[String, String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(pathToTag)
+    udf { (f: String) =>
+      val p = new java.net.URI(f).getPath
+      bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
+    }
+  }
+
   /** Canonical nullability: key columns non-null, value columns nullable —
     * aggregation/union plans flip nullability flags incidentally, and the
     * canonical form must not depend on plan history. */
@@ -150,15 +177,7 @@ object Canonical {
       val bcB = spark.sparkContext.broadcast(boundaries)
 
       // 2. chunk id = #boundaries <= keyBytes (boundary keys START chunks)
-      val chunkIdUdf = udf { (kb: Array[Byte]) =>
-        val bs = bcB.value
-        var lo = 0; var hi = bs.length // first index with bs(i) > kb
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
-        }
-        lo
-      }
+      val chunkIdUdf = udf { (kb: Array[Byte]) => boundaryIndex(bcB.value, kb) }
 
       val tmpDir = Files.createTempDirectory("graft-canon-").toString
       val nPart = spark.sessionState.conf.numShufflePartitions
@@ -253,13 +272,7 @@ object Canonical {
         }
       val bcB = spark.sparkContext.broadcast(boundaries)
       val chunkIdUdf = udf { (g: String, kb: Array[Byte]) =>
-        val bs = bcB.value.getOrElse(g, Array.empty[Array[Byte]])
-        var lo = 0; var hi = bs.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
-        }
-        lo
+        boundaryIndex(bcB.value.getOrElse(g, Array.empty[Array[Byte]]), kb)
       }
 
       val tmpDir = Files.createTempDirectory("graft-canon-g-").toString

@@ -12,7 +12,10 @@ import org.json4s.JsonDSL._
 /** @param declaredCols user-facing column order (the CREATE TABLE
   *   declaration / original import order), which may differ from the
   *   canonical keys-first order of `schemaJson` — positional SQL INSERTs
-  *   align against it. */
+  *   align against it. Roots written before this field existed fall back
+  *   to the canonical order on load (the declaration order was never
+  *   recorded and cannot be recovered); positional inserts into such
+  *   legacy tables follow print-schema order, as they always did. */
 final case class CatalogEntry(tableHash: String, keyCols: Seq[String],
     schemaJson: String, declaredCols: Seq[String])
 
@@ -47,10 +50,15 @@ final class Catalog(store: GraftStore) {
     val m = store.loadTableMeta(ref.hash)
     val fieldNames = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-    val order = declared
-      .orElse(root.get(name).map(_.declaredCols).filter(_.toSet == fieldNames.toSet))
-      .getOrElse(fieldNames)
-    statement(_ + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order)))
+    // resolve the surviving declared order INSIDE the statement so the
+    // root JSON is parsed once per put, not twice (streaming calls this
+    // per micro-batch)
+    statement { cur =>
+      val order = declared
+        .orElse(cur.get(name).map(_.declaredCols).filter(_.toSet == fieldNames.toSet))
+        .getOrElse(fieldNames)
+      cur + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order))
+    }
   }
 
   def drop(name: String): String = statement(_ - name)

@@ -75,13 +75,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
 
   /** Full scan (tableToRows analogue). Unordered; the table's sorted-map
     * semantics are recovered with scanOrdered. */
-  def scan(ref: TableRef): DataFrame = {
-    val m = meta(ref)
+  def scan(ref: TableRef): DataFrame = scanMeta(meta(ref))
+
+  private def scanMeta(m: TableMeta): DataFrame =
     if (m.chunks.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else spark.read.schema(m.schema)
       .parquet(m.chunks.map(c => store.chunkPath(c.hash)): _*)
-  }
 
   def scanOrdered(ref: TableRef): DataFrame = {
     val m = meta(ref)
@@ -150,14 +150,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       }.toArray
     val boundariesHex = boundaries.map(Hashing.hex)
 
-    def regionOf(kb: Array[Byte]): Int = {
-      var lo = 0; var hi = boundaries.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (Hashing.compareBytes(boundaries(mid), kb) <= 0) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
+    def regionOf(kb: Array[Byte]): Int = Canonical.boundaryIndex(boundaries, kb)
 
     // ---- split spanning chunks into per-region pieces (memoized) ----
     // A chunk spanning several regions (it crosses boundary keys absent
@@ -189,21 +182,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (toSplit.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        val bcP = spark.sparkContext.broadcast(
-          toSplit.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
         val bcB = spark.sparkContext.broadcast(boundaries)
-        val fileToHash = udf { (f: String) =>
-          val p = new java.net.URI(f).getPath
-          bcP.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
-        }
+        val fileToHash = Canonical.fileTagUdf(spark,
+          toSplit.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
         val regionIdx = udf { (kb: Array[Byte]) =>
-          val bs = bcB.value
-          var lo = 0; var hi = bs.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (Hashing.compareBytes(bs(mid), kb) <= 0) lo = mid + 1 else hi = mid
-          }
-          lo
+          Canonical.boundaryIndex(bcB.value, kb)
         }
         val src = spark.read.schema(schema)
           .parquet(toSplit.map(c => store.chunkPath(c.hash)): _*)
@@ -300,11 +283,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .groupBy(_._1)
           .view.mapValues(_.map(t => (t._2, t._3))).toMap
         val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
-          val bc = spark.sparkContext.broadcast(files.toMap)
-          val fileToOp = udf { (f: String) =>
-            val p = new java.net.URI(f).getPath
-            bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
-          }
+          val fileToOp = Canonical.fileTagUdf(spark, files.toMap)
           spark.read.schema(schema)
             .parquet(files.map(_._1).distinct: _*)
             .withColumn(SRC, lit(src.toLong))
@@ -357,19 +336,21 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * (fold_to_last collisions depend on source order) stay at
     * whole-table memo granularity. */
   def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
+    // load the meta ONCE per call — with parquet-indexed chunk lists a
+    // meta load is a sidecar read, not a free field access
+    val m = meta(ref)
     // chunk granularity is intrinsic to the input table (its boundary
     // rule), not to this Ops instance — a differently-configured Ops
     // over the same store must produce identically-chunked results
-    val target = meta(ref).chunkTargetRows
+    val target = m.chunkTargetRows
     val opHash = Hashing.opHash(Seq(
       "graft-op-transform-v2", t.key, fold.key, target.toString, ref.hash))
     TableRef(store.memoized(opHash) {
-      if (t.keyPreserving) transformPerChunk(ref, t)
-      else if (fold.combinable && meta(ref).chunks.nonEmpty)
-        transformRekeyIncremental(ref, t, fold)
+      if (t.keyPreserving) transformPerChunk(m, t)
+      else if (fold.combinable && m.chunks.nonEmpty)
+        transformRekeyIncremental(m, t, fold)
       else {
-        val m = meta(ref)
-        val src = Canonical.withKeyBytes(scan(ref), m.keyCols)
+        val src = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
         val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
         val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
           .filterNot(_ == SRC).toSeq
@@ -388,9 +369,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * mini-table (one batched job for all missing chunks), then fold-merge
     * the minis through the region-memoized merge. Partial-fold-then-fold
     * equals direct fold exactly because the fold is combinable. */
-  private def transformRekeyIncremental(ref: TableRef, t: ColTransform,
+  private def transformRekeyIncremental(m: TableMeta, t: ColTransform,
       fold: FoldSpec): String = {
-    val m = meta(ref)
     def miniOp(chunkHash: String): String = Hashing.opHash(Seq(
       "graft-op-rekey-chunk-v1", t.key, fold.key,
       m.chunkTargetRows.toString, chunkHash))
@@ -402,12 +382,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        val bc = spark.sparkContext.broadcast(
+        val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val fileToHash = udf { (f: String) =>
-          val p = new java.net.URI(f).getPath
-          bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
-        }
         val df = spark.read.schema(m.schema)
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
@@ -443,8 +419,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
     * for all missing chunks, results spliced in key order (keys are
     * preserved, so source chunk ranges stay disjoint and ordered). */
-  private def transformPerChunk(ref: TableRef, t: ColTransform): String = {
-    val m = meta(ref)
+  private def transformPerChunk(m: TableMeta, t: ColTransform): String = {
     def subOp(c: ChunkMeta): String = Hashing.opHash(Seq(
       "graft-op-transform-chunk-v2", t.key,
       m.chunkTargetRows.toString, c.hash))
@@ -456,14 +431,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        val pathToHash = missing.map(c =>
-          store.chunkPath(c.hash) -> c.hash).toMap
-        val bc = spark.sparkContext.broadcast(pathToHash)
-        val fileToHash = udf { (f: String) =>
-          // input_file_name yields a URI (file:///...); key by plain path
-          val p = new java.net.URI(f).getPath
-          bc.value.getOrElse(p, sys.error(s"unknown chunk file $f"))
-        }
+        val fileToHash = Canonical.fileTagUdf(spark,
+          missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
         val df = spark.read.schema(m.schema)
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))

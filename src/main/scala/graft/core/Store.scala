@@ -301,7 +301,19 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
       stats.metaSaves.incrementAndGet()
       if (meta.chunks.length > TableMeta.InlineChunkLimit) {
         val idx = chunkIndexPath(hash)
-        if (!Files.exists(idx)) ChunkIndex.write(idx, meta.chunks) // object PUT
+        if (!Files.exists(idx)) {
+          // a real object store PUTs the whole object atomically; the
+          // local simulation of that atomicity stages the streaming
+          // parquet write and installs it in one move, so a crash
+          // mid-write can never leave a truncated index at the final
+          // key (which the exists-guard would then make permanent)
+          val tmp = idx.resolveSibling(
+            idx.getFileName.toString + ".staging-" + java.util.UUID.randomUUID)
+          ChunkIndex.write(tmp, meta.chunks)
+          try Files.move(tmp, idx, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+          Files.deleteIfExists(tmp.resolveSibling("." + tmp.getFileName + ".crc"))
+        }
         putString(p, meta.toJsonIndexed)
       } else putString(p, meta.toJson)
     }

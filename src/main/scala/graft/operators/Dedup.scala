@@ -287,8 +287,11 @@ object Dedup {
     * The gate therefore changes COST only, never semantics. */
   val SimhashMaxHamming = 15
   val SimhashBlocks = 16
-  /** 16-byte signatures: 2M docs = 32 MB broadcast — past that, band. */
-  val SimhashBroadcastMaxDocs = 2000000L
+  /** Broadcast-scan ceiling. The binding constraint is the O(n²/p)
+    * scan, not the 24 B/doc primitive-array broadcast: at 100k docs the
+    * scan is ~5e9 XOR+popcounts spread over the cluster (fine); at 1M+
+    * it is 5e11+ (not fine) while the banded join stays near-linear. */
+  val SimhashBroadcastMaxDocs = 100000L
 
   /** (doc_id, h1, h2) — the 128-bit signature as two longs. */
   private[operators] def simhash128(s: SparkSession, dir: String): DataFrame = {
@@ -327,21 +330,31 @@ object Dedup {
   private[operators] def simhashBroadcast(sim: DataFrame): DataFrame = {
     val s = sim.sparkSession
     import s.implicits._
-    val corpus: Array[(Long, Long, Long)] = sim.collect()
+    // three PRIMITIVE arrays (24 B/doc), not an Array[Tuple3] of boxed
+    // longs (~100+ B/doc) — the broadcast stays memory-honest
+    val collected = sim.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val bc = s.sparkContext.broadcast(corpus)
+    val n = collected.length
+    val ids = new Array[Long](n); val h1s = new Array[Long](n); val h2s = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = collected(i)._1; h1s(i) = collected(i)._2; h2s(i) = collected(i)._3
+      i += 1
+    }
+    val bcIds = s.sparkContext.broadcast(ids)
+    val bcH1 = s.sparkContext.broadcast(h1s)
+    val bcH2 = s.sparkContext.broadcast(h2s)
     val maxD = SimhashMaxHamming
     s.createDataFrame(
-      s.sparkContext.parallelize(corpus.indices, s.sparkContext.defaultParallelism)
+      s.sparkContext.parallelize(0 until n, s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
-          val cs = bc.value
+          val is = bcIds.value; val a1s = bcH1.value; val a2s = bcH2.value
           it.flatMap { a =>
-            val (ia, a1, a2) = cs(a)
-            Iterator.range(a + 1, cs.length).flatMap { b =>
-              val (ib, b1, b2) = cs(b)
-              val d = java.lang.Long.bitCount(a1 ^ b1) +
-                java.lang.Long.bitCount(a2 ^ b2)
-              if (d <= maxD) Some(org.apache.spark.sql.Row(ia, ib, d)) else None
+            val ia = is(a); val a1 = a1s(a); val a2 = a2s(a)
+            Iterator.range(a + 1, is.length).flatMap { b =>
+              val d = java.lang.Long.bitCount(a1 ^ a1s(b)) +
+                java.lang.Long.bitCount(a2 ^ a2s(b))
+              if (d <= maxD) Some(org.apache.spark.sql.Row(ia, is(b), d)) else None
             }
           }
         },

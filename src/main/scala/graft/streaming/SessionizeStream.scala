@@ -50,11 +50,15 @@ object SessionizeStream {
       closed.sortBy(_.start).foreach(close)
       if (open.isEmpty) state.remove() else arm(open)
     } else {
-      // Drop past-watermark stragglers: flatMapGroupsWithState does NOT
-      // pre-filter late rows (unlike built-in windowed aggs), and a
-      // too-late event would re-open an already-emitted session and emit
-      // a duplicate — the batch gaps-and-islands equivalence only holds
-      // for in-watermark data.
+      // Past-watermark stragglers: a too-late event could re-open an
+      // already-emitted session and emit a duplicate. Spark's
+      // FlatMapGroupsWithStateExec already filters rows below the
+      // watermark before this function runs (verified by
+      // SessionizeStreamSpec — even open-interval stragglers never
+      // arrive), so below-watermark data diverging from the batch
+      // result is the standard streaming contract; this filter is the
+      // defense in depth that keeps the no-duplicates property local
+      // and version-independent.
       val wm = state.getCurrentWatermarkMs()
       val incoming = events.filter(_.ts.getTime >= wm).map { e =>
         val t = e.ts.getTime

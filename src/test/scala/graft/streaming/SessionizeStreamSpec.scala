@@ -151,4 +151,47 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(user1 == Seq((1L, "2024-01-01 10:00:00.0", 1)),
       s"straggler below the watermark must not duplicate the session; got $user1")
   }
+
+  test("below-watermark straggler is dropped even inside a still-open session (Spark pre-filters late rows)") {
+    val srcDir = Files.createTempDirectory("graft-sess4-src-")
+    val ckpt = Files.createTempDirectory("graft-sess4-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-sess4-out-").toString
+    def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schema)
+        .write.parquet(srcDir.resolve(s"b$n").toString)
+    def runOnce(): Unit = {
+      val q = SessionizeStream.sessions(
+          spark.readStream.schema(schema).parquet(srcDir.toString + "/b*"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: a LONG open session 09:00..11:45 (every gap < 30 min);
+    // watermark advances to 10:45 (max ts - 1h), INSIDE the open interval
+    writeBatch(Seq("09:00", "09:25", "09:50", "10:15", "10:40", "11:05",
+      "11:30", "11:45").map(t => (s"2024-01-01 $t:00", 1L, 1.00)), 1)
+    runOnce()
+    // batch 2: straggler at 10:00 — BELOW the 10:45 watermark, inside
+    // the open interval. Spark's FlatMapGroupsWithStateExec filters
+    // below-watermark rows before the state function runs, so it never
+    // arrives: below-watermark divergence from the batch result is the
+    // standard streaming contract this pin DOCUMENTS (and the session
+    // count must stay exactly one — no duplicate, no partial re-open)
+    writeBatch(Seq(("2024-01-01 10:00:00", 1L, 2.00)), 2)
+    runOnce()
+    // batch 3: close everything
+    writeBatch(Seq(("2024-01-02 12:00:00", 99L, 0.01)), 3)
+    runOnce()
+    val user1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+        r.getAs[Long]("total_cents")))
+      .filter(_._1 == 1L).toSeq
+    assert(user1 == Seq((1L, 8, 800L)),
+      s"below-watermark straggler is pre-filtered by the engine; got $user1")
+  }
 }
