@@ -19,6 +19,7 @@ import graft.core._
   *   graft.Cli <storeDir> export-json <table>
   *   graft.Cli <storeDir> export-csv <table> <outDir>
   *   graft.Cli <storeDir> print-schema <table>
+  *   graft.Cli <storeDir> verify <table>
   *   graft.Cli <storeDir> tables
   */
 object Cli {
@@ -112,6 +113,15 @@ object Cli {
         case "checkout" :: rootHash :: Nil =>
           cat.checkout(rootHash)
           println(s"root=$rootHash")
+        case "verify" :: table :: Nil =>
+          // checkTrie analogue (O17): verify chunk hashes, counts, key
+          // ranges, and disjointness against the stored metadata
+          val problems = ops.verifyTable(need(cat, table))
+          if (problems.isEmpty) println("ok")
+          else {
+            problems.foreach(p => System.err.println(p))
+            sys.exit(1)
+          }
         case "count" :: table :: Nil =>
           // COUNT(*) from chunk metadata — no data read
           val ref = cat.get(table).getOrElse(sys.error(s"no such table: $table"))

@@ -215,6 +215,77 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY total_cents DESC, o_orderkey""".stripMargin
 
+  /** TPC-H Q7-shaped: shipping volume between two nations by year — a
+    * 5-way join where the nation dim joins TWICE under different roles
+    * (supplier side vs customer side), then revenue by (supp_nation,
+    * cust_nation, year). Both dim sides broadcast; the fact table
+    * shuffles once per fact-fact join key. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Seq("NATION_3", "NATION_7")
+    val n1 = Tables(s, dir, "nation")
+      .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables(s, dir, "nation")
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .where($"supp_nation".isin(nations: _*) && $"cust_nation".isin(nations: _*)
+        && $"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        / 10000.0).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7NationVolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       |  SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / CAST(10000.0 AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_3','NATION_7')
+       |  AND n2.n_name IN ('NATION_3','NATION_7')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q12-shaped (the testdata has no l_shipmode, so l_returnflag
+    * plays the mode role): per flag, how many 1997-shipped lineitems
+    * belong to high- vs low-priority orders — join + CONDITIONAL
+    * aggregation (sum-of-case), one shuffle on the join key, partial
+    * aggregation below it. */
+  def q12PriorityShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables(s, dir, "lineitem")
+      .where($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q12PriorityShippingSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** UNPIVOT (wide → long): the measure columns of a lineitem slice
     * melted into (measure, val) rows — the inverse of pivot_status. */
   def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
@@ -344,6 +415,8 @@ object Relational {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_top_supplier" -> (q2TopSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q12_priority_shipping" -> (q12PriorityShipping _),
     "unpivot_measures" -> (unpivotMeasures _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_fold_sum" -> (mergeFoldSum _),
@@ -359,6 +432,8 @@ object Relational {
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q2_top_supplier" -> q2TopSupplierSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q12_priority_shipping" -> q12PriorityShippingSql,
     "unpivot_measures" -> unpivotMeasuresSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_fold_sum" -> mergeFoldSumSql,
