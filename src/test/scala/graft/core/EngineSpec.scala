@@ -53,7 +53,7 @@ class EngineSpec extends AnyFunSuite {
       var ref = ops.fromDataFrame(df(model.toSeq), Seq("k"))
       val hashes = Vector.newBuilder[String]
       (1 to 12).foreach { _ =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 => // upsert a small delta (last wins)
             val delta = randRows(rnd, rnd.nextInt(20) + 1, 4).distinctBy(_._1)
             ref = ops.upsert(ref, ops.fromDataFrame(df(delta), Seq("k")))
@@ -69,6 +69,14 @@ class EngineSpec extends AnyFunSuite {
             val lo = ('a' + rnd.nextInt(3)).toChar.toString
             ref = ops.rangeFilter(ref, Some(Bound(Seq(lo), inclusive = true)), None)
             model = model.filter(_._1 >= lo)
+          case 3 => // re-keying sum aggregate (the mini + piece-merge path)
+            val t = ColTransform("rekey_prefix2_sum_v1", Seq("k"),
+              Seq(org.apache.spark.sql.functions.substring(
+                org.apache.spark.sql.functions.col("k"), 1, 2).as("k"),
+                org.apache.spark.sql.functions.col("v")))
+            ref = ops.transform(ref, t, FoldSpec.FoldSum)
+            model = model.toSeq.groupBy(_._1.take(2))
+              .map { case (g, kvs) => g -> kvs.map(_._2).sum }
         }
         hashes += ref.hash
       }
