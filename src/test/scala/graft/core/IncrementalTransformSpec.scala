@@ -171,6 +171,46 @@ class IncrementalTransformSpec extends AnyFunSuite {
       s"expected near-total chunk sharing after 1-key update: $shared/$total")
   }
 
+  test("gc sweeps mini/piece caches; the next refresh self-heals and stays correct") {
+    // minis, pieces, and region results are CACHE (memo-only tables):
+    // GC may sweep them all. A later refresh must recompute what it
+    // needs from the kept source chunks and still produce the right
+    // (hash-identical) view — GC trades recompute for space, never
+    // correctness.
+    val store = new FsStore(Files.createTempDirectory("graft-gcheal-").toString)
+    val ops = new Ops(spark, store, 64)
+    val catalog = new Catalog(store)
+    val views = new Views(ops, catalog)
+    val rekeySum = ColTransform("rekey_sum_gc_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"), col("v")))
+    val rows = (0 until 4000).map(i => f"k$i%05d" -> i.toLong)
+    catalog.put("src", ops.fromDataFrame(df(rows), Seq("k")))
+    views.define("agg", "src", rekeySum, FoldSpec.FoldSum)
+
+    // sweep everything not reachable from the current root: the minis,
+    // pieces, and region results are all memo-only intermediates
+    val gc = Gc.run(store, Seq.empty)
+    assert(gc.deletedMemos > 0 && gc.deletedTables > 0,
+      s"expected cache sweep, got $gc")
+
+    // source delta, then refresh: recompute self-heals from kept chunks
+    val delta = ops.fromDataFrame(df(Seq("k00100" -> 42L)), Seq("k"))
+    catalog.put("src", ops.upsert(catalog.get("src").get, delta))
+    val v2 = views.refresh("agg")
+    def model(data: Map[String, Long]): Map[String, Long] =
+      data.toSeq.groupBy { case (k, _) => "g" + k.substring(1, 5).reverse }
+        .view.mapValues(_.map(_._2).sum).toMap
+    val got = ops.scan(v2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == model(rows.toMap ++ Map("k00100" -> 42L)))
+    // and hash-equals an independent from-scratch build
+    val ops2 = new Ops(spark,
+      new FsStore(Files.createTempDirectory("graft-gcheal2-").toString), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df((rows.toMap ++ Map("k00100" -> 42L)).toSeq), Seq("k")),
+      rekeySum, FoldSpec.FoldSum)
+    assert(v2.hash == scratch.hash)
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
