@@ -113,6 +113,16 @@ object Cli {
         case "checkout" :: rootHash :: Nil =>
           cat.checkout(rootHash)
           println(s"root=$rootHash")
+        case "delete-range" :: table :: lo :: hi :: Nil =>
+          // retention delete: drop keys in [lo, hi] (inclusive), O(edge
+          // chunks) through the complement-range merge
+          val ref = need(cat, table)
+          val m = ops.meta(ref)
+          val out = ops.deleteRange(ref,
+            Some(Bound(Seq(parseKey(m, lo)), inclusive = true)),
+            Some(Bound(Seq(parseKey(m, hi)), inclusive = true)))
+          val root = cat.put(table, out)
+          println(s"table=$table hash=${out.hash} rows=${ops.rowCount(out)} root=$root")
         case "verify" :: table :: Nil =>
           // checkTrie analogue (O17): verify chunk hashes, counts, key
           // ranges, and disjointness against the stored metadata

@@ -540,6 +540,33 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     out
   }
 
+  /** Delete a key range: keep everything OUTSIDE [lower, upper] — the
+    * complement expressed as two range filters merged back together.
+    * The halves are key-disjoint, so the merge is single-source
+    * passthrough everywhere except at most the two cut points: a
+    * retention delete (drop a day / a tenant prefix) on a 100 TB table
+    * is metadata work plus at most two edge-chunk rewrites, all
+    * memoized. Bounds follow rangeFilter's key-TUPLE-prefix semantics:
+    * a bound naming only the leading key column(s) deletes every key
+    * extending it — e.g. dropping one tenant of a (tenant, id) table
+    * with a single-column bound. */
+  def deleteRange(ref: TableRef, lower: Option[Bound], upper: Option[Bound]): TableRef = {
+    // keep-bounds flip the deleted bounds' inclusivity
+    val below = lower.map(b =>
+      rangeFilter(ref, None, Some(Bound(b.prefix, !b.inclusive))))
+    val above = upper.map(b =>
+      rangeFilter(ref, Some(Bound(b.prefix, !b.inclusive)), None))
+    (below, above) match {
+      case (Some(a), Some(b)) => merge(Seq(a, b), FoldSpec.FoldLast)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => // unbounded delete: the empty table
+        val m = meta(ref)
+        TableRef(store.saveTableMeta(
+          TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, Nil)))
+    }
+  }
+
   /** Point lookup (tableKeyRangeSingleton, Table.hs:151-168): prune to the
     * chunk(s) containing the key, read only those. */
   def lookup(ref: TableRef, key: Seq[Any]): DataFrame = {

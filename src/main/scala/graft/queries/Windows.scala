@@ -101,15 +101,40 @@ object Windows {
        |FROM events
        |ORDER BY event_id""".stripMargin
 
+  /** Distribution-rank window functions over one ordered pass: quartile
+    * (ntile), percent_rank, cume_dist per user — exact small-integer
+    * ratios, so the doubles are bit-identical across engines. */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir, "events")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"event_id", $"user_id", $"quartile", $"pr", $"cd")
+      .orderBy($"event_id")
+  }
+
+  val windowNtileSql: String =
+    """SELECT event_id, user_id,
+      | CAST(NTILE(4) OVER w AS INT) AS quartile,
+      | PERCENT_RANK() OVER w AS pr,
+      | CUME_DIST() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "window_topn" -> (windowTopn _),
     "window_running" -> (windowRunning _),
     "window_range" -> (windowRange _),
-    "window_lag" -> (windowLag _))
+    "window_lag" -> (windowLag _),
+    "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(
     "window_topn" -> windowTopnSql,
     "window_running" -> windowRunningSql,
     "window_range" -> windowRangeSql,
-    "window_lag" -> windowLagSql)
+    "window_lag" -> windowLagSql,
+    "window_ntile" -> windowNtileSql)
 }

@@ -435,6 +435,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange drops exactly the range, reuses chunks, hash-equals from-scratch") {
+    val ops = newOps(target = 16)
+    val rnd = new Random(41)
+    val rows = (0 until 1500).map(i => f"k$i%04d" -> rnd.nextLong(100))
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val total = ops.meta(ref).chunks.length
+    assert(total > 15)
+    ops.store.stats.reset()
+    val out = ops.deleteRange(ref,
+      Some(Bound(Seq("k0400"), inclusive = true)),
+      Some(Bound(Seq("k0599"), inclusive = true)))
+    val want = rows.toMap.view.filterKeys(k => k < "k0400" || k > "k0599").toMap
+    assert(contents(ops, out) == want)
+    // retention-delete cost: at most the two cut-point chunks rewrite
+    assert(ops.store.stats.snapshot("chunkSaves") <= 4,
+      s"delete should be edge-only: ${ops.store.stats.snapshot}")
+    val kept = ops.meta(ref).chunks.map(_.hash).toSet
+    val reused = ops.meta(out).chunks.count(c => kept(c.hash))
+    assert(reused >= ops.meta(out).chunks.length - 4, "majority chunk reuse")
+    // canonical identity vs from-scratch build of the remaining rows
+    val scratch = ops.fromDataFrame(df(want.toSeq), Seq("k"))
+    assert(out.hash == scratch.hash)
+    // unbounded delete = empty table, same shape
+    val empty = ops.deleteRange(ref, None, None)
+    assert(ops.meta(empty).chunks.isEmpty && ops.rowCount(empty) == 0)
+    // single-key delete (degenerate range)
+    val one = ops.deleteRange(ref,
+      Some(Bound(Seq("k0104"), inclusive = true)),
+      Some(Bound(Seq("k0104"), inclusive = true)))
+    assert(contents(ops, one) == rows.toMap - "k0104")
+  }
+
   test("range filter passes interior chunks through without rewriting") {
     val ops = newOps(target = 16)
     val base = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
