@@ -20,6 +20,7 @@ import graft.core._
   *   graft.Cli <storeDir> export-csv <table> <outDir>
   *   graft.Cli <storeDir> print-schema <table>
   *   graft.Cli <storeDir> verify <table>
+  *   graft.Cli <storeDir> delete-range <table> <lo> <hi>
   *   graft.Cli <storeDir> tables
   */
 object Cli {
