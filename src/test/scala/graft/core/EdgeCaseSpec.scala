@@ -120,6 +120,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(gotFull == wantFull)
   }
 
+  test("deleteRange with a tuple-prefix bound drops a whole tenant, hash-equals from-scratch") {
+    // the retention-delete shape: (tenant, id) keys, one bound naming
+    // only the tenant column removes every key under it
+    val schema = StructType(Seq(
+      StructField("tenant", LongType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val rows = for (t <- 0L until 8L; i <- 0 until 40)
+      yield Row(t, f"id$i%03d", t * 1000 + i)
+    val ops = newOps(target = 16)
+    val ref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema),
+      Seq("tenant", "id"))
+    val out = ops.deleteRange(ref,
+      Some(Bound(Seq(3L), inclusive = true)),
+      Some(Bound(Seq(3L), inclusive = true)))
+    val got = ops.scan(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == rows.filter(_.getLong(0) != 3L)
+      .map(r => (r.getLong(0), r.getString(1))).toSet,
+      "tenant 3 must vanish entirely, everything else untouched")
+    val scratch = ops.fromDataFrame(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.filter(_.getLong(0) != 3L), 4), schema),
+      Seq("tenant", "id"))
+    assert(out.hash == scratch.hash)
+  }
+
   test("verifyTable: clean table verifies; corrupted chunk is detected (checkTrie parity)") {
     val schema = StructType(Seq(
       StructField("k", StringType, nullable = false),
