@@ -122,8 +122,13 @@ object Cli {
           val out = ops.deleteRange(ref,
             Some(Bound(Seq(parseKey(m, lo)), inclusive = true)),
             Some(Bound(Seq(parseKey(m, hi)), inclusive = true)))
-          val root = cat.put(table, out)
-          println(s"table=$table hash=${out.hash} rows=${ops.rowCount(out)} root=$root")
+          if (out == ref) println(s"no rows in range; root unchanged")
+          else {
+            // no-op deletes must not mint empty commits (same rule as
+            // Views.refresh)
+            val root = cat.put(table, out)
+            println(s"table=$table hash=${out.hash} rows=${ops.rowCount(out)} root=$root")
+          }
         case "verify" :: table :: Nil =>
           // checkTrie analogue (O17): verify chunk hashes, counts, key
           // ranges, and disjointness against the stored metadata
@@ -191,6 +196,11 @@ object Cli {
       case ShortType => s.toShort
       case DoubleType => s.toDouble
       case FloatType => s.toFloat
+      case dt: DecimalType =>
+        new java.math.BigDecimal(s).setScale(dt.scale)
+      case DateType => java.sql.Date.valueOf(s) // yyyy-MM-dd
+      case TimestampType => java.sql.Timestamp.valueOf(s) // yyyy-MM-dd HH:mm:ss[.f]
+      case BooleanType => s.toBoolean
       case _ => s
     }
   }

@@ -643,17 +643,21 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     m.chunks.foreach { c =>
       if (!store.hasChunk(c.hash)) problems += s"missing chunk file ${c.hash}"
     }
-    if (m.chunks.nonEmpty) {
+    // the data pass reads only chunks that exist — a missing file is
+    // already reported above, and handing its path to the parquet
+    // reader would crash the verify instead of reporting it
+    val present = m.chunks.filter(c => store.hasChunk(c.hash))
+    if (present.nonEmpty) {
       val cols = m.schema.fieldNames.toSeq
       val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
       val rEnc = KeyCodec.rowEncoder(m.schema, cols)
-      val byPath = m.chunks.map(c => store.chunkPath(c.hash) -> c.hash).toMap
+      val byPath = present.map(c => store.chunkPath(c.hash) -> c.hash).toMap
       val bc = spark.sparkContext.broadcast(byPath)
       val fileOf = udf { (f: String) =>
         bc.value.getOrElse(new java.net.URI(f).getPath, "?")
       }
       val hashed = spark.read.schema(m.schema)
-        .parquet(m.chunks.map(c => store.chunkPath(c.hash)): _*)
+        .parquet(present.map(c => store.chunkPath(c.hash)): _*)
         .withColumn("_f", fileOf(input_file_name()))
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -670,7 +674,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       }(enc)
       val actual = Canonical.chunkDigests(perRow, Seq("_f")).collect()
         .map(r => r.getString(0) -> r).toMap
-      m.chunks.foreach { c =>
+      present.foreach { c =>
         actual.get(c.hash) match {
           case None => problems += s"chunk ${c.hash.take(8)} produced no rows"
           case Some(r) =>
