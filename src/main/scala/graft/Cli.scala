@@ -70,7 +70,7 @@ object Cli {
         case "range" :: table :: lo :: hi :: Nil =>
           val ref = need(cat, table)
           val m = ops.meta(ref)
-          val (loV, hiV) = (parseKey(m, lo), parseKey(m, hi))
+          val (loV, hiV) = (parseKey(spark, m, lo), parseKey(spark, m, hi))
           val out = ops.rangeFilter(ref,
             Some(Bound(Seq(loV), inclusive = true)),
             Some(Bound(Seq(hiV), inclusive = false)))
@@ -78,7 +78,7 @@ object Cli {
           printStats(store)
         case "lookup" :: table :: key :: Nil =>
           val ref = need(cat, table)
-          ops.lookup(ref, Seq(parseKey(ops.meta(ref), key)))
+          ops.lookup(ref, Seq(parseKey(spark, ops.meta(ref), key)))
             .toJSON.collect().foreach(println)
         case "export-json" :: table :: Nil =>
           // JSON-lines export (Tool/Json.hs:16-32), ordered scan
@@ -120,8 +120,8 @@ object Cli {
           val ref = need(cat, table)
           val m = ops.meta(ref)
           val out = ops.deleteRange(ref,
-            Some(Bound(Seq(parseKey(m, lo)), inclusive = true)),
-            Some(Bound(Seq(parseKey(m, hi)), inclusive = true)))
+            Some(Bound(Seq(parseKey(spark, m, lo)), inclusive = true)),
+            Some(Bound(Seq(parseKey(spark, m, hi)), inclusive = true)))
           if (out == ref) println(s"no rows in range; root unchanged")
           else {
             // no-op deletes must not mint empty commits (same rule as
@@ -188,7 +188,19 @@ object Cli {
       System.err.println(s"no such table: $table"); sys.exit(2)
     }
 
-  private def parseKey(m: TableMeta, s: String): Any = {
+  // "yyyy-MM-dd[ HH:mm:ss[.f…]]" — date-only bounds default to midnight
+  private val localDateTimeFmt: java.time.format.DateTimeFormatter = {
+    import java.time.temporal.ChronoField._
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd[ HH:mm:ss]")
+      .appendFraction(NANO_OF_SECOND, 0, 9, true)
+      .parseDefaulting(HOUR_OF_DAY, 0)
+      .parseDefaulting(MINUTE_OF_HOUR, 0)
+      .parseDefaulting(SECOND_OF_MINUTE, 0)
+      .toFormatter
+  }
+
+  private def parseKey(spark: SparkSession, m: TableMeta, s: String): Any = {
     import org.apache.spark.sql.types._
     m.schema(m.keyCols.head).dataType match {
       case LongType => s.toLong
@@ -199,7 +211,17 @@ object Cli {
       case dt: DecimalType =>
         new java.math.BigDecimal(s).setScale(dt.scale)
       case DateType => java.sql.Date.valueOf(s) // yyyy-MM-dd
-      case TimestampType => java.sql.Timestamp.valueOf(s) // yyyy-MM-dd HH:mm:ss[.f]
+      case TimestampType =>
+        // interpret the wall-clock bound in the SESSION timezone — the
+        // zone Spark used when casting strings at ingest. Timestamp
+        // .valueOf would use the JVM default zone; when the two differ,
+        // range/delete bounds on timestamp keys silently shift.
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone"))
+        val local = java.time.LocalDateTime.parse(s, localDateTimeFmt)
+        java.sql.Timestamp.from(local.atZone(zone).toInstant)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.parse(s, localDateTimeFmt)
       case BooleanType => s.toBoolean
       case _ => s
     }

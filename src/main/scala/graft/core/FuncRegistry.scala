@@ -30,6 +30,14 @@ trait FoldSpec extends Serializable {
     * region memo keys. fold_to_last is NOT combinable: its result depends
     * on the source index ordering. */
   def combinable: Boolean = false
+  /** Combinable AND bit-reproducible over these value column types —
+    * content-address convergence (incremental == from-scratch hash)
+    * needs partial folds to be bit-identical, not just mathematically
+    * equal. FP addition is non-associative, so FoldSum restricts its
+    * incremental path to exact types (integral/decimal); min/max pick
+    * an input value unchanged and stay combinable for every type. */
+  def combinableFor(valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
+    combinable
 }
 
 object FoldSpec {
@@ -50,6 +58,15 @@ object FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => sum(col(c)).as(c))
     override val combinable = true
+    override def combinableFor(
+        valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean = {
+      import org.apache.spark.sql.types._
+      valueTypes.forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
   }
 
   case object FoldMin extends FoldSpec {

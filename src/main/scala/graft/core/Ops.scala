@@ -255,8 +255,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       r += 1
     }
 
+    // src-free memo keys require bit-reproducible partial folds for the
+    // VALUE types at hand (FP sums are order-dependent)
+    val combinableHere =
+      fold.combinableFor(valueCols.map(c => schema(c).dataType))
+
     def regionOp(ps: Seq[(Int, ChunkMeta)]): String =
-      if (fold.combinable) Hashing.opHash(
+      if (combinableHere) Hashing.opHash(
         Seq("graft-op-merge-region-v3c", fold.key, target.toString) ++
           ps.map(_._2.hash).sorted)
       else Hashing.opHash(
@@ -347,7 +352,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       "graft-op-transform-v2", t.key, fold.key, target.toString, ref.hash))
     TableRef(store.memoized(opHash) {
       if (t.keyPreserving) transformPerChunk(m, t)
-      else if (fold.combinable && m.chunks.nonEmpty)
+      else if (m.chunks.nonEmpty && rekeyCombinable(m, t, fold))
         transformRekeyIncremental(m, t, fold)
       else {
         val src = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
@@ -362,6 +367,23 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           t.outKeyCols, target).tableHash
       }
     })
+  }
+
+  /** The incremental re-key path splits one fold into per-chunk partial
+    * folds; that's only hash-stable when partial folds are bit-identical
+    * for the transform's OUTPUT value types (a driver-only schema probe
+    * on an empty frame — no job runs). FP sums fall back to the
+    * whole-table path: FP addition is non-associative, so sum-of-sums
+    * diverges bit-wise from a single sum and incremental refresh would
+    * systematically break content-address convergence. */
+  private def rekeyCombinable(m: TableMeta, t: ColTransform,
+      fold: FoldSpec): Boolean = {
+    if (!fold.combinable) return false
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    val out = empty.select(t.columns: _*).schema
+    fold.combinableFor(
+      out.filterNot(f => t.outKeyCols.contains(f.name)).map(_.dataType).toSeq)
   }
 
   /** Incremental re-keying transform (combinable folds): per source

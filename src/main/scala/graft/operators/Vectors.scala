@@ -144,6 +144,45 @@ object Vectors {
       .orderBy($"i", $"j")
   }
 
+  /** EXACT all-pairs near-dup — the exhaustive variant of [[simNeardup]],
+    * registered separately so consumers choose semantics explicitly:
+    * `sim_neardup` = cell-blocked approximate (linear-ish, the 100 TB
+    * path, recall pinned in ScalaTest), `sim_neardup_exact` = exhaustive
+    * O(n²) pairs. Distributed: an inequality self-join (Spark plans a
+    * broadcast-nested-loop with the corpus broadcast once), the same
+    * integer-only cosine threshold — no driver collect in the plan; cost
+    * is inherently quadratic in corpus size, which is the point. */
+  def simNeardupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val a = v.select($"vec_id".as("i"), $"q".as("qi"), $"nq".as("ni"))
+    val b = v.select($"vec_id".as("j"), $"q".as("qj"), $"nq".as("nj"))
+    val dec = "decimal(38,0)"
+    a.join(broadcast(b), $"i" < $"j")
+      .withColumn("d", dot($"qi", $"qj"))
+      .where($"d" > 0 &&
+        lit(25).cast(dec) * $"d".cast(dec) * $"d".cast(dec) >=
+          lit(4).cast(dec) * $"ni".cast(dec) * $"nj".cast(dec))
+      .select($"i", $"j")
+      .orderBy($"i", $"j")
+  }
+
+  val simNeardupExactSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv)
+      |SELECT a.vec_id AS i, b.vec_id AS j
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) > 0
+      |  AND 25 * CAST(CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) AS HUGEINT)
+      |         * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |      >= 4 * CAST(a.nq AS HUGEINT) * b.nq
+      |ORDER BY i, j""".stripMargin
+
   /** The in-cell kernel run corpus-wide — brute-force all-pairs ground
     * truth for [[simNeardup]]'s recall pin. TEST-ONLY at any real scale:
     * collects the corpus to the driver. */
@@ -369,7 +408,11 @@ object Vectors {
 
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
+    // APPROXIMATE: IVF-cell-blocked pairs (the scale path; recall vs
+    // exhaustive pinned in NorthStarSpec) — exhaustive semantics live
+    // under sim_neardup_exact
     "sim_neardup" -> (simNeardup _),
+    "sim_neardup_exact" -> (simNeardupExact _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "multimodal_meta" -> (multimodalMeta _))
@@ -377,6 +420,7 @@ object Vectors {
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_neardup" -> simNeardupSql,
+    "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,
     "multimodal_meta" -> multimodalMetaSql)
 }

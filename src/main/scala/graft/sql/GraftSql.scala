@@ -66,8 +66,10 @@ object GraftSql {
     }
   }
 
+  // \b: only the exact type names — "decimalish" must not prefix-match
+  // and leak its residue into constraint parsing
   private val decimalRe =
-    """^(?:decimal|numeric)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?""".r
+    """^(?:decimal|numeric)\b\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?""".r
 
   /** (field, notNull, isKey) */
   private def parseColumn(s: String): (StructField, Boolean, Boolean) = {

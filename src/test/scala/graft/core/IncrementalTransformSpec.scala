@@ -211,6 +211,45 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(v2.hash == scratch.hash)
   }
 
+  test("FP-valued re-keying sum takes the whole-table path (no partial folds)") {
+    // FP addition is non-associative: sum-of-partial-sums is not
+    // bit-identical to one sum, so the incremental per-chunk pre-fold
+    // would make incremental vs from-scratch hashes diverge
+    // systematically. FoldSum.combinableFor gates double/float values
+    // back to the whole-table path (ADVICE r3 #1).
+    val store = new FsStore(Files.createTempDirectory("graft-fp-").toString)
+    val ops = new Ops(spark, store, 16)
+    val fpSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    def fdf(rows: Seq[(String, Double)]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), fpSchema)
+    val rekeySum = ColTransform("rekey_sum_fp_v1", Seq("g"),
+      Seq(substring(col("k"), 2, 2).as("g"), col("v")))
+    val rows = (0 until 600).map(i => f"k$i%04d" -> i * 0.1)
+    val base = ops.fromDataFrame(fdf(rows), Seq("k"))
+    val nChunks = ops.meta(base).chunks.length
+    assert(nChunks > 10)
+    store.stats.reset()
+    val out = ops.transform(base, rekeySum, FoldSpec.FoldSum)
+    // whole-table path: one whole-op memo miss, NO per-chunk mini lookups
+    // (the incremental path would record ~nChunks misses first)
+    val misses = store.stats.snapshot("memoMisses")
+    assert(misses <= 2, s"expected whole-table path, saw $misses memo misses")
+    val got = ops.scan(out).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1.substring(1, 3))
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, v) => assert(math.abs(v - want(g)) < 1e-6, s"group $g") }
+    // exact-typed values keep the incremental path: same shape, Long values
+    val base2 = ops.fromDataFrame(df(rows.map { case (k, _) => k -> 1L }), Seq("k"))
+    store.stats.reset()
+    ops.transform(base2, ColTransform("rekey_sum_long_v1", Seq("g"),
+      Seq(substring(col("k"), 2, 2).as("g"), col("v"))), FoldSpec.FoldSum)
+    assert(store.stats.snapshot("memoMisses") > nChunks / 2,
+      "integral values should use per-chunk minis")
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)

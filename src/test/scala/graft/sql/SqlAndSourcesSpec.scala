@@ -43,6 +43,10 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     bad("CREATE TABLE t (id uuid PRIMARY KEY)")
     bad("DROP TABLE t")
     bad("CREATE TABLE t (id bigint)") // no PK
+    // malformed type names must not prefix-match decimal/numeric and
+    // leak the residue into constraint parsing (ADVICE r3 #3)
+    bad("CREATE TABLE t (id bigint PRIMARY KEY, x decimalish)")
+    bad("CREATE TABLE t (id bigint PRIMARY KEY, x numericfoo)")
   }
 
   test("execute: DDL creates empty catalog table; SELECT runs over catalog") {
