@@ -19,18 +19,19 @@ import org.apache.spark.sql.types._
   * and an insert/delete only perturbs its own chunk (and possibly one
   * neighbor), the analogue of radix-trie locality.
   *
-  * Scale posture: boundary keys are 1/chunkTargetRows of rows (default
-  * 1/2^20 — the 64–256 MB chunk band). They are collected to the driver
-  * and broadcast for chunk-id assignment; at 100 TB with the default
-  * granularity that list is ~1e6 entries × ~key bytes —
-  * driver-feasible; the design point beyond that is to keep the
-  * boundary set as its own table and range-join
-  * (documented, not needed at test scale).
+  * Scale posture: [[materialize]] never drivers the boundary list — it
+  * collects only an intrinsic O(shuffle-partitions) subsample of the
+  * boundary keys as range splits and derives chunk membership locally
+  * per task, so driver memory is independent of table size.
+  * [[materializeGrouped]] still collects per-group boundaries (bounded
+  * by the groups being materialized — per-chunk minis/pieces, i.e. the
+  * DELTA in steady-state incremental use).
   */
 object Canonical {
 
   val KB = "_graft_kb" // order-preserving key bytes
   val CHUNK = "_graft_chunk"
+  private val PART = "_graft_part" // split-interval id during materialize
 
   /** Seed for the boundary hash — part of the format version. */
   private val BoundarySeed = 42L
@@ -168,23 +169,56 @@ object Canonical {
     val kbDf = withKeyBytes(df, keyCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 1. boundary keys (intrinsic: hash(keyBytes) % target == 0)
+      // 1. range SPLITS: an intrinsic subsample of the boundary keys.
+      //    hash(kb) % (target·sub) == 0 implies hash(kb) % target == 0,
+      //    so every split is a boundary key and chunk intervals nest
+      //    inside split intervals. The driver holds only O(4·nPart)
+      //    split keys — never the full boundary list (which is
+      //    O(rows/target) and was the 100 TB driver-memory ceiling).
       val target = chunkTargetRows
-      val isB = pmod(xxhash64(col(KB)), lit(target)) === 0
-      val boundaries: Array[Array[Byte]] = kbDf.where(isB).select(col(KB))
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val nRows = kbDf.count() // materializes the persisted frame
+      val maxSplits = 4L * nPart
+      val approxBoundaries = nRows / target
+      val sub = math.max(1L, (approxBoundaries + maxSplits - 1) / maxSplits)
+      val isSplit = pmod(xxhash64(col(KB)), lit(target * sub)) === 0
+      val splits: Array[Array[Byte]] = kbDf.where(isSplit).select(col(KB))
         .collect().map(_.getAs[Array[Byte]](0))
         .sortWith(Hashing.compareBytes(_, _) < 0)
-      val bcB = spark.sparkContext.broadcast(boundaries)
+      val bcS = spark.sparkContext.broadcast(splits)
 
-      // 2. chunk id = #boundaries <= keyBytes (boundary keys START chunks)
-      val chunkIdUdf = udf { (kb: Array[Byte]) => boundaryIndex(bcB.value, kb) }
+      // 2. partition id = split interval of the key. Hash-shuffling on it
+      //    sends each interval to exactly one task; a split key is a
+      //    boundary key AND a present row, so every interval (except the
+      //    leading "head") STARTS with a boundary row and no chunk ever
+      //    crosses a task — each chunk becomes exactly one file below.
+      val partIdUdf = udf { (kb: Array[Byte]) => boundaryIndex(bcS.value, kb) }
 
       val tmpDir = Files.createTempDirectory("graft-canon-").toString
-      val nPart = spark.sessionState.conf.numShufflePartitions
-      kbDf.withColumn(CHUNK, chunkIdUdf(col(KB)))
-        .repartition(nPart, col(CHUNK))
-        .sortWithinPartitions(col(CHUNK) +: keyCols.map(col): _*)
-        .select((cols :+ CHUNK).map(col): _*)
+      val parted = kbDf.withColumn(PART, partIdUdf(col(KB)))
+        .repartition(nPart, col(PART))
+        .sortWithinPartitions(col(PART), col(KB))
+      // single sorted pass per task: a boundary key opens a new chunk;
+      // the tag (interval, ordinal) only names the temp dir — chunk
+      // CONTENT is still a pure function of the key set, so hashes and
+      // the canonical decomposition are unchanged
+      val inSchema = parted.schema
+      val kbI = inSchema.fieldIndex(KB)
+      val pI = inSchema.fieldIndex(PART)
+      val tagEnc = RowEncoder.encoderFor(
+        inSchema.add(StructField(CHUNK, StringType, nullable = false)))
+      val tagged = parted.mapPartitions { it =>
+        var curP = -1; var ord = -1; var tag = ""
+        it.map { r =>
+          val p = r.getInt(pI)
+          if (p != curP) { curP = p; ord = -1; tag = s"$p-head" }
+          if (isBoundaryKey(r.getAs[Array[Byte]](kbI), target)) {
+            ord += 1; tag = s"$p-$ord"
+          }
+          Row.fromSeq(r.toSeq :+ tag)
+        }
+      }(tagEnc)
+      tagged.select((cols :+ CHUNK).map(col): _*)
         .write.mode("overwrite")
         // one file per chunk is a format invariant; don't let a session
         // maxRecordsPerFile split chunk files
@@ -195,14 +229,14 @@ object Canonical {
       //    key within each chunk file; row bytes are self-delimiting so
       //    sorting by rowBytes == sorting by key)
       // explicit schema: the dir may be empty (empty table), and the
-      // partition column must be typed IntegerType either way
-      val writtenSchema = df.schema.add(StructField(CHUNK, IntegerType))
+      // partition column must be typed either way
+      val writtenSchema = df.schema.add(StructField(CHUNK, StringType))
       val written = spark.read.schema(writtenSchema).parquet(tmpDir)
       val rbEnc = KeyCodec.rowEncoder(
         StructType(df.schema.fields), cols)
       val kEnc = KeyCodec.rowEncoder(StructType(df.schema.fields), keyCols)
       val hashInSchema = StructType(Seq(
-        StructField(CHUNK, IntegerType), StructField("kb", BinaryType),
+        StructField(CHUNK, StringType), StructField("kb", BinaryType),
         StructField("rb", BinaryType)))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
@@ -220,7 +254,7 @@ object Canonical {
       //    backends turn this into a single commit op, not N renames)
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
       val metas = chunkRows.map { r =>
-        val id = r.getAs[Int](CHUNK)
+        val id = r.getAs[String](CHUNK)
         val hash = r.getAs[String]("hash")
         val dir = Paths.get(tmpDir, s"$CHUNK=$id")
         val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))

@@ -103,6 +103,24 @@ class EngineSpec extends AnyFunSuite {
     assert(r1.hash == r2.hash)
   }
 
+  test("canonical form is independent of the shuffle-partition count (split sampling)") {
+    // materialize samples range splits sized to spark.sql.shuffle
+    // .partitions; the chunk decomposition must depend ONLY on the key
+    // set, never on how many splits were sampled
+    val ops = newOps()
+    val rows = (0 until 3000).map(i => f"key$i%05d" -> i.toLong)
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val r1 = ops.fromDataFrame(df(rows), Seq("k"))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val ops2 = new Ops(spark, new FsStore(
+        Files.createTempDirectory("graft-splits-").toString), ops.chunkTargetRows)
+      val r2 = ops2.fromDataFrame(df(rows), Seq("k"))
+      assert(r1.hash == r2.hash)
+      assert(ops.meta(r1).chunks.map(_.hash) == ops2.meta(r2).chunks.map(_.hash))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
   test("fromDataFrame folds duplicate keys last-wins; contents match model") {
     val ops = newOps()
     val rows = Seq("a" -> 1L, "b" -> 2L, "a" -> 3L, "c" -> 4L, "b" -> 5L)
