@@ -286,6 +286,85 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q4-shaped (adapted: the testdata has no commit/receipt dates,
+    * so "late" = has a returned lineitem): order counts per priority for
+    * one quarter, where EXISTS a flagged lineitem — the date-windowed
+    * EXISTS-semi-join shape. The quarter filter pushes to the orders
+    * scan; the semi join never widens rows. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagged = Tables(s, dir, "lineitem")
+      .where($"l_returnflag" === "R").select($"l_orderkey")
+    Tables(s, dir, "orders")
+      .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+      .join(flagged, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14-shaped: promo revenue share for one month — fact×dim join
+    * with a CONDITIONAL-aggregate ratio. Revenue stays exact integer
+    * cents through both sums; the single fp step is the final division,
+    * identical in both engines. part is broadcast. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
+    Tables(s, dir, "lineitem")
+      .where($"l_shipdate" >= "1997-09-01" && $"l_shipdate" < "1997-10-01")
+      .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(0L))
+        .cast("double") / sum(rev).cast("double")).as("promo_pct"))
+  }
+
+  val q14PromoRevenueSql: String =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |    THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |    ELSE 0 END) AS DOUBLE)
+       |  / CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE)
+       |  AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin
+
+  /** TPC-H Q16-shaped (lineitem plays partsupp): distinct supplier count
+    * per surviving (brand, type, size) — dim-filtered join with a NOT-IN
+    * supplier exclusion planned as a broadcast ANTI join, then
+    * count-distinct. The anti join runs BEFORE the wide join so excluded
+    * rows never reach the shuffle. */
+  def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excluded = Tables(s, dir, "supplier")
+      .where($"s_suppkey" % 7 === 0).select($"s_suppkey")
+    Tables(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .where($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q16PartsSuppliersSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1,5,9,13,17,21,25,29)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   /** UNPIVOT (wide → long): the measure columns of a lineitem slice
     * melted into (measure, val) rows — the inverse of pivot_status. */
   def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
@@ -417,6 +496,9 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q12_priority_shipping" -> (q12PriorityShipping _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q16_parts_suppliers" -> (q16PartsSuppliers _),
     "unpivot_measures" -> (unpivotMeasures _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_fold_sum" -> (mergeFoldSum _),
@@ -434,6 +516,9 @@ object Relational {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q12_priority_shipping" -> q12PriorityShippingSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q14_promo_revenue" -> q14PromoRevenueSql,
+    "q16_parts_suppliers" -> q16PartsSuppliersSql,
     "unpivot_measures" -> unpivotMeasuresSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_fold_sum" -> mergeFoldSumSql,

@@ -49,6 +49,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_anti").contains("LeftAnti"))
   }
 
+  test("q4/q16: EXISTS plans as a semi join; NOT-IN exclusion as a broadcast anti join") {
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), s"q4 missing semi join:\n$q4")
+    assert(q4.contains("PushedFilters:") && q4.contains("o_orderdate"),
+      s"q4 date window not pushed:\n$q4")
+    val q16 = plan("q16_parts_suppliers")
+    assert(q16.contains("LeftAnti") && q16.contains("BroadcastHashJoin"),
+      s"q16 exclusion not a broadcast anti join:\n$q16")
+  }
+
   test("q1 partial aggregation happens map-side (two HashAggregate phases)") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
