@@ -334,6 +334,96 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Distributed Lloyd k-means over the quantized vectors — the
+    * production centroid source for IVF (the deterministic-pick variant
+    * above stays as the oracle-backed baseline). Everything is EXACT
+    * integer arithmetic, so the result is deterministic and
+    * order-independent: assignment by integer squared-L2 with
+    * strict-< argmin (ties → lower cell id), centroid update = exact
+    * Long sums per dimension (commutative/associative) followed by one
+    * truncating integer division. Per iteration: one broadcast of k
+    * centroids, one shuffle of k·dim partial sums — at 100 TB the only
+    * driver state is the k×dim centroid model itself. */
+  def kmeansCentroids(s: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 3): Array[Array[Long]] = {
+    import s.implicits._
+    val v = quantized(s, dir).select($"vec_id", $"q")
+    // deterministic seed: the k smallest vec_ids
+    var cents: Array[Array[Long]] =
+      v.orderBy($"vec_id").limit(k).collect()
+        .map(_.getSeq[Long](1).toArray)
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val assign = udf { (q: scala.collection.Seq[Long]) =>
+        val cs = bc.value
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cq = cs(c); var d = 0L; var i = 0
+          while (i < cq.length) { val t = q(i) - cq(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      // k·dim partial-sum rows to the driver (the model update, tiny)
+      val sums = v.withColumn("cell", assign($"q"))
+        .select($"cell", posexplode($"q").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Long](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            arr
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN with LEARNED (k-means) centroids — the production variant
+    * of [[simAnnIvf]]: same exact-integer cell assignment and probe
+    * re-rank, but cells come from [[kmeansCentroids]] instead of
+    * deterministic picks, so cell populations are balanced by the data
+    * distribution. No SQL oracle (the centroid model is JVM-derived);
+    * determinism and recall vs the brute-force baseline are pinned in
+    * ScalaTest. */
+  def simAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cs = kmeansCentroids(s, dir)
+    val centRows = cs.zipWithIndex.map { case (q, i) =>
+      (i.toLong, q.toSeq, q.map(x => x * x).sum)
+    }.toSeq
+    val cents = s.createDataFrame(centRows)
+      .toDF("c_id", "cq", "cn")
+    val v = quantized(s, dir)
+    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
+      val d2 = (col("nq") + col("cn") - lit(2L) * dot(col("q"), col("cq"))).as("d2")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+      side.join(broadcast(cents))
+        .select(side.columns.map(col) :+ col("c_id") :+ d2: _*)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+    }
+    val assigned = nearestCells(v.where($"vec_id" >= 10), 1)
+      .select($"vec_id", $"q", $"nq", $"c_id".as("cell"))
+    val probes = nearestCells(v.where($"vec_id" < 10), IvfProbes)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nq".as("qn"),
+        $"c_id".as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .select($"query_id", $"vec_id",
+        (dot($"qq", $"q") / sqrt($"qn".cast("double") * $"nq")).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   val simAnnIvfSql: String =
     """WITH qv AS (
       |  SELECT vec_id,
@@ -415,6 +505,7 @@ object Vectors {
     "sim_neardup_exact" -> (simNeardupExact _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(

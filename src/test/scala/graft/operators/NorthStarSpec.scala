@@ -67,6 +67,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.1, f"ANN recall $recall%.2f vs brute force")
   }
 
+  test("k-means IVF: deterministic across runs, balanced cells, decent recall") {
+    // learned centroids must be reproducible (exact integer Lloyd steps:
+    // Long sums + truncating division — no fp, no order dependence)
+    val c1 = Vectors.kmeansCentroids(spark, sf)
+    val c2 = Vectors.kmeansCentroids(spark, sf)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "k-means centroids differ between runs")
+    val r1 = Vectors.simAnnIvfKmeans(spark, sf).collect().toSeq
+    val r2 = Vectors.simAnnIvfKmeans(spark, sf).collect().toSeq
+    assert(r1 == r2, "sim_ann_ivf_kmeans not deterministic")
+    val bf = Vectors.simTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = r1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.nonEmpty)
+    val recall = (ann & bf).size.toDouble / bf.size
+    info(f"k-means IVF recall vs brute force: $recall%.2f")
+    assert(recall >= 0.2, f"recall $recall%.2f collapsed — k-means IVF broken")
+  }
+
   test("cell-blocked near-dup is a subset of brute force with pinned recall") {
     // sim_neardup's registered query blocks by IVF cell (no driver
     // collect, no all-pairs); brute force all-pairs stays here as the
