@@ -19,13 +19,11 @@ import org.apache.spark.sql.types._
   * and an insert/delete only perturbs its own chunk (and possibly one
   * neighbor), the analogue of radix-trie locality.
   *
-  * Scale posture: [[materialize]] never drivers the boundary list — it
-  * collects only an intrinsic O(shuffle-partitions) subsample of the
-  * boundary keys as range splits and derives chunk membership locally
-  * per task, so driver memory is independent of table size.
-  * [[materializeGrouped]] still collects per-group boundaries (bounded
-  * by the groups being materialized — per-chunk minis/pieces, i.e. the
-  * DELTA in steady-state incremental use).
+  * Scale posture: neither materialization path drivers the boundary
+  * list — both collect only an intrinsic O(shuffle-partitions)
+  * subsample of the boundary keys as range splits and derive chunk
+  * membership locally per task, so driver memory is independent of
+  * table size.
   */
 object Canonical {
 
@@ -295,38 +293,64 @@ object Canonical {
     val kbDf = withKeyBytesKeeping(df, keyCols, groupCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // same sampled-split scheme as [[materialize]], compounded with the
+      // group: the driver holds an O(shuffle-partitions) subsample of
+      // (group, boundary-key) pairs, never the full per-group boundary
+      // lists. Chunk membership is derived locally per task.
       val target = chunkTargetRows
-      val isB = pmod(xxhash64(col(KB)), lit(target)) === 0
-      val boundaries: Map[String, Array[Array[Byte]]] = kbDf.where(isB)
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val nRows = kbDf.count()
+      val maxSplits = 4L * nPart
+      val sub = math.max(1L, (nRows / target + maxSplits - 1) / maxSplits)
+      val isSplit = pmod(xxhash64(col(KB)), lit(target * sub)) === 0
+      val splits: Map[String, Array[Array[Byte]]] = kbDf.where(isSplit)
         .select(col(groupCol), col(KB)).collect()
         .groupBy(_.getString(0))
         .map { case (g, rows) =>
           g -> rows.map(_.getAs[Array[Byte]](1))
             .sortWith(Hashing.compareBytes(_, _) < 0)
         }
-      val bcB = spark.sparkContext.broadcast(boundaries)
-      val chunkIdUdf = udf { (g: String, kb: Array[Byte]) =>
-        boundaryIndex(bcB.value.getOrElse(g, Array.empty[Array[Byte]]), kb)
+      val bcS = spark.sparkContext.broadcast(splits)
+      val partIdUdf = udf { (g: String, kb: Array[Byte]) =>
+        boundaryIndex(bcS.value.getOrElse(g, Array.empty[Array[Byte]]), kb)
       }
 
       val tmpDir = Files.createTempDirectory("graft-canon-g-").toString
-      val nPart = spark.sessionState.conf.numShufflePartitions
-      kbDf.withColumn(CHUNK, chunkIdUdf(col(groupCol), col(KB)))
-        .repartition(nPart, col(groupCol), col(CHUNK))
-        .sortWithinPartitions(col(groupCol) +: col(CHUNK) +: keyCols.map(col): _*)
-        .select((cols :+ groupCol :+ CHUNK).map(col): _*)
+      val parted = kbDf.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
+        .repartition(nPart, col(groupCol), col(PART))
+        .sortWithinPartitions(col(groupCol), col(PART), col(KB))
+      val inSchema = parted.schema
+      val kbI = inSchema.fieldIndex(KB)
+      val pI = inSchema.fieldIndex(PART)
+      val gI = inSchema.fieldIndex(groupCol)
+      val tagEnc = RowEncoder.encoderFor(
+        inSchema.add(StructField(CHUNK, StringType, nullable = false)))
+      val tagged = parted.mapPartitions { it =>
+        var curG: String = null; var curP = -1; var ord = -1; var tag = ""
+        it.map { r =>
+          val g = r.getString(gI); val p = r.getInt(pI)
+          if (g != curG || p != curP) {
+            curG = g; curP = p; ord = -1; tag = s"$p-head"
+          }
+          if (isBoundaryKey(r.getAs[Array[Byte]](kbI), target)) {
+            ord += 1; tag = s"$p-$ord"
+          }
+          Row.fromSeq(r.toSeq :+ tag)
+        }
+      }(tagEnc)
+      tagged.select((cols :+ groupCol :+ CHUNK).map(col): _*)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
         .partitionBy(groupCol, CHUNK).parquet(tmpDir)
 
       val writtenSchema = dataSchema
         .add(StructField(groupCol, StringType))
-        .add(StructField(CHUNK, IntegerType))
+        .add(StructField(CHUNK, StringType))
       val written = spark.read.schema(writtenSchema).parquet(tmpDir)
       val rbEnc = KeyCodec.rowEncoder(dataSchema, cols)
       val kEnc = KeyCodec.rowEncoder(dataSchema, keyCols)
       val hashInSchema = StructType(Seq(
-        StructField(groupCol, StringType), StructField(CHUNK, IntegerType),
+        StructField(groupCol, StringType), StructField(CHUNK, StringType),
         StructField("kb", BinaryType), StructField("rb", BinaryType)))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
@@ -349,7 +373,7 @@ object Canonical {
         require(g.matches("[A-Za-z0-9_-]+"),
           s"group value '$g' is not path-safe")
         val metas = rows.map { r =>
-          val id = r.getAs[Int](CHUNK)
+          val id = r.getAs[String](CHUNK)
           val hash = r.getAs[String]("hash")
           val dir = Paths.get(tmpDir, s"$groupCol=$g", s"$CHUNK=$id")
           val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
