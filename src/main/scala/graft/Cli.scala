@@ -188,18 +188,6 @@ object Cli {
       System.err.println(s"no such table: $table"); sys.exit(2)
     }
 
-  // "yyyy-MM-dd[ HH:mm:ss[.f…]]" — date-only bounds default to midnight
-  private val localDateTimeFmt: java.time.format.DateTimeFormatter = {
-    import java.time.temporal.ChronoField._
-    new java.time.format.DateTimeFormatterBuilder()
-      .appendPattern("yyyy-MM-dd[ HH:mm:ss]")
-      .appendFraction(NANO_OF_SECOND, 0, 9, true)
-      .parseDefaulting(HOUR_OF_DAY, 0)
-      .parseDefaulting(MINUTE_OF_HOUR, 0)
-      .parseDefaulting(SECOND_OF_MINUTE, 0)
-      .toFormatter
-  }
-
   private def parseKey(spark: SparkSession, m: TableMeta, s: String): Any = {
     import org.apache.spark.sql.types._
     m.schema(m.keyCols.head).dataType match {
@@ -211,17 +199,9 @@ object Cli {
       case dt: DecimalType =>
         new java.math.BigDecimal(s).setScale(dt.scale)
       case DateType => java.sql.Date.valueOf(s) // yyyy-MM-dd
-      case TimestampType =>
-        // interpret the wall-clock bound in the SESSION timezone — the
-        // zone Spark used when casting strings at ingest. Timestamp
-        // .valueOf would use the JVM default zone; when the two differ,
-        // range/delete bounds on timestamp keys silently shift.
-        val zone = java.time.ZoneId.of(
-          spark.conf.get("spark.sql.session.timeZone"))
-        val local = java.time.LocalDateTime.parse(s, localDateTimeFmt)
-        java.sql.Timestamp.from(local.atZone(zone).toInstant)
+      case TimestampType => DateTimeUtil.sessionTimestamp(spark, s)
       case TimestampNTZType =>
-        java.time.LocalDateTime.parse(s, localDateTimeFmt)
+        java.time.LocalDateTime.parse(s, DateTimeUtil.wallClockFmt)
       case BooleanType => s.toBoolean
       case _ => s
     }

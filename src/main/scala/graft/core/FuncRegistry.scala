@@ -85,6 +85,45 @@ object FoldSpec {
     override val combinable = true
   }
 
+  private[core] def exactValueTypes(
+      ts: Seq[org.apache.spark.sql.types.DataType]): Boolean = {
+    import org.apache.spark.sql.types._
+    ts.forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case BooleanType | StringType | BinaryType => true // no arithmetic
+      case _ => false
+    }
+  }
+
+  /** User-declared commutative-associative fold over one aggregate
+    * expression per value column — a named monoid. Declaring it
+    * combinable is the caller's FuncKey-style contract: the aggregate
+    * must satisfy fold(fold(xs) ++ fold(ys)) == fold(xs ++ ys)
+    * BIT-exactly, which unlocks the O(delta) incremental re-key path and
+    * src-free region memo keys. `exactTypesOnly` adds FoldSum's guard
+    * (fall back to whole-table for FP value columns); set it for any
+    * arithmetic fold. */
+  final case class CombinableFold(key: String, agg: Column => Column,
+      override val idempotent: Boolean = false,
+      exactTypesOnly: Boolean = false) extends FoldSpec {
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map(c => agg(col(c)).as(c))
+    override val combinable = true
+    override def combinableFor(
+        valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
+      !exactTypesOnly || exactValueTypes(valueTypes)
+  }
+
+  /** Example monoids: bitwise accumulation — idempotent (x|x == x,
+    * x&x == x) AND combinable, so they ride every fast path. (A product
+    * fold would NOT qualify: Spark's `product` aggregates in double,
+    * which is neither type-preserving nor associative bit-wise.) */
+  val FoldBitOr: CombinableFold =
+    CombinableFold("fold_bit_or_v1", c => bit_or(c), idempotent = true)
+  val FoldBitAnd: CombinableFold =
+    CombinableFold("fold_bit_and_v1", c => bit_and(c), idempotent = true)
+
   /** General NON-commutative pairwise fold in source order — the full
     * FoldFunc semantics (`V.foldl1 (fold key)` over colliding values in
     * input order, Trie.hs:396-401): collect (src, value) pairs, sort by

@@ -209,4 +209,28 @@ object DateTimeUtil {
     case i: java.lang.Integer => i
     case other => throw new IllegalArgumentException(s"not a date: $other")
   }
+
+  /** "yyyy-MM-dd[ HH:mm:ss[.f…]]" — date-only strings default to
+    * midnight. Shared by every surface that parses wall-clock bounds
+    * (CLI keys, SQL DELETE ranges) so they agree on the grammar. */
+  val wallClockFmt: java.time.format.DateTimeFormatter = {
+    import java.time.temporal.ChronoField._
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd[ HH:mm:ss]")
+      .appendFraction(NANO_OF_SECOND, 0, 9, true)
+      .parseDefaulting(HOUR_OF_DAY, 0)
+      .parseDefaulting(MINUTE_OF_HOUR, 0)
+      .parseDefaulting(SECOND_OF_MINUTE, 0)
+      .toFormatter
+  }
+
+  /** Parse a wall-clock string in the SESSION timezone (the zone Spark
+    * used when casting strings at ingest) — never the JVM default. */
+  def sessionTimestamp(spark: org.apache.spark.sql.SparkSession,
+      s: String): java.sql.Timestamp = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val local = java.time.LocalDateTime.parse(s, wallClockFmt)
+    java.sql.Timestamp.from(local.atZone(zone).toInstant)
+  }
 }

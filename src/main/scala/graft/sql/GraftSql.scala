@@ -121,6 +121,8 @@ object GraftSql {
     """primary\s+key\s*\(([^)]*)\)\s+as\s+((?:select|with)\b.*)$""").r
   private val dropRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*;?\s*$""".r
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+("?[\w.]+"?)\s+where\s+(.+?)\s*;?\s*$""".r
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -179,6 +181,9 @@ object GraftSql {
     *    explicit key clause (our tables are keyed maps, so a PK is
     *    mandatory — dialect extension).
     *  - `DROP TABLE [IF EXISTS] t`.
+    *  - `DELETE FROM t WHERE <cond>` — leading-key-column ranges take the
+    *    O(edge-chunks) incremental deleteRange; other predicates rebuild
+    *    the table from the kept rows.
     */
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
@@ -256,6 +261,31 @@ object GraftSql {
         val delta = ops.fromDataFrame(casted, entry.keyCols)
         val merged = ops.upsert(graft.core.TableRef(entry.tableHash), delta)
         Right(catalog.put(name, merged))
+      case deleteRe(rawName, cond) =>
+        // `DELETE FROM t WHERE <cond>`: a conjunction of comparisons on
+        // the LEADING key column maps to the engine's incremental
+        // deleteRange (metadata + at most two edge-chunk rewrites, all
+        // memoized); any other predicate falls back to a full
+        // filter-and-rebuild — correct, but O(table), like any
+        // non-key-aligned delete must be
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val ref = graft.core.TableRef(entry.tableHash)
+        val out = parseKeyRange(spark, schema, entry.keyCols, cond) match {
+          case Some((lo, hi)) => ops.deleteRange(ref, lo, hi)
+          case None =>
+            registerViews()
+            val keep = spark.sql(
+              s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
+            ops.fromDataFrame(keep, entry.keyCols)
+        }
+        // no-op deletes must not mint empty commits (same rule as Views)
+        if (out == ref)
+          Right(ops.store.currentRootHash.getOrElse(
+            throw new SqlException("no catalog root")))
+        else Right(catalog.put(name, out))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
       case t if t.toLowerCase.startsWith("create table") =>
@@ -266,5 +296,82 @@ object GraftSql {
         registerViews()
         Left(spark.sql(sqlText))
     }
+  }
+
+  private val betweenRe =
+    """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r
+  private val cmpRe = """(?s)^("?\w+"?)\s*(<=|>=|=|<|>)\s*(.+)$""".r
+
+  /** Recognize `cond` as a key range on the table's LEADING key column:
+    * a single BETWEEN, a single equality, or an AND of at most one lower
+    * and one upper comparison against literals. Returns the deleteRange
+    * bounds, or None when the predicate is anything else (caller falls
+    * back to filter-and-rebuild). */
+  private[sql] def parseKeyRange(spark: SparkSession, schema: StructType,
+      keyCols: Seq[String], cond: String): Option[(Option[graft.core.Bound],
+        Option[graft.core.Bound])] = {
+    import graft.core.Bound
+    val keyCol = keyCols.head
+    val dt = schema(keyCol).dataType
+    def lit(raw: String): Option[Any] = parseLiteral(spark, dt, raw)
+    def isKey(c: String): Boolean = unquote(c).equalsIgnoreCase(keyCol)
+    cond match {
+      case betweenRe(c, lo, hi) if isKey(c) =>
+        for (l <- lit(lo); h <- lit(hi))
+          yield (Some(Bound(Seq(l), inclusive = true)),
+            Some(Bound(Seq(h), inclusive = true)))
+      case _ =>
+        val parts = cond.split("""(?i)\s+and\s+""").map(_.trim)
+        var lo: Option[Bound] = None
+        var hi: Option[Bound] = None
+        var eq = false
+        var ok = parts.nonEmpty
+        parts.foreach {
+          case cmpRe(c, op, rawLit) if ok && isKey(c) =>
+            lit(rawLit) match {
+              case None => ok = false
+              case Some(v) => op match {
+                case "=" if lo.isEmpty && hi.isEmpty && !eq =>
+                  eq = true
+                  lo = Some(Bound(Seq(v), inclusive = true))
+                  hi = Some(Bound(Seq(v), inclusive = true))
+                case ">=" if lo.isEmpty && !eq => lo = Some(Bound(Seq(v), inclusive = true))
+                case ">" if lo.isEmpty && !eq => lo = Some(Bound(Seq(v), inclusive = false))
+                case "<=" if hi.isEmpty && !eq => hi = Some(Bound(Seq(v), inclusive = true))
+                case "<" if hi.isEmpty && !eq => hi = Some(Bound(Seq(v), inclusive = false))
+                case _ => ok = false
+              }
+            }
+          case _ => ok = false
+        }
+        if (ok && (lo.nonEmpty || hi.nonEmpty)) Some((lo, hi)) else None
+    }
+  }
+
+  /** Parse one SQL literal as the given key type; None = not a literal
+    * this fast path understands. DATE/TIMESTAMP type prefixes are
+    * accepted; wall-clock strings parse in the session timezone via the
+    * shared grammar ([[graft.core.DateTimeUtil]]). */
+  private def parseLiteral(spark: SparkSession, dt: DataType,
+      raw: String): Option[Any] = {
+    val t = raw.trim.replaceFirst("""(?i)^(date|timestamp)\s+""", "")
+    try {
+      if (t.length >= 2 && t.startsWith("'") && t.endsWith("'")) {
+        val s = t.substring(1, t.length - 1)
+        if (s.contains("'") || s.contains("\\")) None // escapes: fall back
+        else dt match {
+          case StringType => Some(s)
+          case DateType => Some(java.sql.Date.valueOf(s))
+          case TimestampType => Some(graft.core.DateTimeUtil.sessionTimestamp(spark, s))
+          case _ => None
+        }
+      } else dt match {
+        case LongType => Some(t.toLong)
+        case IntegerType => Some(t.toInt)
+        case ShortType => Some(t.toShort)
+        case d: DecimalType => Some(new java.math.BigDecimal(t).setScale(d.scale))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

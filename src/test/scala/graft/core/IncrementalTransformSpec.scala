@@ -250,6 +250,43 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "integral values should use per-chunk minis")
   }
 
+  test("custom combinable fold (bit_or) rides the incremental re-key path") {
+    // a user-declared monoid gets the same O(delta) treatment as the
+    // built-in sum/min/max folds
+    val store = new FsStore(Files.createTempDirectory("graft-cf-").toString)
+    val ops = new Ops(spark, store, 16)
+    ops.registry.registerFold(FoldSpec.FoldBitOr)
+    val rekeyOr = ColTransform("rekey_or_v1", Seq("g"),
+      Seq(substring(col("k"), 2, 2).as("g"), col("v")))
+    val rows = (0 until 1200).map(i => f"k$i%04d" -> (1L << (i % 13)))
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val nChunks = ops.meta(base).chunks.length
+    assert(nChunks > 20)
+    val v1 = ops.transform(base, rekeyOr, FoldSpec.FoldBitOr)
+    def model(data: Map[String, Long]): Map[String, Long] =
+      data.toSeq.groupBy(_._1.substring(1, 3))
+        .view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+    val got1 = ops.scan(v1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got1 == model(rows.toMap))
+    // small upsert → O(delta) refresh, hash-equal to from-scratch
+    val delta = Seq("k0100" -> (1L << 40))
+    val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+    store.stats.reset()
+    val v2 = ops.transform(merged, rekeyOr, FoldSpec.FoldBitOr)
+    val snap = store.stats.snapshot
+    assert(snap("memoHits") > nChunks / 2,
+      s"custom fold skipped the incremental path: $snap")
+    assert(snap("chunkSaves") <= 12, s"not O(delta): $snap")
+    val want = model(rows.toMap ++ delta.toMap)
+    assert(ops.scan(v2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    val ops2 = new Ops(spark,
+      new FsStore(Files.createTempDirectory("graft-cf2-").toString), 16)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df((rows.toMap ++ delta.toMap).toSeq), Seq("k")),
+      rekeyOr, FoldSpec.FoldBitOr)
+    assert(v2.hash == scratch.hash)
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)

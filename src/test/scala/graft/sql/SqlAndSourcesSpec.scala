@@ -93,6 +93,41 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "INSERT INTO nope VALUES ('x', 1)"))
   }
 
+  test("DELETE FROM: key ranges take deleteRange; other predicates rebuild; no-op mints no root") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv SELECT id AS k, id * 10 AS v FROM range(0, 100)")
+    def keys(): Seq[Long] = ops.scanOrdered(cat.get("kv").get)
+      .collect().map(_.getLong(0)).toSeq
+
+    // leading-key range → incremental deleteRange, memoized range ops
+    ops.store.stats.reset()
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv WHERE k >= 20 AND k < 30")
+    assert(keys() == ((0L until 20L) ++ (30L until 100L)))
+    assert(ops.store.stats.snapshot("memoMisses") > 0, "range path not used")
+
+    // BETWEEN (inclusive both ends) and equality forms
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv WHERE k BETWEEN 90 AND 94")
+    assert(!keys().exists(k => k >= 90 && k <= 94))
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv WHERE k = 0")
+    assert(!keys().contains(0L))
+
+    // non-key predicate → filter-and-rebuild, still correct
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv WHERE v % 20 = 10")
+    assert(keys().forall(k => (k * 10) % 20 != 10))
+
+    // no-op delete: result identical ⇒ no new catalog root
+    val rootBefore = ops.store.currentRootHash
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv WHERE k >= 5000")
+    assert(ops.store.currentRootHash == rootBefore, "no-op delete minted a root")
+
+    // unknown table rejected
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "DELETE FROM nope WHERE k = 1"))
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
