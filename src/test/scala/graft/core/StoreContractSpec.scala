@@ -17,7 +17,9 @@ class StoreContractSpec extends AnyFunSuite {
   private def backends: Seq[(String, () => GraftStore)] = Seq(
     "fs" -> (() => new FsStore(Files.createTempDirectory("graft-cs-fs-").toString)),
     "objectstore-sim" -> (() =>
-      new ObjectStoreSimStore(Files.createTempDirectory("graft-cs-os-").toString)))
+      new ObjectStoreSimStore(Files.createTempDirectory("graft-cs-os-").toString)),
+    "pack" -> (() =>
+      new PackStore(Files.createTempDirectory("graft-cs-pk-").toString)))
 
   private val schema = StructType(Seq(
     StructField("k", StringType, nullable = false),
@@ -108,6 +110,7 @@ class StoreContractSpec extends AnyFunSuite {
         java.nio.file.Paths.get(store match {
           case f: FsStore => f.rootDir
           case o: ObjectStoreSimStore => o.rootDir
+          case p: PackStore => p.rootDir
         }, "tables", s"$h.json"))
       assert(envelope.length < 10000, "indexed meta must stay an envelope")
       assert(envelope.contains("chunksIndexed"))
@@ -146,6 +149,40 @@ class StoreContractSpec extends AnyFunSuite {
     }
     assert(hashes.map(_._2).distinct.length == 1,
       s"content identity must not depend on the backend: $hashes")
+  }
+
+  test("pack: one pack object per materialization; journal replays on reopen; cache rebuilds from packs") {
+    val dir = Files.createTempDirectory("graft-cs-pack2-").toString
+    val store = new PackStore(dir)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 400).map(i => f"k$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val n = ops.meta(ref).chunks.length
+    assert(n > 10, s"want many chunks, got $n")
+    val packDir = java.nio.file.Paths.get(dir, "packs")
+    val packCount = FsUtil.listDir(packDir).count(_.toString.endsWith(".pack"))
+    assert(packCount == 1,
+      s"N chunks must land in ONE pack object, got $packCount")
+    assert(store.stats.snapshot("chunkSaves") == n.toLong)
+
+    // wipe the read cache, reopen from the journal: every chunk must
+    // re-extract from the pack byte ranges
+    val cache = java.nio.file.Paths.get(dir, "cache")
+    FsUtil.listDir(cache).foreach(f => { Files.deleteIfExists(f); () })
+    val store2 = new PackStore(dir)
+    assert(ops.meta(ref).chunks.forall(c => store2.hasChunk(c.hash)),
+      "journal replay must restore the chunk index")
+    val ops2 = new Ops(spark, store2, 16)
+    val got = ops2.scanOrdered(ref).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == rows.sortBy(_._1), "extraction from pack ranges failed")
+
+    // memo journal also replays: the same ingest is a pure memo replay
+    ops2.store.stats.reset()
+    val again = ops2.fromDataFrame(df(rows), Seq("k"))
+    assert(again == ref)
+    assert(ops2.store.stats.snapshot("chunkSaves") == 0,
+      "replayed ingest must not write chunks")
   }
 
   test("objectstore-sim: a materialization is ONE batched commit, zero renames") {
