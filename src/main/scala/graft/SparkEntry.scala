@@ -18,7 +18,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ Windows.queries ++
+    Relational.queries ++ TpchRest.queries ++ Joins.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ Events.queries ++
       Sketches.queries ++ Subqueries.queries ++ Generators.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
+    Relational.oracles ++ TpchRest.oracles ++ Joins.oracles ++ Windows.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
       Sketches.oracles ++ Subqueries.oracles ++ Generators.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
