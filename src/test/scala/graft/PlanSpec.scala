@@ -110,4 +110,60 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected exchanges:\n$p")
     assert(!p.contains("BroadcastNestedLoop"), "accidental NL join")
   }
+
+  test("q6: scan-only aggregate — date+quantity pushed, no join, pruned read") {
+    val p = plan("q6_forecast_revenue")
+    // (the PushedFilters list itself is truncated in the dump, so pin the
+    // shipdate pushdown there and the quantity predicate at the Filter)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      "l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined,
+      s"filters not pushed:\n$p")
+    assert(!p.contains("Join"), s"q6 must not join:\n$p")
+    assert(!p.contains("l_partkey") && !p.contains("l_orderkey"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("q8: all seven dims join broadcast, never a cartesian product") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"q8 missing broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q8 has an all-pairs join:\n$p")
+  }
+
+  test("q13: the ON-clause filter stays an outer join (preserved side intact)") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), s"q13 lost the outer join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"q13 needs two stacked two-phase aggregations:\n$p")
+  }
+
+  test("q15: the 1-row MAX joins back as a broadcast, not a shuffle") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"max not broadcast:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"quarter window not pushed:\n$p")
+  }
+
+  test("q19: the disjunction is a residual filter over ONE fact scan, not a union of scans") {
+    val p = plan("q19_disjunctive_revenue")
+    // AQE prints the plan twice (final + initial) → one scan shows as 2
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 2 && !p.contains("Union"),
+      s"q19 scans lineitem more than once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("q21: EXISTS is a semi join, NOT EXISTS an anti join, both with non-equi residuals") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"q21 missing semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q21 missing anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q21 degenerated to an all-pairs join:\n$p")
+  }
+
+  test("q22: dormancy test is an anti join against a date-pruned orders scan") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), s"q22 missing anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recent-orders window not pushed:\n$p")
+  }
 }
