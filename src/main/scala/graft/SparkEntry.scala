@@ -22,7 +22,7 @@ object SparkEntry {
       SetOps.queries ++ Scalars.queries ++ Events.queries ++
       Sketches.queries ++ Subqueries.queries ++ Generators.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
-      operators.Vectors.queries
+      operators.Vectors.queries ++ operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
       Sketches.oracles ++ Subqueries.oracles ++ Generators.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
-      operators.Vectors.oracles
+      operators.Vectors.oracles ++ operators.Pipeline.oracles
 }

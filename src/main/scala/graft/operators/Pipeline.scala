@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q._
+
+/** End-to-end training-data pipeline compositions: the individual text /
+  * dedup operators chained the way a pretraining corpus build actually
+  * uses them. Both stay pure column expressions + joins (no UDFs), so
+  * the whole pipeline is one Catalyst plan — filters push down through
+  * the composition and the oracle hash-matches.
+  */
+object Pipeline {
+
+  /** Train/eval decontamination by n-gram overlap (the GPT-3/PaLM-style
+    * n-gram collision check; 3-gram shingles here because the synthetic
+    * docs are short): a training doc is contaminated when it shares >= 5
+    * distinct shingles with the held-out split (source 'src19').
+    *
+    * Scale shape: the eval split is tiny relative to training (here 25 of
+    * 500; in production a few thousand eval docs vs billions of training
+    * docs), so the distinct eval-shingle set broadcasts and the check is
+    * one broadcast semi-ish join over the training shingle index — the
+    * fact table shuffles only for the per-doc overlap count. Reuses the
+    * shared shingle cache with the dedup family. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val sh = Dedup.shingles(s, dir).join(src, "doc_id")
+    val evalShingles = sh.where($"source" === "src19")
+      .select($"s").distinct()
+    val train = sh.where($"source" =!= "src19")
+    val nPerDoc = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    train
+      .join(broadcast(evalShingles), "s")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_overlap"))
+      .where($"n_overlap" >= 5)
+      .join(nPerDoc, "doc_id")
+      .select($"doc_id", $"source", $"n_overlap", $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 3),
+      |src AS (SELECT doc_id, source FROM documents),
+      |ev AS (SELECT DISTINCT s FROM sh JOIN src USING (doc_id)
+      |       WHERE source = 'src19'),
+      |tr AS (SELECT sh.doc_id, src.source, sh.s FROM sh JOIN src USING (doc_id)
+      |       WHERE source <> 'src19'),
+      |n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1)
+      |SELECT doc_id, source, c AS n_overlap, n_shingles
+      |FROM (SELECT tr.doc_id, tr.source, COUNT(*) AS c
+      |      FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+      |JOIN n USING (doc_id)
+      |WHERE c >= 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus curation: length window -> stopword-ratio quality gate (exact
+    * integers: 10·n_stop >= n_tokens) -> language-ID gate (guessed 'en')
+    * -> exact dedup keeping the lowest doc_id per text. One declarative
+    * plan: the n_chars window pushes to the parquet scan, every gate is a
+    * codegen'd column filter, and the only shuffle is the final dedup
+    * groupBy — exactly what a 100 TB curation run needs. */
+  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enStops = Text.langStopwords.toMap.apply("en")
+    val ts = split($"text", " ")
+    Tables(s, dir, "documents")
+      .where($"n_chars".between(100, 450))
+      .withColumn("n_tokens", size(ts))
+      .withColumn("n_stop",
+        size(filter(ts, t => t.isin(enStops.map(x => x: Any): _*))))
+      .where($"n_stop" * 10 >= $"n_tokens")
+      .where(Text.langScores($"text").getField("lang") === "en")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min($"n_tokens").as("n_tokens"))
+      .select($"keep_id", $"n_copies", $"n_tokens")
+      .orderBy($"keep_id")
+  }
+
+  val pipelineCurationSql: String = {
+    val stops = Text.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH gated AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stops, t))) AS INT) AS n_stop
+       |  FROM documents
+       |  WHERE n_chars BETWEEN 100 AND 450)
+       |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+       |  MIN(n_tokens) AS n_tokens
+       |FROM gated
+       |WHERE n_stop * 10 >= n_tokens
+       |  AND (${Text.langGuessSql("text")}) = 'en'
+       |GROUP BY text
+       |ORDER BY keep_id""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "decontaminate" -> (decontaminate _),
+    "pipeline_curation" -> (pipelineCuration _))
+
+  val oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql,
+    "pipeline_curation" -> pipelineCurationSql)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q._
@@ -86,21 +86,45 @@ object Text {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** (score, lang) structs per language for a text column — argmax via
+    * array_max gives the language guess with a deterministic tie-break
+    * (higher lang code wins). Shared by textLangid and Pipeline. */
+  def langScores(text: Column): Column = {
+    val scored = langStopwords.map { case (lang, words) =>
+      struct(
+        size(array_intersect(array_distinct(split(text, " ")),
+          lit(words.toArray))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*))
+  }
+
+  /** SQL twin of `langScores(...).getField("lang")`: a CASE chain in
+    * descending lang order so ties resolve to the greater code. */
+  def langGuessSql(textExpr: String): String = {
+    def cnt(words: Seq[String]): String = {
+      val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split($textExpr, ' ')), $l))"
+    }
+    val by = langStopwords.toMap
+    val (de, en, es, fr, zh) =
+      (cnt(by("de")), cnt(by("en")), cnt(by("es")), cnt(by("fr")), cnt(by("zh")))
+    s"""CASE WHEN $zh >= $en AND $zh >= $de AND $zh >= $es AND $zh >= $fr THEN 'zh'
+       |     WHEN $fr >= $en AND $fr >= $de AND $fr >= $es THEN 'fr'
+       |     WHEN $es >= $en AND $es >= $de THEN 'es'
+       |     WHEN $en >= $de THEN 'en'
+       |     ELSE 'de' END""".stripMargin
+  }
+
   /** Language ID: count distinct-token hits against each language's
     * stopword list, argmax with deterministic tie-break (higher lang code
     * wins ties — array_max over (score, lang) structs). */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = langStopwords.map { case (lang, words) =>
-      struct(
-        size(array_intersect(array_distinct(split($"text", " ")),
-          lit(words.toArray))).as("score"),
-        lit(lang).as("lang"))
-    }
     Tables(s, dir, "documents")
       .select($"doc_id", $"lang".as("labeled"),
-        array_max(array(scored: _*)).getField("lang").as("guessed"),
-        array_max(array(scored: _*)).getField("score").as("score"))
+        langScores($"text").getField("lang").as("guessed"),
+        langScores($"text").getField("score").as("score"))
       .orderBy($"doc_id")
   }
 
