@@ -123,6 +123,9 @@ object GraftSql {
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+("?[\w.]+"?)\s+where\s+(.+?)\s*;?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*update\s+("?[\w.]+"?)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$""".r
+  private val assignRe = """(?s)^\s*("?\w+"?)\s*=\s*(.+?)\s*$""".r
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -184,6 +187,11 @@ object GraftSql {
     *  - `DELETE FROM t WHERE <cond>` — leading-key-column ranges take the
     *    O(edge-chunks) incremental deleteRange; other predicates rebuild
     *    the table from the kept rows.
+    *  - `UPDATE t SET c = e, ... [WHERE <cond>]` — a leading-key range
+    *    (not touching key columns) reads ONLY the affected chunk range,
+    *    rewrites those rows, and upserts them back through the memoized
+    *    merge — O(range), not O(table); key-column assignments and
+    *    general predicates rebuild.
     */
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
@@ -282,6 +290,74 @@ object GraftSql {
             ops.fromDataFrame(keep, entry.keyCols)
         }
         // no-op deletes must not mint empty commits (same rule as Views)
+        if (out == ref)
+          Right(ops.store.currentRootHash.getOrElse(
+            throw new SqlException("no catalog root")))
+        else Right(catalog.put(name, out))
+      case updateRe(rawName, setList, cond) =>
+        // `UPDATE t SET c = e, ... [WHERE cond]`: when cond is a leading-
+        // key range and no key column is assigned, only the affected
+        // chunk range is read (rangeFilter prunes by chunk metadata),
+        // rewritten row-locally, and upserted back — the merge rewrites
+        // only the touched regions. Everything else (key reassignment,
+        // general predicates, expressions needing other tables) takes the
+        // correct full rebuild.
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val ref = graft.core.TableRef(entry.tableHash)
+        val assigns: Seq[(String, String)] = splitTopLevel(setList).map {
+          case assignRe(c, e) =>
+            val colName = unquote(c)
+            val resolved = schema.fieldNames.find(_.equalsIgnoreCase(colName))
+              .getOrElse(throw new SqlException(
+                s"UPDATE column $colName not in table $name"))
+            resolved -> e
+          case other => throw new SqlException(s"bad SET clause: $other")
+        }
+        if (assigns.map(_._1).distinct.length != assigns.length)
+          throw new SqlException("duplicate column in SET")
+        val sets = assigns.toMap
+        val touchesKey = assigns.exists { case (c, _) =>
+          entry.keyCols.exists(_.equalsIgnoreCase(c)) }
+        def qid(c: String) = s"`$c`"
+        def rebuild(): graft.core.TableRef = {
+          registerViews()
+          val whereSql = Option(cond).getOrElse("true")
+          val proj = schema.fields.map { f =>
+            sets.get(f.name) match {
+              case Some(e) =>
+                s"CASE WHEN coalesce(($whereSql), false) THEN " +
+                  s"CAST(($e) AS ${f.dataType.sql}) ELSE ${qid(f.name)} END AS ${qid(f.name)}"
+              case None => qid(f.name)
+            }
+          }
+          ops.fromDataFrame(
+            spark.sql(s"SELECT ${proj.mkString(", ")} FROM ${qid(name)}"),
+            entry.keyCols)
+        }
+        val out =
+          if (touchesKey || cond == null) rebuild()
+          else parseKeyRange(spark, schema, entry.keyCols, cond) match {
+            case Some((lo, hi)) =>
+              try {
+                val rows = ops.scan(ops.rangeFilter(ref, lo, hi))
+                val updated = rows.selectExpr(schema.fieldNames.map { f =>
+                  sets.get(f)
+                    .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS ${qid(f)}")
+                    .getOrElse(qid(f))
+                }.toIndexedSeq: _*)
+                if (updated.isEmpty) ref
+                else ops.upsert(ref, ops.fromDataFrame(updated, entry.keyCols))
+              } catch {
+                // SET expression needs more than row-local columns
+                // (subquery, other table): the rebuild path registers
+                // every catalog view and handles it
+                case _: org.apache.spark.sql.AnalysisException => rebuild()
+              }
+            case None => rebuild()
+          }
         if (out == ref)
           Right(ops.store.currentRootHash.getOrElse(
             throw new SqlException("no catalog root")))

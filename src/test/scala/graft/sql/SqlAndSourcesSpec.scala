@@ -128,6 +128,58 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "DELETE FROM nope WHERE k = 1"))
   }
 
+  test("UPDATE: key ranges rewrite only the range; key/general predicates rebuild; no-op mints no root") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv SELECT id AS k, id * 10 AS v FROM range(0, 100)")
+    def rows(): Map[Long, Long] = ops.scanOrdered(cat.get("kv").get)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // leading-key range → incremental path (range scan + upsert merge)
+    GraftSql.execute(spark, ops, cat,
+      "UPDATE kv SET v = v + 1 WHERE k >= 20 AND k < 30")
+    assert(rows() == (0L until 100L).map(k =>
+      k -> (if (k >= 20 && k < 30) k * 10 + 1 else k * 10)).toMap)
+
+    // range result must hash-equal the same update done as a rebuild
+    val (ops2, cat2) = newOps()
+    GraftSql.execute(spark, ops2, cat2,
+      "CREATE TABLE kv (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops2, cat2,
+      """INSERT INTO kv SELECT id AS k,
+        |  CASE WHEN id >= 20 AND id < 30 THEN id*10 + 1 ELSE id*10 END AS v
+        |FROM range(0, 100)""".stripMargin)
+    assert(cat.get("kv").get.hash == cat2.get("kv").get.hash,
+      "incremental UPDATE result differs from from-scratch build")
+
+    // equality form, multiple assignments
+    GraftSql.execute(spark, ops, cat, "UPDATE kv SET v = 0 WHERE k = 50")
+    assert(rows()(50L) == 0L)
+
+    // non-key predicate → rebuild, still correct
+    GraftSql.execute(spark, ops, cat, "UPDATE kv SET v = -1 WHERE v % 20 = 10")
+    assert(rows().forall { case (_, v) => v % 20 != 10 || v == -1 })
+
+    // key-column assignment → rebuild (re-key)
+    GraftSql.execute(spark, ops, cat, "UPDATE kv SET k = k + 1000 WHERE k < 2")
+    val ks = rows().keySet
+    assert(!ks.contains(0L) && !ks.contains(1L) &&
+      ks.contains(1000L) && ks.contains(1001L))
+
+    // no-op update (empty range): no new catalog root
+    val rootBefore = ops.store.currentRootHash
+    GraftSql.execute(spark, ops, cat, "UPDATE kv SET v = 9 WHERE k >= 5000")
+    assert(ops.store.currentRootHash == rootBefore, "no-op update minted a root")
+
+    // unknown column / unknown table rejected
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "UPDATE kv SET nope = 1 WHERE k = 1"))
+    assertThrows[GraftSql.SqlException](GraftSql.execute(spark, ops, cat,
+      "UPDATE nope SET v = 1 WHERE k = 1"))
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
