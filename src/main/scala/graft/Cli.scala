@@ -64,7 +64,7 @@ object Cli {
           graft.sql.GraftSql.splitStatements(stmt).foreach { s =>
             graft.sql.GraftSql.execute(spark, ops, cat, s) match {
               case Right(root) => println(s"root=$root")
-              case Left(df) => df.toJSON.collect().foreach(println)
+              case Left(df) => df.toJSON.toLocalIterator().forEachRemaining(println(_))
             }
           }
         case "range" :: table :: lo :: hi :: Nil =>
@@ -74,15 +74,15 @@ object Cli {
           val out = ops.rangeFilter(ref,
             Some(Bound(Seq(loV), inclusive = true)),
             Some(Bound(Seq(hiV), inclusive = false)))
-          ops.scanOrdered(out).toJSON.collect().foreach(println)
+          ops.scanOrdered(out).toJSON.toLocalIterator().forEachRemaining(println(_))
           printStats(store)
         case "lookup" :: table :: key :: Nil =>
           val ref = need(cat, table)
           ops.lookup(ref, Seq(parseKey(spark, ops.meta(ref), key)))
-            .toJSON.collect().foreach(println)
+            .toJSON.toLocalIterator().forEachRemaining(println(_))
         case "export-json" :: table :: Nil =>
           // JSON-lines export (Tool/Json.hs:16-32), ordered scan
-          ops.scanOrdered(need(cat, table)).toJSON.collect().foreach(println)
+          ops.scanOrdered(need(cat, table)).toJSON.toLocalIterator().forEachRemaining(println(_))
         case "export-csv" :: table :: outDir :: Nil =>
           ops.scanOrdered(need(cat, table)).coalesce(1)
             .write.mode("overwrite").option("header", "true").csv(outDir)
@@ -148,7 +148,7 @@ object Cli {
           val old = cat.rootAt(oldRoot).getOrElse(table,
             sys.error(s"table $table absent in root $oldRoot"))
           ops.diff(graft.core.TableRef(old.tableHash), cur)
-            .toJSON.collect().foreach(println)
+            .toJSON.toLocalIterator().forEachRemaining(println(_))
         case "gc" :: rest if rest.isEmpty ||
             rest == List("--keep-history") || rest == List("--prune-history") =>
           // default (and --keep-history) retains every version in the
