@@ -496,6 +496,33 @@ object Vectors {
       | CAST(octet_length(encode(text)) // 64 AS INT) + 1 AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling through the REAL partition-batched decode path
+    * ([[Multimodal.sampleFrames]], mapPartitions + RowEncoder): every 4th
+    * 256-byte "frame" of each payload, with the stub decoder's
+    * dimensions. The oracle reproduces the frame arithmetic (slice
+    * lengths) in SQL, so the 1→N generator plumbing itself is
+    * hash-checked — not just the metadata projection. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").cast("binary").as("payload"))
+    Multimodal.sampleFrames(payloads, "doc_id", "payload", everyNth = 4)
+      .select($"id".as("doc_id"), $"frame_idx", $"width", $"height")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(sl % 64 + 1 AS INT) AS width,
+      |  CAST(sl // 64 + 1 AS INT) AS height
+      |FROM (
+      |  SELECT doc_id, f, least((f+1)*256, L) - least(f*256, L) AS sl
+      |  FROM (
+      |    SELECT doc_id, octet_length(encode(text)) AS L,
+      |      unnest(range(0, greatest(1, (octet_length(encode(text))+255)//256), 4)) AS f
+      |    FROM documents))
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
     // APPROXIMATE: IVF-cell-blocked pairs (the scale path; recall vs
@@ -506,12 +533,14 @@ object Vectors {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_neardup" -> simNeardupSql,
     "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_frames" -> multimodalFramesSql)
 }
