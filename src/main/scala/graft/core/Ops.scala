@@ -80,8 +80,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   private def scanMeta(m: TableMeta): DataFrame =
     if (m.chunks.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema)
-      .parquet(m.chunks.map(c => store.chunkPath(c.hash)): _*)
+    else
+      // chunk-pruned relation: WHERE predicates on the leading key column
+      // skip provably-disjoint chunk files at planning time
+      // (GraftFileIndex), and scan statistics come from chunk metadata
+      org.apache.spark.sql.GraftBridge.fileIndexScan(spark,
+        new GraftFileIndex(spark, store, m), m.schema)
 
   def scanOrdered(ref: TableRef): DataFrame = {
     val m = meta(ref)
@@ -522,16 +526,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
 
   private def computeRange(m: TableMeta, lower: Option[Bound], upper: Option[Bound],
       loB: Option[(Array[Byte], Boolean)], hiB: Option[(Array[Byte], Boolean)]): TableMeta = {
-    def passesLow(kb: Array[Byte]): Boolean = loB.forall { case (b, inc) =>
-      val c = Hashing.compareBytes(kb, b)
-      if (inc) c >= 0 || startsWith(kb, b)
-      else c > 0 && !startsWith(kb, b)
-    }
-    def passesHigh(kb: Array[Byte]): Boolean = hiB.forall { case (b, inc) =>
-      val c = Hashing.compareBytes(kb, b)
-      if (inc) c <= 0 || startsWith(kb, b)
-      else c < 0 && !startsWith(kb, b)
-    }
+    def passesLow(kb: Array[Byte]): Boolean = RangeBounds.passesLow(kb, loB)
+    def passesHigh(kb: Array[Byte]): Boolean = RangeBounds.passesHigh(kb, hiB)
     // in / out / intersects — the keyPrefixRangeRelation analogue
     // (/root/reference/messdb-base/src/MessDB/Trie/Path.hs:117-145)
     val keep = Vector.newBuilder[ChunkMeta]
@@ -716,20 +712,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   // ---- helpers ---------------------------------------------------------
 
   private def startsWith(full: Array[Byte], prefix: Array[Byte]): Boolean =
-    full.length >= prefix.length && {
-      var i = 0
-      while (i < prefix.length) { if (full(i) != prefix(i)) return false; i += 1 }
-      true
-    }
+    RangeBounds.startsWith(full, prefix)
 
-  private def boundBytes(schema: StructType, keyCols: Seq[String], b: Bound): Array[Byte] = {
-    val buf = new KeyCodec.ByteBuf(32)
-    b.prefix.zipWithIndex.foreach { case (v, i) =>
-      val dt = schema(keyCols(i)).dataType
-      KeyCodec.fieldEncoder(dt)(buf, v)
-    }
-    buf.toBytes
-  }
+  private def boundBytes(schema: StructType, keyCols: Seq[String], b: Bound): Array[Byte] =
+    RangeBounds.boundBytes(schema, keyCols, b)
 
   /** Lexicographic tuple-prefix predicate over typed key columns. */
   def rangePredicate(keyCols: Seq[String], lower: Option[Bound],

@@ -9,4 +9,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom [[execution.datasources.FileIndex]] — the
+    * pruned chunk scan. LogicalRelation/HadoopFsRelation/Dataset.ofRows
+    * are private[sql] / classic-session-typed in Spark 4, hence bridged
+    * here. */
+  def fileIndexScan(spark: SparkSession,
+      index: execution.datasources.FileIndex,
+      dataSchema: types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val rel = execution.datasources.HadoopFsRelation(
+      index, new types.StructType(), dataSchema, None,
+      new execution.datasources.parquet.ParquetFileFormat, Map.empty)(cs)
+    classic.Dataset.ofRows(cs,
+      execution.datasources.LogicalRelation(rel))
+  }
 }
