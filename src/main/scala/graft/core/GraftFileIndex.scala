@@ -34,9 +34,9 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
       f.lastModified(), new Path(f.toURI))
   }
 
-  private val leadKey = m.keyCols.head
-  private val leadDt = m.schema(leadKey).dataType
-  private val toExternal = CatalystTypeConverters.createToScalaConverter(leadDt)
+  private val keyDts = m.keyCols.map(k => m.schema(k).dataType)
+  private val toExternal =
+    keyDts.map(CatalystTypeConverters.createToScalaConverter)
 
   override def rootPaths: Seq[Path] =
     chunkFiles.map(_._2.getPath.getParent).distinct
@@ -64,42 +64,82 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
   /** Bounds from conjunct predicates on the LEADING key column compared
     * to literals (both operand orders). Anything else contributes no
     * bound. Null literals match no rows but are left to the row filter
-    * (pruning must never reason about null semantics). */
+    * (pruning must never reason about null semantics).
+    *
+    * Composite keys: an equality chain on the leading columns,
+    * optionally followed by range comparison(s) on the next one —
+    * `k1 = a AND k2 >= b AND k2 < c` prunes on the (a,b)…(a,c) tuple
+    * prefix via the Bound encoding's prefix semantics. */
   private def extractBounds(filters: Seq[Expression])
       : Seq[(Option[RangeBounds.Bnd], Option[RangeBounds.Bnd])] = {
-    def enc(v: Any, inclusive: Boolean): Option[RangeBounds.Bnd] =
-      Option(v).flatMap { raw =>
-        try Some((RangeBounds.boundBytes(m.schema, m.keyCols,
-          Bound(Seq(toExternal(raw)), inclusive)), inclusive))
-        catch { case scala.util.control.NonFatal(_) => None }
+    // (key column index, op, external value) per usable conjunct
+    val cmps: Seq[(Int, String, Any)] = filters.flatMap { f =>
+      def at(e: Expression): Option[Int] = e match {
+        case a: AttributeReference =>
+          val i = m.keyCols.indexOf(a.name); if (i >= 0) Some(i) else None
+        case _ => None
       }
-    def isLead(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == leadKey
-      case _ => false
+      val parsed: Option[(Int, String, Any)] = f match {
+        case EqualTo(a, Literal(v, _)) => at(a).map(i => (i, "=", v))
+        case EqualTo(Literal(v, _), a) => at(a).map(i => (i, "=", v))
+        case GreaterThanOrEqual(a, Literal(v, _)) => at(a).map(i => (i, ">=", v))
+        case GreaterThan(a, Literal(v, _)) => at(a).map(i => (i, ">", v))
+        case LessThanOrEqual(a, Literal(v, _)) => at(a).map(i => (i, "<=", v))
+        case LessThan(a, Literal(v, _)) => at(a).map(i => (i, "<", v))
+        // literal-first forms flip the comparison direction
+        case GreaterThanOrEqual(Literal(v, _), a) => at(a).map(i => (i, "<=", v))
+        case GreaterThan(Literal(v, _), a) => at(a).map(i => (i, "<", v))
+        case LessThanOrEqual(Literal(v, _), a) => at(a).map(i => (i, ">=", v))
+        case LessThan(Literal(v, _), a) => at(a).map(i => (i, ">", v))
+        case _ => None
+      }
+      parsed.flatMap { case (i, op, v) =>
+        Option(v).flatMap { raw =>
+          try Some((i, op, toExternal(i)(raw)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
     }
-    filters.flatMap {
-      case EqualTo(a, Literal(v, _)) if isLead(a) =>
-        enc(v, inclusive = true).map(b => (Some(b), Some(b))).toSeq
-      case EqualTo(Literal(v, _), a) if isLead(a) =>
-        enc(v, inclusive = true).map(b => (Some(b), Some(b))).toSeq
-      case GreaterThanOrEqual(a, Literal(v, _)) if isLead(a) =>
-        Seq((enc(v, inclusive = true), None))
-      case GreaterThan(a, Literal(v, _)) if isLead(a) =>
-        Seq((enc(v, inclusive = false), None))
-      case LessThanOrEqual(a, Literal(v, _)) if isLead(a) =>
-        Seq((None, enc(v, inclusive = true)))
-      case LessThan(a, Literal(v, _)) if isLead(a) =>
-        Seq((None, enc(v, inclusive = false)))
-      // literal-first forms flip the comparison direction
-      case GreaterThanOrEqual(Literal(v, _), a) if isLead(a) =>
-        Seq((None, enc(v, inclusive = true)))
-      case GreaterThan(Literal(v, _), a) if isLead(a) =>
-        Seq((None, enc(v, inclusive = false)))
-      case LessThanOrEqual(Literal(v, _), a) if isLead(a) =>
-        Seq((enc(v, inclusive = true), None))
-      case LessThan(Literal(v, _), a) if isLead(a) =>
-        Seq((enc(v, inclusive = false), None))
-      case _ => Nil
+    def enc(prefix: Seq[Any], inclusive: Boolean): Option[RangeBounds.Bnd] =
+      try Some((RangeBounds.boundBytes(m.schema, m.keyCols,
+        Bound(prefix, inclusive)), inclusive))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // walk key columns: extend the equality prefix while each column has
+    // an equality; the first column without one contributes its range
+    // comparisons (first lower + first upper seen) and ends the prefix
+    val prefix = Vector.newBuilder[Any]
+    var depth = 0
+    var done = false
+    var lo: Option[RangeBounds.Bnd] = None
+    var hi: Option[RangeBounds.Bnd] = None
+    while (!done && depth < m.keyCols.length) {
+      cmps.collectFirst { case (i, "=", v) if i == depth => v } match {
+        case Some(v) => prefix += v; depth += 1
+        case None =>
+          val p = prefix.result()
+          val lower = cmps.collectFirst {
+            case (i, ">=", v) if i == depth => (v, true)
+            case (i, ">", v) if i == depth => (v, false)
+          }
+          val upper = cmps.collectFirst {
+            case (i, "<=", v) if i == depth => (v, true)
+            case (i, "<", v) if i == depth => (v, false)
+          }
+          lo = lower.flatMap { case (v, inc) => enc(p :+ v, inc) }
+          hi = upper.flatMap { case (v, inc) => enc(p :+ v, inc) }
+          // a bare equality prefix (ranges absent) still bounds both ends
+          if (lower.isEmpty && upper.isEmpty && p.nonEmpty) {
+            lo = enc(p, inclusive = true)
+            hi = enc(p, inclusive = true)
+          }
+          done = true
+      }
     }
+    if (!done) { // every key column pinned by an equality
+      val p = prefix.result()
+      lo = enc(p, inclusive = true)
+      hi = enc(p, inclusive = true)
+    }
+    if (lo.isEmpty && hi.isEmpty) Nil else Seq((lo, hi))
   }
 }

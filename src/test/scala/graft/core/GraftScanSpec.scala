@@ -89,6 +89,56 @@ class GraftScanSpec extends AnyFunSuite {
     assert(idx.inputFiles.length == m.chunks.length)
   }
 
+  test("composite keys: equality prefix + range on the next column prunes deeper") {
+    val ops = newOps(target = 32)
+    val cschema = StructType(Seq(
+      StructField("k1", LongType, nullable = false),
+      StructField("k2", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val rows = for (a <- 0L until 10L; b <- 0L until 100L) yield Row(a, b, a * 1000 + b)
+    val ref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), cschema),
+      Seq("k1", "k2"))
+    val total = ops.meta(ref).chunks.length
+    assert(total >= 8, s"fixture should span many chunks, got $total")
+    val k1 = AttributeReference("k1", LongType, nullable = false)()
+    val k2 = AttributeReference("k2", LongType, nullable = false)()
+
+    // equality on the leading column alone prunes to ~1/10
+    val eqOnly = filesFor(ops, ref, EqualTo(k1, Literal(5L)))
+    assert(eqOnly < total / 2, s"k1=5 listed $eqOnly of $total")
+
+    // adding a k2 range tightens the prefix bound further (or at least
+    // never loosens it), and a range on k2 WITHOUT a k1 equality is
+    // conservatively unprunable
+    val eqRange = filesFor(ops, ref, EqualTo(k1, Literal(5L)),
+      GreaterThanOrEqual(k2, Literal(10L)), LessThan(k2, Literal(20L)))
+    assert(eqRange <= eqOnly, s"k1=5,k2 range listed $eqRange > $eqOnly")
+    assert(filesFor(ops, ref, GreaterThanOrEqual(k2, Literal(10L))) == total)
+
+    // all-equality point: still correct through the prefix bound
+    val got = ops.scan(ref)
+      .where(col("k1") === 5L && col("k2") >= 10L && col("k2") < 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == (10L until 20L).map(b => (5L, b, 5000 + b)))
+  }
+
+  test("pruned scan works over the PackStore backend (extract-cache paths)") {
+    val dir = Files.createTempDirectory("graft-scan-pack-").toString
+    val ops = new Ops(spark, new PackStore(dir), 64)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 500L).map(k => Row(k, k * 2)), 4),
+      schema)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+    val total = ops.meta(ref).chunks.length
+    val ranged = filesFor(ops, ref,
+      GreaterThanOrEqual(kAttr, Literal(100L)), LessThan(kAttr, Literal(130L)))
+    assert(ranged < total, s"no pruning on PackStore: $ranged of $total")
+    val got = ops.scan(ref).where(col("k") >= 100L && col("k") < 130L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L until 130L))
+  }
+
   test("SQL over catalog tables gets the pruned scan end-to-end") {
     val ops = newOps()
     val cat = new Catalog(ops.store)
