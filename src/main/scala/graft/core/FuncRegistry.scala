@@ -124,6 +124,15 @@ object FoldSpec {
   val FoldBitAnd: CombinableFold =
     CombinableFold("fold_bit_and_v1", c => bit_and(c), idempotent = true)
 
+  /** Keyed-join combiner: per-column `max` IGNORING NULLS. When at most
+    * one source contributes a non-null per (key, column) — the join-view
+    * widening guarantees it (each side nulls the other side's columns,
+    * and keys are unique within a table) — max IS coalesce, and it is
+    * commutative/associative/idempotent bit-exactly (it picks an input
+    * value unchanged), so join views ride every incremental fast path. */
+  val FoldCoalesce: CombinableFold =
+    CombinableFold("fold_coalesce_v1", c => max(c), idempotent = true)
+
   /** General NON-commutative pairwise fold in source order — the full
     * FoldFunc semantics (`V.foldl1 (fold key)` over colliding values in
     * input order, Trie.hs:396-401): collect (src, value) pairs, sort by
@@ -174,7 +183,8 @@ final class FuncRegistry {
     FoldSpec.FoldLast.key -> FoldSpec.FoldLast,
     FoldSpec.FoldSum.key -> FoldSpec.FoldSum,
     FoldSpec.FoldMin.key -> FoldSpec.FoldMin,
-    FoldSpec.FoldMax.key -> FoldSpec.FoldMax)
+    FoldSpec.FoldMax.key -> FoldSpec.FoldMax,
+    FoldSpec.FoldCoalesce.key -> FoldSpec.FoldCoalesce)
   private val transforms = scala.collection.concurrent.TrieMap[String, TransformSpec]()
 
   def registerFold(f: FoldSpec): Unit = { folds.put(f.key, f); () }

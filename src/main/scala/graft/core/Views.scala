@@ -18,12 +18,19 @@ package graft.core
   * (/root/reference/messdb-base/src/MessDB/Trie.hs:280-312).
   */
 final class Views(ops: Ops, catalog: Catalog) {
+  import org.apache.spark.sql.functions.{col, lit}
 
   final case class ViewDef(source: String, transform: ColTransform,
       fold: FoldSpec)
 
+  /** Keyed full-outer join view over two catalog tables with IDENTICAL
+    * key columns and disjoint value columns. */
+  final case class JoinDef(left: String, right: String)
+
   private val defs =
     scala.collection.concurrent.TrieMap.empty[String, ViewDef]
+  private val joinDefs =
+    scala.collection.concurrent.TrieMap.empty[String, JoinDef]
 
   /** Register a view and materialize its first version. */
   def define(view: String, source: String, transform: ColTransform,
@@ -32,23 +39,76 @@ final class Views(ops: Ops, catalog: Catalog) {
     refresh(view)
   }
 
+  /** Register a keyed JOIN view: the full-outer equi-join of two tables
+    * on their (identical) primary key, maintained incrementally. The
+    * join is expressed entirely in the memoized algebra — each side is
+    * WIDENED to the joint schema (a key-preserving per-chunk-memoized
+    * transform adding the other side's columns as typed nulls), and the
+    * widened tables meet in the region-memoized merge under
+    * [[FoldSpec.FoldCoalesce]]. A delta to either side therefore
+    * refreshes in O(delta): only touched chunk minis re-transform, only
+    * dirty key regions re-merge, and the result hash-equals the
+    * from-scratch build (content-defined chunking). Inner-join
+    * consumers filter the absent-side nulls downstream. */
+  def defineJoin(view: String, left: String, right: String): TableRef = {
+    joinDefs.put(view, JoinDef(left, right))
+    refresh(view)
+  }
+
   /** Re-materialize from the source's current catalog version. Cost is
     * zero (memo hit) when the source hash is unchanged, O(touched
     * chunks) after a delta for key-preserving transforms. */
   def refresh(view: String): TableRef = {
-    val d = defs.getOrElse(view,
-      throw new NoSuchElementException(s"undefined view: $view"))
-    val src = catalog.get(d.source).getOrElse(
-      throw new NoSuchElementException(s"view $view: missing source table ${d.source}"))
-    val out = ops.transform(src, d.transform, d.fold)
+    val out = joinDefs.get(view) match {
+      case Some(j) => refreshJoin(view, j)
+      case None =>
+        val d = defs.getOrElse(view,
+          throw new NoSuchElementException(s"undefined view: $view"))
+        val src = catalog.get(d.source).getOrElse(
+          throw new NoSuchElementException(s"view $view: missing source table ${d.source}"))
+        ops.transform(src, d.transform, d.fold)
+    }
     // don't mint a new catalog root for a no-op refresh (the git
     // equivalent of refusing an empty commit)
     if (!catalog.get(view).contains(out)) catalog.put(view, out)
     out
   }
 
+  private def refreshJoin(view: String, j: JoinDef): TableRef = {
+    def src(name: String): TableRef = catalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"view $view: missing source table $name"))
+    val (aRef, bRef) = (src(j.left), src(j.right))
+    val (am, bm) = (ops.meta(aRef), ops.meta(bRef))
+    require(am.keyCols == bm.keyCols,
+      s"join view $view needs identical key columns: ${am.keyCols} vs ${bm.keyCols}")
+    require(am.chunkTargetRows == bm.chunkTargetRows,
+      s"join view $view needs equal chunk granularity")
+    val keys = am.keyCols
+    val aVals = am.schema.fields.toSeq.filterNot(f => keys.contains(f.name))
+    val bVals = bm.schema.fields.toSeq.filterNot(f => keys.contains(f.name))
+    val shared = aVals.map(_.name).toSet.intersect(bVals.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"join view $view needs disjoint value columns, shared: $shared")
+    // the transform key IS the cache identity: fingerprint the joint
+    // schema so a source schema change is a different operation
+    val sig = Hashing.opHash(Seq("graft-join-schema-v1") ++ keys ++
+      (aVals ++ bVals).map(f => f.name + ":" + f.dataType.json))
+    val widenA = ColTransform(s"graft-join-widen-left-v1:$sig", keys,
+      keys.map(col) ++ aVals.map(f => col(f.name)) ++
+        bVals.map(f => lit(null).cast(f.dataType).as(f.name)),
+      preservesKeys = true)
+    val widenB = ColTransform(s"graft-join-widen-right-v1:$sig", keys,
+      keys.map(col) ++ aVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        bVals.map(f => col(f.name)),
+      preservesKeys = true)
+    val a2 = ops.transform(aRef, widenA, FoldSpec.FoldLast)
+    val b2 = ops.transform(bRef, widenB, FoldSpec.FoldLast)
+    ops.merge(Seq(a2, b2), FoldSpec.FoldCoalesce)
+  }
+
   def refreshAll(): Map[String, TableRef] =
-    defs.keys.toSeq.sorted.map(v => v -> refresh(v)).toMap
+    (defs.keys ++ joinDefs.keys).toSeq.sorted.map(v => v -> refresh(v)).toMap
 
   def definitions: Map[String, ViewDef] = defs.toMap
+  def joinDefinitions: Map[String, JoinDef] = joinDefs.toMap
 }

@@ -287,6 +287,81 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(v2.hash == scratch.hash)
   }
 
+  test("join view: full-outer keyed join content, O(delta) refresh, hash-equals from-scratch") {
+    val store = new FsStore(Files.createTempDirectory("graft-jv-").toString)
+    val ops = new Ops(spark, store, 16)
+    val cat = new Catalog(store)
+    val views = new Views(ops, cat)
+
+    val aSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("va", LongType, nullable = false)))
+    val bSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("vb", LongType, nullable = false)))
+    def mk(s: StructType, rows: Seq[(String, Long)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), s)
+
+    // overlapping but not identical key sets: the join view must keep
+    // left-only and right-only keys (full-outer semantics)
+    val aRows = (0 until 1500).map(i => f"key$i%05d" -> i.toLong)
+    val bRows = (500 until 2000).map(i => f"key$i%05d" -> (i * 10).toLong)
+    cat.put("ta", ops.fromDataFrame(mk(aSchema, aRows), Seq("k")))
+    cat.put("tb", ops.fromDataFrame(mk(bSchema, bRows), Seq("k")))
+    val v1 = views.defineJoin("ab", "ta", "tb")
+
+    def contentsOf(ref: TableRef): Map[String, (Option[Long], Option[Long])] =
+      ops.scan(ref).collect().map { r =>
+        r.getString(0) -> (
+          (if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }.toMap
+
+    val aMap = aRows.toMap
+    val bMap = bRows.toMap
+    def expected(a: Map[String, Long], b: Map[String, Long]) =
+      (a.keySet ++ b.keySet).map(k => k -> (a.get(k), b.get(k))).toMap
+    assert(contentsOf(v1) == expected(aMap, bMap))
+
+    // idle refresh: whole-op memo hits, no new catalog root
+    val rootBefore = store.currentRootHash
+    assert(views.refresh("ab") == v1)
+    assert(store.currentRootHash == rootBefore, "no-op refresh minted a root")
+
+    // a 2-key delta to the LEFT side refreshes in O(delta)
+    val delta = Seq("key00700" -> 777L, "keyzz" -> 1L)
+    cat.put("ta", ops.upsert(cat.get("ta").get,
+      ops.fromDataFrame(mk(aSchema, delta), Seq("k"))))
+    val nChunks = ops.meta(cat.get("ab").get).chunks.length
+    store.stats.reset()
+    val v2 = views.refresh("ab")
+    val saves = store.stats.snapshot("chunkSaves")
+    assert(saves <= 8,
+      s"join refresh should rewrite few chunks, wrote $saves of $nChunks")
+    assert(contentsOf(v2) == expected(aMap ++ delta.toMap, bMap))
+
+    // canonical: equals the same join built from scratch in a FRESH store
+    val store2 = new FsStore(Files.createTempDirectory("graft-jv2-").toString)
+    val ops2 = new Ops(spark, store2, 16)
+    val cat2 = new Catalog(store2)
+    cat2.put("ta", ops2.fromDataFrame(mk(aSchema,
+      (aMap ++ delta.toMap).toSeq.sortBy(_._1)), Seq("k")))
+    cat2.put("tb", ops2.fromDataFrame(mk(bSchema, bRows), Seq("k")))
+    val scratch = new Views(ops2, cat2).defineJoin("ab", "ta", "tb")
+    assert(v2.hash == scratch.hash,
+      "incremental join refresh diverged from the from-scratch build")
+
+    // guardrails: mismatched keys / shared value columns are rejected
+    cat.put("tc", ops.fromDataFrame(mk(
+      StructType(Seq(StructField("other", StringType, nullable = false),
+        StructField("va", LongType, nullable = false))),
+      Seq("x" -> 1L)), Seq("other")))
+    assertThrows[IllegalArgumentException](views.defineJoin("bad", "ta", "tc"))
+    cat.put("td", ops.fromDataFrame(mk(aSchema, Seq("x" -> 1L)), Seq("k")))
+    assertThrows[IllegalArgumentException](views.defineJoin("bad2", "ta", "td"))
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
