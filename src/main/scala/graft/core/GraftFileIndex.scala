@@ -79,7 +79,33 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
           val i = m.keyCols.indexOf(a.name); if (i >= 0) Some(i) else None
         case _ => None
       }
-      val parsed: Option[(Int, String, Any)] = f match {
+      // IN-list: bound by the list's min/max VALUES under the ORDER-
+      // PRESERVING key encoding (byte order == value order, so no
+      // per-type comparator); the row filter enforces exact membership
+      def inListBounds(e: Expression, list: Seq[Expression])
+          : Seq[(Int, String, Any)] =
+        at(e).toSeq.flatMap { i =>
+          val vs = list.collect { case Literal(v, _) if v != null => v }
+          if (vs.isEmpty || vs.length != list.length) Nil
+          else {
+            try {
+              val enc = KeyCodec.fieldEncoder(keyDts(i))
+              val encoded = vs.map { v =>
+                val buf = new KeyCodec.ByteBuf(16)
+                enc(buf, toExternal(i)(v))
+                (buf.toBytes, v)
+              }
+              // compareBytes is UNSIGNED lexicographic — the order the
+              // codec preserves (a signed Byte ordering would misrank)
+              val sorted = encoded.sortWith((x, y) =>
+                Hashing.compareBytes(x._1, y._1) < 0)
+              Seq((i, ">=", sorted.head._2), (i, "<=", sorted.last._2))
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          }
+        }
+      val parsed: Seq[(Int, String, Any)] = f match {
+        case In(a, list) => inListBounds(a, list)
+        case other => (other match {
         case EqualTo(a, Literal(v, _)) => at(a).map(i => (i, "=", v))
         case EqualTo(Literal(v, _), a) => at(a).map(i => (i, "=", v))
         case GreaterThanOrEqual(a, Literal(v, _)) => at(a).map(i => (i, ">=", v))
@@ -92,6 +118,7 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
         case LessThanOrEqual(Literal(v, _), a) => at(a).map(i => (i, ">=", v))
         case LessThan(Literal(v, _), a) => at(a).map(i => (i, ">", v))
         case _ => None
+        }).toSeq
       }
       parsed.flatMap { case (i, op, v) =>
         Option(v).flatMap { raw =>

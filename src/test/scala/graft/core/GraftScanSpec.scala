@@ -59,6 +59,15 @@ class GraftScanSpec extends AnyFunSuite {
     val flipped = filesFor(ops, ref, GreaterThan(Literal(900L), kAttr))
     assert(flipped < total, s"flipped comparison did not prune: $flipped")
 
+    // IN-list: bounded by the list's min/max (unsigned byte order)
+    val inList = filesFor(ops, ref,
+      In(kAttr, Seq(Literal(400L), Literal(410L), Literal(405L))))
+    assert(inList >= 1 && inList < total / 2,
+      s"IN-list listed $inList of $total files")
+    val gotIn = ops.scan(ref).where(col("k").isin(400L, 410L, 405L))
+      .collect().map(_.getLong(0)).sorted
+    assert(gotIn.toSeq == Seq(400L, 405L, 410L))
+
     // unrecognized predicates prune nothing (conservative)
     assert(filesFor(ops, ref, IsNotNull(kAttr)) == total)
     assert(filesFor(ops, ref) == total)
