@@ -82,11 +82,11 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
       // IN-list: bound by the list's min/max VALUES under the ORDER-
       // PRESERVING key encoding (byte order == value order, so no
       // per-type comparator); the row filter enforces exact membership
-      def inListBounds(e: Expression, list: Seq[Expression])
+      def inValuesBounds(e: Expression, vs0: Seq[Any], complete: Boolean)
           : Seq[(Int, String, Any)] =
         at(e).toSeq.flatMap { i =>
-          val vs = list.collect { case Literal(v, _) if v != null => v }
-          if (vs.isEmpty || vs.length != list.length) Nil
+          val vs = vs0.filter(_ != null)
+          if (vs.isEmpty || !complete) Nil
           else {
             try {
               val enc = KeyCodec.fieldEncoder(keyDts(i))
@@ -104,7 +104,12 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
           }
         }
       val parsed: Seq[(Int, String, Any)] = f match {
-        case In(a, list) => inListBounds(a, list)
+        case In(a, list) =>
+          val lits = list.collect { case Literal(v, _) => v }
+          inValuesBounds(a, lits, complete = lits.length == list.length)
+        // long IN lists optimize to InSet (inSetConversionThreshold);
+        // a null in the set matches no rows anyway — drop it, bound the rest
+        case InSet(a, hset) => inValuesBounds(a, hset.toSeq, complete = true)
         case other => (other match {
         case EqualTo(a, Literal(v, _)) => at(a).map(i => (i, "=", v))
         case EqualTo(Literal(v, _), a) => at(a).map(i => (i, "=", v))

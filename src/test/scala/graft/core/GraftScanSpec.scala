@@ -68,6 +68,15 @@ class GraftScanSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(gotIn.toSeq == Seq(400L, 405L, 410L))
 
+    // long IN lists arrive as InSet (inSetConversionThreshold = 10)
+    val inSet = filesFor(ops, ref,
+      InSet(kAttr, (400L to 420L).map(_.asInstanceOf[Any]).toSet))
+    assert(inSet >= 1 && inSet < total / 2,
+      s"InSet listed $inSet of $total files")
+    val gotSet = ops.scan(ref).where(col("k").isin((400L to 420L): _*))
+      .collect().map(_.getLong(0)).sorted
+    assert(gotSet.toSeq == (400L to 420L))
+
     // unrecognized predicates prune nothing (conservative)
     assert(filesFor(ops, ref, IsNotNull(kAttr)) == total)
     assert(filesFor(ops, ref) == total)
