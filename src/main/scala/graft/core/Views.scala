@@ -106,8 +106,28 @@ final class Views(ops: Ops, catalog: Catalog) {
     ops.merge(Seq(a2, b2), FoldSpec.FoldCoalesce)
   }
 
-  def refreshAll(): Map[String, TableRef] =
-    (defs.keys ++ joinDefs.keys).toSeq.sorted.map(v => v -> refresh(v)).toMap
+  /** Refresh every view in DEPENDENCY order (a view whose source is
+    * itself a view refreshes after that source), so chained views — a
+    * join view over a transform view, a rollup over a join — observe
+    * their sources' CURRENT versions in one pass. Cycles are rejected. */
+  def refreshAll(): Map[String, TableRef] = {
+    val names = (defs.keys ++ joinDefs.keys).toSeq.sorted
+    def deps(v: String): Seq[String] =
+      (defs.get(v).map(d => Seq(d.source)) orElse
+        joinDefs.get(v).map(j => Seq(j.left, j.right))).getOrElse(Nil)
+        .filter(s => defs.contains(s) || joinDefs.contains(s))
+    val order = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(v: String): Unit =
+      if (!order.contains(v)) {
+        require(visiting.add(v), s"view dependency cycle at $v")
+        deps(v).foreach(visit)
+        visiting.remove(v)
+        order += v
+      }
+    names.foreach(visit)
+    order.toSeq.map(v => v -> refresh(v)).toMap
+  }
 
   def definitions: Map[String, ViewDef] = defs.toMap
   def joinDefinitions: Map[String, JoinDef] = joinDefs.toMap

@@ -362,6 +362,43 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](views.defineJoin("bad2", "ta", "td"))
   }
 
+  test("chained views refresh in dependency order: a join view over a transform view stays fresh") {
+    val store = new FsStore(Files.createTempDirectory("graft-chain-").toString)
+    val ops = new Ops(spark, store, 16)
+    val cat = new Catalog(store)
+    val views = new Views(ops, cat)
+
+    // base table t(k, v); transform view doubles v; join view pairs it
+    // with a static dim. Note the names: "a_double" sorts BEFORE
+    // "z_join" but ALSO after upstream edits must refresh first — the
+    // adversarial case is a join view whose name sorts FIRST.
+    val rows = (0 until 800).map(i => f"key$i%04d" -> i.toLong)
+    cat.put("t", ops.fromDataFrame(df(rows), Seq("k")))
+    val dimSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("seg", LongType, nullable = false)))
+    cat.put("dim", ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 800 by 2).map(i => Row(f"key$i%04d", (i % 5).toLong)), 4),
+        dimSchema), Seq("k")))
+    views.define("z_double", "t", doubleV, FoldSpec.FoldLast)
+    // "a_join" < "z_double" alphabetically: name order would refresh the
+    // join first and read a STALE z_double after a base-table delta
+    val j1 = views.defineJoin("a_join", "z_double", "dim")
+    assert(ops.scan(j1).count() == 800)
+
+    cat.put("t", ops.upsert(cat.get("t").get,
+      ops.fromDataFrame(df(Seq("key0000" -> 500L, "keyxxx" -> 1L)), Seq("k"))))
+    views.refreshAll()
+    val got = ops.scan(cat.get("a_join").get).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got("key0000") == Some(1000L),
+      "join view read a stale upstream after refreshAll")
+    assert(got("keyxxx") == Some(2L))
+    assert(got.size == 801)
+  }
+
   test("same transform key on unchanged table is a whole-op memo hit") {
     val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
     val ops = new Ops(spark, store, 16)
