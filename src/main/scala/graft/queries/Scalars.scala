@@ -157,7 +157,33 @@ object Scalars {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Regex scalar family: extract / count / global replace / match test.
+    * Patterns stay in the class both engines' regex dialects (Java vs
+    * RE2) agree on — character classes, quantifiers, no backrefs. */
+  def scalarRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        regexp_extract($"text", "([a-z]{7,})", 1).as("first_long_word"),
+        regexp_count($"text", lit("[aeiou]{2}")).cast("long")
+          .as("n_double_vowels"),
+        substring(regexp_replace($"text", "[aeiou]", "_"), 1, 40)
+          .as("devoweled_prefix"),
+        $"text".rlike("data").as("mentions_data"))
+      .orderBy($"doc_id")
+  }
+
+  val scalarRegexSql: String =
+    """SELECT doc_id,
+      | regexp_extract(text, '([a-z]{7,})', 1) AS first_long_word,
+      | CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_double_vowels,
+      | substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_prefix,
+      | regexp_matches(text, 'data') AS mentions_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "scalar_regex" -> (scalarRegex _),
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
     "scalar_math" -> (scalarMath _),
@@ -165,6 +191,7 @@ object Scalars {
     "scalar_case_json" -> (scalarCaseJson _))
 
   val oracles: Map[String, String] = Map(
+    "scalar_regex" -> scalarRegexSql,
     "scalar_string" -> scalarStringSql,
     "scalar_date" -> scalarDateSql,
     "scalar_math" -> scalarMathSql,

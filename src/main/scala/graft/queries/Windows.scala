@@ -124,7 +124,34 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** first_value / last_value / nth_value: navigation functions with an
+    * explicit full-partition frame (last/nth are frame-sensitive — the
+    * default running frame would return the CURRENT row's value). */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "events")
+      .withColumn("first_type", first($"event_type").over(w))
+      .withColumn("last_type", last($"event_type").over(wf))
+      .withColumn("second_cents", nth_value(cents($"value"), 2).over(wf))
+      .select($"event_id", $"user_id", $"first_type", $"last_type",
+        $"second_cents")
+      .orderBy($"event_id")
+  }
+
+  val windowFirstLastSql: String =
+    s"""SELECT event_id, user_id,
+       | FIRST_VALUE(event_type) OVER w2 AS first_type,
+       | LAST_VALUE(event_type) OVER w2 AS last_type,
+       | NTH_VALUE(${centsSql("value")}, 2) OVER w2 AS second_cents
+       |FROM events
+       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "window_firstlast" -> (windowFirstLast _),
     "window_topn" -> (windowTopn _),
     "window_running" -> (windowRunning _),
     "window_range" -> (windowRange _),
@@ -132,6 +159,7 @@ object Windows {
     "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(
+    "window_firstlast" -> windowFirstLastSql,
     "window_topn" -> windowTopnSql,
     "window_running" -> windowRunningSql,
     "window_range" -> windowRangeSql,
