@@ -61,6 +61,21 @@ final class Catalog(store: GraftStore) {
     }
   }
 
+  /** Atomic multi-table commit: every update lands in ONE new root —
+    * readers see all of them or none (a cross-table invariant, e.g. a
+    * fact table and its aggregate view, can never be observed half-
+    * updated). Same declared-order survival rule as [[put]]. */
+  def putAll(updates: Map[String, TableRef]): String = statement { cur =>
+    updates.toSeq.sortBy(_._1).foldLeft(cur) { case (acc, (name, ref)) =>
+      val m = store.loadTableMeta(ref.hash)
+      val fieldNames = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      val order = acc.get(name).map(_.declaredCols)
+        .filter(_.toSet == fieldNames.toSet).getOrElse(fieldNames)
+      acc + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order))
+    }
+  }
+
   def drop(name: String): String = statement(_ - name)
 
   /** getRepoTable (point lookup in the catalog, Repo.hs:100-104). */

@@ -160,6 +160,21 @@ class PlanSpec extends AnyFunSuite {
       s"q21 degenerated to an all-pairs join:\n$p")
   }
 
+  test("decontaminate: eval shingles broadcast against the training index, no all-pairs") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-shingle set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontamination degenerated to all-pairs:\n$p")
+  }
+
+  test("pipeline_curation: one scan, pushed length window, single dedup shuffle") {
+    val p = plan("pipeline_curation")
+    assert(p.contains("PushedFilters:") && p.contains("n_chars"),
+      s"length window not pushed:\n$p")
+    assert(!p.contains("Join"), s"curation must be join-free:\n$p")
+  }
+
   test("q22: dormancy test is an anti join against a date-pruned orders scan") {
     val p = plan("q22_sales_opportunity")
     assert(p.contains("LeftAnti"), s"q22 missing anti join:\n$p")

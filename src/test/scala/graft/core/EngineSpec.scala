@@ -340,6 +340,23 @@ class EngineSpec extends AnyFunSuite {
     assert(catalog.get("t").map(_.hash).contains(merged.hash))
   }
 
+  test("putAll commits several tables in ONE atomic root") {
+    val ops = newOps(target = 16)
+    val catalog = new Catalog(ops.store)
+    catalog.put("a", ops.fromDataFrame(df(Seq("x" -> 1L)), Seq("k")))
+    val historyBefore = catalog.log().length
+    val ra = ops.fromDataFrame(df(Seq("x" -> 2L)), Seq("k"))
+    val rb = ops.fromDataFrame(df(Seq("y" -> 3L)), Seq("k"))
+    val root = catalog.putAll(Map("a" -> ra, "b" -> rb))
+    // exactly one new version holds BOTH updates (no half-committed root
+    // exists anywhere in the chain)
+    assert(catalog.log().length == historyBefore + 1)
+    assert(catalog.get("a").contains(ra) && catalog.get("b").contains(rb))
+    val prev = catalog.parentOf(root).get
+    assert(catalog.rootAt(prev).get("a").map(_.tableHash) != Some(ra.hash))
+    assert(!catalog.rootAt(prev).contains("b"))
+  }
+
   test("concurrent catalog statements serialize: no lost updates") {
     val ops = newOps()
     val catalog = new Catalog(ops.store)
