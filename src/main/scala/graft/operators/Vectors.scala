@@ -389,9 +389,11 @@ object Vectors {
     * of [[simAnnIvf]]: same exact-integer cell assignment and probe
     * re-rank, but cells come from [[kmeansCentroids]] instead of
     * deterministic picks, so cell populations are balanced by the data
-    * distribution. No SQL oracle (the centroid model is JVM-derived);
-    * determinism and recall vs the brute-force baseline are pinned in
-    * ScalaTest. */
+    * distribution. Oracle-backed: exact integer arithmetic end-to-end
+    * means the DuckDB oracle can UNROLL the Lloyd iterations and
+    * reproduce the learned model bit-exactly
+    * ([[simAnnIvfKmeansSql]]); recall vs the brute-force baseline and
+    * run-to-run determinism are additionally pinned in ScalaTest. */
   def simAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cs = kmeansCentroids(s, dir)
@@ -422,6 +424,83 @@ object Vectors {
       .where($"rank" <= 3)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[simAnnIvfKmeans]]: the 3 Lloyd iterations
+    * UNROLL into generated CTE stages — every step is exact integer
+    * arithmetic (strict-< argmin with ties to the lower cell id, exact
+    * Long dimension sums, Java-style TRUNCATING division emulated over
+    * DuckDB's floor `//`), so SQL reproduces the learned model
+    * bit-exactly and the whole learned-ANN query hash-checks. */
+  val simAnnIvfKmeansSql: String = {
+    val iters = 3
+    def stage(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, q, c_id FROM (
+         |    SELECT a.vec_id, a.q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, len(a.q)+1),
+         |          k -> (a.q[k]-c.cq[k])*(a.q[k]-c.cq[k]))) AS BIGINT), c.c_id) AS rn
+         |    FROM n a, $prev c) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT c_id, pos, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS cnt FROM (
+         |    SELECT c_id, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS x
+         |    FROM a$i) GROUP BY 1, 2),
+         |u$i AS (
+         |  SELECT c_id, list(CASE WHEN sx >= 0 THEN sx // cnt
+         |    ELSE -((-sx) // cnt) END ORDER BY pos) AS cq
+         |  FROM s$i GROUP BY c_id),
+         |c$i AS (
+         |  SELECT p.c_id, COALESCE(u.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN u$i u ON p.c_id = u.c_id)""".stripMargin
+    val stages = (1 to iters).map(i =>
+      stage(i, if (i == 1) "seed" else s"c${i - 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+       |  FROM qv),
+       |seed AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
+       |    q AS cq
+       |  FROM n ORDER BY vec_id LIMIT 16),
+       |$stages,
+       |cents AS (
+       |  SELECT c_id, cq,
+       |    CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn
+       |  FROM c$iters),
+       |assigned AS (
+       |  SELECT vec_id, q, nq, c_id AS cell FROM (
+       |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+       |    FROM n a, cents c WHERE a.vec_id >= 10)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, q AS qq, nq AS qn, c_id AS cell FROM (
+       |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+       |    FROM n a, cents c WHERE a.vec_id < 10)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(p.qq)+1),
+       |      k -> p.qq[k]*a.q[k])) AS BIGINT)
+       |      / sqrt(CAST(p.qn AS DOUBLE) * a.nq) AS cos
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   val simAnnIvfSql: String =
@@ -541,6 +620,7 @@ object Vectors {
     "sim_neardup" -> simNeardupSql,
     "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,
+    "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql)
 }
