@@ -239,8 +239,9 @@ object Vectors {
   /** ANN via multi-table random-hyperplane LSH: 8 independent tables of
     * 6-bit sign signatures from deterministic ±1 planes; candidates share
     * any table's bucket, then exact cosine re-ranks the candidate union.
-    * No SQL oracle (JVM-derived planes); recall vs the brute-force
-    * baseline is pinned in ScalaTest. At 100 TB the bucket join replaces
+    * Oracle-backed: the plane constants embed in the SQL
+    * ([[simAnnLshSql]]); recall vs the brute-force baseline is
+    * additionally pinned in ScalaTest. At 100 TB the bucket join replaces
     * the broadcast nested loop and tables/bits trade recall for cost. */
   val LshTables = 8
   val LshBits = 6
@@ -424,6 +425,54 @@ object Vectors {
       .where($"rank" <= 3)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[simAnnLsh]]: the ±1 hyperplanes are
+    * deterministic constants of the implementation, so the oracle embeds
+    * the plane matrix as a literal (the same precedent as the embedded
+    * stopword lists in Text) and recomputes the 8×6-bit sign signatures,
+    * bucket join, and cosine re-rank in exact integer arithmetic. */
+  val simAnnLshSql: String = {
+    val planesLit = planes.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+       |  FROM qv),
+       |planes AS (
+       |  SELECT unnest(range(0, ${LshTables * LshBits})) AS p_id,
+       |    unnest($planesLit) AS pl),
+       |sigs AS (
+       |  SELECT vec_id, p_id // $LshBits AS tbl, p_id % $LshBits AS bit,
+       |    CASE WHEN CAST(list_sum(list_transform(range(1, len(q)+1),
+       |      k -> q[k]*pl[k])) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM n, planes),
+       |bysig AS (
+       |  SELECT vec_id, tbl, CAST(SUM(s * (1 << bit)) AS BIGINT) AS sig
+       |  FROM sigs GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id
+       |  FROM bysig qs JOIN bysig c ON qs.tbl = c.tbl AND qs.sig = c.sig
+       |  WHERE qs.vec_id < 10 AND c.vec_id >= 10),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |      k -> a.q[k]*b.q[k])) AS BIGINT)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * b.nq) AS cos
+       |  FROM cands cd
+       |  JOIN n a ON a.vec_id = cd.query_id
+       |  JOIN n b ON b.vec_id = cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB oracle for [[simAnnIvfKmeans]]: the 3 Lloyd iterations
@@ -621,6 +670,7 @@ object Vectors {
     "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
+    "sim_ann_lsh" -> simAnnLshSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql)
 }
