@@ -174,7 +174,7 @@ object Dedup {
       |WHERE 10*c >= 3*(sa.n + sb.n - c)
       |ORDER BY i, j""".stripMargin
 
-  // ---- MinHash-LSH (no SQL oracle: depends on xxhash64) ----------------
+  // ---- MinHash-LSH (oracle-backed: md5-derived hashes) -----------------
 
   /** 64 minhash permutations h_i(x) = (a_i*x32 + b_i) mod P, banded into
     * 16 bands of 4 rows (S-curve threshold ≈ 0.5); candidates share a
@@ -197,7 +197,10 @@ object Dedup {
     import s.implicits._
     val sh = shingles(s, dir)
     // one tight loop per doc computes all 64 permutation minima and the
-    // 16 band hashes (explode-per-permutation costs a 64× row blowup)
+    // 16 band signatures (explode-per-permutation costs a 64× row
+    // blowup). A band signature is the TUPLE of its 4 row minima — no
+    // mixing hash, so the bucket key is collision-free by construction
+    // and (with the md5-derived h32) reproducible by the SQL oracle.
     val as = perms._1; val bs = perms._2
     val bandsUdf = udf { (hs: scala.collection.Seq[Long]) =>
       val mins = Array.fill(MinhashPerms)(Long.MaxValue)
@@ -209,16 +212,16 @@ object Dedup {
           i += 1
         }
       }
-      // band b takes rows {b, b+16, b+32, b+48}; mix into one hash
+      // band b takes rows {b, b+16, b+32, b+48}, in row order
       Array.tabulate(MinhashBands) { b =>
-        var acc = 1125899906842597L
-        var r = b
-        while (r < MinhashPerms) { acc = acc * 31 + mins(r); r += MinhashBands }
-        acc
+        Array.iterate(b, MinhashPerms / MinhashBands)(_ + MinhashBands)
+          .map(mins)
       }
     }
     val sig = sh
-      .withColumn("h32", xxhash64($"s").bitwiseAND(lit(0xffffffffL)))
+      // 32-bit hash from the md5 hex prefix: identical in DuckDB
+      // (('0x' || substr(md5(s),1,8))::BIGINT), unlike xxhash64/murmur
+      .withColumn("h32", conv(substring(md5($"s"), 1, 8), 16, 10).cast("long"))
       .groupBy($"doc_id").agg(collect_list($"h32").as("hs"))
       .select($"doc_id", posexplode(bandsUdf($"hs")).as(Seq("band", "sig")))
     val cands = sig.as("x").join(sig.as("y"),
@@ -227,6 +230,45 @@ object Dedup {
       .select($"x.doc_id".as("i"), $"y.doc_id".as("j")).distinct()
     verifyJaccard(sh, cands, num = 5, den = 10) // exact j >= 0.5
       .orderBy($"i", $"j")
+  }
+
+  /** DuckDB oracle for [[dedupMinhash]] — possible because every stage
+    * is engine-portable: md5-derived 32-bit shingle hashes, the 64
+    * permutation minima under embedded (a,b) coefficients, tuple band
+    * signatures (list equality, no mixing hash), and the exact-Jaccard
+    * verification. */
+  val dedupMinhashSql: String = {
+    val aLit = perms._1.mkString("[", ",", "]")
+    val bLit = perms._2.mkString("[", ",", "]")
+    s"""WITH sh AS ($shinglesSql),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h32
+       |      FROM sh),
+       |perms AS (
+       |  SELECT unnest(range(0, $MinhashPerms)) AS perm,
+       |    unnest($aLit) AS a, unnest($bLit) AS b),
+       |mins AS (
+       |  SELECT doc_id, perm, MIN((a*h32 + b) % $P) AS mn
+       |  FROM h, perms GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id, perm % $MinhashBands AS band,
+       |    list(mn ORDER BY perm) AS sig
+       |  FROM mins GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM sigs x JOIN sigs y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.i, c.j, COUNT(*) AS cc
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.i
+       |  JOIN sh b ON b.doc_id = c.j AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT i, j FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE 10*cc >= 5*(sa.n + sb.n - cc)
+       |ORDER BY i, j""".stripMargin
   }
 
   /** Scale guard for the inverted-index join: drop shingles whose
@@ -413,5 +455,6 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_shingle" -> dedupShingleSql,
-    "dedup_winnow" -> dedupWinnowSql)
+    "dedup_winnow" -> dedupWinnowSql,
+    "dedup_minhash" -> dedupMinhashSql)
 }
