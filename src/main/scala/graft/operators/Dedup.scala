@@ -339,12 +339,16 @@ object Dedup {
   private[operators] def simhash128(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val simhashUdf = udf { (shs: scala.collection.Seq[String]) =>
+      // md5 IS a 128-bit hash — big-endian first/last 8 bytes become
+      // (h1, h2), the same values DuckDB reads from the md5 hex string,
+      // which is what makes the SQL oracle possible (murmur3 was not)
+      val md = java.security.MessageDigest.getInstance("MD5")
       val acc = new Array[Int](128)
       shs.foreach { t =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 2).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t, 3).toLong & 0xffffffffL)
+        md.reset()
+        val bb = java.nio.ByteBuffer.wrap(md.digest(t.getBytes("UTF-8")))
+        val h1 = bb.getLong(0)
+        val h2 = bb.getLong(8)
         var b = 0
         while (b < 64) {
           acc(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1)
@@ -440,6 +444,38 @@ object Dedup {
     path.orderBy($"i", $"j")
   }
 
+  /** DuckDB oracle for [[dedupSimhash]]: the signature bits recompute
+    * from the md5 HEX STRING — bit b of the big-endian 64-bit halves
+    * lives in hex nibble 16−b/4 (h1) / 48−b/4 (h2) at in-nibble
+    * position b mod 4 — so SQL derives the identical 128-bit model,
+    * then scans all pairs with an element-wise hamming count. Both
+    * Spark plans (broadcast scan / banded bucket join) equal this by
+    * the pigeonhole argument, so one oracle covers the size gate. */
+  val dedupSimhashSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |bits AS (SELECT unnest(range(0, 128)) AS b),
+       |sigbits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN SUM(2*bit - 1) > 0 THEN 1 ELSE 0 END AS sb
+       |  FROM (
+       |    SELECT sh.doc_id, bits.b,
+       |      (('0x' || substr(md5(sh.s),
+       |          CAST(CASE WHEN b < 64 THEN 16 - b // 4
+       |               ELSE 48 - b // 4 END AS INT), 1))::BIGINT
+       |        // (1 << (b % 4))) % 2 AS bit
+       |    FROM sh, bits)
+       |  GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(sb ORDER BY b) AS sig
+       |         FROM sigbits GROUP BY 1)
+       |SELECT i, j, hamming FROM (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(list_sum(list_transform(range(1, 129),
+       |      k -> CASE WHEN a.sig[k] <> b.sig[k] THEN 1 ELSE 0 END)) AS INT)
+       |      AS hamming
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= $SimhashMaxHamming
+       |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -448,13 +484,11 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _))
 
-  /** minhash/simhash are hash-function-dependent → no SQL oracle; the
-    * driver records rows-only checks and ScalaTest pins their semantics
-    * against the exact-jaccard ground truth. */
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_shingle" -> dedupShingleSql,
     "dedup_winnow" -> dedupWinnowSql,
-    "dedup_minhash" -> dedupMinhashSql)
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql)
 }
