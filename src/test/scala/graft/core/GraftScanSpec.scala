@@ -157,6 +157,54 @@ class GraftScanSpec extends AnyFunSuite {
     assert(got.toSeq == (100L until 130L))
   }
 
+  test("string and timestamp keys prune through their order-preserving encodings") {
+    // string PK
+    val ops = newOps(target = 32)
+    val sschema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val sref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 600).map(i => Row(f"key$i%04d", i.toLong)), 4), sschema),
+      Seq("k"))
+    val sTotal = ops.meta(sref).chunks.length
+    val sAttr = AttributeReference("k", StringType, nullable = false)()
+    val sFiles = filesFor(ops, sref,
+      GreaterThanOrEqual(sAttr,
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("key0100"),
+          StringType)),
+      LessThan(sAttr,
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString("key0150"),
+          StringType)))
+    assert(sFiles >= 1 && sFiles < sTotal, s"string range: $sFiles of $sTotal")
+    val sGot = ops.scan(sref).where(col("k") >= "key0100" && col("k") < "key0150")
+      .count()
+    assert(sGot == 50)
+
+    // timestamp PK (micros-encoded; literal arrives as Long micros)
+    val tschema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val tref = ops.fromDataFrame(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 600).map(i =>
+          Row(new java.sql.Timestamp(base + i * 60000L), i.toLong)), 4),
+        tschema),
+      Seq("ts"))
+    val tTotal = ops.meta(tref).chunks.length
+    val tAttr = AttributeReference("ts", TimestampType, nullable = false)()
+    val loMicros = (base + 100 * 60000L) * 1000L
+    val hiMicros = (base + 150 * 60000L) * 1000L
+    val tFiles = filesFor(ops, tref,
+      GreaterThanOrEqual(tAttr, Literal(loMicros, TimestampType)),
+      LessThan(tAttr, Literal(hiMicros, TimestampType)))
+    assert(tFiles >= 1 && tFiles < tTotal, s"timestamp range: $tFiles of $tTotal")
+    val tGot = ops.scan(tref)
+      .where(col("v") >= 100L && col("v") < 150L).count()
+    assert(tGot == 50)
+  }
+
   test("SQL over catalog tables gets the pruned scan end-to-end") {
     val ops = newOps()
     val cat = new Catalog(ops.store)
