@@ -21,6 +21,7 @@ import graft.core._
   *   graft.Cli <storeDir> print-schema <table>
   *   graft.Cli <storeDir> verify <table>
   *   graft.Cli <storeDir> delete-range <table> <lo> <hi>
+  *   graft.Cli <storeDir> push <dstStoreDir> [rootHash]
   *   graft.Cli <storeDir> tables
   */
 object Cli {
@@ -142,6 +143,17 @@ object Cli {
           // COUNT(*) from chunk metadata — no data read
           val ref = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
           println(ops.rowCount(ref))
+        case "push" :: dstDir :: rest if rest.length <= 1 =>
+          // git-push-style incremental replication to another store:
+          // only objects the destination lacks move (content addressing
+          // = the transfer protocol); the pointer advances fast-forward
+          val root = rest.headOption
+            .orElse(store.currentRootHash)
+            .getOrElse(sys.error("empty store: nothing to push"))
+          val st = Replicate.push(store, new FsStore(dstDir), root)
+          println(s"pushed root=$root roots=${st.copiedRoots} " +
+            s"tables=${st.copiedTables} chunks=${st.copiedChunks} " +
+            s"skipped=${st.skippedChunks}")
         case "diff" :: table :: oldRoot :: Nil =>
           // git-like: what changed in `table` since version `oldRoot`
           val cur = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
