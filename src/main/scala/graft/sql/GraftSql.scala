@@ -378,49 +378,83 @@ object GraftSql {
     """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r
   private val cmpRe = """(?s)^("?\w+"?)\s*(<=|>=|=|<|>)\s*(.+)$""".r
 
-  /** Recognize `cond` as a key range on the table's LEADING key column:
-    * a single BETWEEN, a single equality, or an AND of at most one lower
-    * and one upper comparison against literals. Returns the deleteRange
-    * bounds, or None when the predicate is anything else (caller falls
-    * back to filter-and-rebuild). */
+  /** Recognize `cond` as a KEY-PREFIX range: an equality chain on the
+    * leading key columns, optionally followed by range comparison(s) —
+    * at most one lower and one upper, or one BETWEEN — on the NEXT key
+    * column. `k1 = a AND k2 BETWEEN b AND c` plans as the (a,b)…(a,c)
+    * tuple-prefix bounds. Unlike scan PRUNING (conservative), the DML
+    * fast path must equal the predicate EXACTLY, so every conjunct must
+    * be consumed by the prefix walk; anything left over (a predicate on
+    * a deeper column, a duplicate bound, a value column) returns None
+    * and the caller falls back to filter-and-rebuild. */
   private[sql] def parseKeyRange(spark: SparkSession, schema: StructType,
       keyCols: Seq[String], cond: String): Option[(Option[graft.core.Bound],
         Option[graft.core.Bound])] = {
     import graft.core.Bound
-    val keyCol = keyCols.head
-    val dt = schema(keyCol).dataType
-    def lit(raw: String): Option[Any] = parseLiteral(spark, dt, raw)
-    def isKey(c: String): Boolean = unquote(c).equalsIgnoreCase(keyCol)
-    cond match {
-      case betweenRe(c, lo, hi) if isKey(c) =>
-        for (l <- lit(lo); h <- lit(hi))
-          yield (Some(Bound(Seq(l), inclusive = true)),
-            Some(Bound(Seq(h), inclusive = true)))
-      case _ =>
-        val parts = cond.split("""(?i)\s+and\s+""").map(_.trim)
-        var lo: Option[Bound] = None
-        var hi: Option[Bound] = None
-        var eq = false
-        var ok = parts.nonEmpty
-        parts.foreach {
-          case cmpRe(c, op, rawLit) if ok && isKey(c) =>
-            lit(rawLit) match {
-              case None => ok = false
-              case Some(v) => op match {
-                case "=" if lo.isEmpty && hi.isEmpty && !eq =>
-                  eq = true
-                  lo = Some(Bound(Seq(v), inclusive = true))
-                  hi = Some(Bound(Seq(v), inclusive = true))
-                case ">=" if lo.isEmpty && !eq => lo = Some(Bound(Seq(v), inclusive = true))
-                case ">" if lo.isEmpty && !eq => lo = Some(Bound(Seq(v), inclusive = false))
-                case "<=" if hi.isEmpty && !eq => hi = Some(Bound(Seq(v), inclusive = true))
-                case "<" if hi.isEmpty && !eq => hi = Some(Bound(Seq(v), inclusive = false))
-                case _ => ok = false
-              }
-            }
+    // split on AND, re-joining the two halves a BETWEEN owns
+    val raw = cond.split("""(?i)\s+and\s+""").map(_.trim)
+    val parts = Vector.newBuilder[String]
+    var idx = 0
+    while (idx < raw.length) {
+      if (raw(idx).matches("""(?is)^"?\w+"?\s+between\s+.+""") &&
+          idx + 1 < raw.length) {
+        parts += raw(idx) + " AND " + raw(idx + 1); idx += 2
+      } else { parts += raw(idx); idx += 1 }
+    }
+    def colIdx(c: String): Int =
+      keyCols.indexWhere(_.equalsIgnoreCase(unquote(c)))
+    def lit(i: Int, raw: String): Option[Any] =
+      parseLiteral(spark, schema(keyCols(i)).dataType, raw)
+    // each conjunct → (key column index, op, value); any failure → None
+    val cmps = Vector.newBuilder[(Int, String, Any)]
+    var ok = true
+    parts.result().foreach {
+      case betweenRe(c, loRaw, hiRaw) if ok && colIdx(c) >= 0 =>
+        val i = colIdx(c)
+        (lit(i, loRaw), lit(i, hiRaw)) match {
+          case (Some(l), Some(h)) => cmps += ((i, ">=", l)); cmps += ((i, "<=", h))
           case _ => ok = false
         }
-        if (ok && (lo.nonEmpty || hi.nonEmpty)) Some((lo, hi)) else None
+      case cmpRe(c, op, rawLit) if ok && colIdx(c) >= 0 =>
+        lit(colIdx(c), rawLit) match {
+          case Some(v) => cmps += ((colIdx(c), op, v))
+          case None => ok = false
+        }
+      case _ => ok = false
+    }
+    if (!ok) return None
+    val all = cmps.result()
+    // equality-prefix walk; the first column without an equality takes
+    // the range ops; NOTHING may remain unconsumed
+    val prefix = Vector.newBuilder[Any]
+    var d = 0
+    var consumed = 0
+    while (d < keyCols.length &&
+        all.count(_._1 == d) == 1 &&
+        all.exists(t => t._1 == d && t._2 == "=")) {
+      prefix += all.find(_._1 == d).get._3
+      consumed += 1
+      d += 1
+    }
+    val p = prefix.result()
+    val atD = all.filter(_._1 == d)
+    if (all.length - consumed != atD.length) return None // deeper-column leftovers
+    if (atD.exists(_._2 == "=")) {
+      // an equality here means the walk stopped for another reason
+      // (duplicate ops on this column) — not a clean range
+      return None
+    }
+    val lows = atD.filter(t => t._2 == ">=" || t._2 == ">")
+    val highs = atD.filter(t => t._2 == "<=" || t._2 == "<")
+    if (lows.length > 1 || highs.length > 1 ||
+        lows.length + highs.length != atD.length) return None
+    val lo = lows.headOption.map(t => Bound(p :+ t._3, t._2 == ">="))
+    val hi = highs.headOption.map(t => Bound(p :+ t._3, t._2 == "<="))
+    (lo, hi) match {
+      case (None, None) if p.nonEmpty =>
+        Some((Some(Bound(p, inclusive = true)), Some(Bound(p, inclusive = true))))
+      case (None, None) => None
+      case b => Some(b)
     }
   }
 

@@ -180,6 +180,56 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "UPDATE nope SET v = 1 WHERE k = 1"))
   }
 
+  test("composite-key DML: equality prefix + range plans as one tuple-prefix range") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv2 (k1 bigint PRIMARY KEY, k2 bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      """INSERT INTO kv2 SELECT id div 10 AS k1, id % 10 AS k2, id AS v
+        |FROM range(0, 100)""".stripMargin)
+    def rows(): Set[(Long, Long, Long)] = ops.scanOrdered(cat.get("kv2").get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // the fast path recognizes the composite shapes exactly
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(cat.root("kv2").schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 = 3 AND k2 >= 4 AND k2 < 8").isDefined)
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 = 3 AND k2 BETWEEN 4 AND 7").isDefined)
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 = 3 AND k2 = 4").isDefined)
+    // NOT clean ranges: range without its leading equality, a deeper
+    // leftover, duplicate bounds, value columns
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k2 >= 4").isEmpty)
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 >= 3 AND k2 >= 4").isEmpty)
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 = 3 AND k1 = 4").isEmpty)
+    assert(GraftSql.parseKeyRange(spark, schema, Seq("k1", "k2"),
+      "k1 = 3 AND v = 1").isEmpty)
+
+    // DELETE a (k1, k2-range) slice incrementally
+    GraftSql.execute(spark, ops, cat,
+      "DELETE FROM kv2 WHERE k1 = 3 AND k2 >= 4 AND k2 < 8")
+    assert(rows() == (0L until 100L)
+      .filterNot(i => i / 10 == 3 && i % 10 >= 4 && i % 10 < 8)
+      .map(i => (i / 10, i % 10, i)).toSet)
+
+    // UPDATE a (k1, k2-BETWEEN) slice incrementally
+    GraftSql.execute(spark, ops, cat,
+      "UPDATE kv2 SET v = v + 1000 WHERE k1 = 5 AND k2 BETWEEN 2 AND 4")
+    assert(rows().filter(_._1 == 5L) == (50L until 60L)
+      .map(i => (5L, i % 10, if (i % 10 >= 2 && i % 10 <= 4) i + 1000 else i))
+      .toSet)
+
+    // whole-tenant delete: bare equality prefix drops every extending key
+    GraftSql.execute(spark, ops, cat, "DELETE FROM kv2 WHERE k1 = 7")
+    assert(!rows().exists(_._1 == 7L) && rows().size == 86)
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
