@@ -167,9 +167,19 @@ class StreamIngestSpec extends AnyFunSuite {
     val userTotals = graft.core.ColTransform("user_totals_v1", Seq("uid"),
       Seq(col("user_id").as("uid"), col("n"), col("cents")))
     views.define("user_totals", "daily_agg", userTotals, FoldSpec.FoldSum)
+    // ...and a JOIN view pairing the totals with a static user dim —
+    // the chained shape (join-over-transform) the stream must keep fresh
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType, nullable = false),
+      StructField("segment", StringType, nullable = false)))
+    catalog.put("user_dim", ops.fromDataFrame(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(3L, "b")), 2),
+        dimSchema), Seq("uid")))
+    views.defineJoin("user_join", "user_totals", "user_dim")
 
     writeBatch(srcDir, batch2, 2)
-    runOnce(Some(views)) // foreachBatch merges AND refreshes the view
+    runOnce(Some(views)) // foreachBatch merges AND refreshes the views
 
     val all = batch1 ++ batch2
     val model = all.groupBy(_._2).view.mapValues(rs =>
@@ -177,6 +187,16 @@ class StreamIngestSpec extends AnyFunSuite {
     val got = ops.scan(catalog.get("user_totals").get).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == model, "view after streamed batches must equal batch recompute")
+    // the join view saw batch2's totals (dependency-ordered refresh) and
+    // keeps full-outer semantics (user 2: no dim; user 3: dim, data)
+    val j = ops.scan(catalog.get("user_join").get).collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))),
+        (if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(j.keySet == model.keySet ++ Set(1L, 3L))
+    assert(j(1L) == (Some(model(1L)._2), Some("a")),
+      "join view missed the streamed delta")
+    assert(j(2L)._2.isEmpty && j(3L)._2 == Some("b"))
 
     // the streamed refresh was memoized work, and a re-refresh with no
     // new data is a whole-op memo hit with zero writes and no new root
