@@ -160,6 +160,13 @@ class PlanSpec extends AnyFunSuite {
       s"q21 degenerated to an all-pairs join:\n$p")
   }
 
+  test("dedup_minhash: band-bucket equi-join on (band, sig tuple), never a cartesian product") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"minhash candidates degenerated to all-pairs:\n$p")
+    assert(p.contains("Join"), s"minhash lost its bucket join:\n$p")
+  }
+
   test("decontaminate: eval shingles broadcast against the training index, no all-pairs") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"),

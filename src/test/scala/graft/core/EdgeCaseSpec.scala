@@ -167,6 +167,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(problems.nonEmpty, "corruption must be detected")
   }
 
+  test("empty tables flow through scan, join views, and replication") {
+    val dir = Files.createTempDirectory("graft-edge-empty-").toString
+    val store = new FsStore(dir)
+    val ops = new Ops(spark, store, 8)
+    val cat = new Catalog(store)
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    def df(rows: Seq[(String, Long)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+
+    // empty table: scan/rangeFilter/ordered scan all yield zero rows
+    val empty = ops.emptyTable(schema, Seq("k"))
+    assert(ops.scan(empty).count() == 0)
+    assert(ops.scan(ops.rangeFilter(empty,
+      Some(Bound(Seq("a"), inclusive = true)), None)).count() == 0)
+
+    // join view with one EMPTY side: full-outer keeps the other side,
+    // absent-side column all-null
+    val bSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    cat.put("a", ops.fromDataFrame(df(Seq("x" -> 1L, "y" -> 2L)), Seq("k")))
+    cat.put("b", ops.emptyTable(bSchema, Seq("k")))
+    val views = new Views(ops, cat)
+    val j = views.defineJoin("j", "a", "b")
+    val rows = ops.scanOrdered(j).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.isNullAt(2))).toSeq
+    assert(rows == Seq(("x", 1L, true), ("y", 2L, true)))
+
+    // replication of a catalog containing an empty table
+    val dst = new FsStore(Files.createTempDirectory("graft-edge-dst-").toString)
+    Replicate.push(store, dst, store.currentRootHash.get)
+    val dcat = new Catalog(dst)
+    assert(dcat.get("b").map(_.hash) == cat.get("b").map(_.hash))
+    assert(new Ops(spark, dst, 8).scan(dcat.get("j").get).count() == 2)
+  }
+
   test("heavy skew: one key group with thousands of colliding rows folds correctly") {
     val schema = StructType(Seq(
       StructField("k", StringType, nullable = false),
