@@ -77,15 +77,25 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * semantics are recovered with scanOrdered. */
   def scan(ref: TableRef): DataFrame = scanMeta(meta(ref))
 
+  // FileIndex per table CONTENT (chunks are immutable, so an index never
+  // goes stale): repeated scans of the same table skip the per-chunk
+  // file-stat pass — at 1M chunks that is a million syscalls per scan
+  // otherwise. Bounded; overflow clears wholesale (they rebuild cheaply).
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftFileIndex]
+
   private def scanMeta(m: TableMeta): DataFrame =
     if (m.chunks.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else
+    else {
       // chunk-pruned relation: WHERE predicates on the leading key column
       // skip provably-disjoint chunk files at planning time
       // (GraftFileIndex), and scan statistics come from chunk metadata
-      org.apache.spark.sql.GraftBridge.fileIndexScan(spark,
-        new GraftFileIndex(spark, store, m), m.schema)
+      if (indexCache.size > 256) indexCache.clear()
+      val idx = indexCache.getOrElseUpdate(m.tableHash,
+        new GraftFileIndex(spark, store, m))
+      org.apache.spark.sql.GraftBridge.fileIndexScan(spark, idx, m.schema)
+    }
 
   def scanOrdered(ref: TableRef): DataFrame = {
     val m = meta(ref)
