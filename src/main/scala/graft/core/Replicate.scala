@@ -84,15 +84,22 @@ object Replicate {
     // restore it below unless a fast-forward advance is wanted
     val dstHeadBefore = dst.currentRootHash
 
-    // roots oldest-first so every parent exists before its child
+    // roots oldest-first so every parent exists before its child; any
+    // failure mid-copy must still restore the pointer saveRoot moved
     var copiedRoots = 0
-    roots.reverse.foreach { r =>
-      if (!dst.hasRoot(r)) {
-        val saved = dst.saveRoot(src.loadRoot(r))
-        require(saved == r,
-          s"root hash diverged across stores: $r vs $saved")
-        copiedRoots += 1
+    try {
+      roots.reverse.foreach { r =>
+        if (!dst.hasRoot(r)) {
+          val saved = dst.saveRoot(src.loadRoot(r))
+          require(saved == r,
+            s"root hash diverged across stores: $r vs $saved")
+          copiedRoots += 1
+        }
       }
+    } finally {
+      // provisional restore — the fast-forward decision below may
+      // re-advance it; on a mid-copy exception this is the final state
+      if (copiedRoots > 0) dstHeadBefore.foreach(dst.setRootPointer)
     }
 
     val fastForward = dstHeadBefore.isEmpty ||
