@@ -14,6 +14,7 @@ import graft.core._
   * Usage:
   *   graft.Cli <storeDir> import-parquet <table> <path> <keyCols,>
   *   graft.Cli <storeDir> import-csv <table> <path> <keyCols,>
+  *   graft.Cli <storeDir> import-json <table> <path> <keyCols,>
   *   graft.Cli <storeDir> range <table> <lo> <hi>
   *   graft.Cli <storeDir> lookup <table> <key>
   *   graft.Cli <storeDir> export-json <table>
@@ -56,6 +57,14 @@ object Cli {
             case Some(s) => graft.sources.Csv.readNameMatched(spark, path, s)
             case None => spark.read.option("header", "true")
               .option("inferSchema", "true").csv(path)
+          }
+          importDf(ops, cat, table, df, keys.split(",").toSeq)
+        case "import-json" :: table :: path :: keys :: Nil =>
+          // JSON-lines, fields matched by NAME — the inverse of
+          // export-json, so export → import round-trips a table
+          val df = cat.schemaOf(table) match {
+            case Some(s) => graft.sources.Json.readNameMatched(spark, path, s)
+            case None => spark.read.json(path)
           }
           importDf(ops, cat, table, df, keys.split(",").toSeq)
         case "sql" :: stmt :: Nil =>

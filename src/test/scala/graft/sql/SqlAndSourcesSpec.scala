@@ -180,6 +180,33 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "UPDATE nope SET v = 1 WHERE k = 1"))
   }
 
+  test("JSON export -> import round-trips a table bit-exactly (fields by NAME)") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO kv SELECT id AS k, id * 10 AS v FROM range(0, 50)")
+    val schema = cat.schemaOf("kv").get
+
+    // export shape (what Cli export-json prints), field order REVERSED
+    // to prove by-name matching
+    val dir = Files.createTempDirectory("graft-json-src-")
+    val lines = (0 until 50).map(i => s"""{"v":${i * 10},"k":$i}""")
+    Files.write(dir.resolve("part0.json"),
+      String.join("\n", lines: _*).getBytes)
+
+    val imported = ops.fromDataFrame(
+      graft.sources.Json.readNameMatched(spark, dir.toString, schema), Seq("k"))
+    assert(imported.hash == cat.get("kv").get.hash,
+      "JSON round trip must reproduce the identical table hash")
+
+    // missing required field rejected
+    val bad = Files.createTempDirectory("graft-json-bad-")
+    Files.write(bad.resolve("part0.json"), """{"k":1}""".getBytes)
+    assertThrows[IllegalArgumentException](
+      graft.sources.Json.readNameMatched(spark, bad.toString, schema))
+  }
+
   test("composite-key DML: equality prefix + range plans as one tuple-prefix range") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
