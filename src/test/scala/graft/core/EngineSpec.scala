@@ -53,7 +53,7 @@ class EngineSpec extends AnyFunSuite {
       var ref = ops.fromDataFrame(df(model.toSeq), Seq("k"))
       val hashes = Vector.newBuilder[String]
       (1 to 12).foreach { _ =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // upsert a small delta (last wins)
             val delta = randRows(rnd, rnd.nextInt(20) + 1, 4).distinctBy(_._1)
             ref = ops.upsert(ref, ops.fromDataFrame(df(delta), Seq("k")))
@@ -77,6 +77,13 @@ class EngineSpec extends AnyFunSuite {
             ref = ops.transform(ref, t, FoldSpec.FoldSum)
             model = model.toSeq.groupBy(_._1.take(2))
               .map { case (g, kvs) => g -> kvs.map(_._2).sum }
+          case 4 => // delete a key range (complement-range merge path)
+            val lo = ('a' + rnd.nextInt(3)).toChar.toString
+            val hi = lo + "m"
+            ref = ops.deleteRange(ref,
+              Some(Bound(Seq(lo), inclusive = true)),
+              Some(Bound(Seq(hi), inclusive = false)))
+            model = model.filterNot { case (k, _) => k >= lo && k < hi }
         }
         hashes += ref.hash
       }
