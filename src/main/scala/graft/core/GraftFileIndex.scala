@@ -159,10 +159,13 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
           }
           lo = lower.flatMap { case (v, inc) => enc(p :+ v, inc) }
           hi = upper.flatMap { case (v, inc) => enc(p :+ v, inc) }
-          // a bare equality prefix (ranges absent) still bounds both ends
-          if (lower.isEmpty && upper.isEmpty && p.nonEmpty) {
-            lo = enc(p, inclusive = true)
-            hi = enc(p, inclusive = true)
+          // a non-empty equality prefix caps any side the range
+          // comparisons left open (including both, when absent) — a
+          // one-sided range would otherwise list every chunk of later
+          // prefix values
+          if (p.nonEmpty) {
+            if (lo.isEmpty) lo = enc(p, inclusive = true)
+            if (hi.isEmpty) hi = enc(p, inclusive = true)
           }
           done = true
       }

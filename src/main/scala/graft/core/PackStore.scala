@@ -214,6 +214,10 @@ final class PackStore(val rootDir: String) extends GraftStore {
     Files.writeString(root.resolve("root"), rootHash); ()
   }
 
+  def clearRootPointer(): Unit = {
+    Files.deleteIfExists(root.resolve("root")); ()
+  }
+
   def currentRootHash: Option[String] = {
     val p = root.resolve("root")
     if (Files.exists(p)) Some(Files.readString(p).trim) else None

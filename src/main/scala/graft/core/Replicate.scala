@@ -85,7 +85,13 @@ object Replicate {
     val dstHeadBefore = dst.currentRootHash
 
     // roots oldest-first so every parent exists before its child; any
-    // failure mid-copy must still restore the pointer saveRoot moved
+    // failure mid-copy must still restore the pointer saveRoot moved —
+    // including back to the NO-pointer state when the destination was
+    // empty (advancePointer = false must leave a fresh store pointerless)
+    def restoreHead(): Unit = dstHeadBefore match {
+      case Some(h) => dst.setRootPointer(h)
+      case None => dst.clearRootPointer()
+    }
     var copiedRoots = 0
     try {
       roots.reverse.foreach { r =>
@@ -99,7 +105,7 @@ object Replicate {
     } finally {
       // provisional restore — the fast-forward decision below may
       // re-advance it; on a mid-copy exception this is the final state
-      if (copiedRoots > 0) dstHeadBefore.foreach(dst.setRootPointer)
+      if (copiedRoots > 0) restoreHead()
     }
 
     val fastForward = dstHeadBefore.isEmpty ||
@@ -117,7 +123,7 @@ object Replicate {
       }
     if (advancePointer && fastForward) dst.setRootPointer(rootHash)
     else {
-      dstHeadBefore.foreach(dst.setRootPointer) // undo saveRoot's side effect
+      restoreHead() // undo saveRoot's side effect
       require(!advancePointer,
         s"destination root ${dstHeadBefore.getOrElse("?")} is not in the " +
           "pushed history — refusing a non-fast-forward pointer move " +

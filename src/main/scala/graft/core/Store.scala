@@ -78,6 +78,10 @@ trait GraftStore {
   // ---- root pointer ----------------------------------------------------
   def saveRoot(json: String): String
   def setRootPointer(rootHash: String): Unit
+  /** Remove the pointer entirely (back to the fresh-store "no current
+    * root" state) — needed to undo saveRoot's pointer side effect when
+    * replicating into an empty store without advancing. */
+  def clearRootPointer(): Unit
   def currentRootHash: Option[String]
   def loadRoot(rootHash: String): String
   def hasRoot(rootHash: String): Boolean
@@ -187,6 +191,10 @@ final class FsStore(val rootDir: String) extends GraftStore {
   /** Repoint `root` to an existing version (checkout). */
   def setRootPointer(rootHash: String): Unit =
     writeAtomic(root.resolve("root"), rootHash)
+
+  def clearRootPointer(): Unit = {
+    Files.deleteIfExists(root.resolve("root")); ()
+  }
 
   def currentRootHash: Option[String] = {
     val p = root.resolve("root")
@@ -349,6 +357,10 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
 
   def setRootPointer(rootHash: String): Unit =
     putString(root.resolve("root"), rootHash)
+
+  def clearRootPointer(): Unit = {
+    Files.deleteIfExists(root.resolve("root")); ()
+  }
 
   def currentRootHash: Option[String] = {
     val p = root.resolve("root")

@@ -101,17 +101,66 @@ object GraftSql {
     (StructField(name, dt, nullable = !notNull), notNull, isKey)
   }
 
+  /** Split on top-level commas — outside parens AND outside quoted
+    * strings/identifiers, so a literal `'a,b'` cannot break a SET list
+    * or column list apart. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (quote != '`' && c == '\\' && i + 1 < s.length) {
+          cur += s.charAt(i + 1); i += 1
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  /** Split at top-level (outside quotes and parens), case-insensitive,
+    * whole-word occurrences of `word` — the quote-aware replacement for
+    * bare `\s+and\s+` / `\s+where\s+` regex splits, which a string
+    * literal containing " and "/" where " would defeat. */
+  private[sql] def splitOnKeyword(s: String, word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    val n = s.length
+    val w = word.length
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (quote != '`' && c == '\\' && i + 1 < n) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (depth == 0 && i + w <= n &&
+          s.regionMatches(true, i, word, 0, w) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + w == n || !isWordChar(s.charAt(i + w)))) {
+        out += cur.toString; cur.clear(); i += w - 1
+      } else cur += c
+      i += 1
+    }
+    out += cur.toString
     out.result()
   }
 
@@ -123,8 +172,10 @@ object GraftSql {
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+("?[\w.]+"?)\s+where\s+(.+?)\s*;?\s*$""".r
+  // captures the whole SET...WHERE tail; the quote-aware splitOnKeyword
+  // separates SET list from WHERE so literals containing " where " parse
   private val updateRe =
-    """(?is)^\s*update\s+("?[\w.]+"?)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*update\s+("?[\w.]+"?)\s+set\s+(.+?)\s*;?\s*$""".r
   private val assignRe = """(?s)^\s*("?\w+"?)\s*=\s*(.+?)\s*$""".r
 
   private def unquote(s: String): String =
@@ -294,7 +345,7 @@ object GraftSql {
           Right(ops.store.currentRootHash.getOrElse(
             throw new SqlException("no catalog root")))
         else Right(catalog.put(name, out))
-      case updateRe(rawName, setList, cond) =>
+      case updateRe(rawName, setTail) =>
         // `UPDATE t SET c = e, ... [WHERE cond]`: when cond is a leading-
         // key range and no key column is assigned, only the affected
         // chunk range is read (rangeFilter prunes by chunk metadata),
@@ -307,6 +358,12 @@ object GraftSql {
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val ref = graft.core.TableRef(entry.tableHash)
+        val whereParts = splitOnKeyword(setTail, "where")
+        val setList = whereParts.head
+        val cond: String =
+          if (whereParts.length == 1) null
+          else if (whereParts.length == 2) whereParts(1).trim
+          else throw new SqlException(s"multiple top-level WHERE in: $setTail")
         val assigns: Seq[(String, String)] = splitTopLevel(setList).map {
           case assignRe(c, e) =>
             val colName = unquote(c)
@@ -391,8 +448,9 @@ object GraftSql {
       keyCols: Seq[String], cond: String): Option[(Option[graft.core.Bound],
         Option[graft.core.Bound])] = {
     import graft.core.Bound
-    // split on AND, re-joining the two halves a BETWEEN owns
-    val raw = cond.split("""(?i)\s+and\s+""").map(_.trim)
+    // split on top-level AND (quote-aware), re-joining the halves a
+    // BETWEEN owns
+    val raw = splitOnKeyword(cond, "and").map(_.trim).toArray
     val parts = Vector.newBuilder[String]
     var idx = 0
     while (idx < raw.length) {
@@ -448,8 +506,17 @@ object GraftSql {
     val highs = atD.filter(t => t._2 == "<=" || t._2 == "<")
     if (lows.length > 1 || highs.length > 1 ||
         lows.length + highs.length != atD.length) return None
-    val lo = lows.headOption.map(t => Bound(p :+ t._3, t._2 == ">="))
-    val hi = highs.headOption.map(t => Bound(p :+ t._3, t._2 == "<="))
+    val lo0 = lows.headOption.map(t => Bound(p :+ t._3, t._2 == ">="))
+    val hi0 = highs.headOption.map(t => Bound(p :+ t._3, t._2 == "<="))
+    // One-sided range under a non-empty equality prefix: the prefix
+    // itself caps the open side (tuple-prefix bound — extending keys
+    // compare equal, and inclusive admits them). Without the cap,
+    // `k1 = a AND k2 >= b` would leave hi = None and the fast path
+    // would delete/update every key tuple above (a, b), k1 > a included.
+    val lo = lo0.orElse(
+      if (p.nonEmpty && hi0.isDefined) Some(Bound(p, inclusive = true)) else None)
+    val hi = hi0.orElse(
+      if (p.nonEmpty && lo0.isDefined) Some(Bound(p, inclusive = true)) else None)
     (lo, hi) match {
       case (None, None) if p.nonEmpty =>
         Some((Some(Bound(p, inclusive = true)), Some(Bound(p, inclusive = true))))

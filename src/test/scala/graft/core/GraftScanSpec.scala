@@ -134,6 +134,23 @@ class GraftScanSpec extends AnyFunSuite {
     assert(eqRange <= eqOnly, s"k1=5,k2 range listed $eqRange > $eqOnly")
     assert(filesFor(ops, ref, GreaterThanOrEqual(k2, Literal(10L))) == total)
 
+    // a ONE-SIDED k2 range must still be capped by the k1 equality
+    // prefix on the open side (ADVICE r4): the prefix proves the bound,
+    // so later k1 values' chunks are not listed
+    val oneSided = filesFor(ops, ref, EqualTo(k1, Literal(5L)),
+      GreaterThanOrEqual(k2, Literal(90L)))
+    assert(oneSided <= eqOnly,
+      s"k1=5,k2>=90 listed $oneSided > $eqOnly (open side not capped)")
+    val oneSidedHi = filesFor(ops, ref, EqualTo(k1, Literal(5L)),
+      LessThan(k2, Literal(10L)))
+    assert(oneSidedHi <= eqOnly,
+      s"k1=5,k2<10 listed $oneSidedHi > $eqOnly (open side not capped)")
+    // and the one-sided pruned scan returns exactly the filtered rows
+    val oneGot = ops.scan(ref)
+      .where(col("k1") === 5L && col("k2") >= 90L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(oneGot.toSeq == (90L until 100L).map(b => (5L, b, 5000 + b)))
+
     // all-equality point: still correct through the prefix bound
     val got = ops.scan(ref)
       .where(col("k1") === 5L && col("k2") >= 10L && col("k2") < 20L)

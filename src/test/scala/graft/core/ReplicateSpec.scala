@@ -107,4 +107,24 @@ class ReplicateSpec extends AnyFunSuite {
     assert(dst.hasRoot(src.currentRootHash.get),
       "pushed root objects must exist at the destination")
   }
+
+  test("advancePointer = false into an EMPTY store leaves it pointerless (ADVICE r4)") {
+    val src = fsStore()
+    val ops = new Ops(spark, src, 16)
+    val cat = new Catalog(src)
+    cat.put("t", ops.fromDataFrame(df(Seq("a" -> 1L, "b" -> 2L)), Seq("k")))
+    val root = src.currentRootHash.get
+
+    val dst = fsStore()
+    val s = Replicate.push(src, dst, root, advancePointer = false)
+    assert(s.copiedRoots == 1 && s.copiedTables == 1)
+    assert(dst.currentRootHash.isEmpty,
+      "saveRoot's pointer side effect must be undone on a fresh store " +
+        "when advancePointer = false")
+    // objects are all there: a later pointer-advancing push is a pure
+    // fast-forward that copies nothing
+    val s2 = Replicate.push(src, dst, root)
+    assert(s2.copiedRoots == 0 && s2.copiedChunks == 0)
+    assert(dst.currentRootHash.contains(root))
+  }
 }

@@ -257,6 +257,73 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(!rows().exists(_._1 == 7L) && rows().size == 86)
   }
 
+  test("one-sided composite range under an equality prefix stays inside the prefix") {
+    // ADVICE r4 high: `k1 = a AND k2 >= b` must cap the open side at the
+    // prefix — an unbounded hi would delete every tuple above (a, b),
+    // k1 > a included
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE kv2 (k1 bigint PRIMARY KEY, k2 bigint PRIMARY KEY, v bigint NOT NULL)")
+    GraftSql.execute(spark, ops, cat,
+      """INSERT INTO kv2 SELECT id div 10 AS k1, id % 10 AS k2, id AS v
+        |FROM range(0, 100)""".stripMargin)
+    def rows(): Set[(Long, Long, Long)] = ops.scanOrdered(cat.get("kv2").get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // lower-only: k1 = 3 AND k2 >= 4 deletes exactly (3,4)..(3,9)
+    GraftSql.execute(spark, ops, cat,
+      "DELETE FROM kv2 WHERE k1 = 3 AND k2 >= 4")
+    assert(rows() == (0L until 100L)
+      .filterNot(i => i / 10 == 3 && i % 10 >= 4)
+      .map(i => (i / 10, i % 10, i)).toSet,
+      "rows outside the k1 = 3 prefix must survive a one-sided lower range")
+
+    // upper-only: k1 = 6 AND k2 < 3 deletes exactly (6,0)..(6,2)
+    GraftSql.execute(spark, ops, cat,
+      "DELETE FROM kv2 WHERE k1 = 6 AND k2 < 3")
+    assert(rows() == (0L until 100L)
+      .filterNot(i => i / 10 == 3 && i % 10 >= 4)
+      .filterNot(i => i / 10 == 6 && i % 10 < 3)
+      .map(i => (i / 10, i % 10, i)).toSet,
+      "rows outside the k1 = 6 prefix must survive a one-sided upper range")
+
+    // UPDATE via the fast path likewise touches only the prefix slice
+    GraftSql.execute(spark, ops, cat,
+      "UPDATE kv2 SET v = v + 1000 WHERE k1 = 5 AND k2 >= 8")
+    assert(rows().filter(_._1 != 5L) == (0L until 100L)
+      .filterNot(i => i / 10 == 3 && i % 10 >= 4)
+      .filterNot(i => i / 10 == 6 && i % 10 < 3)
+      .filterNot(i => i / 10 == 5)
+      .map(i => (i / 10, i % 10, i)).toSet,
+      "UPDATE with a one-sided composite range must not rewrite other prefixes")
+    assert(rows().filter(_._1 == 5L) == (50L until 60L)
+      .map(i => (5L, i % 10, if (i % 10 >= 8) i + 1000 else i)).toSet)
+  }
+
+  test("string literals containing ' where '/' and ' parse (quote-aware splits)") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE s (k bigint PRIMARY KEY, name text)")
+    GraftSql.execute(spark, ops, cat,
+      "INSERT INTO s VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+    // SET literal containing " where " must not be split as a WHERE
+    GraftSql.execute(spark, ops, cat,
+      "UPDATE s SET name = 'a where b' WHERE k = 2")
+    val got = ops.scanOrdered(cat.get("s").get).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "one"), (2L, "a where b"), (3L, "three")))
+    // WHERE literal containing " and " must not be split as a conjunct
+    GraftSql.execute(spark, ops, cat,
+      "DELETE FROM s WHERE name = 'a where b' AND k = 2")
+    assert(ops.scanOrdered(cat.get("s").get).count() == 2)
+    // and a SET literal containing a comma survives the SET-list split
+    GraftSql.execute(spark, ops, cat,
+      "UPDATE s SET name = 'x, y' WHERE k = 1")
+    assert(ops.scanOrdered(cat.get("s").get).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x, y"), (3L, "three")))
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
