@@ -32,10 +32,23 @@ final class Views(ops: Ops, catalog: Catalog) {
   private val joinDefs =
     scala.collection.concurrent.TrieMap.empty[String, JoinDef]
 
+  /** Register a view WITHOUT materializing — used when a batch of view
+    * definitions (e.g. rebuilt from the catalog's persisted SQL defs)
+    * must all be known before [[refreshAll]] orders them. */
+  def declare(view: String, source: String, transform: ColTransform,
+      fold: FoldSpec = FoldSpec.FoldLast): Unit = {
+    defs.put(view, ViewDef(source, transform, fold)); ()
+  }
+
+  /** [[declare]] for keyed join views. */
+  def declareJoin(view: String, left: String, right: String): Unit = {
+    joinDefs.put(view, JoinDef(left, right)); ()
+  }
+
   /** Register a view and materialize its first version. */
   def define(view: String, source: String, transform: ColTransform,
       fold: FoldSpec = FoldSpec.FoldLast): TableRef = {
-    defs.put(view, ViewDef(source, transform, fold))
+    declare(view, source, transform, fold)
     refresh(view)
   }
 
@@ -51,7 +64,7 @@ final class Views(ops: Ops, catalog: Catalog) {
     * from-scratch build (content-defined chunking). Inner-join
     * consumers filter the absent-side nulls downstream. */
   def defineJoin(view: String, left: String, right: String): TableRef = {
-    joinDefs.put(view, JoinDef(left, right))
+    declareJoin(view, left, right)
     refresh(view)
   }
 

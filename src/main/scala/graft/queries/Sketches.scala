@@ -1,15 +1,18 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Q._
 
 /** Sketch/quantile/heavy-hitter aggregates (§2.7 sketch extensions).
   * Exact percentiles interpolate identically in Spark and DuckDB
-  * (quantile_cont), so they oracle-match; the HLL sketch
-  * (approx_count_distinct) is engine-specific → rows-only + accuracy
-  * pinned in ScalaTest. */
+  * (quantile_cont), so they oracle-match. The approximate aggregates are
+  * registered as DETERMINISTIC sketches (KMV distinct, fixed-bin
+  * quantiles) whose md5-derived/integer arithmetic both engines
+  * reproduce bit-for-bit — fully oracle-backed; the engine-specific
+  * HLL/t-digest variants stay as the library's constant-memory
+  * alternatives with accuracy pinned in SketchSpec. */
 object Sketches {
 
   /** Exact interpolated quantiles of quantity + price per return flag. */
@@ -49,9 +52,10 @@ object Sketches {
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY n DESC, l_partkey LIMIT 5""".stripMargin
 
-  /** HLL sketch distinct counts (no oracle: estimator differs per
-    * engine; accuracy vs exact is pinned in SketchSpec). */
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** HLL sketch distinct counts — the constant-memory estimator for
+    * interactive use (estimator is engine-specific, so no oracle;
+    * accuracy vs exact is pinned in SketchSpec alongside the KMV). */
+  def aggApproxDistinctHll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
@@ -60,12 +64,9 @@ object Sketches {
       .orderBy($"l_returnflag")
   }
 
-  /** Approximate percentiles via the t-digest-style sketch
-    * (approx_percentile) — the O(1)-memory path for 100 TB where exact
-    * percentile's per-group sort/collect is infeasible. Estimator is
-    * engine-specific (no oracle); error vs the exact quantiles is pinned
-    * in SketchSpec. */
-  def aggApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+  /** t-digest-style approximate percentiles (approx_percentile) —
+    * engine-specific estimator, accuracy pinned in SketchSpec. */
+  def aggApproxQuantilesTdigest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
@@ -75,6 +76,121 @@ object Sketches {
       .orderBy($"l_returnflag")
   }
 
+  // ---- deterministic, oracle-backed sketches ---------------------------
+
+  /** KMV sketch size: rsd ≈ 1/√(k−2) ≈ 6.3%. */
+  private val KmvK = 256
+  /** Hash space: 13 md5 hex chars = 52 bits — (k−1)·2⁵² stays inside
+    * BIGINT, so the estimator is exact integer division in both engines. */
+  private val KmvNum: Long = (KmvK - 1).toLong * (1L << 52)
+
+  /** Deterministic KMV (k-minimum-values) distinct sketch — the
+    * oracle-able stand-in for HLL: per group keep the k smallest
+    * DISTINCT md5-derived 52-bit hashes; if fewer than k distinct
+    * hashes exist the count is exact, else estimate (k−1)·2⁵² div h_k
+    * (h_k = the k-th smallest). Entirely deterministic — md5 agrees
+    * across engines and the arithmetic is integer-only — so DuckDB
+    * reproduces it bit-for-bit.
+    *
+    * Scale: the shuffle is on (group, hash) for the distinct, then one
+    * per-group sorted window (spill-safe) over already-distinct hashes.
+    * HLL ([[aggApproxDistinctHll]]) remains the strictly-constant-memory
+    * path; KMV is the cross-engine-verifiable one. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(s, dir, "lineitem")
+    def kmv(in: String, out: String): DataFrame = {
+      val h = li.select($"l_returnflag",
+        conv(substring(md5(col(in).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h")).distinct()
+      val byH = Window.partitionBy("l_returnflag").orderBy("h")
+      val all = Window.partitionBy("l_returnflag")
+      h.withColumn("rn", row_number().over(byH))
+        .withColumn("nd", count(lit(1)).over(all))
+        .where($"rn" === least($"nd", lit(KmvK)))
+        .select($"l_returnflag",
+          when($"nd" < KmvK, $"nd")
+            .otherwise(expr(s"${KmvNum}L div h")).as(out))
+    }
+    kmv("l_partkey", "approx_parts")
+      .join(kmv("l_orderkey", "approx_orders"), Seq("l_returnflag"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def kmvSql(in: String, out: String): String =
+    s"""h_$out AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    ('0x' || substr(md5(CAST($in AS VARCHAR)), 1, 13))::BIGINT AS h
+       |  FROM lineitem),
+       |r_$out AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM h_$out),
+       |e_$out AS (
+       |  SELECT l_returnflag,
+       |    CAST(CASE WHEN nd < $KmvK THEN nd ELSE $KmvNum // h END AS BIGINT) AS $out
+       |  FROM r_$out WHERE rn = LEAST(nd, $KmvK))""".stripMargin
+
+  val aggApproxDistinctSql: String =
+    s"""WITH ${kmvSql("l_partkey", "approx_parts")},
+       |${kmvSql("l_orderkey", "approx_orders")}
+       |SELECT p.l_returnflag, p.approx_parts, o.approx_orders
+       |FROM e_approx_parts p JOIN e_approx_orders o USING (l_returnflag)
+       |ORDER BY p.l_returnflag""".stripMargin
+
+  /** Deterministic fixed-bin histogram quantiles — the oracle-able
+    * stand-in for t-digest: bucket exact integer cents into fixed-width
+    * bins, take the first bin whose cumulative count crosses the rank
+    * threshold (integer cross-multiplication, no floats until the final
+    * bin→value edge). Bin width bounds the error (1 quantity unit / $1);
+    * memory is O(value range / bin width) per group, constant in rows —
+    * the same contract a t-digest gives, deterministically. */
+  def aggApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(s, dir, "lineitem")
+    // p = num/den quantile of column c bucketed at binw cents
+    def binQ(c: Column, binw: Long, num: Int, den: Int, out: String): DataFrame = {
+      val counts = li.select($"l_returnflag", cents(c).as("cc"))
+        .withColumn("bin", expr(s"cc div ${binw}L"))
+        .groupBy($"l_returnflag", $"bin").agg(count(lit(1)).as("cnt"))
+      val byBin = Window.partitionBy("l_returnflag").orderBy("bin")
+      val all = Window.partitionBy("l_returnflag")
+      counts
+        .withColumn("cum", sum($"cnt").over(byBin))
+        .withColumn("n", sum($"cnt").over(all))
+        .where($"cum" * den >= $"n" * num)
+        .groupBy($"l_returnflag")
+        .agg((min($"bin") * binw / 100.0).as(out))
+    }
+    binQ($"l_quantity", 100L, 1, 2, "median_qty")
+      .join(binQ($"l_extendedprice", 100L, 9, 10, "p90_price"), Seq("l_returnflag"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def binQSql(in: String, binw: Long, num: Int, den: Int,
+      out: String): String =
+    s"""c_$out AS (
+       |  SELECT l_returnflag, ${centsSql(in)} // $binw AS bin, COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |w_$out AS (
+       |  SELECT l_returnflag, bin,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM c_$out),
+       |e_$out AS (
+       |  SELECT l_returnflag, MIN(bin) * $binw / 100.0 AS $out
+       |  FROM w_$out WHERE cum * $den >= n * $num GROUP BY 1)""".stripMargin
+
+  val aggApproxQuantilesSql: String =
+    s"""WITH ${binQSql("l_quantity", 100L, 1, 2, "median_qty")},
+       |${binQSql("l_extendedprice", 100L, 9, 10, "p90_price")}
+       |SELECT q.l_returnflag, q.median_qty, p.p90_price
+       |FROM e_median_qty q JOIN e_p90_price p USING (l_returnflag)
+       |ORDER BY q.l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "agg_quantiles" -> (aggQuantiles _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
@@ -83,5 +199,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "agg_quantiles" -> aggQuantilesSql,
-    "agg_heavy_hitters" -> aggHeavyHittersSql)
+    "agg_heavy_hitters" -> aggHeavyHittersSql,
+    "agg_approx_quantiles" -> aggApproxQuantilesSql,
+    "agg_approx_distinct" -> aggApproxDistinctSql)
 }

@@ -3,12 +3,16 @@ package graft.queries
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
+/** Accuracy pins for BOTH sketch families: the registered deterministic
+  * sketches (KMV distinct, fixed-bin quantiles — oracle-backed in
+  * CORRECTNESS) and the engine-specific constant-memory alternatives
+  * (HLL, t-digest — not oracle-able, pinned here only). */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_percentile lands within the exact interquartile neighborhood") {
-    val approx = Sketches.aggApproxQuantiles(spark, sf).collect()
+  test("approx_percentile (t-digest) lands within the exact interquartile neighborhood") {
+    val approx = Sketches.aggApproxQuantilesTdigest(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Sketches.aggQuantiles(spark, sf).collect()
       .map(r => r.getString(0) ->
@@ -21,19 +25,50 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
-  test("approx_count_distinct within its 2% rsd bound of exact counts") {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val approx = Sketches.aggApproxDistinct(spark, sf).collect()
+  test("fixed-bin quantiles (registered, deterministic) land within one bin of exact") {
+    val approx = Sketches.aggApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Sketches.aggQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(r.fieldIndex("p90_price")))).toMap
+    exact.foreach { case (k, (mq, p90)) =>
+      val (amq, ap90) = approx(k)
+      // quantity: 1-unit bins on integer quantities => exact discrete
+      // median (within the cont-vs-disc half-step). price: the bin edge
+      // differs from the INTERPOLATED exact p90 by the local gap between
+      // order statistics, not the bin width — pin relative error
+      assert(math.abs(amq - mq) <= 1.0, s"$k median: $amq vs $mq")
+      assert(math.abs(ap90 - p90) / p90 < 0.005, s"$k p90: $ap90 vs $p90")
+    }
+  }
+
+  test("approx_count_distinct (HLL) within its rsd bound of exact counts") {
+    val approx = Sketches.aggApproxDistinctHll(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = graft.Tables(spark, sf, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_orderkey").as("o"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (p, o)) =>
+    exactCounts.foreach { case (k, (p, o)) =>
       val (ap, ao) = approx(k)
       assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: $ap vs $p")
       assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: $ao vs $o")
     }
+  }
+
+  test("KMV distinct (registered, deterministic) within its rsd bound of exact counts") {
+    val approx = Sketches.aggApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exactCounts.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      // k=256 => rsd ~6.3%; partkeys (~200 < k) are EXACT by construction
+      assert(ap == p, s"$k parts below k must be exact: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: $ao vs $o")
+    }
+  }
+
+  private lazy val exactCounts: Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 }
