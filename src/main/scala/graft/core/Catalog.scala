@@ -25,6 +25,28 @@ final class Catalog(store: GraftStore) {
   def root: Map[String, CatalogEntry] =
     store.currentRootHash.map(rootAt).getOrElse(Map.empty)
 
+  /** Persisted materialized-view definitions (name → defining SELECT
+    * SQL). Stored in the root alongside the tables, so views survive
+    * sessions, travel with replication (a pushed root carries its view
+    * defs), and version with the catalog history — the reference's
+    * everything-through-the-repo model (Repo.hs:82). */
+  def viewDefs: Map[String, String] =
+    store.currentRootHash.map(viewDefsAt).getOrElse(Map.empty)
+
+  def viewDefsAt(rootHash: String): Map[String, String] = {
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(store.loadRoot(rootHash)) \ "views")
+      .extractOpt[Map[String, String]].getOrElse(Map.empty)
+  }
+
+  /** Record/replace a view definition; tables untouched. */
+  def putViewDef(name: String, selectSql: String): String =
+    statementFull(identity, _ + (name -> selectSql))
+
+  /** Drop a view definition AND its materialized table in one root. */
+  def dropViewDef(name: String): String =
+    statementFull(_ - name, _ - name)
+
   def rootAt(rootHash: String): Map[String, CatalogEntry] = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(store.loadRoot(rootHash)) \ "tables"
@@ -93,15 +115,27 @@ final class Catalog(store: GraftStore) {
     * instance so two concurrent in-process writers cannot both read the
     * same parent and silently drop one update (lost update). Cross-process
     * writers need an external lock on the store directory. */
-  def statement(f: Map[String, CatalogEntry] => Map[String, CatalogEntry]): String = store.synchronized {
+  def statement(f: Map[String, CatalogEntry] => Map[String, CatalogEntry]): String =
+    statementFull(f, identity)
+
+  /** [[statement]] over BOTH sections of the root: tables and view
+    * definitions. Table statements pass the view defs through untouched
+    * (and vice versa), so no write path can silently drop the other
+    * section. */
+  def statementFull(f: Map[String, CatalogEntry] => Map[String, CatalogEntry],
+      g: Map[String, String] => Map[String, String]): String = store.synchronized {
     val next = f(root)
+    val nextViews = g(viewDefs)
     val parent = store.currentRootHash
     val tables: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>
       name -> (("table" -> e.tableHash) ~ ("keyCols" -> e.keyCols) ~
         ("declared" -> e.declaredCols) ~
         ("schema" -> JsonMethods.parse(e.schemaJson)))
     })
-    val j: JObject = ("tables" -> tables) ~ ("parent" -> parent)
+    val j: JObject = ("tables" -> tables) ~
+      ("views" -> JObject(nextViews.toList.sortBy(_._1).map {
+        case (n, s) => n -> (JString(s): JValue) })) ~
+      ("parent" -> parent)
     store.saveRoot(JsonMethods.compact(JsonMethods.render(j)))
   }
 

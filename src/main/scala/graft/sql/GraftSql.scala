@@ -104,7 +104,7 @@ object GraftSql {
   /** Split on top-level commas — outside parens AND outside quoted
     * strings/identifiers, so a literal `'a,b'` cannot break a SET list
     * or column list apart. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -170,6 +170,12 @@ object GraftSql {
     """primary\s+key\s*\(([^)]*)\)\s+as\s+((?:select|with)\b.*)$""").r
   private val dropRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*;?\s*$""".r
+  private val createMvRe =
+    """(?is)^\s*create\s+materialized\s+view\s+("?[\w.]+"?)\s+as\s+(.+)$""".r
+  private val refreshRe =
+    """(?is)^\s*refresh\s+(?:materialized\s+view\s+("?[\w.]+"?)|all)\s*$""".r
+  private val dropMvRe =
+    """(?is)^\s*drop\s+materialized\s+view\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+("?[\w.]+"?)\s+where\s+(.+?)\s*;?\s*$""".r
   // captures the whole SET...WHERE tail; the quote-aware splitOnKeyword
@@ -419,6 +425,34 @@ object GraftSql {
           Right(ops.store.currentRootHash.getOrElse(
             throw new SqlException("no catalog root")))
         else Right(catalog.put(name, out))
+      case createMvRe(rawName, select) =>
+        // `CREATE MATERIALIZED VIEW v AS <select>` (O24/Views): lower the
+        // SELECT onto the incremental view algebra, materialize the first
+        // version, and persist the defining SQL in the root — REFRESH in
+        // any later session re-lowers it (SqlViews)
+        val name = unquote(rawName)
+        if (catalog.root.contains(name) && !catalog.viewDefs.contains(name))
+          throw new SqlException(s"table $name already exists")
+        val views = SqlViews.fromCatalog(ops, catalog)
+        SqlViews.declare(views, ops, catalog, name, select)
+        views.refresh(name)
+        Right(catalog.putViewDef(name, select.trim))
+      case refreshRe(rawName) =>
+        // `REFRESH MATERIALIZED VIEW v` / `REFRESH ALL`: memoized — an
+        // unchanged source is a whole-op memo hit (zero jobs), a delta
+        // recomputes only its chunk region; ALL runs in dependency order
+        val views = SqlViews.fromCatalog(ops, catalog)
+        if (rawName == null) views.refreshAll()
+        else {
+          val name = unquote(rawName)
+          if (!catalog.viewDefs.contains(name))
+            throw new SqlException(s"no such materialized view: $name")
+          views.refresh(name)
+        }
+        Right(ops.store.currentRootHash.getOrElse(
+          throw new SqlException("no catalog root")))
+      case dropMvRe(rawName) =>
+        Right(catalog.dropViewDef(unquote(rawName)))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
       case t if t.toLowerCase.startsWith("create table") =>

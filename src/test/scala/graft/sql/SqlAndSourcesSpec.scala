@@ -324,6 +324,80 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       Seq((1L, "x, y"), (3L, "three")))
   }
 
+  test("SQL materialized views: CREATE / REFRESH ALL / DROP, O(delta) refresh, persistence") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fact (k bigint PRIMARY KEY, grp bigint NOT NULL, v bigint NOT NULL)")
+    run("INSERT INTO fact SELECT id AS k, id % 10 AS grp, id AS v FROM range(0, 2000)")
+
+    // transform view (key-preserving) and a chained aggregate OVER it
+    run("CREATE MATERIALIZED VIEW doubled AS SELECT k, grp, v * 2 AS v2 FROM fact")
+    run("CREATE MATERIALIZED VIEW bygrp AS " +
+      "SELECT grp, SUM(v2) AS total, COUNT(*) AS n FROM doubled GROUP BY grp")
+    val Left(df) = run("SELECT * FROM bygrp ORDER BY grp"): @unchecked
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0L until 2000L).groupBy(_ % 10).toSeq.sortBy(_._1)
+      .map { case (g, ids) => (g, ids.map(_ * 2).sum, ids.size.toLong) }
+    assert(got.toSeq == want)
+
+    // REFRESH with unchanged sources: whole-op memo hits, ZERO chunk writes
+    ops.store.stats.reset()
+    run("REFRESH ALL")
+    assert(ops.store.stats.chunkSaves.get == 0,
+      "no-change refresh must not write chunks")
+    assert(ops.store.stats.memoHits.get > 0, "refresh must ride the memo")
+
+    // a 1-row DML delta refreshes O(delta): only the touched chunk
+    // region of the transform view rewrites, not the table
+    run("INSERT INTO fact VALUES (2000, 0, 2000)")
+    val viewChunks = ops.meta(cat.get("doubled").get).chunks.length
+    assert(viewChunks >= 20, s"fixture should span many chunks: $viewChunks")
+    ops.store.stats.reset()
+    run("REFRESH MATERIALIZED VIEW doubled")
+    val saves = ops.store.stats.chunkSaves.get
+    assert(saves > 0 && saves <= 4,
+      s"1-row delta refresh wrote $saves chunks of $viewChunks (not O(delta))")
+
+    // refreshed view content hash-equals an independent from-scratch build
+    run("REFRESH ALL")
+    val refreshed = cat.root("doubled").tableHash
+    val expect = {
+      import spark.implicits._
+      val rows = (0L until 2001L).map(i => (i, i % 10, i * 2))
+      ops.fromDataFrame(rows.toDF("k", "grp", "v2"), Seq("k"))
+    }
+    assert(refreshed == expect.hash,
+      "incremental view refresh must hash-equal the from-scratch table")
+
+    // definitions persist in the ROOT: a brand-new catalog over the same
+    // store sees them, and REFRESH works from the persisted SQL alone
+    val cat2 = new Catalog(ops.store)
+    assert(cat2.viewDefs.keySet == Set("doubled", "bygrp"))
+    GraftSql.execute(spark, ops, cat2, "REFRESH ALL")
+
+    // join view via SQL over identically-keyed tables
+    run("CREATE TABLE dim (k bigint PRIMARY KEY, label text)")
+    run("INSERT INTO dim VALUES (0, 'zero'), (1, 'one')")
+    run("CREATE MATERIALIZED VIEW joined AS SELECT * FROM fact FULL OUTER JOIN dim USING (k)")
+    val Left(j) = run(
+      "SELECT k, label FROM joined WHERE k <= 1 ORDER BY k"): @unchecked
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "zero"), (1L, "one")))
+    assert(ops.scan(cat.get("joined").get).count() == 2001)
+
+    // DROP MATERIALIZED VIEW removes the def and the table in one root
+    run("DROP MATERIALIZED VIEW joined")
+    assert(cat.get("joined").isEmpty && !cat.viewDefs.contains("joined"))
+
+    // rejections: WHERE, mixed fold families, dropped key column
+    assertThrows[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW w AS SELECT k, grp, v FROM fact WHERE v > 5"))
+    assertThrows[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW m AS SELECT grp, MIN(v) AS a, SUM(v) AS b FROM fact GROUP BY grp"))
+    assertThrows[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW nk AS SELECT grp, v FROM fact"))
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
