@@ -119,6 +119,49 @@ object Dedup {
        |WHERE 10*c >= 5*(sa.n + sb.n - c)
        |ORDER BY i, j""".stripMargin
 
+  /** [[dedupShingle]] with the hot-shingle document-frequency cap wired
+    * in (SCALE.md): shingles in more than `ShingleMaxDf` docs are
+    * dropped BEFORE the inverted-index self-join, and doc sizes are
+    * recomputed on the filtered universe so the Jaccard threshold stays
+    * internally consistent. A shingle in f docs costs f·(f−1)/2 join
+    * pairs — at corpus scale one viral shingle would make the candidate
+    * join quadratic; the cap bounds every posting list, making the join
+    * cost at most maxDf·|vocab|. This is the 100 TB-ready variant; the
+    * exact-semantics twin stays registered as dedup_shingle. */
+  val ShingleMaxDf = 5
+  def dedupShingleCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = capDocFreq(shingles(s, dir), ShingleMaxDf)
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), $"i" === $"sa.doc_id")
+      .join(sz.as("sb"), $"j" === $"sb.doc_id")
+      .where(lit(10) * $"c" >= lit(5) * ($"sa.n" + $"sb.n" - $"c"))
+      .select($"i", $"j",
+        $"c".as("n_common"), $"sa.n".as("n_i"), $"sb.n".as("n_j"))
+      .orderBy($"i", $"j")
+  }
+
+  val dedupShingleCappedSql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $ShingleMaxDf),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, c AS n_common, sa.n AS n_i, sb.n AS n_j
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE 10*c >= 5*(sa.n + sb.n - c)
+       |ORDER BY i, j""".stripMargin
+
   /** Winnowing fingerprints (the MOSS scheme): hash every 3-token gram
     * (md5 prefix — identical in both engines, and lexicographic min over
     * hex strings is engine-independent), slide a window of 4 gram hashes,
@@ -278,9 +321,9 @@ object Dedup {
     * signal. Returns the filtered index; callers must recompute doc
     * sizes on the FILTERED universe so the Jaccard threshold stays
     * internally consistent (it becomes Jaccard over rare shingles — the
-    * standard production semantics). Not applied in the oracle-checked
-    * dedup_shingle query (exact semantics there); wired for corpora
-    * beyond ~10M docs where df skew is certain. */
+    * standard production semantics). Wired into the oracle-checked
+    * [[dedupShingleCapped]] (the 100 TB default); [[dedupShingle]] keeps
+    * exact semantics for small corpora. */
   private[operators] def capDocFreq(sh: DataFrame, maxDf: Int): DataFrame = {
     import sh.sparkSession.implicits._
     val df = sh.groupBy($"s").agg(count(lit(1)).as("_df"))
@@ -480,6 +523,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_shingle" -> (dedupShingle _),
+    "dedup_shingle_capped" -> (dedupShingleCapped _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _))
@@ -488,6 +532,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_shingle" -> dedupShingleSql,
+    "dedup_shingle_capped" -> dedupShingleCappedSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql)

@@ -182,6 +182,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"curation must be join-free:\n$p")
   }
 
+  test("dedup_shingle_capped: df cap filters the index BEFORE the self-join, no all-pairs") {
+    val p = plan("dedup_shingle_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"capped shingle join degenerated to all-pairs:\n$p")
+    // the cap is an aggregate-then-semi-shape filter on the shingle key:
+    // the plan must contain the df aggregation feeding the index join
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"df-cap aggregation missing from the plan:\n$p")
+    assert(p.contains("Join"), s"lost the inverted-index join:\n$p")
+  }
+
   test("q22: dormancy test is an anti join against a date-pruned orders scan") {
     val p = plan("q22_sales_opportunity")
     assert(p.contains("LeftAnti"), s"q22 missing anti join:\n$p")
