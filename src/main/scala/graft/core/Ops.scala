@@ -147,72 +147,81 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val target = metas.head.chunkTargetRows // the TABLES' granularity
     val schema = metas.head.schema
     val schemaJson = metas.head.schemaJson
-    val chunks: Seq[(Int, ChunkMeta)] =
-      metas.zipWithIndex.flatMap { case (m, i) => m.chunks.map(c => (i, c)) }
+    val sources: Seq[MergePlanner.ChunkSource] =
+      metas.map(m => () => m.chunks.iterator)
 
-    // Merged-keyspace region structure: boundary keys are intrinsic
-    // (hash(key) % target == 0), chunk interiors contain none, so the
-    // merged table's boundary set = union of the inputs' boundary chunk
-    // starts — all available from metadata, no data read.
-    val boundaries: Array[Array[Byte]] = chunks
-      .map(_._2.minKey)
-      .filter(Canonical.isBoundaryKey(_, target))
-      .sortWith(Hashing.compareBytes(_, _) < 0)
-      .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
-        if (acc.nonEmpty && Hashing.compareBytes(acc.last, k) == 0) acc
-        else acc :+ k
-      }.toArray
-    val boundariesHex = boundaries.map(Hashing.hex)
-
-    def regionOf(kb: Array[Byte]): Int = Canonical.boundaryIndex(boundaries, kb)
+    // ---- pass 1: streaming plan (MergePlanner.sweep) ----
+    // Regions stream by in key order; only regions that need WORK — more
+    // than one participant, or a spanning participant needing piece
+    // splitting — are recorded. Clean single-participant regions (the
+    // overwhelming majority after a small delta) are not retained, so
+    // planning memory is O(delta), not O(table). Region semantics and
+    // every memo key below are IDENTICAL to the former materialized
+    // planner (the subtree reuse of mergeNodes,
+    // /root/reference/messdb-base/src/MessDB/Trie.hs:297-348).
+    final case class Rec(loHex: String, hiHex: String,
+        parts: List[MergePlanner.Part])
+    val recB = Vector.newBuilder[Rec]
+    MergePlanner.sweep(sources, target) { r =>
+      if (r.parts.lengthCompare(1) > 0 || r.parts.exists(_.spanning))
+        recB += Rec(r.loHex, r.hiHex, r.parts)
+    }
+    val records = recB.result()
 
     // ---- split spanning chunks into per-region pieces (memoized) ----
     // A chunk spanning several regions (it crosses boundary keys absent
     // from its own data — typical for a wide delta over a chunked base)
-    // previously dirtied every spanned region, turning a small merge
-    // into an O(table) recompute. Cutting it into per-region pieces
-    // first means regions where it has NO rows stay clean. Piece
+    // would dirty every spanned region; cutting it into per-region
+    // pieces first means regions where it has NO rows stay clean. Piece
     // identity is (chunk content, region bounds) — stable under
     // boundary changes elsewhere, so refreshes re-read nothing for
-    // unchanged chunks (the subtree reuse of mergeNodes,
-    // /root/reference/messdb-base/src/MessDB/Trie.hs:297-348).
-    def regionLoHex(r: Int): String = if (r == 0) "-inf" else boundariesHex(r - 1)
-    def regionHiHex(r: Int): String =
-      if (r == boundaries.length) "+inf" else boundariesHex(r)
-    def pieceOp(chunkHash: String, r: Int): String = Hashing.opHash(Seq(
-      "graft-op-merge-piece-v3", chunkHash, regionLoHex(r), regionHiHex(r)))
+    // unchanged chunks.
+    def pieceOp(chunkHash: String, loHex: String, hiHex: String): String =
+      Hashing.opHash(Seq("graft-op-merge-piece-v3", chunkHash, loHex, hiHex))
 
-    val spanning: Seq[ChunkMeta] = chunks.map(_._2).distinctBy(_.hash)
-      .filter(c => regionOf(c.minKey) != regionOf(c.maxKey))
-    val neededPieces: Seq[(ChunkMeta, Int)] = spanning.flatMap(c =>
-      (regionOf(c.minKey) to regionOf(c.maxKey)).map(r => (c, r)))
-    val pieceMemo: Map[(String, Int), Option[String]] = neededPieces.map {
-      case (c, r) => (c.hash, r) -> store.memoGet(pieceOp(c.hash, r))
+    // (chunk, region lo, region hi) for every spanned region, in key order
+    val neededPieces: Seq[(ChunkMeta, String, String)] = records
+      .flatMap(rec => rec.parts.filter(_.spanning)
+        .map(p => (p.chunk, rec.loHex, rec.hiHex)))
+      .distinctBy { case (c, lo, _) => (c.hash, lo) }
+    val pieceMemo: Map[(String, String), Option[String]] = neededPieces.map {
+      case (c, lo, hi) => (c.hash, lo) -> store.memoGet(pieceOp(c.hash, lo, hi))
     }.toMap
-    val toSplit: Seq[ChunkMeta] = spanning.filter(c =>
-      (regionOf(c.minKey) to regionOf(c.maxKey))
-        .exists(r => pieceMemo((c.hash, r)).isEmpty))
-    val splitComputed: Map[(String, Int), TableMeta] =
+    // per-chunk ordered piece bounds — the split job cuts each chunk at
+    // ITS OWN interior boundaries (a per-chunk array, never a global
+    // boundary broadcast, so the job scales with the spanning set)
+    val piecesByChunk: Map[String, Seq[(String, String)]] = neededPieces
+      .groupBy(_._1.hash).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val toSplit: Seq[ChunkMeta] = neededPieces.map(_._1).distinctBy(_.hash)
+      .filter(c => piecesByChunk(c.hash).exists(b => pieceMemo((c.hash, b._1)).isEmpty))
+    val splitComputed: Map[(String, String), TableMeta] =
       if (toSplit.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        val bcB = spark.sparkContext.broadcast(boundaries)
+        // chunkHash -> decoded interior cut keys (the region los after
+        // the first); local piece index = count of cuts <= key
+        val cuts: Map[String, Array[Array[Byte]]] = toSplit.map { c =>
+          c.hash -> piecesByChunk(c.hash).drop(1).map(b => Hashing.unhex(b._1)).toArray
+        }.toMap
+        val bcCuts = spark.sparkContext.broadcast(cuts)
         val fileToHash = Canonical.fileTagUdf(spark,
           toSplit.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val regionIdx = udf { (kb: Array[Byte]) =>
-          Canonical.boundaryIndex(bcB.value, kb)
+        val pieceIdx = udf { (h: String, kb: Array[Byte]) =>
+          Canonical.boundaryIndex(bcCuts.value(h), kb)
         }
         val src = spark.read.schema(schema)
           .parquet(toSplit.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
         val tagged = Canonical.withKeyBytesKeeping(src, keyCols, grp)
           .withColumn(grp,
-            concat_ws("-", col(grp), regionIdx(col(Canonical.KB))))
+            concat_ws("-", col(grp), pieceIdx(col(grp), col(Canonical.KB))))
           .drop(Canonical.KB)
         Canonical.materializeGrouped(spark, store, tagged, grp, keyCols, target)
           .map { case (g, m) =>
             val i = g.lastIndexOf('-')
-            ((g.substring(0, i), g.substring(i + 1).toInt), m)
+            val h = g.substring(0, i)
+            val lo = piecesByChunk(h)(g.substring(i + 1).toInt)._1
+            ((h, lo), m)
           }
       }
     lazy val emptyPiece: TableMeta = {
@@ -220,36 +229,22 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       store.saveTableMeta(em)
       em
     }
-    val pieces: Map[(String, Int), Seq[ChunkMeta]] = neededPieces.map {
-      case (c, r) =>
-        val k = (c.hash, r)
+    val pieces: Map[(String, String), Seq[ChunkMeta]] = neededPieces.map {
+      case (c, lo, hi) =>
+        val k = (c.hash, lo)
         val sub: TableMeta = pieceMemo(k) match {
           case Some(h) => store.loadTableMeta(h)
           case None =>
             // a spanning chunk may have no rows in a spanned region
             // (its keys skip it) — memoize the empty piece too
             val m = splitComputed.getOrElse(k, emptyPiece)
-            store.memoPut(pieceOp(c.hash, r), m.tableHash)
+            store.memoPut(pieceOp(c.hash, lo, hi), m.tableHash)
             m
         }
         k -> sub.chunks
     }.toMap
 
-    // ---- region participants (each chunk/piece now in ONE region) ----
-    val nRegions = boundaries.length + 1
-    val parts = Array.fill(nRegions)(List.empty[(Int, ChunkMeta)])
-    chunks.foreach { case (src, c) =>
-      val rLo = regionOf(c.minKey); val rHi = regionOf(c.maxKey)
-      if (rLo == rHi) parts(rLo) ::= ((src, c))
-      else {
-        var r = rLo
-        while (r <= rHi) {
-          pieces((c.hash, r)).foreach(pc => parts(r) ::= ((src, pc)))
-          r += 1
-        }
-      }
-    }
-
+    // ---- classify recorded regions (pieces substituted) ----
     // Clean region (single participant) → passthrough without reading
     // (Trie.hs:346-348). A sole surviving PIECE is the region's full
     // content and canonical by construction, so it passes through too.
@@ -257,20 +252,6 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // participating chunk hashes (src-tagged for order-sensitive folds;
     // src-free + sorted for combinable ones, so the same participant
     // set reuses regardless of input numbering).
-    val passthrough = Vector.newBuilder[ChunkMeta]
-    val dirtyRegions = Vector.newBuilder[Seq[(Int, ChunkMeta)]]
-    var r = 0
-    while (r < nRegions) {
-      parts(r).sortBy { case (s, c) => (s, c.minKeyHex) } match {
-        case Seq() => ()
-        case Seq((_, only)) => passthrough += only
-        case ps => dirtyRegions += ps
-      }
-      r += 1
-    }
-
-    // src-free memo keys require bit-reproducible partial folds for the
-    // VALUE types at hand (FP sums are order-dependent)
     val combinableHere =
       fold.combinableFor(valueCols.map(c => schema(c).dataType))
 
@@ -282,21 +263,38 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         Seq("graft-op-merge-region-v3", fold.key, target.toString) ++
           ps.map { case (s, c) => s"$s:${c.hash}" })
 
-    val memoizedRegions: Seq[(Seq[(Int, ChunkMeta)], String, Option[String])] =
-      dirtyRegions.result().map(ps => {
-        val op = regionOp(ps); (ps, op, store.memoGet(op))
-      })
+    // region lo -> either the resolved output chunks, or the op awaiting
+    // the region job
+    val resolved = scala.collection.mutable.HashMap.empty[String, Seq[ChunkMeta]]
+    val pendingOps = scala.collection.mutable.HashMap.empty[String, String]
+    val missing = Vector.newBuilder[(Seq[(Int, ChunkMeta)], String)]
+    records.foreach { rec =>
+      val ps: Seq[(Int, ChunkMeta)] = rec.parts.flatMap { p =>
+        if (!p.spanning) Seq((p.src, p.chunk))
+        else pieces((p.chunk.hash, rec.loHex)).map(pc => (p.src, pc))
+      }.sortBy { case (s, c) => (s, c.minKeyHex) }
+      ps match {
+        case Seq() => resolved(rec.loHex) = Nil
+        case Seq((_, only)) => resolved(rec.loHex) = Seq(only)
+        case _ =>
+          val op = regionOp(ps)
+          store.memoGet(op) match {
+            case Some(hit) => resolved(rec.loHex) = store.loadTableMeta(hit).chunks
+            case None => pendingOps(rec.loHex) = op; missing += ((ps, op))
+          }
+      }
+    }
 
-    val missing = memoizedRegions.filter(_._3.isEmpty)
+    val miss = missing.result()
     val computed: Map[String, TableMeta] =
-      if (missing.isEmpty) Map.empty
+      if (miss.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
         // map chunk file path -> regionOp per src; regions have disjoint
         // key ranges so a (src, path) pair belongs to exactly one region,
         // and per-src reads keep duplicate-table srcs separate
-        val bySrc: Map[Int, Seq[(String, String)]] = missing
-          .flatMap { case (ps, op, _) =>
+        val bySrc: Map[Int, Seq[(String, String)]] = miss
+          .flatMap { case (ps, op) =>
             ps.map { case (s, c) => (s, store.chunkPath(c.hash), op) }
           }
           .groupBy(_._1)
@@ -316,15 +314,25 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
       }
-
-    val recomputed: Seq[ChunkMeta] = memoizedRegions.flatMap {
-      case (_, _, Some(hit)) => store.loadTableMeta(hit).chunks
-      case (_, op, None) => computed(op).chunks
+    pendingOps.foreach { case (lo, op) =>
+      resolved(lo) = computed(op).chunks
     }
 
-    val all = (passthrough.result() ++ recomputed)
-      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
-    val meta = TableMeta(schemaJson, keyCols, target, all)
+    // ---- pass 2: streaming emit, in key order ----
+    // Unrecorded regions are clean single-participant passthroughs;
+    // recorded ones emit their resolved chunks. Regions are disjoint
+    // ordered intervals and every emitted chunk lies inside its region,
+    // so the concatenation is already minKey-sorted — no global sort.
+    val out = Vector.newBuilder[ChunkMeta]
+    val recorded = records.iterator.map(_.loHex).toSet
+    MergePlanner.sweep(sources, target) { r =>
+      if (recorded(r.loHex)) out ++= resolved(r.loHex)
+      else r.parts match {
+        case List(p) => out += p.chunk
+        case other => sys.error(s"unrecorded dirty region ${r.loHex}: $other")
+      }
+    }
+    val meta = TableMeta(schemaJson, keyCols, target, out.result())
     store.saveTableMeta(meta)
     meta
   }
