@@ -22,6 +22,7 @@ object Bench {
       // one-time builds amortized across the dedup / similarity
       // families, like the source-table cache
       graft.operators.Dedup.shingles(spark, sfDir).count()
+      graft.operators.Dedup.shinglesSized(spark, sfDir).count()
       graft.operators.Vectors.quantized(spark, sfDir).count()
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(_(spark, sfDir).count())

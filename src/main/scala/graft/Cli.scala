@@ -171,14 +171,20 @@ object Cli {
           ops.diff(graft.core.TableRef(old.tableHash), cur)
             .toJSON.toLocalIterator().forEachRemaining(println(_))
         case "gc" :: rest if rest.isEmpty ||
-            rest == List("--keep-history") || rest == List("--prune-history") =>
+            rest == List("--keep-history") || rest == List("--prune-history") ||
+            (rest.length == 2 && rest.head == "--keep-last" &&
+              rest(1).matches("[0-9]+")) =>
           // default (and --keep-history) retains every version in the
           // root log — safe for a git-like versioned store; the
           // destructive sweep of all non-current history requires an
-          // explicit --prune-history
-          val keep =
-            if (rest == List("--prune-history")) Seq.empty
-            else cat.log(Int.MaxValue)
+          // explicit --prune-history; --keep-last N is the retention
+          // policy in between (keep the N newest versions, like
+          // snapshot-expiry maintenance on table formats)
+          val keep = rest match {
+            case List("--prune-history") => Seq.empty
+            case List("--keep-last", n) => cat.log(n.toInt)
+            case _ => cat.log(Int.MaxValue)
+          }
           val s = graft.core.Gc.run(ops.store, keep)
           println(s"kept roots=${s.keptRoots} tables=${s.keptTables} chunks=${s.keptChunks}; " +
             s"deleted roots=${s.deletedRoots} tables=${s.deletedTables} " +

@@ -221,6 +221,7 @@ object Canonical {
         // one file per chunk is a format invariant; don't let a session
         // maxRecordsPerFile split chunk files
         .option("maxRecordsPerFile", 0)
+        .option("compression", store.chunkCodec)
         .partitionBy(CHUNK).parquet(tmpDir)
 
       // 3. per-chunk canonical hash from the written files (rows sorted by
@@ -341,6 +342,7 @@ object Canonical {
       tagged.select((cols :+ groupCol :+ CHUNK).map(col): _*)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
+        .option("compression", store.chunkCodec)
         .partitionBy(groupCol, CHUNK).parquet(tmpDir)
 
       val writtenSchema = dataSchema

@@ -44,6 +44,14 @@ final class StoreStats {
 trait GraftStore {
   val stats = new StoreStats
 
+  /** Parquet codec for chunk files written INTO this store (the
+    * Store/Zlib.hs compression-knob analogue on the data path). Content
+    * identity is untouched — chunks are addressed by canonical ROW
+    * bytes, not file bytes — so stores with different codecs replicate
+    * into each other freely. "snappy" (default) for speed, "zstd" for
+    * cold/archival stores. */
+  def chunkCodec: String = "snappy"
+
   // ---- chunk store -----------------------------------------------------
   def chunkPath(hash: String): String
   def hasChunk(hash: String): Boolean
@@ -108,7 +116,16 @@ trait GraftStore {
   *   root                      current catalog root hash (pointer file)
   *   roots/<sha256>.json       catalog versions (content-addressed)
   */
-final class FsStore(val rootDir: String) extends GraftStore {
+/** @param smallObjectDeflate DEFLATE-compress the small objects (table
+  *   metas, roots, memo values, pointer) — the Store/Zlib.hs wrapper
+  *   parity for the non-parquet paths. Reads auto-detect the zlib
+  *   header, so compressed and plain stores interoperate (a store can
+  *   even be flipped mid-life).
+  * @param chunkCodec parquet codec for chunk data (see
+  *   [[GraftStore.chunkCodec]]). */
+final class FsStore(val rootDir: String,
+    val smallObjectDeflate: Boolean = false,
+    override val chunkCodec: String = "snappy") extends GraftStore {
   private val root = Paths.get(rootDir)
   Seq("chunks", "tables", "memo", "roots").foreach { d =>
     Files.createDirectories(root.resolve(d))
@@ -162,7 +179,7 @@ final class FsStore(val rootDir: String) extends GraftStore {
 
   def loadTableMeta(tableHash: String): TableMeta = {
     val p = root.resolve("tables").resolve(s"$tableHash.json")
-    TableMeta.fromJson(Files.readString(p),
+    TableMeta.fromJson(readSmall(p),
       () => ChunkIndex.read(chunkIndexPath(tableHash)))
   }
 
@@ -171,7 +188,7 @@ final class FsStore(val rootDir: String) extends GraftStore {
 
   def memoGet(opHash: String): Option[String] = {
     val p = root.resolve("memo").resolve(opHash)
-    if (Files.exists(p)) { stats.memoHits.incrementAndGet(); Some(Files.readString(p).trim) }
+    if (Files.exists(p)) { stats.memoHits.incrementAndGet(); Some(readSmall(p).trim) }
     else { stats.memoMisses.incrementAndGet(); None }
   }
 
@@ -198,11 +215,11 @@ final class FsStore(val rootDir: String) extends GraftStore {
 
   def currentRootHash: Option[String] = {
     val p = root.resolve("root")
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    if (Files.exists(p)) Some(readSmall(p).trim) else None
   }
 
   def loadRoot(rootHash: String): String =
-    Files.readString(root.resolve("roots").resolve(s"$rootHash.json"))
+    readSmall(root.resolve("roots").resolve(s"$rootHash.json"))
 
   def hasRoot(rootHash: String): Boolean =
     Files.exists(root.resolve("roots").resolve(s"$rootHash.json"))
@@ -218,7 +235,7 @@ final class FsStore(val rootDir: String) extends GraftStore {
   def listMemos: Seq[(String, String)] =
     FsUtil.listDir(root.resolve("memo")).map(_.getFileName.toString)
       .filterNot(_.contains(".tmp-"))
-      .map(op => op -> Files.readString(root.resolve("memo").resolve(op)).trim)
+      .map(op => op -> readSmall(root.resolve("memo").resolve(op)).trim)
 
   def deleteRoot(hash: String): Unit = {
     Files.deleteIfExists(root.resolve("roots").resolve(s"$hash.json")); ()
@@ -238,11 +255,35 @@ final class FsStore(val rootDir: String) extends GraftStore {
 
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
-    Files.writeString(tmp, content)
+    if (smallObjectDeflate) Files.write(tmp, FsStore.deflate(content))
+    else Files.writeString(tmp, content)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** Read a small object, auto-detecting DEFLATE (zlib header) vs plain
+    * UTF-8 — so a plain store opened with the knob on (or vice versa)
+    * keeps reading its history. */
+  private def readSmall(p: Path): String = FsStore.inflate(Files.readAllBytes(p))
+}
+
+object FsStore {
+  private[core] def deflate(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(s.getBytes(StandardCharsets.UTF_8)); d.close()
+    bos.toByteArray
+  }
+
+  /** zlib magic: 0x78 first byte — unambiguous against our plain
+    * objects, which start with '{' (JSON) or a hex digit (hashes). */
+  private[core] def inflate(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 0x78.toByte)
+      new String(new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(bytes)).readAllBytes(),
+        StandardCharsets.UTF_8)
+    else new String(bytes, StandardCharsets.UTF_8)
 }
 
 /** Object-store-semantics backend (an S3-alike simulated on local disk):
@@ -464,4 +505,65 @@ object Hashing {
     }
     a.length - b.length
   }
+}
+
+/** Debug-logging store wrapper — the Store/Debug.hs parity line
+  * (/root/reference/messdb-base/src/MessDB/Store/Debug.hs:7-38, which
+  * wraps any store and prints every operation): delegates each call to
+  * `inner`, emitting one line per operation. Composes with every
+  * backend (it only speaks the trait), so replication between two
+  * wrapped stores prints the exact object traffic — the debugging use
+  * the reference built it for. Stats flow through to the inner store so
+  * counters stay in one place. */
+final class LoggingStore(inner: GraftStore,
+    log: String => Unit = Console.err.println) extends GraftStore {
+  override val stats: StoreStats = inner.stats
+  override def chunkCodec: String = inner.chunkCodec
+
+  private def tap[A](msg: String)(a: => A): A = { log(s"[store] $msg"); a }
+
+  def chunkPath(hash: String): String = inner.chunkPath(hash)
+  def hasChunk(hash: String): Boolean =
+    tap(s"hasChunk $hash")(inner.hasChunk(hash))
+  def saveChunk(hash: String, producedFile: Path): Unit =
+    tap(s"saveChunk $hash")(inner.saveChunk(hash, producedFile))
+  override def saveChunks(batch: Seq[(String, Path)]): Unit =
+    tap(s"saveChunks n=${batch.length}")(inner.saveChunks(batch))
+
+  def saveTableMeta(meta: TableMeta): String =
+    tap(s"saveTableMeta ${meta.tableHash} chunks=${meta.chunks.length}")(
+      inner.saveTableMeta(meta))
+  def loadTableMeta(tableHash: String): TableMeta =
+    tap(s"loadTableMeta $tableHash")(inner.loadTableMeta(tableHash))
+  def hasTable(tableHash: String): Boolean =
+    tap(s"hasTable $tableHash")(inner.hasTable(tableHash))
+
+  def memoGet(opHash: String): Option[String] =
+    tap(s"memoGet $opHash")(inner.memoGet(opHash))
+  def memoPut(opHash: String, resultHash: String): Unit =
+    tap(s"memoPut $opHash -> $resultHash")(inner.memoPut(opHash, resultHash))
+
+  def saveRoot(json: String): String =
+    tap(s"saveRoot ${json.length}B")(inner.saveRoot(json))
+  def setRootPointer(rootHash: String): Unit =
+    tap(s"setRootPointer $rootHash")(inner.setRootPointer(rootHash))
+  def clearRootPointer(): Unit =
+    tap("clearRootPointer")(inner.clearRootPointer())
+  def currentRootHash: Option[String] = inner.currentRootHash
+  def loadRoot(rootHash: String): String =
+    tap(s"loadRoot $rootHash")(inner.loadRoot(rootHash))
+  def hasRoot(rootHash: String): Boolean = inner.hasRoot(rootHash)
+
+  def listRoots: Seq[String] = inner.listRoots
+  def listTables: Seq[String] = inner.listTables
+  def listChunks: Seq[String] = inner.listChunks
+  def listMemos: Seq[(String, String)] = inner.listMemos
+  def deleteRoot(hash: String): Unit =
+    tap(s"deleteRoot $hash")(inner.deleteRoot(hash))
+  def deleteTable(hash: String): Unit =
+    tap(s"deleteTable $hash")(inner.deleteTable(hash))
+  def deleteChunk(hash: String): Unit =
+    tap(s"deleteChunk $hash")(inner.deleteChunk(hash))
+  def deleteMemo(opHash: String): Unit =
+    tap(s"deleteMemo $opHash")(inner.deleteMemo(opHash))
 }

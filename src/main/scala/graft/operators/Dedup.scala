@@ -20,10 +20,14 @@ object Dedup {
     * call [[invalidateCache]] after rewriting data in place. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sizedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def invalidateCache(): Unit = {
     shingleCache.values.foreach(_.unpersist())
     shingleCache.clear()
+    sizedCache.values.foreach(_.unpersist())
+    sizedCache.clear()
   }
 
   def shingles(s: SparkSession, dir: String): DataFrame =
@@ -35,6 +39,19 @@ object Dedup {
           "transform(sequence(0, size(ts)-3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")))
           .as("s"))
         .cache()
+    })
+
+  /** [[shingles]] with the doc's shingle-set size attached to every row
+    * — the Jaccard-threshold join then needs NO doc-size side joins
+    * (the sizes ride the inverted index through the shuffle), cutting
+    * the dedup_shingle plan from three joins to one. Cached like the
+    * index itself; one doc-size aggregation amortized across queries. */
+  def shinglesSized(s: SparkSession, dir: String): DataFrame =
+    sizedCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      sh.join(sz, "doc_id").cache()
     })
 
   private val shinglesSql: String =
@@ -87,21 +104,16 @@ object Dedup {
     * document frequency above a cap (not needed at test scale). */
   def dedupShingle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // doc sizes ride the index rows (shinglesSized), so the whole query
+    // is ONE equi-join + one aggregation — no post-join size lookups
+    val sh = shinglesSized(s, dir)
+    sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .agg(count(lit(1)).as("c"))
-    // the doc-size joins are left to AQE: it broadcasts the (id, count)
-    // side while it fits and falls back to shuffle beyond (measured: an
-    // explicit broadcast() hint here is slightly slower than AQE's plan)
-    inter
-      .join(sz.as("sa"), $"i" === $"sa.doc_id")
-      .join(sz.as("sb"), $"j" === $"sb.doc_id")
-      .where(lit(10) * $"c" >= lit(5) * ($"sa.n" + $"sb.n" - $"c"))
-      .select($"i", $"j",
-        $"c".as("n_common"), $"sa.n".as("n_i"), $"sb.n".as("n_j"))
+      .agg(count(lit(1)).as("c"),
+        max($"a.n").as("n_i"), max($"b.n").as("n_j"))
+      .where(lit(10) * $"c" >= lit(5) * ($"n_i" + $"n_j" - $"c"))
+      .select($"i", $"j", $"c".as("n_common"), $"n_i", $"n_j")
       .orderBy($"i", $"j")
   }
 

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * decoded/feature-extracted in partition batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] produces a deterministic fake frame from
-  * the payload bytes. Everything around it — the schema contract, the
+  * Two decoders behind one seam: [[ImageIoDecoder]] really decodes
+  * PNG/JPEG/GIF/BMP payloads (javax.imageio — public JDK API, no native
+  * deps) into dimensions + channel-mean features; [[StubDecoder]] is the
+  * deterministic fallback for payloads that are not images (the
+  * synthetic testdata's binary blobs, video containers this JDK can't
+  * parse). Everything around the seam — the schema contract, the
   * partition-batched invocation (one decoder instance per partition, the
   * mapInPandas batch shape in Scala form), the output column layout — is
-  * real and tested; swapping in a real JNI/JavaCV decoder only replaces
+  * shared, so swapping in a JNI/JavaCV video codec again only replaces
   * the [[Decoder]] implementation.
   */
 object Multimodal {
@@ -49,6 +52,42 @@ object Multimodal {
       Row(w, h, 1, Seq(
         (s0.toDouble / n).toFloat, (s1 & 0xffff).toFloat,
         ((s1 >>> 16) & 0xffff).toFloat, n.toFloat))
+    }
+  }
+
+  /** Real image decode via javax.imageio (PNG/JPEG/GIF/BMP — the JDK's
+    * built-in readers): width/height from the decoded raster, features =
+    * [mean R, mean G, mean B, pixel count]. The channel sums are exact
+    * integers, so the means are deterministic across partitionings.
+    * Payloads imageio cannot parse (not an image, or a codec this JDK
+    * lacks) fall back to [[StubDecoder]] — decode never throws on a bad
+    * payload, it degrades to the deterministic fake (a 100 TB pipeline
+    * must not die on one corrupt blob; filter on n_frames/width
+    * downstream if strictness is wanted). */
+  object ImageIoDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Row = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) StubDecoder.decode(payload)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Row(w, h, 1, Seq(
+          (r.toDouble / n).toFloat, (g.toDouble / n).toFloat,
+          (b.toDouble / n).toFloat, n.toFloat))
+      }
     }
   }
 

@@ -347,6 +347,30 @@ class EngineSpec extends AnyFunSuite {
     assert(catalog.get("t").map(_.hash).contains(merged.hash))
   }
 
+  test("gc --keep-last N retention: old roots collected, shared chunks survive") {
+    val ops = newOps(target = 16)
+    val catalog = new Catalog(ops.store)
+    // five versions, each a 1-key delta: heavy structural sharing
+    val base = (0 until 2000).map(i => f"key$i%05d" -> 0L)
+    var cur = ops.fromDataFrame(df(base), Seq("k"))
+    catalog.put("t", cur)
+    for (v <- 1 to 4) {
+      val delta = ops.fromDataFrame(df(Seq(f"key${v * 100}%05d" -> v.toLong)), Seq("k"))
+      cur = ops.merge(Seq(cur, delta), FoldSpec.FoldLast)
+      catalog.put("t", cur)
+    }
+    assert(catalog.log().length == 5)
+    // the CLI's --keep-last N lowers to keepRoots = log(N)
+    val s = Gc.run(ops.store, catalog.log(2))
+    assert(s.deletedRoots == 3, s"expected 3 old roots collected: $s")
+    assert(catalog.log().length == 2, "history shallow at the retention depth")
+    // both retained versions fully usable (shared chunks survived)
+    val prev = catalog.rootAt(catalog.log()(1))("t").tableHash
+    assert(ops.verifyTable(TableRef(prev)).isEmpty)
+    assert(ops.verifyTable(cur).isEmpty)
+    assert(contents(ops, cur)(f"key${400}%05d") == 4L)
+  }
+
   test("putAll commits several tables in ONE atomic root") {
     val ops = newOps(target = 16)
     val catalog = new Catalog(ops.store)

@@ -19,7 +19,11 @@ class StoreContractSpec extends AnyFunSuite {
     "objectstore-sim" -> (() =>
       new ObjectStoreSimStore(Files.createTempDirectory("graft-cs-os-").toString)),
     "pack" -> (() =>
-      new PackStore(Files.createTempDirectory("graft-cs-pk-").toString)))
+      new PackStore(Files.createTempDirectory("graft-cs-pk-").toString)),
+    "memory" -> (() => new MemoryStore()),
+    "fs-compressed" -> (() =>
+      new FsStore(Files.createTempDirectory("graft-cs-fz-").toString,
+        smallObjectDeflate = true, chunkCodec = "zstd")))
 
   private val schema = StructType(Seq(
     StructField("k", StringType, nullable = false),
@@ -106,14 +110,20 @@ class StoreContractSpec extends AnyFunSuite {
         Canonical.normalizeSchema(schema, Seq("k")).json, Seq("k"), 64, chunks)
       val h = store.saveTableMeta(meta)
       // the JSON envelope is tiny; the chunk list lives in the sidecar
-      val envelope = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(store match {
-          case f: FsStore => f.rootDir
-          case o: ObjectStoreSimStore => o.rootDir
-          case p: PackStore => p.rootDir
-        }, "tables", s"$h.json"))
-      assert(envelope.length < 10000, "indexed meta must stay an envelope")
-      assert(envelope.contains("chunksIndexed"))
+      // (file-backed stores only — MemoryStore keeps the meta as an
+      // object, which needs no envelope at all)
+      val envelopeDir = store match {
+        case f: FsStore => Some(f.rootDir)
+        case o: ObjectStoreSimStore => Some(o.rootDir)
+        case p: PackStore => Some(p.rootDir)
+        case _ => None
+      }
+      envelopeDir.foreach { dir =>
+        val envelope = FsStore.inflate(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "tables", s"$h.json")))
+        assert(envelope.length < 10000, "indexed meta must stay an envelope")
+        assert(envelope.contains("chunksIndexed"))
+      }
       val loaded = store.loadTableMeta(h)
       assert(loaded == meta, "indexed round-trip must be lossless")
       assert(loaded.tableHash == h)
@@ -201,5 +211,44 @@ class StoreContractSpec extends AnyFunSuite {
     // and the commit log records exactly that batch
     val manifest = java.nio.file.Paths.get(store.rootDir, "commits.log")
     assert(Files.readAllLines(manifest).size() == 1)
+  }
+
+  test("fs-compressed: deflated small objects shrink and stay readable mixed-mode") {
+    val dir = Files.createTempDirectory("graft-cs-zl-").toString
+    val plain = new FsStore(Files.createTempDirectory("graft-cs-pl-").toString)
+    val zipped = new FsStore(dir, smallObjectDeflate = true)
+    val ops1 = new Ops(spark, plain, 16)
+    val ops2 = new Ops(spark, zipped, 16)
+    val rows = (0 until 500).map(i => f"k$i%04d" -> i.toLong)
+    val h1 = ops1.fromDataFrame(df(rows), Seq("k")).hash
+    val h2 = ops2.fromDataFrame(df(rows), Seq("k")).hash
+    assert(h1 == h2, "compression must not change content identity")
+    def metaBytes(s: FsStore): Long =
+      FsUtil.listDir(java.nio.file.Paths.get(s.rootDir, "tables"))
+        .map(Files.size).sum
+    assert(metaBytes(zipped) < metaBytes(plain),
+      s"deflated metas not smaller: ${metaBytes(zipped)} vs ${metaBytes(plain)}")
+    // a plain store REOPENED with the knob on reads its old objects and
+    // writes new ones compressed (auto-detect on read)
+    val flipped = new FsStore(plain.rootDir, smallObjectDeflate = true)
+    assert(flipped.loadTableMeta(h1).tableHash == h1)
+    assert(new Ops(spark, flipped, 16).scanOrdered(TableRef(h1)).count() == 500)
+  }
+
+  test("LoggingStore: transparent delegation, one line per operation") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val store = new LoggingStore(new MemoryStore(), lines += _)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 100).map(i => f"k$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    assert(ops.scanOrdered(ref).count() == 100,
+      "engine must run unchanged through the wrapper")
+    assert(lines.exists(_.contains("saveChunks")), s"ops not logged: $lines")
+    assert(lines.exists(_.startsWith("[store] saveTableMeta")))
+    // memo traffic shows up too
+    val before = lines.length
+    store.memoized(Hashing.opHash(Seq("log-test"))) { "r" }
+    assert(lines.drop(before).exists(_.contains("memoGet")) &&
+      lines.drop(before).exists(_.contains("memoPut")))
   }
 }

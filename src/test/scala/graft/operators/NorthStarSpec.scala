@@ -123,6 +123,46 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("ImageIoDecoder really decodes PNGs (oracle: the pixels we painted)") {
+    import spark.implicits._
+    // deterministic synthetic PNGs: id-dependent size, solid RGB fill
+    def png(id: Int): Array[Byte] = {
+      val w = 8 + id; val h = 5 + id
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((10 * id) << 16) | ((20 * id) << 8) | (30 * id)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = (1 to 4).map(i => (i.toLong, png(i))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeBatches(df, "doc_id", "payload",
+        decoder = Multimodal.ImageIoDecoder)
+      .orderBy($"id").collect()
+    out.zip(1 to 4).foreach { case (r, i) =>
+      assert(r.getAs[Int]("width") == 8 + i && r.getAs[Int]("height") == 5 + i,
+        s"decoded dimensions wrong for id $i: $r")
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      // solid fill => channel means are exactly the painted components
+      assert(f(0) == 10f * i && f(1) == 20f * i && f(2) == 30f * i,
+        s"channel means wrong for id $i: $f")
+      assert(f(3) == ((8 + i) * (5 + i)).toFloat)
+    }
+    // a non-image payload degrades to the deterministic stub, not a crash
+    val junk = Seq((9L, Array.tabulate[Byte](100)(_.toByte))).toDF("doc_id", "payload")
+    val stubbed = Multimodal.decodeBatches(junk, "doc_id", "payload",
+      decoder = Multimodal.ImageIoDecoder).collect()
+    val expect = Multimodal.decodeBatches(junk, "doc_id", "payload").collect()
+    assert(stubbed.map(_.toString).toSeq == expect.map(_.toString).toSeq,
+      "non-image payload must take the stub fallback")
+  }
+
   test("IVF cells as canonical-table key prefix: a probe is a chunk-pruned range read") {
     // The 100 TB ANN layout: corpus stored as a canonical table keyed
     // (cell, vec_id). A probe = rangeFilter on the cell prefix — the
