@@ -43,6 +43,34 @@ object Vectors {
         .cache()
     })
 
+  /** The quantized vector index as a CANONICAL GRAFT TABLE keyed by
+    * vec_id — content-addressed, memo-participating, and visible to
+    * replication and GC, where the session cache above is none of
+    * those. The memo key fingerprints the source parquet files
+    * (name + size + mtime — Spark's own staleness rule), so rebuilding
+    * over an unchanged corpus is a pure memo hit: no read, no write,
+    * the same table hash. At 100 TB this is the durable form of the
+    * index (build once, replicate to serving stores, range-read by
+    * key); the session cache remains the hot-loop accelerator for
+    * repeated interactive queries. */
+  def quantizedTable(ops: graft.core.Ops, s: SparkSession,
+      dir: String): graft.core.TableRef = {
+    import graft.core.Hashing
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src))
+        graft.core.FsUtil.listDir(src).sortBy(_.getFileName.toString)
+      else Seq(src)
+    val fp = files.map { p =>
+      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }
+    val op = Hashing.opHash("graft-vector-index-v1" +: fp)
+    graft.core.TableRef(ops.store.memoized(op) {
+      ops.fromDataFrame(quantized(s, dir), Seq("vec_id")).hash
+    })
+  }
+
   /** Native codegen'd dot product (graft.functions.DotProductLong) —
     * stays inside whole-stage codegen with primitive ArrayData access. */
   private def dot(a: Column, b: Column): Column = dot_long(a, b)

@@ -163,6 +163,31 @@ class NorthStarSpec extends AnyFunSuite {
       "non-image payload must take the stub fallback")
   }
 
+  test("quantizedTable: the vector index as a memoized, content-addressed graft table") {
+    import graft.core._
+    val ops = new Ops(spark,
+      new FsStore(java.nio.file.Files.createTempDirectory("graft-vt-").toString), 64)
+    val r1 = Vectors.quantizedTable(ops, spark, sf)
+    assert(ops.scan(r1).count() ==
+      graft.Tables(spark, sf, "embeddings").count())
+    // unchanged corpus ⇒ pure memo hit: same hash, zero chunk writes
+    ops.store.stats.reset()
+    val r2 = Vectors.quantizedTable(ops, spark, sf)
+    assert(r2 == r1, "index identity must be stable over an unchanged corpus")
+    assert(ops.store.stats.memoHits.get > 0 &&
+      ops.store.stats.chunkSaves.get == 0,
+      s"rebuild must be a memo hit: ${ops.store.stats.snapshot}")
+    // it is a normal table: GC-visible (survives a keep-current sweep
+    // when referenced) and replicable like any other
+    val cat = new Catalog(ops.store)
+    cat.put("vec_index", r1)
+    Gc.run(ops.store, Seq.empty)
+    assert(ops.store.hasTable(r1.hash) && ops.verifyTable(r1).isEmpty)
+    val dst = new MemoryStore()
+    Replicate.push(ops.store, dst, ops.store.currentRootHash.get)
+    assert(dst.hasTable(r1.hash), "vector index replicates as a table")
+  }
+
   test("IVF cells as canonical-table key prefix: a probe is a chunk-pruned range read") {
     // The 100 TB ANN layout: corpus stored as a canonical table keyed
     // (cell, vec_id). A probe = rangeFilter on the cell prefix — the
