@@ -47,19 +47,31 @@ object ChunkIndex {
   }
 
   def read(file: java.nio.file.Path): Seq[ChunkMeta] = {
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file.toString))
-      .withConf(new Configuration())
-      .build()
-    val out = Vector.newBuilder[ChunkMeta]
-    try {
-      var g: Group = reader.read()
-      while (g != null) {
-        out += ChunkMeta(g.getString("hash", 0), g.getString("min", 0),
-          g.getString("max", 0), g.getLong("rows", 0))
-        g = reader.read()
-      }
-    } finally reader.close()
-    out.result()
+    val it = iterate(file)
+    try it.toVector finally it.close()
   }
+
+  /** Streaming reader: one ChunkMeta at a time, nothing materialized —
+    * the input side of the streaming merge planner ([[MergePlanner]]).
+    * Call `close()` (or drain fully; exhaustion closes too). */
+  def iterate(file: java.nio.file.Path): Iterator[ChunkMeta] with AutoCloseable =
+    new Iterator[ChunkMeta] with AutoCloseable {
+      private val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file.toString))
+        .withConf(new Configuration())
+        .build()
+      private var nextGroup: Group = reader.read()
+      private var closed = false
+      def close(): Unit = if (!closed) { closed = true; reader.close() }
+      def hasNext: Boolean = nextGroup != null
+      def next(): ChunkMeta = {
+        val g = nextGroup
+        if (g == null) throw new NoSuchElementException("chunk index drained")
+        val c = ChunkMeta(g.getString("hash", 0), g.getString("min", 0),
+          g.getString("max", 0), g.getLong("rows", 0))
+        nextGroup = reader.read()
+        if (nextGroup == null) close()
+        c
+      }
+    }
 }

@@ -114,41 +114,41 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * reference's input-order fold (Trie.hs:396-401). */
   def merge(refs: Seq[TableRef], fold: FoldSpec): TableRef = {
     require(refs.nonEmpty, "merge of zero tables")
-    val metas = refs.map(meta)
-    val schemaJson = metas.head.schemaJson
-    val keyCols = metas.head.keyCols
+    // envelope-only reads: merge never materializes an input's chunk
+    // list — planning streams them (MergePlanner via store.chunkStream)
+    val envs = refs.map(r => store.tableEnvelope(r.hash))
+    val (schemaJson, keyCols, target, _) = envs.head
     // granularity is intrinsic to the TABLES (they must agree with each
     // other, not with this Ops instance — transform/rangeFilter results
     // keep their input's granularity and must remain mergeable)
-    require(metas.forall(m => m.schemaJson == schemaJson && m.keyCols == keyCols
-      && m.chunkTargetRows == metas.head.chunkTargetRows),
+    require(envs.forall(e => e._1 == schemaJson && e._2 == keyCols
+      && e._3 == target),
       "merge requires identically-shaped tables")
-    val nonEmpty = refs.zip(metas).filter(_._2.chunks.nonEmpty)
+    val nonEmpty = refs.zip(envs).filter(_._2._4 > 0).map(_._1)
     if (nonEmpty.isEmpty) return refs.head
-    if (nonEmpty.length == 1) return nonEmpty.head._1
+    if (nonEmpty.length == 1) return nonEmpty.head
     // idempotence fast path: merging any number of copies of one table is
     // the identity ONLY for idempotent folds (fold(v,v)==v, e.g.
     // fold_to_last — TrieSpec.hs:31-38); sum-like folds must take the
     // general path so duplicated inputs combine consistently
-    if (fold.idempotent && nonEmpty.map(_._1.hash).distinct.length == 1)
-      return nonEmpty.head._1
+    if (fold.idempotent && nonEmpty.map(_.hash).distinct.length == 1)
+      return nonEmpty.head
 
     val opHash = Hashing.opHash(Seq(
-      "graft-op-merge-v2", fold.key, metas.head.chunkTargetRows.toString) ++
+      "graft-op-merge-v2", fold.key, target.toString) ++
       refs.map(_.hash))
     TableRef(store.memoized(opHash) {
-      computeMerge(nonEmpty.map(_._2), fold).tableHash
+      computeMerge(nonEmpty, schemaJson, keyCols, target, fold).tableHash
     })
   }
 
-  private def computeMerge(metas: Seq[TableMeta], fold: FoldSpec): TableMeta = {
-    val keyCols = metas.head.keyCols
-    val valueCols = metas.head.valueCols
-    val target = metas.head.chunkTargetRows // the TABLES' granularity
-    val schema = metas.head.schema
-    val schemaJson = metas.head.schemaJson
+  private def computeMerge(refs: Seq[TableRef], schemaJson: String,
+      keyCols: Seq[String], target: Long, fold: FoldSpec): TableMeta = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val valueCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     val sources: Seq[MergePlanner.ChunkSource] =
-      metas.map(m => () => m.chunks.iterator)
+      refs.map(r => store.chunkStream(r.hash))
 
     // ---- pass 1: streaming plan (MergePlanner.sweep) ----
     // Regions stream by in key order; only regions that need WORK — more

@@ -184,6 +184,15 @@ final class PackStore(val rootDir: String) extends GraftStore {
       () => ChunkIndex.read(chunkIndexPath(tableHash)))
   }
 
+  override def chunkStream(tableHash: String): () => Iterator[ChunkMeta] = {
+    val json = Files.readString(root.resolve("tables").resolve(s"$tableHash.json"))
+    TableMeta.envelopeFromJson(json) match {
+      case (_, _, _, Some(_)) =>
+        () => ChunkIndex.iterate(chunkIndexPath(tableHash))
+      case _ => () => TableMeta.fromJson(json).chunks.iterator
+    }
+  }
+
   def hasTable(tableHash: String): Boolean =
     Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
 

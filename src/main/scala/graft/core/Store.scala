@@ -71,6 +71,20 @@ trait GraftStore {
   def saveTableMeta(meta: TableMeta): String
   def loadTableMeta(tableHash: String): TableMeta
   def hasTable(tableHash: String): Boolean
+  /** (schemaJson, keyCols, chunkTargetRows, chunkCount) WITHOUT
+    * materializing the chunk list. Default loads the full meta;
+    * sidecar-indexed backends override with an envelope-only read. */
+  def tableEnvelope(tableHash: String): (String, Seq[String], Long, Long) = {
+    val m = loadTableMeta(tableHash)
+    (m.schemaJson, m.keyCols, m.chunkTargetRows, m.chunks.length.toLong)
+  }
+  /** Re-iterable stream of a table's chunk metas in minKey order — the
+    * input side of the streaming merge planner. Default materializes
+    * via [[loadTableMeta]]; backends with a parquet chunk-index sidecar
+    * override to stream it row-by-row (nothing table-sized on the
+    * driver however many chunks the table has). */
+  def chunkStream(tableHash: String): () => Iterator[ChunkMeta] =
+    () => loadTableMeta(tableHash).chunks.iterator
 
   // ---- memo store ------------------------------------------------------
   def memoGet(opHash: String): Option[String]
@@ -185,6 +199,24 @@ final class FsStore(val rootDir: String,
 
   def hasTable(tableHash: String): Boolean =
     Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
+
+  override def tableEnvelope(tableHash: String): (String, Seq[String], Long, Long) = {
+    val json = readSmall(root.resolve("tables").resolve(s"$tableHash.json"))
+    TableMeta.envelopeFromJson(json) match {
+      case (s, k, t, Some(n)) => (s, k, t, n)
+      case (s, k, t, None) => // inline metas are small; count via full parse
+        (s, k, t, TableMeta.fromJson(json).chunks.length.toLong)
+    }
+  }
+
+  override def chunkStream(tableHash: String): () => Iterator[ChunkMeta] = {
+    val json = readSmall(root.resolve("tables").resolve(s"$tableHash.json"))
+    TableMeta.envelopeFromJson(json) match {
+      case (_, _, _, Some(_)) =>
+        () => ChunkIndex.iterate(chunkIndexPath(tableHash))
+      case _ => () => TableMeta.fromJson(json).chunks.iterator
+    }
+  }
 
   def memoGet(opHash: String): Option[String] = {
     val p = root.resolve("memo").resolve(opHash)
@@ -377,6 +409,15 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
   def hasTable(tableHash: String): Boolean =
     Files.exists(root.resolve("tables").resolve(s"$tableHash.json"))
 
+  override def chunkStream(tableHash: String): () => Iterator[ChunkMeta] = {
+    val json = Files.readString(root.resolve("tables").resolve(s"$tableHash.json"))
+    TableMeta.envelopeFromJson(json) match {
+      case (_, _, _, Some(_)) =>
+        () => ChunkIndex.iterate(chunkIndexPath(tableHash))
+      case _ => () => TableMeta.fromJson(json).chunks.iterator
+    }
+  }
+
   def memoGet(opHash: String): Option[String] = {
     val p = root.resolve("memo").resolve(opHash)
     if (Files.exists(p)) { stats.memoHits.incrementAndGet(); Some(Files.readString(p).trim) }
@@ -537,6 +578,10 @@ final class LoggingStore(inner: GraftStore,
     tap(s"loadTableMeta $tableHash")(inner.loadTableMeta(tableHash))
   def hasTable(tableHash: String): Boolean =
     tap(s"hasTable $tableHash")(inner.hasTable(tableHash))
+  override def tableEnvelope(tableHash: String): (String, Seq[String], Long, Long) =
+    inner.tableEnvelope(tableHash)
+  override def chunkStream(tableHash: String): () => Iterator[ChunkMeta] =
+    inner.chunkStream(tableHash)
 
   def memoGet(opHash: String): Option[String] =
     tap(s"memoGet $opHash")(inner.memoGet(opHash))

@@ -70,6 +70,20 @@ object TableMeta {
     * are the wrong driver cost for 1e5+-chunk tables). */
   val InlineChunkLimit = 10000
 
+  /** Parse ONLY the envelope fields — (schemaJson, keyCols,
+    * chunkTargetRows, Some(count) when the chunk list is in a sidecar /
+    * None when inline). The cheap half of [[fromJson]]: callers that
+    * plan by streaming the sidecar ([[ChunkIndex.iterate]]) never build
+    * the chunk list at all. */
+  def envelopeFromJson(json: String): (String, Seq[String], Long, Option[Long]) = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    (JsonMethods.compact(JsonMethods.render(j \ "schema")),
+      (j \ "keyCols").extract[Seq[String]],
+      (j \ "chunkTargetRows").extract[Long],
+      (j \ "chunksIndexed").extractOpt[Long])
+  }
+
   /** Parse a meta; `loadIndex` supplies the chunk list when the JSON is
     * the indexed envelope. */
   def fromJson(json: String,
