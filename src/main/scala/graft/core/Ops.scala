@@ -377,7 +377,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       else if (m.chunks.nonEmpty && rekeyCombinable(m, t, fold))
         transformRekeyIncremental(m, t, fold)
       else {
-        val src = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
+        val src0 = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
+        val src = t.rowFilter.map(src0.where).getOrElse(src0)
         val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
         val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
           .filterNot(_ == SRC).toSeq
@@ -428,9 +429,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df = spark.read.schema(m.schema)
+        val df0 = spark.read.schema(m.schema)
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
+        val df = t.rowFilter.map(df0.where).getOrElse(df0)
         val projected = df.select(t.columns :+ col(grp): _*)
         val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
           .filterNot(_ == grp).toSeq
@@ -448,13 +450,29 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         metas
       }
 
+    // a filtered transform may drop EVERY row of a chunk: the grouped
+    // materialization then emits no group for it, and the mini is the
+    // empty table (memoized like any other so refreshes skip it)
+    lazy val emptyMini: TableMeta = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      val outSchema = Canonical.normalizeSchema(
+        empty.select(t.columns: _*).schema, t.outKeyCols)
+      val em = TableMeta(outSchema.json, t.outKeyCols, m.chunkTargetRows, Nil)
+      store.saveTableMeta(em)
+      em
+    }
     val miniRefs: Seq[TableRef] = m.chunks.map { c =>
       TableRef(memoized(c.hash) match {
         case Some(h) => h
-        case None => computed.getOrElse(c.hash,
-          // a select projection is 1:1 over rows, so a stored (non-empty)
-          // chunk always yields a non-empty mini
-          sys.error(s"missing re-key result for chunk ${c.hash}")).tableHash
+        case None =>
+          val sub = computed.getOrElse(c.hash, {
+            require(t.rowFilter.isDefined,
+              s"missing re-key result for unfiltered chunk ${c.hash}")
+            store.memoPut(miniOp(c.hash), emptyMini.tableHash)
+            emptyMini
+          })
+          sub.tableHash
       })
     }
     merge(miniRefs, fold).hash
@@ -477,9 +495,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df = spark.read.schema(m.schema)
+        val df0 = spark.read.schema(m.schema)
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
+        val df = t.rowFilter.map(df0.where).getOrElse(df0)
         val projected = df.select(t.columns :+ col(grp): _*)
         val metas = Canonical.materializeGrouped(spark, store, projected, grp,
           t.outKeyCols, m.chunkTargetRows)
@@ -492,31 +511,40 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         metas
       }
 
+    // derive the output schema by applying the projection to an empty
+    // frame of the source schema (driver-only); also the schema of the
+    // empty sub-result a fully-filtered chunk produces
+    lazy val derivedSchemaJson: String = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      Canonical.normalizeSchema(
+        empty.select(t.columns: _*).schema, t.outKeyCols).json
+    }
+    lazy val emptySub: TableMeta = {
+      val em = TableMeta(derivedSchemaJson, t.outKeyCols, m.chunkTargetRows, Nil)
+      store.saveTableMeta(em)
+      em
+    }
     // splice: keys preserved ⇒ per-chunk outputs cover the same disjoint
-    // ranges in the same order
+    // ranges in the same order. A FILTERED transform may drop every row
+    // of a chunk — grouped materialize then emits no group for it and
+    // its sub-result is the empty table (memoized so refreshes skip it)
     val allChunks = m.chunks.flatMap { c =>
       val subMeta = memoized(c.hash) match {
         case Some(h) => store.loadTableMeta(h)
-        case None => computed.getOrElse(c.hash,
-          // a chunk may map to no output rows if the transform's
-          // projection drops none — grouped materialize always emits a
-          // group for every input chunk with >=1 row, so absence means
-          // empty input, which cannot happen for a stored chunk
-          sys.error(s"missing transform result for chunk ${c.hash}"))
+        case None => computed.getOrElse(c.hash, {
+          require(t.rowFilter.isDefined,
+            s"missing transform result for unfiltered chunk ${c.hash}")
+          store.memoPut(subOp(c), emptySub.tableHash)
+          emptySub
+        })
       }
       subMeta.chunks
     }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
     val outSchemaJson = (memoized.values.flatten.headOption.map(store.loadTableMeta)
       orElse computed.values.headOption)
       .map(_.schemaJson)
-      .getOrElse {
-        // empty table: derive the output schema by applying the
-        // projection to an empty frame of the source schema
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        Canonical.normalizeSchema(
-          empty.select(t.columns: _*).schema, t.outKeyCols).json
-      }
+      .getOrElse(derivedSchemaJson)
     val out = TableMeta(outSchemaJson, t.outKeyCols, m.chunkTargetRows, allChunks)
     store.saveTableMeta(out)
     out.tableHash
@@ -782,6 +810,14 @@ trait ColTransform extends Serializable {
   def key: String
   def outKeyCols: Seq[String]
   def columns: Seq[Column]
+  /** Optional row predicate applied BEFORE the projection — the
+    * row-dropping half of the reference's select/where latitude (our
+    * TransformFunc comment: "may also drop rows"). Like `columns`, it
+    * is part of the operation identified by `key` — changing the filter
+    * requires a new key (FuncKey discipline). Filtering never changes
+    * key VALUES of surviving rows, so key-preserving transforms keep
+    * their per-chunk incremental memoization. */
+  def rowFilter: Option[Column] = None
   /** Declare true when the transform leaves key VALUES untouched (it may
     * still change value columns): unlocks chunk-level incremental
     * memoization. The contract is the caller's responsibility, like the
@@ -791,11 +827,13 @@ trait ColTransform extends Serializable {
 
 object ColTransform {
   def apply(k: String, keys: Seq[String], cols: Seq[Column],
-      preservesKeys: Boolean = false): ColTransform =
+      preservesKeys: Boolean = false,
+      filter: Option[Column] = None): ColTransform =
     new ColTransform {
       val key = k
       val outKeyCols = keys
       val columns = cols
+      override val rowFilter = filter
       override val keyPreserving = preservesKeys
     }
 }

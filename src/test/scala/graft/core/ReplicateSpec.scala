@@ -108,6 +108,35 @@ class ReplicateSpec extends AnyFunSuite {
       "pushed root objects must exist at the destination")
   }
 
+  test("SQL materialized-view definitions travel with replication and refresh at the destination") {
+    val src = fsStore()
+    val ops = new Ops(spark, src, 16)
+    val cat = new Catalog(src)
+    def run(sql: String) = graft.sql.GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE f (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO f SELECT id AS k, id AS v FROM range(0, 500)")
+    run("CREATE MATERIALIZED VIEW totals AS " +
+      "SELECT k % 10 AS g, SUM(v) AS total FROM f GROUP BY g")
+
+    val dst = fsStore()
+    Replicate.push(src, dst, src.currentRootHash.get)
+
+    // the pushed root carries the view DEFINITION, not just the tables
+    val dops = new Ops(spark, dst, 16)
+    val dcat = new Catalog(dst)
+    assert(dcat.viewDefs.keySet == Set("totals"),
+      "view definitions must replicate inside the root")
+    assert(dcat.get("totals").map(_.hash) == cat.get("totals").map(_.hash))
+    // mutate at the destination, refresh from the replicated SQL alone
+    graft.sql.GraftSql.execute(spark, dops, dcat,
+      "INSERT INTO f VALUES (500, 500)")
+    graft.sql.GraftSql.execute(spark, dops, dcat, "REFRESH ALL")
+    val got = dops.scanOrdered(dcat.get("totals").get).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == (0L until 501L).filter(_ % 10 == 0).sum,
+      s"destination refresh wrong: $got")
+  }
+
   test("advancePointer = false into an EMPTY store leaves it pointerless (ADVICE r4)") {
     val src = fsStore()
     val ops = new Ops(spark, src, 16)

@@ -389,13 +389,48 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     run("DROP MATERIALIZED VIEW joined")
     assert(cat.get("joined").isEmpty && !cat.viewDefs.contains("joined"))
 
-    // rejections: WHERE, mixed fold families, dropped key column
-    assertThrows[GraftSql.SqlException](run(
-      "CREATE MATERIALIZED VIEW w AS SELECT k, grp, v FROM fact WHERE v > 5"))
+    // rejections: mixed fold families, dropped key column
     assertThrows[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW m AS SELECT grp, MIN(v) AS a, SUM(v) AS b FROM fact GROUP BY grp"))
     assertThrows[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW nk AS SELECT grp, v FROM fact"))
+  }
+
+  test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fact (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO fact SELECT id AS k, id AS v FROM range(0, 2000)")
+
+    // filtered projection view: WHERE drives the transform's rowFilter
+    run("CREATE MATERIALIZED VIEW evens AS SELECT k, v * 2 AS v2 FROM fact WHERE v % 2 = 0")
+    assert(ops.scanOrdered(cat.get("evens").get).count() == 1000)
+
+    // computed group key + WHERE on an aggregate view
+    run("CREATE MATERIALIZED VIEW bybucket AS " +
+      "SELECT k % 7 AS bucket, SUM(v) AS total, COUNT(*) AS n " +
+      "FROM fact WHERE v >= 1000 GROUP BY bucket")
+    val got = ops.scanOrdered(cat.get("bybucket").get).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (1000L until 2000L).groupBy(_ % 7)
+      .map { case (b, vs) => (b, vs.sum, vs.size.toLong) }.toSet
+    assert(got == want)
+
+    // a delta entirely OUTSIDE the filter refreshes to the same content
+    // via the memoized empty sub-results (no content change, no new root)
+    run("INSERT INTO fact VALUES (2000, 1)") // odd value, < 1000 bucket n/a
+    val evensBefore = cat.root("evens").tableHash
+    run("REFRESH ALL")
+    assert(ops.scanOrdered(cat.get("evens").get).count() == 1000,
+      "filtered-out delta must not change the view")
+    // a delta INSIDE the filter lands after refresh
+    run("INSERT INTO fact VALUES (2002, 2002)")
+    run("REFRESH ALL")
+    assert(ops.scanOrdered(cat.get("evens").get).count() == 1001)
+    assert(ops.scanOrdered(cat.get("bybucket").get).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      .apply(2002L % 7) == want.find(_._1 == 2002L % 7).get._2 + 2002L)
+    assert(evensBefore != cat.root("evens").tableHash)
   }
 
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
