@@ -133,6 +133,31 @@ object FoldSpec {
   val FoldCoalesce: CombinableFold =
     CombinableFold("fold_coalesce_v1", c => max(c), idempotent = true)
 
+  /** Per-column composite fold: each value column folds under its own
+    * member spec — `SUM(a), MIN(b), MAX(c)` in one operation. The key
+    * encodes every (column, member-key) pair, so the composite obeys the
+    * FuncKey discipline member-wise. Fast-path qualification is the
+    * CONJUNCTION of the members': combinable/idempotent iff every member
+    * is, and `combinableFor` asks every member to accept the full type
+    * list (types arrive positionally without names, so an exact-types-
+    * only member like FoldSum gates ALL columns — conservative, never
+    * wrong). Every value column present at fold time must have a member. */
+  final case class FoldByColumn(members: Seq[(String, FoldSpec)]) extends FoldSpec {
+    private val byName = members.toMap
+    val key: String = "fold_by_col_v1:" +
+      members.map { case (c, f) => s"$c=${f.key}" }.mkString(",")
+    def aggs(valueCols: Seq[String]): Seq[Column] =
+      valueCols.map { c =>
+        byName.getOrElse(c, throw new NoSuchElementException(
+          s"fold_by_col: no member fold for value column $c")).aggs(Seq(c)).head
+      }
+    override val idempotent: Boolean = members.forall(_._2.idempotent)
+    override val combinable: Boolean = members.forall(_._2.combinable)
+    override def combinableFor(
+        valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
+      combinable && members.forall(_._2.combinableFor(valueTypes))
+  }
+
   /** General NON-commutative pairwise fold in source order — the full
     * FoldFunc semantics (`V.foldl1 (fold key)` over colliding values in
     * input order, Trie.hs:396-401): collect (src, value) pairs, sort by

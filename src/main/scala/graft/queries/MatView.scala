@@ -62,6 +62,57 @@ object MatView {
        |SELECT o_custkey, CAST(SUM(price_c) AS BIGINT) AS total_c, COUNT(*) AS n
        |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
-  val queries: Map[String, QFn] = Map("sql_matview" -> (sqlMatview _))
-  val oracles: Map[String, String] = Map("sql_matview" -> sqlMatviewSql)
+  /** The round-5 MV surface in one statement flow: a WHERE-filtered
+    * aggregate view with a COMPUTED group key and MIXED fold families
+    * (SUM + COUNT + MIN + MAX lower to a per-column composite fold) —
+    * define, delta via INSERT…SELECT, incremental REFRESH, read back. */
+  def sqlMatviewWhere(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mvw-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"), col("o_orderstatus"))
+      .createOrReplaceTempView("orders_w_src")
+    run("CREATE TABLE orders_w PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_w_src")
+
+    run("CREATE MATERIALIZED VIEW busy_buckets AS " +
+      "SELECT o_custkey % 100 AS bucket, SUM(price_c) AS total_c, COUNT(*) AS n, " +
+      "MIN(price_c) AS lo_c, MAX(price_c) AS hi_c " +
+      "FROM orders_w WHERE o_orderstatus = 'F' GROUP BY bucket")
+
+    // delta rows land both inside and outside the status filter
+    run("INSERT INTO orders_w " +
+      "SELECT o_orderkey + 100000000, o_custkey, price_c + 55, o_orderstatus " +
+      "FROM orders_w WHERE o_orderkey % 10 = 5")
+    run("REFRESH MATERIALIZED VIEW busy_buckets")
+
+    val Left(out) = run(
+      "SELECT bucket, total_c, n, lo_c, hi_c FROM busy_buckets ORDER BY bucket"): @unchecked
+    out
+  }
+
+  val sqlMatviewWhereSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c, o_orderstatus
+       |  FROM orders WHERE o_orderkey % 4 = 1),
+       |delta AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+       |         price_c + 55 AS price_c, o_orderstatus
+       |  FROM base WHERE o_orderkey % 10 = 5),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+       |SELECT o_custkey % 100 AS bucket, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       COUNT(*) AS n, MIN(price_c) AS lo_c, MAX(price_c) AS hi_c
+       |FROM u WHERE o_orderstatus = 'F' GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "sql_matview" -> (sqlMatview _),
+    "sql_matview_where" -> (sqlMatviewWhere _))
+  val oracles: Map[String, String] = Map(
+    "sql_matview" -> sqlMatviewSql,
+    "sql_matview_where" -> sqlMatviewWhereSql)
 }

@@ -389,11 +389,52 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     run("DROP MATERIALIZED VIEW joined")
     assert(cat.get("joined").isEmpty && !cat.viewDefs.contains("joined"))
 
-    // rejections: mixed fold families, dropped key column
-    assertThrows[GraftSql.SqlException](run(
-      "CREATE MATERIALIZED VIEW m AS SELECT grp, MIN(v) AS a, SUM(v) AS b FROM fact GROUP BY grp"))
+    // rejections: dropped key column
     assertThrows[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW nk AS SELECT grp, v FROM fact"))
+  }
+
+  test("mixed-fold aggregate views (SUM+COUNT+MIN+MAX) refresh incrementally via FoldByColumn") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fact (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO fact SELECT id AS k, (id * 37) % 1000 AS v FROM range(0, 2000)")
+
+    run("CREATE MATERIALIZED VIEW spread AS " +
+      "SELECT k % 10 AS g, SUM(v) AS total, COUNT(*) AS n, " +
+      "MIN(v) AS lo, MAX(v) AS hi FROM fact GROUP BY g")
+    def snapshot(): Map[Long, (Long, Long, Long, Long)] =
+      ops.scanOrdered(cat.get("spread").get).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    def model(rows: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long)] =
+      rows.groupBy(_._1 % 10).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        g -> ((vs.sum, vs.size.toLong, vs.min, vs.max))
+      }
+    val base = (0L until 2000L).map(i => (i, (i * 37) % 1000))
+    assert(snapshot() == model(base))
+
+    // a 1-row delta refreshes O(delta) — the mixed fold is combinable
+    // member-wise, so it rides the per-chunk-mini + region-merge path
+    run("INSERT INTO fact VALUES (2000, 5000)")
+    ops.store.stats.reset()
+    run("REFRESH ALL")
+    val saves = ops.store.stats.chunkSaves.get
+    assert(saves > 0 && saves <= 6,
+      s"mixed-fold 1-row delta refresh wrote $saves chunks (not O(delta))")
+    val afterDelta = base :+ (2000L, 5000L)
+    assert(snapshot() == model(afterDelta))
+
+    // incremental result hash-equals an independent from-scratch build
+    val expect = {
+      import spark.implicits._
+      val rows = model(afterDelta).toSeq.sortBy(_._1)
+        .map { case (g, (t, n, lo, hi)) => (g, t, n, lo, hi) }
+      ops.fromDataFrame(rows.toDF("g", "total", "n", "lo", "hi"), Seq("g"))
+    }
+    assert(cat.root("spread").tableHash == expect.hash,
+      "mixed-fold incremental refresh must hash-equal from-scratch")
   }
 
   test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
