@@ -153,6 +153,118 @@ object Multimodal {
       .withColumn("height", lit(targetH))
   }
 
+  // ---- audio -----------------------------------------------------------
+
+  /** One decoded audio clip: format header fields + exact-integer PCM
+    * statistics. Sums/peaks/zero-crossings are integers, so the stats
+    * are deterministic across partitionings; consumers derive mean/RMS
+    * with a single final division. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("s_sum", LongType, nullable = false),
+    StructField("s_peak", LongType, nullable = false),
+    StructField("zcross", LongType, nullable = false)))
+
+  trait AudioDecoder extends Serializable {
+    /** Decode one audio payload; called from executor partitions. */
+    def decode(payload: Array[Byte]): Row
+  }
+
+  /** Deterministic non-audio fallback (the audio [[StubDecoder]]):
+    * treats raw bytes as centered 16-bit samples. sample_rate 0 marks
+    * "container not parsed" for downstream filtering. */
+  object StubAudioDecoder extends AudioDecoder {
+    def decode(payload: Array[Byte]): Row = {
+      var sum = 0L; var peak = 0L; var z = 0L; var prev = 0L
+      var i = 0
+      while (i < payload.length) {
+        val v = ((payload(i) & 0xff) - 64).toLong * 256
+        sum += v; if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && prev * v < 0) z += 1
+        prev = v; i += 1
+      }
+      Row(0, 0, payload.length.toLong, sum, peak, z)
+    }
+  }
+
+  /** Real audio decode via javax.sound.sampled (WAV/AIFF/AU — the JDK's
+    * built-in container parsers, no native deps): sample rate and
+    * channel count from the parsed AudioFormat header, statistics over
+    * the signed 16-bit PCM stream (endianness per the header).
+    * n_samples counts every sample across interleaved channels.
+    * Payloads the JDK cannot parse (or non-16-bit encodings) degrade to
+    * [[StubAudioDecoder]] — decode never throws on a bad payload. */
+  object WavDecoder extends AudioDecoder {
+    def decode(payload: Array[Byte]): Row = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) StubAudioDecoder.decode(payload)
+      else try {
+        val fmt = in.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) StubAudioDecoder.decode(payload)
+        else {
+          val bytes = in.readAllBytes()
+          val be = fmt.isBigEndian
+          var i = 0; var n = 0L; var sum = 0L; var peak = 0L; var z = 0L
+          var prev = 0L
+          while (i + 1 < bytes.length) {
+            val v: Long =
+              (if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff))
+               else ((bytes(i + 1) << 8) | (bytes(i) & 0xff))).toShort.toLong
+            sum += v; if (math.abs(v) > peak) peak = math.abs(v)
+            if (n > 0 && prev * v < 0) z += 1
+            prev = v; n += 1; i += 2
+          }
+          Row(fmt.getSampleRate.toInt, fmt.getChannels, n, sum, peak, z)
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Minimal RIFF/WAVE container for 16-bit signed little-endian mono
+    * PCM — the synthetic-payload side of the audio path (tests and the
+    * driver query build payloads with it; [[WavDecoder]] must round-trip
+    * the samples exactly). */
+  def pcmWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => { buf.putShort(s); () })
+    buf.array()
+  }
+
+  /** Decode an audio binary column, partition-batched like
+    * [[decodeBatches]]. Input: (id LONG, payload BINARY). */
+  def decodeAudioBatches(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: AudioDecoder = WavDecoder): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: audioSchema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { batch =>
+      val d = decoder
+      batch.map { r =>
+        val decoded = d.decode(r.getAs[Array[Byte]](pIdx))
+        Row.fromSeq(r.getLong(idIdx) +: decoded.toSeq)
+      }
+    }(enc)
+  }
+
   /** Decode a binary column into typed media columns, partition-batched:
     * the decoder is instantiated once per partition and applied to the
     * batch iterator (the Scala analogue of a pandas_udf over

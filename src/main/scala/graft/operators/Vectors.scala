@@ -679,6 +679,45 @@ object Vectors {
       |    FROM documents))
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Audio through the REAL decode path: synthesize a 16-bit PCM WAV per
+    * document (mono 8 kHz; samples derived from the text bytes, capped
+    * at 512), parse it back with javax.sound.sampled
+    * ([[Multimodal.WavDecoder]]), and emit exact-integer PCM statistics.
+    * The oracle recomputes the same statistics from the text directly —
+    * a header misparse, endianness slip, or sample misread hash-fails.
+    * Completes the modality triad: image (imageio), video (frame
+    * sampling), audio (this). */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = udf { (text: String) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val samples = bytes.take(512).map(b => (((b & 0xff) - 64) * 256).toShort)
+      Multimodal.pcmWav(samples, 8000)
+    }
+    val payloads = Tables(s, dir, "documents")
+      .select($"doc_id", wav($"text").as("payload"))
+    Multimodal.decodeAudioBatches(payloads, "doc_id", "payload")
+      .select($"id".as("doc_id"), $"sample_rate", $"channels",
+        $"n_samples", $"s_sum", $"s_peak", $"zcross")
+      .orderBy($"doc_id")
+  }
+
+  val multimodalAudioSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, i, (ord(substr(text, CAST(i AS INT), 1)) - 64) * 256 AS v
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, least(length(text), 512) + 1)) AS i
+      |        FROM documents)),
+      |x AS (
+      |  SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS s_sum,
+      |  CAST(max(abs(v)) AS BIGINT) AS s_peak,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+      |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
     // APPROXIMATE: IVF-cell-blocked pairs (the scale path; recall vs
@@ -690,7 +729,8 @@ object Vectors {
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_audio" -> (multimodalAudio _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
@@ -700,5 +740,6 @@ object Vectors {
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }

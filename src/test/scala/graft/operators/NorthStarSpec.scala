@@ -163,6 +163,36 @@ class NorthStarSpec extends AnyFunSuite {
       "non-image payload must take the stub fallback")
   }
 
+  test("WavDecoder really parses WAV containers (oracle: the samples we wrote)") {
+    import spark.implicits._
+    // known waveform: mixed-sign samples with exactly 3 zero crossings
+    val samples = Array[Short](1000, 2000, -500, -1, 30000, 12, -32768)
+    val wav = Multimodal.pcmWav(samples, 44100)
+    val df = Seq((1L, wav)).toDF("doc_id", "payload")
+    val r = Multimodal.decodeAudioBatches(df, "doc_id", "payload").collect()(0)
+    assert(r.getAs[Int]("sample_rate") == 44100)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Long]("n_samples") == samples.length.toLong)
+    assert(r.getAs[Long]("s_sum") == samples.map(_.toLong).sum)
+    assert(r.getAs[Long]("s_peak") == 32768L)
+    assert(r.getAs[Long]("zcross") == 3L)
+
+    // AudioSystem round-trips our own container bit-exactly
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate.toInt == 44100 && !in.getFormat.isBigEndian)
+
+    // a non-audio payload degrades to the deterministic stub, not a crash
+    val junk = Seq((9L, Array.tabulate[Byte](100)(_.toByte))).toDF("doc_id", "payload")
+    val stubbed = Multimodal.decodeAudioBatches(junk, "doc_id", "payload").collect()
+    val expect = Multimodal.decodeAudioBatches(junk, "doc_id", "payload",
+      decoder = Multimodal.StubAudioDecoder).collect()
+    assert(stubbed.map(_.toString).toSeq == expect.map(_.toString).toSeq,
+      "non-audio payload must take the stub fallback")
+    assert(stubbed(0).getAs[Int]("sample_rate") == 0,
+      "stub output must be marked sample_rate=0")
+  }
+
   test("quantizedTable: the vector index as a memoized, content-addressed graft table") {
     import graft.core._
     val ops = new Ops(spark,
