@@ -157,6 +157,59 @@ object Canonical {
 
   /** Materialize df (one row per key, columns already canonical-ordered)
     * into the store; returns the stored TableMeta. */
+  /** ONE-pass row count + split-key sample over the persisted
+    * materialization input (replaces the former count-then-collect job
+    * pair — one fewer full pass over the data, which at 100 TB is a
+    * full read of the spilled cache). Each partition counts its rows
+    * and retains boundary keys at a locally ADAPTED power-of-two
+    * subsampling rate — the criteria nest (hash % (t·2s) == 0 ⇒
+    * hash % (t·s) == 0), so doubling the local rate whenever the buffer
+    * exceeds `localCap` never needs a re-scan. The driver re-subsamples
+    * everything to the final uniform rate: the max of the local rates
+    * and the global-count-derived rate. Driver memory stays
+    * O(partitions · localCap). The split set only shapes write tasks —
+    * chunk content is a pure function of the key set — so a different
+    * (power-of-two) subsampling factor than the old exact-ceil one
+    * leaves every table hash unchanged. */
+  private def sampleSplits(df: DataFrame, groupCol: Option[String],
+      target: Long, nPart: Int): (Long, Array[(String, Array[Byte])]) = {
+    val kbIdx = df.schema.fieldIndex(KB)
+    val gIdx = groupCol.map(df.schema.fieldIndex).getOrElse(-1)
+    val maxSplits = 4L * nPart
+    val localCap = math.max(64L, 8L * maxSplits / math.max(nPart, 1)).toInt
+    val perPart: Array[(Long, Long, Array[(String, Array[Byte], Long)])] =
+      df.rdd.mapPartitions { it =>
+        var n = 0L; var sub = 1L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long)]
+        def crit(h: Long, s: Long): Boolean =
+          java.lang.Math.floorMod(h, target * s) == 0
+        it.foreach { r =>
+          n += 1
+          val kb = r.getAs[Array[Byte]](kbIdx)
+          val h = boundaryHash(kb)
+          if (crit(h, sub)) {
+            buf += (((if (gIdx >= 0) r.getString(gIdx) else ""), kb, h))
+            if (buf.length > localCap) {
+              sub *= 2
+              val kept = buf.filter(t => crit(t._3, sub)).toArray
+              buf.clear()
+              buf ++= kept
+            }
+          }
+        }
+        Iterator.single((n, sub, buf.toArray))
+      }.collect()
+    val nRows = perPart.foldLeft(0L)(_ + _._1)
+    var sub = perPart.foldLeft(1L)((a, p) => math.max(a, p._2))
+    while (nRows / target / sub > maxSplits) sub *= 2
+    val finalSub = sub
+    val keys = perPart.flatMap(_._3).collect {
+      case (g, kb, h)
+        if java.lang.Math.floorMod(h, target * finalSub) == 0 => (g, kb)
+    }
+    (nRows, keys)
+  }
+
   def materialize(spark: SparkSession, store: GraftStore, df0: DataFrame,
       keyCols: Seq[String], chunkTargetRows: Long): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
@@ -175,13 +228,10 @@ object Canonical {
       //    O(rows/target) and was the 100 TB driver-memory ceiling).
       val target = chunkTargetRows
       val nPart = spark.sessionState.conf.numShufflePartitions
-      val nRows = kbDf.count() // materializes the persisted frame
-      val maxSplits = 4L * nPart
-      val approxBoundaries = nRows / target
-      val sub = math.max(1L, (approxBoundaries + maxSplits - 1) / maxSplits)
-      val isSplit = pmod(xxhash64(col(KB)), lit(target * sub)) === 0
-      val splits: Array[Array[Byte]] = kbDf.where(isSplit).select(col(KB))
-        .collect().map(_.getAs[Array[Byte]](0))
+      // one fused pass: row count + subsampled split keys (also
+      // materializes the persisted frame for the write pass below)
+      val (_, sampled) = sampleSplits(kbDf, None, target, nPart)
+      val splits: Array[Array[Byte]] = sampled.map(_._2)
         .sortWith(Hashing.compareBytes(_, _) < 0)
       val bcS = spark.sparkContext.broadcast(splits)
 
@@ -294,22 +344,18 @@ object Canonical {
     val kbDf = withKeyBytesKeeping(df, keyCols, groupCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // same sampled-split scheme as [[materialize]], compounded with the
-      // group: the driver holds an O(shuffle-partitions) subsample of
-      // (group, boundary-key) pairs, never the full per-group boundary
-      // lists. Chunk membership is derived locally per task.
+      // same fused one-pass sampled-split scheme as [[materialize]],
+      // compounded with the group: the driver holds an
+      // O(shuffle-partitions) subsample of (group, boundary-key) pairs,
+      // never the full per-group boundary lists. Chunk membership is
+      // derived locally per task.
       val target = chunkTargetRows
       val nPart = spark.sessionState.conf.numShufflePartitions
-      val nRows = kbDf.count()
-      val maxSplits = 4L * nPart
-      val sub = math.max(1L, (nRows / target + maxSplits - 1) / maxSplits)
-      val isSplit = pmod(xxhash64(col(KB)), lit(target * sub)) === 0
-      val splits: Map[String, Array[Array[Byte]]] = kbDf.where(isSplit)
-        .select(col(groupCol), col(KB)).collect()
-        .groupBy(_.getString(0))
-        .map { case (g, rows) =>
-          g -> rows.map(_.getAs[Array[Byte]](1))
-            .sortWith(Hashing.compareBytes(_, _) < 0)
+      val (_, sampled) = sampleSplits(kbDf, Some(groupCol), target, nPart)
+      val splits: Map[String, Array[Array[Byte]]] = sampled
+        .groupBy(_._1)
+        .map { case (g, pairs) =>
+          g -> pairs.map(_._2).sortWith(Hashing.compareBytes(_, _) < 0)
         }
       val bcS = spark.sparkContext.broadcast(splits)
       val partIdUdf = udf { (g: String, kb: Array[Byte]) =>
