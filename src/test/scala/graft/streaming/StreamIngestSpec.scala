@@ -208,6 +208,60 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(store.currentRootHash == rootBefore, "idle refresh minted a root")
   }
 
+  test("streaming keeps SQL-defined materialized views fresh (defs rebuilt from the root)") {
+    val srcDir = Files.createTempDirectory("graft-sqlmv-src-")
+    val ckpt = Files.createTempDirectory("graft-sqlmv-ckpt-").toString
+    val store = new FsStore(Files.createTempDirectory("graft-sqlmv-store-").toString)
+    val ops = new Ops(spark, store, 64)
+    val catalog = new Catalog(store)
+    def sql(s: String) = graft.sql.GraftSql.execute(spark, ops, catalog, s)
+
+    val batch1 = Seq(
+      ("2024-01-01 10:00:00", 1L, 10.50), ("2024-01-01 11:00:00", 1L, 2.25),
+      ("2024-01-01 10:30:00", 2L, 5.00), ("2024-01-02 09:00:00", 1L, 1.00))
+    val batch2 = Seq(
+      ("2024-01-01 12:00:00", 1L, 4.25),
+      ("2024-01-02 10:00:00", 3L, 7.77))
+
+    def runOnce(v: Option[Views]): Unit = {
+      val events = spark.readStream.schema(schema)
+        .parquet(srcDir.toString + "/batch*")
+      val q = StreamIngest.runningDailyAgg(spark, ops, catalog, events,
+        "daily_agg", ckpt, v)
+      q.awaitTermination()
+    }
+
+    writeBatch(srcDir, batch1, 1)
+    runOnce(None)
+    // the views are defined in SQL (defs persist in the ROOT): a mixed-
+    // fold aggregate over the stream-maintained table, and a filtered
+    // key-preserving projection — both round-5 MV shapes under streaming
+    sql("CREATE MATERIALIZED VIEW stream_totals AS " +
+      "SELECT user_id AS uid, SUM(cents) AS cents, COUNT(*) AS days, " +
+      "MAX(cents) AS best FROM daily_agg GROUP BY uid")
+    sql("CREATE MATERIALIZED VIEW big_days AS " +
+      "SELECT day, user_id, cents FROM daily_agg WHERE cents >= 500")
+
+    // a FRESH session rebuilds the registry from the persisted SQL alone
+    val views = graft.sql.SqlViews.fromCatalog(ops, new Catalog(store))
+    writeBatch(srcDir, batch2, 2)
+    runOnce(Some(views))
+
+    val all = batch1 ++ batch2
+    val daily = all.groupBy(r => (r._1.take(10), r._2)).view
+      .mapValues(rs => rs.map(r => math.round(r._3 * 100)).sum).toMap
+    val model = daily.groupBy(_._1._2).map { case (u, m) =>
+      u -> ((m.values.sum, m.size.toLong, m.values.max)) }
+    val got = ops.scan(catalog.get("stream_totals").get).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == model,
+      "SQL materialized view after streamed batches must equal batch recompute")
+    val bigGot = ops.scan(catalog.get("big_days").get).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val bigWant = daily.collect { case ((d, u), c) if c >= 500 => (d, u, c) }.toSet
+    assert(bigGot == bigWant, "filtered SQL view missed the streamed delta")
+  }
+
   test("batch replay is idempotent: same batchId merged twice applies once") {
     val store = new FsStore(Files.createTempDirectory("graft-replay-store-").toString)
     val ops = new Ops(spark, store, 64)
