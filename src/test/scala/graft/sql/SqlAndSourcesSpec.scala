@@ -389,9 +389,17 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     run("DROP MATERIALIZED VIEW joined")
     assert(cat.get("joined").isEmpty && !cat.viewDefs.contains("joined"))
 
-    // rejections: dropped key column
+    // rejections: dropped key column; HAVING gets a specific message
     assertThrows[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW nk AS SELECT grp, v FROM fact"))
+    val having = intercept[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW h AS " +
+        "SELECT grp, SUM(v) AS s FROM fact GROUP BY grp HAVING s > 5"))
+    assert(having.getMessage.contains("HAVING"))
+
+    // EXPLAIN passes through to Spark SQL over the catalog tables
+    val Left(ex) = run("EXPLAIN SELECT * FROM fact WHERE k = 3"): @unchecked
+    assert(ex.collect().map(_.getString(0)).mkString.nonEmpty)
   }
 
   test("mixed-fold aggregate views (SUM+COUNT+MIN+MAX) refresh incrementally via FoldByColumn") {
