@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import graft.core.{Catalog, Ops}
 
@@ -183,6 +183,11 @@ object GraftSql {
   private val updateRe =
     """(?is)^\s*update\s+("?[\w.]+"?)\s+set\s+(.+?)\s*;?\s*$""".r
   private val assignRe = """(?s)^\s*("?\w+"?)\s*=\s*(.+?)\s*$""".r
+  private val showVersionsRe =
+    """(?is)^\s*show\s+versions\s*(?:limit\s+(\d+))?\s*$""".r
+  private val restoreRe = ("""(?is)^\s*restore\s+table\s+("?[\w.]+"?)\s+""" +
+    """version\s+as\s+of\s+'([0-9a-f]+)'\s*$""").r
+  private val checkoutRe = """(?is)^\s*checkout\s+'([0-9a-f]+)'\s*$""".r
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -249,6 +254,12 @@ object GraftSql {
     *    rewrites those rows, and upserts them back through the memoized
     *    merge — O(range), not O(table); key-column assignments and
     *    general predicates rebuild.
+    *  - Time travel over the git-like root history: `SHOW VERSIONS
+    *    [LIMIT n]` (the chain, newest first), `RESTORE TABLE t VERSION
+    *    AS OF '<root>'` (an old table version becomes current via a NEW
+    *    root — history preserved, content addressing makes it a pointer
+    *    copy), `CHECKOUT '<root>'` (move the whole pointer; the
+    *    abandoned chain stays reachable by hash).
     */
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
@@ -455,6 +466,44 @@ object GraftSql {
         Right(catalog.dropViewDef(unquote(rawName)))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
+      case showVersionsRe(limitRaw) =>
+        // `SHOW VERSIONS [LIMIT n]`: the git-like root history, newest
+        // first (every statement minted one; old roots stay addressable)
+        val limit = Option(limitRaw).map(_.toInt).getOrElse(100)
+        val rows = catalog.log(limit).map { h =>
+          val tables = catalog.rootAt(h)
+          Row(h, catalog.parentOf(h).orNull,
+            tables.keys.toSeq.sorted.mkString(","),
+            catalog.viewDefsAt(h).keys.toSeq.sorted.mkString(","))
+        }
+        val schema = StructType(Seq(
+          StructField("version", StringType, nullable = false),
+          StructField("parent", StringType, nullable = true),
+          StructField("tables", StringType, nullable = false),
+          StructField("views", StringType, nullable = false)))
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema))
+      case restoreRe(rawName, rootHash) =>
+        // `RESTORE TABLE t VERSION AS OF '<root>'`: bring the table's
+        // version from an older root back as the CURRENT one — a NEW
+        // root records the restore, so history is preserved (the Delta
+        // RESTORE shape; content addressing makes it a pointer copy)
+        val name = unquote(rawName)
+        if (!ops.store.hasRoot(rootHash))
+          throw new SqlException(s"no such version: $rootHash")
+        val past = catalog.rootAt(rootHash)
+        val e = past.getOrElse(name, throw new SqlException(
+          s"table $name does not exist in version $rootHash"))
+        Right(catalog.put(name, graft.core.TableRef(e.tableHash),
+          declared = Some(e.declaredCols)))
+      case checkoutRe(rootHash) =>
+        // `CHECKOUT '<root>'`: move the whole catalog pointer (tables
+        // AND view defs) to an existing version — git checkout; the
+        // abandoned chain stays content-addressed and reachable by hash
+        if (!ops.store.hasRoot(rootHash))
+          throw new SqlException(s"no such version: $rootHash")
+        catalog.checkout(rootHash)
+        Right(rootHash)
       case t if t.toLowerCase.startsWith("create table") =>
         val ct = parseCreateTable(sqlText)
         val ref = ops.emptyTable(ct.schema, ct.keyCols)

@@ -482,6 +482,48 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(evensBefore != cat.root("evens").tableHash)
   }
 
+  test("SQL time travel: SHOW VERSIONS, RESTORE TABLE ... VERSION AS OF, CHECKOUT") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    def right(sql: String): String =
+      (run(sql): @unchecked) match { case Right(h) => h }
+
+    run("CREATE TABLE t (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    val v1 = right("INSERT INTO t VALUES (1, 10), (2, 20)")
+    val v2 = right("UPDATE t SET v = 99 WHERE k = 2")
+    assert(v1 != v2)
+
+    // SHOW VERSIONS lists the chain newest-first with table names
+    val Left(versions) = run("SHOW VERSIONS"): @unchecked
+    val vs = versions.collect().map(r => (r.getString(0), r.getString(2)))
+    assert(vs.take(2).map(_._1).toSeq == Seq(v2, v1))
+    assert(vs.forall(_._2.contains("t")))
+
+    // RESTORE brings the old content back as a NEW version (history kept)
+    def content(): Set[(Long, Long)] = {
+      val Left(df) = run("SELECT k, v FROM t"): @unchecked
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(content() == Set((1L, 10L), (2L, 99L)))
+    val v3 = right(s"RESTORE TABLE t VERSION AS OF '$v1'")
+    assert(content() == Set((1L, 10L), (2L, 20L)))
+    assert(v3 != v1 && v3 != v2, "restore must mint a new root")
+    val Left(afterRestore) = run("SHOW VERSIONS"): @unchecked
+    assert(afterRestore.collect().map(_.getString(0)).take(3).toSeq ==
+      Seq(v3, v2, v1), "restore must preserve the history chain")
+
+    // CHECKOUT moves the whole pointer; the abandoned chain stays valid
+    right(s"CHECKOUT '$v2'")
+    assert(content() == Set((1L, 10L), (2L, 99L)))
+    right(s"CHECKOUT '$v3'")
+    assert(content() == Set((1L, 10L), (2L, 20L)))
+
+    // loud failures: unknown version / table missing at that version
+    assertThrows[GraftSql.SqlException](run("RESTORE TABLE t VERSION AS OF 'deadbeef'"))
+    assertThrows[GraftSql.SqlException](run(s"RESTORE TABLE nope VERSION AS OF '$v1'"))
+    assertThrows[GraftSql.SqlException](run("CHECKOUT 'deadbeef'"))
+  }
+
   test("positional INSERT binds to the DECLARED column order, not canonical keys-first") {
     val (ops, cat) = newOps()
     // declared order (v, k): canonical keys-first order is (k, v) — both
