@@ -80,8 +80,31 @@ object Canonical {
   /** Canonical nullability: key columns non-null, value columns nullable —
     * aggregation/union plans flip nullability flags incidentally, and the
     * canonical form must not depend on plan history. */
+  /** Canonical logical schema: key columns non-null, and NO column
+    * metadata — schemaJson is part of the table identity, so incidental
+    * metadata (source parquet annotations, the positional field ids the
+    * chunk writer attaches below) must never leak into it. */
   def normalizeSchema(schema: StructType, keyCols: Seq[String]): StructType =
-    StructType(schema.fields.map(f => f.copy(nullable = !keyCols.contains(f.name))))
+    StructType(schema.fields.map(f => f.copy(
+      nullable = !keyCols.contains(f.name), metadata = Metadata.empty)))
+
+  /** Positional parquet field ids — the rename-proof column identity
+    * (Iceberg's mechanism). Chunk identity is over row VALUE bytes
+    * (name-free), so a renamed table shares chunk OBJECTS with its
+    * pre-rename versions; the files carry whatever names were current
+    * when first written. Chunk writers therefore attach field id =
+    * canonical position to every data column, and every chunk read
+    * requests the CURRENT schema with the same positional ids — Spark
+    * then matches columns by id, immune to renames. Positions are
+    * stable between rewrites: renames never move columns (canonical
+    * order is keys first, then schema order), and ADD/DROP COLUMN
+    * rewrite chunks through a transform anyway. */
+  private[core] val FieldIdKey = "parquet.field.id"
+  def withFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder()
+        .putLong(FieldIdKey, i.toLong).build())
+    })
 
   /** Add the key-bytes column via the order-preserving codec. Key
     * columns are non-null by the table contract (normalizeSchema marks
@@ -214,7 +237,11 @@ object Canonical {
       keyCols: Seq[String], chunkTargetRows: Long): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
     val cols = canonicalColumns(df0.schema, keyCols)
-    val df = df0.select(cols.map(col): _*)
+    // strip inherited column metadata: projections built over chunk
+    // reads carry the SOURCE table's positional field ids, which are
+    // stale for this OUTPUT's positions — the hash-pass read below must
+    // match the tmp files by name, never by a stale id
+    val df = df0.select(cols.map(c => col(c).as(c, Metadata.empty)): _*)
     val schemaJson = normalizeSchema(df.schema, keyCols).json
 
     val kbDf = withKeyBytes(df, keyCols)
@@ -266,7 +293,12 @@ object Canonical {
           Row.fromSeq(r.toSeq :+ tag)
         }
       }(tagEnc)
-      tagged.select((cols :+ CHUNK).map(col): _*)
+      // positional field ids with EXPLICIT metadata: inherited metadata
+      // (e.g. stale ids riding a projection from a chunk read) must
+      // never reach the files — the id IS the position in THIS schema
+      tagged.select(cols.zipWithIndex.map { case (c, i) =>
+          col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
+        } :+ col(CHUNK): _*)
         .write.mode("overwrite")
         // one file per chunk is a format invariant; don't let a session
         // maxRecordsPerFile split chunk files
@@ -337,7 +369,9 @@ object Canonical {
       chunkTargetRows: Long): Map[String, TableMeta] = {
     val cols = canonicalColumns(
       StructType(df0.schema.filterNot(_.name == groupCol)), keyCols)
-    val df = df0.select((cols :+ groupCol).map(col): _*)
+    // strip inherited metadata (stale field ids) — see materialize
+    val df = df0.select(cols.map(c => col(c).as(c, Metadata.empty)) :+
+      col(groupCol): _*)
     val dataSchema = StructType(df.schema.filterNot(_.name == groupCol))
     val schemaJson = normalizeSchema(dataSchema, keyCols).json
 
@@ -385,7 +419,10 @@ object Canonical {
           Row.fromSeq(r.toSeq :+ tag)
         }
       }(tagEnc)
-      tagged.select((cols :+ groupCol :+ CHUNK).map(col): _*)
+      // positional field ids, explicit metadata (see materialize)
+      tagged.select(cols.zipWithIndex.map { case (c, i) =>
+          col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
+        } ++ Seq(col(groupCol), col(CHUNK)): _*)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
         .option("compression", store.chunkCodec)

@@ -31,6 +31,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
 
   import FoldSpec.SRC
 
+  // chunk files carry positional parquet field ids and every chunk read
+  // requests them (Canonical.withFieldIds) — column renames are then
+  // metadata-only and shared chunks stay readable from every version's
+  // own names. Write-side ids are attached explicitly per file; these
+  // session flags turn on Spark's id-based matching.
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   // ---- ingest ----------------------------------------------------------
 
   /** Bulk load (tableFromRows analogue, Table.hs:125-140): fold duplicate
@@ -94,7 +102,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (indexCache.size > 256) indexCache.clear()
       val idx = indexCache.getOrElseUpdate(m.tableHash,
         new GraftFileIndex(spark, store, m))
-      org.apache.spark.sql.GraftBridge.fileIndexScan(spark, idx, m.schema)
+      // request the schema WITH positional field ids (rename-proof chunk
+      // reads), then strip the ids from the OUTPUT columns so scan
+      // consumers and schemas derived from them stay metadata-free
+      org.apache.spark.sql.GraftBridge.fileIndexScan(spark, idx,
+          Canonical.withFieldIds(m.schema))
+        .select(m.schema.fieldNames.map(n =>
+          col(n).as(n, org.apache.spark.sql.types.Metadata.empty)): _*)
     }
 
   def scanOrdered(ref: TableRef): DataFrame = {
@@ -209,7 +223,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val pieceIdx = udf { (h: String, kb: Array[Byte]) =>
           Canonical.boundaryIndex(bcCuts.value(h), kb)
         }
-        val src = spark.read.schema(schema)
+        val src = spark.read.schema(Canonical.withFieldIds(schema))
           .parquet(toSplit.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
         val tagged = Canonical.withKeyBytesKeeping(src, keyCols, grp)
@@ -301,7 +315,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .view.mapValues(_.map(t => (t._2, t._3))).toMap
         val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
           val fileToOp = Canonical.fileTagUdf(spark, files.toMap)
-          spark.read.schema(schema)
+          spark.read.schema(Canonical.withFieldIds(schema))
             .parquet(files.map(_._1).distinct: _*)
             .withColumn(SRC, lit(src.toLong))
             .withColumn(grp, fileToOp(input_file_name()))
@@ -362,6 +376,29 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * participant set changed re-merge. Order-sensitive re-keying folds
     * (fold_to_last collisions depend on source order) stay at
     * whole-table memo granularity. */
+  /** Metadata-only column rename — O(1), zero Spark jobs: chunk identity
+    * is over row VALUE bytes (name-free), so the renamed table points at
+    * the SAME chunk objects; reads stay correct in BOTH directions
+    * (renamed table, and older versions sharing the chunks) because
+    * chunk files are matched by positional parquet field id, not name,
+    * and renames never move a column's canonical position. */
+  def renameColumns(ref: TableRef, renames: Map[String, String]): TableRef = {
+    val m = meta(ref)
+    val fields = m.schema.fieldNames.toSet
+    require(renames.keySet.subsetOf(fields),
+      s"unknown columns: ${renames.keySet -- fields}")
+    val clashes = (fields -- renames.keySet) ++ renames.values
+    require(clashes.size == fields.size,
+      s"rename collides with an existing column: $renames")
+    val newKeys = m.keyCols.map(k => renames.getOrElse(k, k))
+    val renamed = StructType(m.schema.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val out = TableMeta(Canonical.normalizeSchema(renamed, newKeys).json,
+      newKeys, m.chunkTargetRows, m.chunks)
+    store.saveTableMeta(out)
+    TableRef(out.tableHash)
+  }
+
   def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
     // load the meta ONCE per call — with parquet-indexed chunk lists a
     // meta load is a sidecar read, not a free field access
@@ -429,7 +466,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df0 = spark.read.schema(m.schema)
+        val df0 = spark.read.schema(Canonical.withFieldIds(m.schema))
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
@@ -495,7 +532,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df0 = spark.read.schema(m.schema)
+        val df0 = spark.read.schema(Canonical.withFieldIds(m.schema))
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
@@ -589,7 +626,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val recomputed: Seq[ChunkMeta] =
       if (edgeChunks.isEmpty) Nil
       else {
-        val df = spark.read.schema(m.schema)
+        val df = spark.read.schema(Canonical.withFieldIds(m.schema))
           .parquet(edgeChunks.map(c => store.chunkPath(c.hash)): _*)
           .where(rangePredicate(m.keyCols, lower, upper))
         // edge rewrite keeps the TABLE's chunk granularity (passthrough
@@ -647,7 +684,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     else {
       val pred = m.keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }
         .reduce(_ && _)
-      spark.read.schema(m.schema)
+      spark.read.schema(Canonical.withFieldIds(m.schema))
         .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
     }
   }
@@ -673,7 +710,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     def read(chunks: Seq[ChunkMeta]): DataFrame =
       if (chunks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ma.schema)
-      else spark.read.schema(ma.schema)
+      else spark.read.schema(Canonical.withFieldIds(ma.schema))
         .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
     def packed(df: DataFrame, tag: String): DataFrame =
       df.select(keyCols.map(col) :+
@@ -720,7 +757,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val fileOf = udf { (f: String) =>
         bc.value.getOrElse(new java.net.URI(f).getPath, "?")
       }
-      val hashed = spark.read.schema(m.schema)
+      val hashed = spark.read.schema(Canonical.withFieldIds(m.schema))
         .parquet(present.map(c => store.chunkPath(c.hash)): _*)
         .withColumn("_f", fileOf(input_file_name()))
       import org.apache.spark.sql.Row

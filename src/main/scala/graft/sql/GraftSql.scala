@@ -183,6 +183,9 @@ object GraftSql {
   private val updateRe =
     """(?is)^\s*update\s+("?[\w.]+"?)\s+set\s+(.+?)\s*;?\s*$""".r
   private val assignRe = """(?s)^\s*("?\w+"?)\s*=\s*(.+?)\s*$""".r
+  private val alterRe = ("""(?is)^\s*alter\s+table\s+("?[\w.]+"?)\s+""" +
+    """(add|drop|rename)\s+column\s+(.+?)\s*$""").r
+  private val renameTailRe = """(?is)^("?\w+"?)\s+to\s+("?\w+"?)$""".r
   private val showVersionsRe =
     """(?is)^\s*show\s+versions\s*(?:limit\s+(\d+))?\s*$""".r
   private val restoreRe = ("""(?is)^\s*restore\s+table\s+("?[\w.]+"?)\s+""" +
@@ -466,6 +469,68 @@ object GraftSql {
         Right(catalog.dropViewDef(unquote(rawName)))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
+      case alterRe(rawName, verb, tail) =>
+        // `ALTER TABLE t ADD|DROP|RENAME COLUMN ...`: schema evolution as
+        // a KEY-PRESERVING transform — per-chunk memoized, one grouped
+        // rewrite job (schema is part of content identity, so chunk
+        // files must rewrite ONCE; chunk boundaries depend only on key
+        // VALUES and stay put, and a replayed ALTER is a pure memo hit).
+        // The reference has no ALTER at all; this is a dialect extension.
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        if (catalog.viewDefs.contains(name))
+          throw new SqlException(
+            s"$name is a materialized view: change its defining SELECT instead")
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val ref = graft.core.TableRef(entry.tableHash)
+        import org.apache.spark.sql.functions.{col, lit}
+        def resolve(raw: String): String = {
+          val c = unquote(raw.trim)
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new SqlException(s"column $c not in table $name"))
+        }
+        val (transform, newDeclared) = verb.toLowerCase match {
+          case "add" =>
+            val (field, notNull, isKey) = parseColumn(tail)
+            if (isKey) throw new SqlException(
+              "cannot ADD a PRIMARY KEY column: the key set is the table's identity")
+            if (notNull) throw new SqlException(
+              "added column must be nullable (there is no DEFAULT to fill it)")
+            if (schema.fieldNames.exists(_.equalsIgnoreCase(field.name)))
+              throw new SqlException(s"column ${field.name} already exists")
+            (graft.core.ColTransform(
+              s"sql-alter-add-v1:${field.name}:${field.dataType.json}",
+              entry.keyCols,
+              schema.fieldNames.toSeq.map(col) :+
+                lit(null).cast(field.dataType).as(field.name),
+              preservesKeys = true),
+              entry.declaredCols :+ field.name)
+          case "drop" =>
+            val c = resolve(tail)
+            if (entry.keyCols.exists(_.equalsIgnoreCase(c)))
+              throw new SqlException(s"cannot DROP key column $c")
+            (graft.core.ColTransform(s"sql-alter-drop-v1:$c", entry.keyCols,
+              schema.fieldNames.toSeq.filterNot(_ == c).map(col),
+              preservesKeys = true),
+              entry.declaredCols.filterNot(_ == c))
+          case "rename" =>
+            val (from, to) = tail match {
+              case renameTailRe(f, t) => (resolve(f), unquote(t))
+              case _ => throw new SqlException(
+                s"expected RENAME COLUMN <from> TO <to>, got: $tail")
+            }
+            if (schema.fieldNames.exists(_.equalsIgnoreCase(to)))
+              throw new SqlException(s"column $to already exists")
+            // METADATA-ONLY (zero Spark jobs): chunk files are matched by
+            // positional parquet field id, so the renamed table keeps the
+            // same chunk objects — key columns rename freely too
+            val renamed = ops.renameColumns(ref, Map(from -> to))
+            return Right(catalog.put(name, renamed, declared =
+              Some(entry.declaredCols.map(c => if (c == from) to else c))))
+        }
+        val out = ops.transform(ref, transform, graft.core.FoldSpec.FoldLast)
+        Right(catalog.put(name, out, declared = Some(newDeclared)))
       case showVersionsRe(limitRaw) =>
         // `SHOW VERSIONS [LIMIT n]`: the git-like root history, newest
         // first (every statement minted one; old roots stay addressable)

@@ -482,6 +482,73 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(evensBefore != cat.root("evens").tableHash)
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN: per-chunk rewrite, memoized replay") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO t SELECT id AS k, id * 3 AS v FROM range(0, 2000)")
+
+    // ADD: nullable column appended; existing rows read back NULL
+    run("ALTER TABLE t ADD COLUMN note text")
+    val Left(d1) = run("SELECT k, v, note FROM t WHERE k = 7"): @unchecked
+    assert(d1.collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq ==
+      Seq((7L, 21L, true)))
+    // the new column is writable (INSERT aligns by name)
+    run("INSERT INTO t SELECT 9999 AS k, 1 AS v, 'hello' AS note")
+    val Left(d2) = run("SELECT note FROM t WHERE k = 9999"): @unchecked
+    assert(d2.collect().head.getString(0) == "hello")
+
+    // RENAME: value and KEY columns both rename; content + order survive
+    run("ALTER TABLE t RENAME COLUMN v TO val")
+    run("ALTER TABLE t RENAME COLUMN k TO id")
+    val Left(d3) = run("SELECT id, val FROM t WHERE id = 7"): @unchecked
+    assert(d3.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 21L)))
+    assert(cat.root("t").keyCols == Seq("id"))
+
+    // DROP: value column removed; key columns are protected
+    run("ALTER TABLE t DROP COLUMN note")
+    assert(cat.schemaOf("t").get.fieldNames.toSeq == Seq("id", "val"))
+    assertThrows[GraftSql.SqlException](run("ALTER TABLE t DROP COLUMN id"))
+    assertThrows[GraftSql.SqlException](run("ALTER TABLE t ADD COLUMN x bigint NOT NULL"))
+    assertThrows[GraftSql.SqlException](run("ALTER TABLE t ADD COLUMN val text"))
+
+    // a REPLAYED alter over unchanged content is a whole-op memo hit:
+    // drop the column again after restoring the pre-drop version
+    val Left(vs) = run("SHOW VERSIONS"): @unchecked
+    val preDrop = vs.collect().map(_.getString(0)).apply(1) // version before DROP
+    run(s"RESTORE TABLE t VERSION AS OF '$preDrop'")
+    ops.store.stats.reset()
+    run("ALTER TABLE t DROP COLUMN note")
+    assert(ops.store.stats.chunkSaves.get == 0,
+      "replayed ALTER must be a memo hit, not a rewrite")
+    assert(ops.store.stats.memoHits.get > 0)
+    // count preserved through the whole evolution
+    val Left(n) = run("SELECT COUNT(*) AS n FROM t"): @unchecked
+    assert(n.collect().head.getLong(0) == 2001L)
+
+    // rename is METADATA-ONLY: the renamed version shares chunk OBJECTS
+    // with pre-rename versions, and positional field ids keep BOTH
+    // namings readable — an old version still answers under k/v while
+    // the current one answers under id/val
+    val Left(vsAll) = run("SHOW VERSIONS"): @unchecked
+    val hashes = vsAll.collect().map(_.getString(0))
+    val head = hashes.head
+    val preRename = hashes.find(h => cat.rootAt(h).get("t").exists { e =>
+      e.keyCols == Seq("k") &&
+        org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.contains("v")
+    }).get
+    run(s"CHECKOUT '$preRename'")
+    val Left(old) = run("SELECT k, v FROM t WHERE k = 7"): @unchecked
+    assert(old.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 21L)), "pre-rename version must read under its own names")
+    run(s"CHECKOUT '$head'")
+    val Left(cur) = run("SELECT id, val FROM t WHERE id = 7"): @unchecked
+    assert(cur.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 21L)))
+  }
+
   test("SQL time travel: SHOW VERSIONS, RESTORE TABLE ... VERSION AS OF, CHECKOUT") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
