@@ -549,6 +549,39 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       Seq((7L, 21L)))
   }
 
+  test("DML after RENAME: one merge region reads mixed-name chunk files by field id") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t (k bigint PRIMARY KEY, a bigint NOT NULL, s text)")
+    run("INSERT INTO t SELECT id AS k, id * 2 AS a, concat('x', id) AS s FROM range(0, 3000)")
+    run("ALTER TABLE t RENAME COLUMN a TO amount")
+
+    // the delta's chunks are written under the NEW names; the base's
+    // under the OLD — the merge's region job reads BOTH file eras with
+    // one requested schema and must match columns by field id
+    run("INSERT INTO t SELECT id AS k, id AS amount, concat('y', id) AS s " +
+      "FROM range(1500, 1600)")
+    val Left(df) = run(
+      "SELECT k, amount, s FROM t WHERE k IN (10, 1550) ORDER BY k"): @unchecked
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((10L, 20L, "x10"), (1550L, 1550L, "y1550")))
+
+    // UPDATE through a key range after rename: reads old-named chunks,
+    // writes new-named ones, upserts back — values must survive intact
+    run("UPDATE t SET amount = amount + 1 WHERE k >= 100 AND k < 110")
+    val Left(u) = run(
+      "SELECT sum(amount) AS sa, count(*) AS n FROM t WHERE k >= 100 AND k < 110"): @unchecked
+    assert(u.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(((100L until 110L).map(_ * 2 + 1).sum, 10L)))
+
+    // whole-table scan still exact: no column silently nulled anywhere
+    val Left(all) = run(
+      "SELECT count(*) AS n, sum(amount) AS sa, count(s) AS ns FROM t"): @unchecked
+    val expSum = (0L until 3000L).map(_ * 2).sum + (1500L until 1600L).map(i => i - i * 2).sum + 10
+    assert(all.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3000L, expSum, 3000L)))
+  }
+
   test("SQL time travel: SHOW VERSIONS, RESTORE TABLE ... VERSION AS OF, CHECKOUT") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
