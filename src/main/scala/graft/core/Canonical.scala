@@ -140,17 +140,54 @@ object Canonical {
     * chunk (up to the 64–256 MB scale-guidance sizes) in one
     * aggregation buffer. The digested bytes are identical, so chunk
     * hashes are unchanged. */
-  private[core] def chunkDigests(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+  // ---- value-column zone maps -------------------------------------------
+
+  /** Value columns that get zone maps: scalar types with an
+    * order-preserving encoding and (usually) bounded encoded size.
+    * Binary/array/struct columns are skipped — rarely predicated, and
+    * their encodings are unbounded. */
+  private[core] def statableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+  /** Caps: stat columns per table (meta size), encoded bytes per stat
+    * value (a chunk whose min/max string is a whole document would bloat
+    * the chunk index — such a column's stats drop for that chunk,
+    * reading as "cannot prune"). */
+  private[core] val MaxStatCols = 16
+  private[core] val MaxStatBytes = 64
+  private[core] def statColumns(schema: StructType, keyCols: Seq[String]): Seq[String] =
+    schema.fields.toSeq.filterNot(f => keyCols.contains(f.name))
+      .filter(f => statableType(f.dataType)).map(_.name).take(MaxStatCols)
+  /** The oversize sentinel in chunkDigests output: nulls == -1 means
+    * "no stats for this column in this chunk". */
+  private[core] val StatsDropped = -1L
+
+  /** Per-chunk digests + zone maps in ONE sorted pass. Input carries
+    * `nStats` extra BinaryType columns (the KeyCodec field encoding of
+    * each stat column, null for null values, possibly truncated to
+    * MaxStatBytes+1 to signal oversize); output appends per stat column
+    * (smin_i, smax_i, snulls_i). Byte order == value order, so the
+    * running min/max are plain unsigned byte compares. */
+  private[core] def chunkDigests(df: DataFrame, groupCols: Seq[String],
+      nStats: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val inSchema = df.schema
     val gIdx = groupCols.map(inSchema.fieldIndex)
     val kbIdx = inSchema.fieldIndex("kb")
     val rbIdx = inSchema.fieldIndex("rb")
+    val sIdx = (0 until nStats).map(i => inSchema.fieldIndex(s"s$i")).toArray
     val outSchema = StructType(
       groupCols.map(c => inSchema(c)) ++ Seq(
         StructField("minkb", BinaryType), StructField("maxkb", BinaryType),
-        StructField("rows", LongType), StructField("hash", StringType)))
+        StructField("rows", LongType), StructField("hash", StringType)) ++
+      (0 until nStats).flatMap(i => Seq(
+        StructField(s"smin$i", BinaryType), StructField(s"smax$i", BinaryType),
+        StructField(s"snulls$i", LongType))))
     val enc = RowEncoder.encoderFor(outSchema)
     df.repartition(nPart, groupCols.map(col): _*)
       .sortWithinPartitions((groupCols.map(col) :+ col("rb")): _*)
@@ -164,6 +201,10 @@ object Canonical {
             var minKb: Array[Byte] = null
             var maxKb: Array[Byte] = null
             var n = 0L
+            val mins = Array.fill[Array[Byte]](nStats)(null)
+            val maxs = Array.fill[Array[Byte]](nStats)(null)
+            val nulls = Array.fill[Long](nStats)(0L)
+            val dead = Array.fill[Boolean](nStats)(false)
             while (base.hasNext && gIdx.map(base.head.get) == key) {
               val r = base.next()
               md.update(r.getAs[Array[Byte]](rbIdx))
@@ -171,12 +212,65 @@ object Canonical {
               if (minKb == null) minKb = kb
               maxKb = kb
               n += 1
+              var i = 0
+              while (i < nStats) {
+                if (!dead(i)) {
+                  val v = r.getAs[Array[Byte]](sIdx(i))
+                  if (v == null) nulls(i) += 1
+                  else if (v.length > MaxStatBytes) dead(i) = true
+                  else {
+                    if (mins(i) == null || Hashing.compareBytes(v, mins(i)) < 0)
+                      mins(i) = v
+                    if (maxs(i) == null || Hashing.compareBytes(v, maxs(i)) > 0)
+                      maxs(i) = v
+                  }
+                }
+                i += 1
+              }
             }
-            Row.fromSeq(key ++ Seq(minKb, maxKb, n, Hashing.hex(md.digest())))
+            val statOut = (0 until nStats).flatMap { i =>
+              if (dead(i)) Seq(null, null, StatsDropped)
+              else Seq(mins(i), maxs(i), nulls(i))
+            }
+            Row.fromSeq(key ++ Seq(minKb, maxKb, n, Hashing.hex(md.digest())) ++ statOut)
           }
         }
       }(enc)
   }
+
+  /** Per-stat-column encoder: canonical-order row → encoded bytes, null
+    * for a null value. Oversize values truncate to MaxStatBytes + 1 so
+    * chunkDigests can detect and drop them without shipping unbounded
+    * bytes through the shuffle (a truncation is NEVER stored: any value
+    * over the cap kills the column's stats for that chunk). */
+  private def statEncoders(schema: StructType, statCols: Seq[String])
+      : Seq[Row => Array[Byte]] =
+    statCols.map { c =>
+      val i = schema.fieldIndex(c)
+      val e = KeyCodec.fieldEncoder(schema(c).dataType)
+      (r: Row) =>
+        if (r.isNullAt(i)) null
+        else {
+          val b = new KeyCodec.ByteBuf(24)
+          e(b, r.get(i))
+          val bytes = b.toBytes
+          if (bytes.length > MaxStatBytes)
+            java.util.Arrays.copyOf(bytes, MaxStatBytes + 1)
+          else bytes
+        }
+    }
+
+  /** Assemble the stats map of one chunkDigests output row. */
+  private def statsOfRow(r: Row, statCols: Seq[String], baseIdx: Int)
+      : Map[String, ColStats] =
+    statCols.zipWithIndex.flatMap { case (c, i) =>
+      val nulls = r.getLong(baseIdx + 3 * i + 2)
+      if (nulls == StatsDropped) None
+      else Some(c -> ColStats(
+        Option(r.getAs[Array[Byte]](baseIdx + 3 * i)).map(Hashing.hex),
+        Option(r.getAs[Array[Byte]](baseIdx + 3 * i + 1)).map(Hashing.hex),
+        nulls))
+    }.toMap
 
   /** Materialize df (one row per key, columns already canonical-ordered)
     * into the store; returns the stored TableMeta. */
@@ -316,19 +410,25 @@ object Canonical {
       val rbEnc = KeyCodec.rowEncoder(
         StructType(df.schema.fields), cols)
       val kEnc = KeyCodec.rowEncoder(StructType(df.schema.fields), keyCols)
+      val statCols = statColumns(df.schema, keyCols)
+      val statEnc = statEncoders(df.schema, statCols)
       val hashInSchema = StructType(Seq(
         StructField(CHUNK, StringType), StructField("kb", BinaryType),
-        StructField("rb", BinaryType)))
+        StructField("rb", BinaryType)) ++
+        statCols.indices.map(i => StructField(s"s$i", BinaryType)))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
       val chunkIdx = written.schema.fieldIndex(CHUNK)
       val perRow = written.mapPartitions { it =>
         it.map { r =>
           val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          Row(r.get(chunkIdx), kEnc(proj), rbEnc(proj))
+          Row.fromSeq(Seq(r.get(chunkIdx), kEnc(proj), rbEnc(proj)) ++
+            statEnc.map(_(proj)))
         }
       }(hashInEnc)
-      val chunkRows = chunkDigests(perRow, Seq(CHUNK)).collect()
+      val chunkRows =
+        chunkDigests(perRow, Seq(CHUNK), statCols.length).collect()
+      val statBase = 5 // CHUNK, minkb, maxkb, rows, hash
 
       // 4. commit chunk files into the content-addressed store — ONE
       //    batched commit for the whole materialization (object-store
@@ -343,7 +443,8 @@ object Canonical {
           s"expected exactly one file per chunk, got ${files.length} for chunk $id")
         batch += ((hash, files.head))
         ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
-          Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
+          Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"),
+          statsOfRow(r, statCols, statBase))
       }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
       store.saveChunks(batch.result())
 
@@ -434,9 +535,12 @@ object Canonical {
       val written = spark.read.schema(writtenSchema).parquet(tmpDir)
       val rbEnc = KeyCodec.rowEncoder(dataSchema, cols)
       val kEnc = KeyCodec.rowEncoder(dataSchema, keyCols)
+      val statCols = statColumns(dataSchema, keyCols)
+      val statEnc = statEncoders(dataSchema, statCols)
       val hashInSchema = StructType(Seq(
         StructField(groupCol, StringType), StructField(CHUNK, StringType),
-        StructField("kb", BinaryType), StructField("rb", BinaryType)))
+        StructField("kb", BinaryType), StructField("rb", BinaryType)) ++
+        statCols.indices.map(i => StructField(s"s$i", BinaryType)))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
       val gIdx = written.schema.fieldIndex(groupCol)
@@ -444,10 +548,13 @@ object Canonical {
       val perRow = written.mapPartitions { it =>
         it.map { r =>
           val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          Row(r.getString(gIdx), r.get(cIdx), kEnc(proj), rbEnc(proj))
+          Row.fromSeq(Seq(r.getString(gIdx), r.get(cIdx), kEnc(proj),
+            rbEnc(proj)) ++ statEnc.map(_(proj)))
         }
       }(hashInEnc)
-      val chunkRows = chunkDigests(perRow, Seq(groupCol, CHUNK)).collect()
+      val chunkRows =
+        chunkDigests(perRow, Seq(groupCol, CHUNK), statCols.length).collect()
+      val statBase = 6 // groupCol, CHUNK, minkb, maxkb, rows, hash
 
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
       val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>
@@ -465,7 +572,8 @@ object Canonical {
           require(files.length == 1, s"expected 1 file for ($g, $id)")
           batch += ((hash, files.head))
           ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
-            Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"))
+            Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"),
+            statsOfRow(r, statCols, statBase))
         }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
         val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
         g -> meta

@@ -25,6 +25,7 @@ object ChunkIndex {
       |  required binary min (UTF8);
       |  required binary max (UTF8);
       |  required int64 rows;
+      |  optional binary stats (UTF8);
       |}""".stripMargin)
 
   def write(file: java.nio.file.Path, chunks: Seq[ChunkMeta]): Unit = {
@@ -42,6 +43,8 @@ object ChunkIndex {
       g.append("min", c.minKeyHex)
       g.append("max", c.maxKeyHex)
       g.append("rows", c.rows)
+      if (c.stats.nonEmpty)
+        g.append("stats", TableMeta.statsToJsonString(c.stats))
       writer.write(g)
     } finally writer.close()
   }
@@ -67,8 +70,15 @@ object ChunkIndex {
       def next(): ChunkMeta = {
         val g = nextGroup
         if (g == null) throw new NoSuchElementException("chunk index drained")
+        // tolerate sidecars written before the stats column existed AND
+        // rows whose optional value is absent
+        val stats =
+          if (g.getType.containsField("stats") &&
+              g.getFieldRepetitionCount("stats") > 0)
+            TableMeta.statsFromJsonString(g.getString("stats", 0))
+          else Map.empty[String, ColStats]
         val c = ChunkMeta(g.getString("hash", 0), g.getString("min", 0),
-          g.getString("max", 0), g.getLong("rows", 0))
+          g.getString("max", 0), g.getLong("rows", 0), stats)
         nextGroup = reader.read()
         if (nextGroup == null) close()
         c

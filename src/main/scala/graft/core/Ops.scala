@@ -393,8 +393,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val newKeys = m.keyCols.map(k => renames.getOrElse(k, k))
     val renamed = StructType(m.schema.fields.map(f =>
       f.copy(name = renames.getOrElse(f.name, f.name))))
+    // zone-map stats are keyed by column NAME (per-table metadata over a
+    // shared chunk object) — they rename with the schema
+    val chunks = m.chunks.map(c => c.copy(stats = c.stats.map {
+      case (n, s) => renames.getOrElse(n, n) -> s }))
     val out = TableMeta(Canonical.normalizeSchema(renamed, newKeys).json,
-      newKeys, m.chunkTargetRows, m.chunks)
+      newKeys, m.chunkTargetRows, chunks)
     store.saveTableMeta(out)
     TableRef(out.tableHash)
   }

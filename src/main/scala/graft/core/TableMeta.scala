@@ -4,12 +4,28 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+/** Per-column zone map: min/max of the ORDER-PRESERVING KeyCodec
+  * encoding over the chunk's NON-NULL values (hex), plus the null
+  * count. Byte order == value order, so pruning is the same unsigned
+  * byte compare as key pruning — one arithmetic for both. None/None
+  * with nulls > 0 marks an all-null chunk column; a column is simply
+  * absent when stats were not collected (non-whitelisted type,
+  * oversized values, or a meta predating stats) — absence always reads
+  * as "cannot prune". */
+final case class ColStats(minHex: Option[String], maxHex: Option[String],
+    nulls: Long)
+
 /** One immutable chunk: a PK-sorted parquet file named by the SHA-256 of
   * its canonical row bytes; min/max key kept for pruning (the analogue of
   * the reference's trie path prefixes). Keys are hex of the
-  * order-preserving KeyCodec encoding. */
+  * order-preserving KeyCodec encoding. `stats` are value-column zone
+  * maps — per-TABLE metadata about a shared chunk object, so two tables
+  * sharing a chunk under different column names each carry their own
+  * names. Stats are deliberately NOT part of the table hash (tableHash
+  * covers schema + key cols + chunk content hashes): equal logical
+  * content hashes equal whether or not stats were collected. */
 final case class ChunkMeta(hash: String, minKeyHex: String, maxKeyHex: String,
-    rows: Long) {
+    rows: Long, stats: Map[String, ColStats] = Map.empty) {
   def minKey: Array[Byte] = Hashing.unhex(minKeyHex)
   def maxKey: Array[Byte] = Hashing.unhex(maxKeyHex)
 }
@@ -42,9 +58,12 @@ final case class TableMeta(schemaJson: String, keyCols: Seq[String],
       ("schema" -> JsonMethods.parse(schemaJson)) ~
       ("keyCols" -> keyCols) ~
       ("chunkTargetRows" -> chunkTargetRows) ~
-      ("chunks" -> chunks.map(c =>
-        ("hash" -> c.hash) ~ ("min" -> c.minKeyHex) ~ ("max" -> c.maxKeyHex) ~
-        ("rows" -> c.rows)))
+      ("chunks" -> chunks.map(c => {
+        val base = ("hash" -> c.hash) ~ ("min" -> c.minKeyHex) ~
+          ("max" -> c.maxKeyHex) ~ ("rows" -> c.rows)
+        if (c.stats.isEmpty) base
+        else base ~ ("stats" -> TableMeta.statsToJson(c.stats))
+      }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -69,6 +88,33 @@ object TableMeta {
     * sidecar instead of inline JSON (multi-MB tree-parsed JSON arrays
     * are the wrong driver cost for 1e5+-chunk tables). */
   val InlineChunkLimit = 10000
+
+  /** stats ⇄ JSON: {"col": [minHexOrNull, maxHexOrNull, nulls]} —
+    * shared by the inline meta and the ChunkIndex sidecar. */
+  def statsToJson(stats: Map[String, ColStats]): JObject =
+    JObject(stats.toList.sortBy(_._1).map { case (c, s) =>
+      c -> (JArray(List(
+        s.minHex.map(JString(_)).getOrElse(JNull),
+        s.maxHex.map(JString(_)).getOrElse(JNull),
+        JInt(s.nulls))): JValue)
+    })
+
+  def statsFromJson(j: JValue): Map[String, ColStats] = j match {
+    case JObject(fields) => fields.map {
+      case (c, JArray(List(mn, mx, JInt(n)))) =>
+        def str(v: JValue): Option[String] =
+          v match { case JString(s) => Some(s); case _ => None }
+        c -> ColStats(str(mn), str(mx), n.toLong)
+      case (c, other) => sys.error(s"bad stats for $c: $other")
+    }.toMap
+    case _ => Map.empty
+  }
+
+  def statsToJsonString(stats: Map[String, ColStats]): String =
+    JsonMethods.compact(JsonMethods.render(statsToJson(stats)))
+
+  def statsFromJsonString(s: String): Map[String, ColStats] =
+    statsFromJson(JsonMethods.parse(s))
 
   /** Parse ONLY the envelope fields — (schemaJson, keyCols,
     * chunkTargetRows, Some(count) when the chunk list is in a sidecar /
@@ -100,7 +146,8 @@ object TableMeta {
       case None =>
         (j \ "chunks").extract[Seq[JValue]].map { c =>
           ChunkMeta((c \ "hash").extract[String], (c \ "min").extract[String],
-            (c \ "max").extract[String], (c \ "rows").extract[Long])
+            (c \ "max").extract[String], (c \ "rows").extract[Long],
+            statsFromJson(c \ "stats"))
         }
     }
     TableMeta(

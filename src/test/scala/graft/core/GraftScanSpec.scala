@@ -222,6 +222,68 @@ class GraftScanSpec extends AnyFunSuite {
     assert(tGot == 50)
   }
 
+  test("zone maps: VALUE-column predicates prune chunk files; results exact") {
+    val ops = newOps()
+    // v correlates with k (sorted), so value ranges are chunk-clustered;
+    // s cycles, so its per-chunk range is wide (prunes little) — both
+    // behaviors are correct, only the first is useful
+    val wideSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 1000L).map(k =>
+        Row(k, k * 7, if (k % 100 == 0) null else s"w${k % 5}")), 8),
+      wideSchema)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+    val m = ops.meta(ref)
+    val total = m.chunks.length
+    assert(total >= 8, s"fixture should span many chunks, got $total")
+    // every chunk recorded stats for both value columns
+    assert(m.chunks.forall(c => c.stats.contains("v") && c.stats.contains("s")))
+    assert(m.chunks.map(_.stats("s").nulls).sum == 10L)
+
+    val vAttr = AttributeReference("v", LongType, nullable = false)()
+    val sAttr = AttributeReference("s", StringType, nullable = true)()
+
+    // a clustered value range prunes most files
+    val ranged = filesFor(ops, ref,
+      GreaterThanOrEqual(vAttr, Literal(700L)), LessThan(vAttr, Literal(1400L)))
+    assert(ranged >= 1 && ranged < total / 2,
+      s"value range listed $ranged of $total files")
+    val got = ops.scan(ref).where(col("v") >= 700L && col("v") < 1400L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L until 200L))
+
+    // equality outside every chunk's range lists zero files
+    assert(filesFor(ops, ref, EqualTo(vAttr, Literal(999999L))) == 0)
+    // IS NULL keeps only chunks that actually hold nulls
+    val nullFiles = filesFor(ops, ref, IsNull(sAttr))
+    assert(nullFiles < total, s"IS NULL listed $nullFiles of $total")
+    assert(ops.scan(ref).where(col("s").isNull).count() == 10L)
+    // a cycling string column prunes nothing for a present value — and
+    // still answers exactly
+    assert(ops.scan(ref).where(col("s") === "w3").count() == 200L)
+
+    // stats survive the incremental merge: delta chunks get fresh stats,
+    // passthrough chunks keep theirs
+    val delta = ops.fromDataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2000L, 123456L, "zz")), 1),
+      wideSchema), Seq("k"))
+    val merged = ops.upsert(ref, delta)
+    val m2 = ops.meta(merged)
+    assert(m2.chunks.forall(_.stats.contains("v")),
+      "merged table must carry stats on every chunk")
+    val vAfter = filesFor(ops, merged, EqualTo(vAttr, Literal(123456L)))
+    assert(vAfter == 1, s"new value should pin exactly 1 file, got $vAfter")
+
+    // zone maps rename with the table (metadata-only rename)
+    val renamed = ops.renameColumns(merged, Map("v" -> "val"))
+    assert(ops.meta(renamed).chunks.forall(c =>
+      c.stats.contains("val") && !c.stats.contains("v")))
+    assert(ops.scan(renamed).where(col("val") === 123456L).count() == 1L)
+  }
+
   test("SQL over catalog tables gets the pruned scan end-to-end") {
     val ops = newOps()
     val cat = new Catalog(ops.store)
