@@ -166,21 +166,27 @@ object Canonical {
     * "no stats for this column in this chunk". */
   private[core] val StatsDropped = -1L
 
-  /** Per-chunk digests + zone maps in ONE sorted pass. Input carries
-    * `nStats` extra BinaryType columns (the KeyCodec field encoding of
-    * each stat column, null for null values, possibly truncated to
-    * MaxStatBytes+1 to signal oversize); output appends per stat column
-    * (smin_i, smax_i, snulls_i). Byte order == value order, so the
-    * running min/max are plain unsigned byte compares. */
+  /** Per-chunk digests + zone maps in ONE sorted pass. Stats come FREE
+    * out of the row bytes: `rb` is the concatenation of the per-column
+    * encodings, and the input's `ends` column carries each column's end
+    * offset, so the pass slices a stat column's encoding out of rb
+    * in place — no re-encoding, no duplicated bytes through the
+    * shuffle, and min/max candidates compare by offset (an allocation
+    * only when a new extreme is retained). `statPos` gives each stat
+    * column's position in the canonical column order; output appends
+    * per stat column (smin_i, smax_i, snulls_i). A null value encodes
+    * as the single byte 0x00; values over MaxStatBytes drop the
+    * column's stats for the chunk (StatsDropped sentinel). */
   private[core] def chunkDigests(df: DataFrame, groupCols: Seq[String],
-      nStats: Int = 0): DataFrame = {
+      statPos: Array[Int] = Array.empty): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
+    val nStats = statPos.length
     val inSchema = df.schema
     val gIdx = groupCols.map(inSchema.fieldIndex)
     val kbIdx = inSchema.fieldIndex("kb")
     val rbIdx = inSchema.fieldIndex("rb")
-    val sIdx = (0 until nStats).map(i => inSchema.fieldIndex(s"s$i")).toArray
+    val endsIdx = if (nStats == 0) -1 else inSchema.fieldIndex("ends")
     val outSchema = StructType(
       groupCols.map(c => inSchema(c)) ++ Seq(
         StructField("minkb", BinaryType), StructField("maxkb", BinaryType),
@@ -189,6 +195,17 @@ object Canonical {
         StructField(s"smin$i", BinaryType), StructField(s"smax$i", BinaryType),
         StructField(s"snulls$i", LongType))))
     val enc = RowEncoder.encoderFor(outSchema)
+    // unsigned lexicographic compare of rb[from,to) vs a retained extreme
+    def cmpRange(rb: Array[Byte], from: Int, to: Int, other: Array[Byte]): Int = {
+      val n = math.min(to - from, other.length)
+      var i = 0
+      while (i < n) {
+        val a = rb(from + i) & 0xff; val b = other(i) & 0xff
+        if (a != b) return a - b
+        i += 1
+      }
+      (to - from) - other.length
+    }
     df.repartition(nPart, groupCols.map(col): _*)
       .sortWithinPartitions((groupCols.map(col) :+ col("rb")): _*)
       .mapPartitions { it =>
@@ -207,25 +224,31 @@ object Canonical {
             val dead = Array.fill[Boolean](nStats)(false)
             while (base.hasNext && gIdx.map(base.head.get) == key) {
               val r = base.next()
-              md.update(r.getAs[Array[Byte]](rbIdx))
+              val rb = r.getAs[Array[Byte]](rbIdx)
+              md.update(rb)
               val kb = r.getAs[Array[Byte]](kbIdx)
               if (minKb == null) minKb = kb
               maxKb = kb
               n += 1
-              var i = 0
-              while (i < nStats) {
-                if (!dead(i)) {
-                  val v = r.getAs[Array[Byte]](sIdx(i))
-                  if (v == null) nulls(i) += 1
-                  else if (v.length > MaxStatBytes) dead(i) = true
-                  else {
-                    if (mins(i) == null || Hashing.compareBytes(v, mins(i)) < 0)
-                      mins(i) = v
-                    if (maxs(i) == null || Hashing.compareBytes(v, maxs(i)) > 0)
-                      maxs(i) = v
+              if (nStats > 0) {
+                val ends = r.getAs[scala.collection.Seq[Int]](endsIdx)
+                var i = 0
+                while (i < nStats) {
+                  if (!dead(i)) {
+                    val p = statPos(i)
+                    val from = if (p == 0) 0 else ends(p - 1)
+                    val to = ends(p)
+                    if (to - from == 1 && rb(from) == 0) nulls(i) += 1
+                    else if (to - from > MaxStatBytes) dead(i) = true
+                    else {
+                      if (mins(i) == null || cmpRange(rb, from, to, mins(i)) < 0)
+                        mins(i) = java.util.Arrays.copyOfRange(rb, from, to)
+                      if (maxs(i) == null || cmpRange(rb, from, to, maxs(i)) > 0)
+                        maxs(i) = java.util.Arrays.copyOfRange(rb, from, to)
+                    }
                   }
+                  i += 1
                 }
-                i += 1
               }
             }
             val statOut = (0 until nStats).flatMap { i =>
@@ -237,28 +260,6 @@ object Canonical {
         }
       }(enc)
   }
-
-  /** Per-stat-column encoder: canonical-order row → encoded bytes, null
-    * for a null value. Oversize values truncate to MaxStatBytes + 1 so
-    * chunkDigests can detect and drop them without shipping unbounded
-    * bytes through the shuffle (a truncation is NEVER stored: any value
-    * over the cap kills the column's stats for that chunk). */
-  private def statEncoders(schema: StructType, statCols: Seq[String])
-      : Seq[Row => Array[Byte]] =
-    statCols.map { c =>
-      val i = schema.fieldIndex(c)
-      val e = KeyCodec.fieldEncoder(schema(c).dataType)
-      (r: Row) =>
-        if (r.isNullAt(i)) null
-        else {
-          val b = new KeyCodec.ByteBuf(24)
-          e(b, r.get(i))
-          val bytes = b.toBytes
-          if (bytes.length > MaxStatBytes)
-            java.util.Arrays.copyOf(bytes, MaxStatBytes + 1)
-          else bytes
-        }
-    }
 
   /** Assemble the stats map of one chunkDigests output row. */
   private def statsOfRow(r: Row, statCols: Seq[String], baseIdx: Int)
@@ -407,27 +408,26 @@ object Canonical {
       // partition column must be typed either way
       val writtenSchema = df.schema.add(StructField(CHUNK, StringType))
       val written = spark.read.schema(writtenSchema).parquet(tmpDir)
-      val rbEnc = KeyCodec.rowEncoder(
+      val rbEnc = KeyCodec.rowEncoderSliced(
         StructType(df.schema.fields), cols)
       val kEnc = KeyCodec.rowEncoder(StructType(df.schema.fields), keyCols)
       val statCols = statColumns(df.schema, keyCols)
-      val statEnc = statEncoders(df.schema, statCols)
+      val statPos = statCols.map(cols.indexOf).toArray
       val hashInSchema = StructType(Seq(
         StructField(CHUNK, StringType), StructField("kb", BinaryType),
-        StructField("rb", BinaryType)) ++
-        statCols.indices.map(i => StructField(s"s$i", BinaryType)))
+        StructField("rb", BinaryType),
+        StructField("ends", ArrayType(IntegerType, containsNull = false))))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
       val chunkIdx = written.schema.fieldIndex(CHUNK)
       val perRow = written.mapPartitions { it =>
         it.map { r =>
           val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          Row.fromSeq(Seq(r.get(chunkIdx), kEnc(proj), rbEnc(proj)) ++
-            statEnc.map(_(proj)))
+          val (rb, ends) = rbEnc(proj)
+          Row(r.get(chunkIdx), kEnc(proj), rb, ends.toSeq)
         }
       }(hashInEnc)
-      val chunkRows =
-        chunkDigests(perRow, Seq(CHUNK), statCols.length).collect()
+      val chunkRows = chunkDigests(perRow, Seq(CHUNK), statPos).collect()
       val statBase = 5 // CHUNK, minkb, maxkb, rows, hash
 
       // 4. commit chunk files into the content-addressed store — ONE
@@ -533,14 +533,14 @@ object Canonical {
         .add(StructField(groupCol, StringType))
         .add(StructField(CHUNK, StringType))
       val written = spark.read.schema(writtenSchema).parquet(tmpDir)
-      val rbEnc = KeyCodec.rowEncoder(dataSchema, cols)
+      val rbEnc = KeyCodec.rowEncoderSliced(dataSchema, cols)
       val kEnc = KeyCodec.rowEncoder(dataSchema, keyCols)
       val statCols = statColumns(dataSchema, keyCols)
-      val statEnc = statEncoders(dataSchema, statCols)
+      val statPos = statCols.map(cols.indexOf).toArray
       val hashInSchema = StructType(Seq(
         StructField(groupCol, StringType), StructField(CHUNK, StringType),
-        StructField("kb", BinaryType), StructField("rb", BinaryType)) ++
-        statCols.indices.map(i => StructField(s"s$i", BinaryType)))
+        StructField("kb", BinaryType), StructField("rb", BinaryType),
+        StructField("ends", ArrayType(IntegerType, containsNull = false))))
       val hashInEnc = RowEncoder.encoderFor(hashInSchema)
       val colIdx = cols.map(written.schema.fieldIndex)
       val gIdx = written.schema.fieldIndex(groupCol)
@@ -548,12 +548,12 @@ object Canonical {
       val perRow = written.mapPartitions { it =>
         it.map { r =>
           val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          Row.fromSeq(Seq(r.getString(gIdx), r.get(cIdx), kEnc(proj),
-            rbEnc(proj)) ++ statEnc.map(_(proj)))
+          val (rb, ends) = rbEnc(proj)
+          Row(r.getString(gIdx), r.get(cIdx), kEnc(proj), rb, ends.toSeq)
         }
       }(hashInEnc)
       val chunkRows =
-        chunkDigests(perRow, Seq(groupCol, CHUNK), statCols.length).collect()
+        chunkDigests(perRow, Seq(groupCol, CHUNK), statPos).collect()
       val statBase = 6 // groupCol, CHUNK, minkb, maxkb, rows, hash
 
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]

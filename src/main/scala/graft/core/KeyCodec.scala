@@ -169,6 +169,27 @@ object KeyCodec {
     (b, v) => if (v == null) b += 0 else { b += 1; base(b, v) }
   }
 
+  /** [[rowEncoder]] variant that also returns the END offset of every
+    * encoded column, so callers can slice per-column encodings out of
+    * the row bytes without re-encoding (zone-map stats collection). */
+  def rowEncoderSliced(schema: StructType, cols: Seq[String])
+      : Row => (Array[Byte], Array[Int]) = {
+    val idx = cols.map(schema.fieldIndex).toArray
+    val encs = idx.map(i => fieldEncoder(schema.fields(i).dataType))
+    row => {
+      val buf = new ByteBuf(64)
+      val ends = new Array[Int](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        val j = idx(i)
+        encs(i)(buf, if (row.isNullAt(j)) null else row.get(j))
+        ends(i) = buf.length
+        i += 1
+      }
+      (buf.toBytes, ends)
+    }
+  }
+
   /** Row → canonical bytes for the given column indices. */
   def rowEncoder(schema: StructType, cols: Seq[String]): Row => Array[Byte] = {
     val idx = cols.map(schema.fieldIndex).toArray
