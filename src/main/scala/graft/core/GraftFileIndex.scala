@@ -56,89 +56,12 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
   /** Zone-map pruning on VALUE columns: each conjunct comparing a
     * stats-carrying column to a literal becomes a chunk predicate over
     * the column's per-chunk (min, max, nulls) — the data-skipping layer
-    * file-open-level, above parquet row-group stats. Comparisons use the
-    * same order-preserving encoding as the stats, so everything is one
-    * unsigned byte compare. Conservative: a chunk without stats for the
-    * column always survives, unrecognized predicates prune nothing, and
-    * null semantics are exact (a comparison or IN never matches null, so
-    * an all-null chunk prunes; IS NULL keeps only chunks with nulls). */
-  private def statPredicates(filters: Seq[Expression]): Seq[ChunkMeta => Boolean] = {
-    def encodeLit(name: String, v: Any): Option[Array[Byte]] =
-      try {
-        val dt = m.schema(name).dataType
-        val ext = CatalystTypeConverters.createToScalaConverter(dt)(v)
-        if (ext == null) None
-        else {
-          val buf = new KeyCodec.ByteBuf(24)
-          KeyCodec.fieldEncoder(dt)(buf, ext)
-          Some(buf.toBytes)
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def at(e: Expression): Option[String] = e match {
-      case a: AttributeReference if m.schema.fieldNames.contains(a.name) =>
-        Some(a.name)
-      case _ => None
-    }
-    def cmp(s: ColStats, side: ColStats => Option[String], b: Array[Byte])
-        : Option[Int] =
-      side(s).map(h => Hashing.compareBytes(Hashing.unhex(h), b))
-    // keep-chunk test for (column, op, encoded literal)
-    def keep(name: String, op: String, b: Array[Byte])(c: ChunkMeta): Boolean =
-      c.stats.get(name) match {
-        case None => true // no stats recorded — cannot prune
-        case Some(s) => op match {
-          // all-null chunk (min/max None): no comparison can match
-          case "=" => cmp(s, _.minHex, b).exists(_ <= 0) &&
-            cmp(s, _.maxHex, b).exists(_ >= 0)
-          case ">=" => cmp(s, _.maxHex, b).exists(_ >= 0)
-          case ">" => cmp(s, _.maxHex, b).exists(_ > 0)
-          case "<=" => cmp(s, _.minHex, b).exists(_ <= 0)
-          case "<" => cmp(s, _.minHex, b).exists(_ < 0)
-          case _ => true
-        }
-      }
-    filters.flatMap { f =>
-      def one(e: Expression, op: String, v: Any): Option[ChunkMeta => Boolean] =
-        at(e).flatMap(n => encodeLit(n, v).map(b => keep(n, op, b) _))
-      def inList(e: Expression, vs: Seq[Any], complete: Boolean)
-          : Option[ChunkMeta => Boolean] =
-        at(e).flatMap { n =>
-          val encoded = vs.filter(_ != null).flatMap(v => encodeLit(n, v))
-          if (!complete || encoded.isEmpty ||
-              encoded.length != vs.count(_ != null)) None
-          else {
-            val lo = encoded.minBy(identity)(Ordering.fromLessThan(
-              (a: Array[Byte], b: Array[Byte]) => Hashing.compareBytes(a, b) < 0))
-            val hi = encoded.maxBy(identity)(Ordering.fromLessThan(
-              (a: Array[Byte], b: Array[Byte]) => Hashing.compareBytes(a, b) < 0))
-            // the list's [lo, hi] envelope must intersect the chunk's
-            Some((c: ChunkMeta) => keep(n, ">=", lo)(c) && keep(n, "<=", hi)(c))
-          }
-        }
-      val p: Option[ChunkMeta => Boolean] = f match {
-        case EqualTo(a, Literal(v, _)) => one(a, "=", v)
-        case EqualTo(Literal(v, _), a) => one(a, "=", v)
-        case GreaterThanOrEqual(a, Literal(v, _)) => one(a, ">=", v)
-        case GreaterThan(a, Literal(v, _)) => one(a, ">", v)
-        case LessThanOrEqual(a, Literal(v, _)) => one(a, "<=", v)
-        case LessThan(a, Literal(v, _)) => one(a, "<", v)
-        case GreaterThanOrEqual(Literal(v, _), a) => one(a, "<=", v)
-        case GreaterThan(Literal(v, _), a) => one(a, "<", v)
-        case LessThanOrEqual(Literal(v, _), a) => one(a, ">=", v)
-        case LessThan(Literal(v, _), a) => one(a, ">", v)
-        case In(a, list) =>
-          val lits = list.collect { case Literal(v, _) => v }
-          inList(a, lits, complete = lits.length == list.length)
-        case InSet(a, hset) => inList(a, hset.toSeq, complete = true)
-        case IsNull(a) => at(a).map(n => (c: ChunkMeta) =>
-          c.stats.get(n).forall(_.nulls > 0))
-        case IsNotNull(a) => at(a).map(n => (c: ChunkMeta) =>
-          c.stats.get(n).forall(_.minHex.nonEmpty))
-        case _ => None
-      }
-      p
-    }
-  }
+    * at file-open level, above parquet row-group stats. The evaluator
+    * lives in [[ZoneMaps]] (shared with transform/DML chunk skipping)
+    * and recurses through AND/OR/NOT, so a pushed disjunction
+    * (`status = 'A' OR status = 'R'`) prunes too. */
+  private def statPredicates(filters: Seq[Expression]): Seq[ChunkMeta => Boolean] =
+    ZoneMaps.keepTests(m.schema, filters)
 
   override def inputFiles: Array[String] =
     chunkFiles.map(_._2.getPath.toString).toArray

@@ -462,9 +462,36 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       m.chunkTargetRows.toString, chunkHash))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
-    val missing = m.chunks.filter(c => memoized(c.hash).isEmpty)
+    val missing0 = m.chunks.filter(c => memoized(c.hash).isEmpty)
 
-    val computed: Map[String, TableMeta] =
+    // a filtered transform may drop EVERY row of a chunk: the grouped
+    // materialization then emits no group for it, and the mini is the
+    // empty table (memoized like any other so refreshes skip it)
+    lazy val emptyMini: TableMeta = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      val outSchema = Canonical.normalizeSchema(
+        empty.select(t.columns: _*).schema, t.outKeyCols)
+      val em = TableMeta(outSchema.json, t.outKeyCols, m.chunkTargetRows, Nil)
+      store.saveTableMeta(em)
+      em
+    }
+
+    // zone-map chunk skipping: a chunk whose stats PROVE the rowFilter
+    // matches none of its rows memoizes the empty mini without being
+    // read — a delta-region refresh of a filtered aggregate view never
+    // opens chunks outside the filter
+    val noFilterMatch: ChunkMeta => Boolean =
+      statsProveNoMatch(m.schema, t.rowFilter)
+    val skipped: Map[String, TableMeta] = missing0.flatMap { c =>
+      if (t.rowFilter.isDefined && noFilterMatch(c)) {
+        store.memoPut(miniOp(c.hash), emptyMini.tableHash)
+        Some(c.hash -> emptyMini)
+      } else None
+    }.toMap
+    val missing = missing0.filterNot(c => skipped.contains(c.hash))
+
+    val computed0: Map[String, TableMeta] =
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
@@ -490,19 +517,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         }
         metas
       }
+    val computed = computed0 ++ skipped
 
-    // a filtered transform may drop EVERY row of a chunk: the grouped
-    // materialization then emits no group for it, and the mini is the
-    // empty table (memoized like any other so refreshes skip it)
-    lazy val emptyMini: TableMeta = {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      val outSchema = Canonical.normalizeSchema(
-        empty.select(t.columns: _*).schema, t.outKeyCols)
-      val em = TableMeta(outSchema.json, t.outKeyCols, m.chunkTargetRows, Nil)
-      store.saveTableMeta(em)
-      em
-    }
     val miniRefs: Seq[TableRef] = m.chunks.map { c =>
       TableRef(memoized(c.hash) match {
         case Some(h) => h
@@ -528,9 +544,55 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       m.chunkTargetRows.toString, c.hash))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(subOp(c))).toMap
-    val missing = m.chunks.filter(c => memoized(c.hash).isEmpty)
+    val missing0 = m.chunks.filter(c => memoized(c.hash).isEmpty)
 
-    val computed: Map[String, TableMeta] =
+    // derive the output schema by applying the projection to an empty
+    // frame of the source schema (driver-only); also the schema of the
+    // empty sub-result a fully-filtered chunk produces
+    lazy val derivedSchemaJson: String = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      Canonical.normalizeSchema(
+        empty.select(t.columns: _*).schema, t.outKeyCols).json
+    }
+    lazy val emptySub: TableMeta = {
+      val em = TableMeta(derivedSchemaJson, t.outKeyCols, m.chunkTargetRows, Nil)
+      store.saveTableMeta(em)
+      em
+    }
+
+    // zone-map chunk skipping (driver-only, conservative — a chunk
+    // without usable stats always takes the compute path, which yields
+    // the bit-identical result):
+    //  - stats prove the rowFilter matches NO row → the empty sub-result
+    //    without reading the chunk (a filtered view's refresh never
+    //    opens chunks outside its WHERE);
+    //  - under the identityUnless contract (every row the predicate
+    //    does not match maps to itself), stats proving NO match pass the
+    //    chunk through VERBATIM — zero IO, and the output table SHARES
+    //    the chunk object with its source (structural sharing through
+    //    non-key DML).
+    val noFilterMatch: ChunkMeta => Boolean =
+      statsProveNoMatch(m.schema, t.rowFilter)
+    val passOk = t.identityUnless.isDefined && t.outKeyCols == m.keyCols &&
+      derivedSchemaJson == m.schemaJson
+    val noIdentityMatch: ChunkMeta => Boolean =
+      if (passOk) statsProveNoMatch(m.schema, t.identityUnless)
+      else _ => false
+    val skipped: Map[String, TableMeta] = missing0.flatMap { c =>
+      if (t.rowFilter.isDefined && noFilterMatch(c)) {
+        store.memoPut(subOp(c), emptySub.tableHash)
+        Some(c.hash -> emptySub)
+      } else if (noIdentityMatch(c)) {
+        val pass = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, Seq(c))
+        store.saveTableMeta(pass)
+        store.memoPut(subOp(c), pass.tableHash)
+        Some(c.hash -> pass)
+      } else None
+    }.toMap
+    val missing = missing0.filterNot(c => skipped.contains(c.hash))
+
+    val computed0: Map[String, TableMeta] =
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
@@ -551,21 +613,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         }
         metas
       }
+    val computed = computed0 ++ skipped
 
-    // derive the output schema by applying the projection to an empty
-    // frame of the source schema (driver-only); also the schema of the
-    // empty sub-result a fully-filtered chunk produces
-    lazy val derivedSchemaJson: String = {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      Canonical.normalizeSchema(
-        empty.select(t.columns: _*).schema, t.outKeyCols).json
-    }
-    lazy val emptySub: TableMeta = {
-      val em = TableMeta(derivedSchemaJson, t.outKeyCols, m.chunkTargetRows, Nil)
-      store.saveTableMeta(em)
-      em
-    }
     // splice: keys preserved ⇒ per-chunk outputs cover the same disjoint
     // ranges in the same order. A FILTERED transform may drop every row
     // of a chunk — grouped materialize then emits no group for it and
@@ -590,6 +639,29 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     store.saveTableMeta(out)
     out.tableHash
   }
+
+  /** Resolve a transform predicate against the table schema (driver-only,
+    * no job) and build the [[ZoneMaps]] proves-no-match test. Returns the
+    * always-false test — "no claim" — when the predicate is absent,
+    * doesn't analyze row-locally (subqueries, other tables), is
+    * non-deterministic, or has a shape the zone-map evaluator doesn't
+    * understand; every chunk is then treated as potentially matching. */
+  private def statsProveNoMatch(schema: StructType, pred: Option[Column])
+      : ChunkMeta => Boolean =
+    pred.flatMap { p =>
+      try {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val conds = empty.where(p).queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+        conds match {
+          case Seq(cond) if cond.deterministic =>
+            ZoneMaps.provablyNoMatch(schema, cond)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(_ => false)
 
   // ---- range filter (O3) -----------------------------------------------
 
@@ -864,17 +936,26 @@ trait ColTransform extends Serializable {
     * memoization. The contract is the caller's responsibility, like the
     * reference's FuncKey discipline. */
   def keyPreserving: Boolean = false
+  /** Caller contract for zone-map chunk PASSTHROUGH: any row where this
+    * predicate is not TRUE maps to ITSELF (identity projection, kept by
+    * the filter). A chunk whose stats prove no row satisfies it then
+    * passes through verbatim — zero IO — on the key-preserving path
+    * (SQL `UPDATE ... WHERE p` / `DELETE ... WHERE p` shapes). Like
+    * `rowFilter`, it is part of the operation identified by `key`. */
+  def identityUnless: Option[Column] = None
 }
 
 object ColTransform {
   def apply(k: String, keys: Seq[String], cols: Seq[Column],
       preservesKeys: Boolean = false,
-      filter: Option[Column] = None): ColTransform =
+      filter: Option[Column] = None,
+      passUnless: Option[Column] = None): ColTransform =
     new ColTransform {
       val key = k
       val outKeyCols = keys
       val columns = cols
       override val rowFilter = filter
       override val keyPreserving = preservesKeys
+      override val identityUnless = passUnless
     }
 }

@@ -109,10 +109,65 @@ object MatView {
        |       COUNT(*) AS n, MIN(price_c) AS lo_c, MAX(price_c) AS hi_c
        |FROM u WHERE o_orderstatus = 'F' GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The SQL DML surface end-to-end (round-5 zone-map DML): CTAS with a
+    * composite PK, a non-key DELETE (key-preserving filtered transform —
+    * chunks whose zone maps exclude the predicate pass through verbatim),
+    * a leading-key range DELETE (incremental complement-range merge), a
+    * non-key UPDATE (CASE-gated per-chunk transform), then an aggregate
+    * readback compared against DuckDB replaying the same statements. */
+  def sqlDml(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-dml-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata
+    // (nor +l_partkey at sf0.01); +l_suppkey completes the candidate key,
+    // so CTAS folds nothing and the DuckDB oracle needs no dedup stage
+    Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"), col("l_returnflag"))
+      .createOrReplaceTempView("li_dml_src")
+    run("CREATE TABLE li PRIMARY KEY (l_orderkey, l_linenumber, l_partkey, l_suppkey) " +
+      "AS SELECT * FROM li_dml_src")
+
+    run("DELETE FROM li WHERE l_returnflag = 'R' AND qty > 40")
+    run("DELETE FROM li WHERE l_orderkey >= 160 AND l_orderkey < 1600")
+    run("UPDATE li SET price_c = price_c + 7 WHERE l_returnflag = 'A'")
+
+    val Left(out) = run(
+      "SELECT l_returnflag, COUNT(*) AS n, SUM(price_c) AS total_c, " +
+        "SUM(qty) AS sum_qty FROM li GROUP BY l_returnflag ORDER BY l_returnflag"): @unchecked
+    out
+  }
+
+  val sqlDmlSql: String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |         CAST(round(l_quantity) AS BIGINT) AS qty,
+       |         ${centsSql("l_extendedprice")} AS price_c, l_returnflag
+       |  FROM lineitem WHERE l_orderkey % 8 = 0),
+       |d1 AS (SELECT * FROM base
+       |       WHERE NOT coalesce((l_returnflag = 'R' AND qty > 40), false)),
+       |d2 AS (SELECT * FROM d1
+       |       WHERE NOT coalesce((l_orderkey >= 160 AND l_orderkey < 1600), false)),
+       |u1 AS (SELECT l_orderkey, l_linenumber, qty,
+       |       CASE WHEN coalesce((l_returnflag = 'A'), false)
+       |            THEN price_c + 7 ELSE price_c END AS price_c,
+       |       l_returnflag FROM d2)
+       |SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       CAST(SUM(qty) AS BIGINT) AS sum_qty
+       |FROM u1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
-    "sql_matview_where" -> (sqlMatviewWhere _))
+    "sql_matview_where" -> (sqlMatviewWhere _),
+    "sql_dml" -> (sqlDml _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
-    "sql_matview_where" -> sqlMatviewWhereSql)
+    "sql_matview_where" -> sqlMatviewWhereSql,
+    "sql_dml" -> sqlDmlSql)
 }

@@ -355,10 +355,19 @@ object GraftSql {
         val out = parseKeyRange(spark, schema, entry.keyCols, cond) match {
           case Some((lo, hi)) => ops.deleteRange(ref, lo, hi)
           case None =>
-            registerViews()
-            val keep = spark.sql(
-              s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
-            ops.fromDataFrame(keep, entry.keyCols)
+            // row-local predicate → key-preserving per-chunk transform:
+            // memoized per chunk, and zone maps pass provably-unaffected
+            // chunks through VERBATIM (the output shares their objects —
+            // structural sharing survives non-key DML). Predicates that
+            // aren't row-local (subqueries, other tables) or aren't
+            // deterministic fall back to filter-and-rebuild.
+            deleteByTransform(spark, ops, schema, entry.keyCols, ref, cond)
+              .getOrElse {
+                registerViews()
+                val keep = spark.sql(
+                  s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
+                ops.fromDataFrame(keep, entry.keyCols)
+              }
         }
         // no-op deletes must not mint empty commits (same rule as Views)
         if (out == ref)
@@ -433,7 +442,11 @@ object GraftSql {
                 // every catalog view and handles it
                 case _: org.apache.spark.sql.AnalysisException => rebuild()
               }
-            case None => rebuild()
+            case None =>
+              // non-key predicate, row-local SETs → per-chunk transform
+              // with zone-map passthrough of provably-unaffected chunks
+              updateByTransform(spark, ops, schema, entry.keyCols, ref,
+                sets, cond).getOrElse(rebuild())
           }
         if (out == ref)
           Right(ops.store.currentRootHash.getOrElse(
@@ -582,6 +595,65 @@ object GraftSql {
   private val betweenRe =
     """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r
   private val cmpRe = """(?s)^("?\w+"?)\s*(<=|>=|=|<|>)\s*(.+)$""".r
+
+  /** Non-key DELETE as a key-preserving filtered transform, when the
+    * predicate is row-local and deterministic: per-chunk memoized, and
+    * chunks whose zone-map stats prove no row matches pass through
+    * verbatim — a selective delete on a huge table reads and rewrites
+    * only the chunks that can contain matches, and every untouched
+    * chunk keeps its object identity (replication/diff see only the
+    * delta). None → caller falls back to filter-and-rebuild. */
+  private def deleteByTransform(spark: SparkSession, ops: Ops,
+      schema: StructType, keyCols: Seq[String], ref: graft.core.TableRef,
+      cond: String): Option[graft.core.TableRef] =
+    try {
+      import org.apache.spark.sql.functions.{col, expr}
+      val keep = expr(s"NOT coalesce(($cond), false)")
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      // resolves ONLY against this table's columns (no catalog views
+      // registered on purpose — a predicate needing them isn't row-local)
+      val det = empty.where(keep).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }
+      if (!det.contains(true)) None
+      else Some(ops.transform(ref, graft.core.ColTransform(
+        s"sql-delete-v1:${cond.trim}", keyCols,
+        schema.fieldNames.toSeq.map(col(_)),
+        preservesKeys = true,
+        filter = Some(keep),
+        passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Non-key UPDATE as a key-preserving per-chunk transform (CASE-gated
+    * assignments), when predicate and SET expressions are row-local and
+    * deterministic: chunks whose stats prove the predicate matches no
+    * row pass through verbatim. None → caller rebuilds. */
+  private def updateByTransform(spark: SparkSession, ops: Ops,
+      schema: StructType, keyCols: Seq[String], ref: graft.core.TableRef,
+      sets: Map[String, String], cond: String): Option[graft.core.TableRef] =
+    try {
+      import org.apache.spark.sql.functions.{col, expr}
+      val cols = schema.fields.map { f =>
+        sets.get(f.name) match {
+          case Some(e) => expr(
+            s"CASE WHEN coalesce(($cond), false) THEN " +
+              s"CAST(($e) AS ${f.dataType.sql}) ELSE `${f.name}` END").as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val analyzed = empty.select(cols: _*).queryExecution.analyzed
+      if (!analyzed.expressions.forall(_.deterministic)) None
+      else {
+        val setKey = sets.toSeq.sortBy(_._1)
+          .map { case (c, e) => s"$c=${e.trim}" }.mkString(",")
+        Some(ops.transform(ref, graft.core.ColTransform(
+          s"sql-update-v1:$setKey:${cond.trim}", keyCols, cols,
+          preservesKeys = true,
+          passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Recognize `cond` as a KEY-PREFIX range: an equality chain on the
     * leading key columns, optionally followed by range comparison(s) —

@@ -284,6 +284,42 @@ class GraftScanSpec extends AnyFunSuite {
     assert(ops.scan(renamed).where(col("val") === 123456L).count() == 1L)
   }
 
+  test("zone maps recurse through OR / NOT / nested AND") {
+    val ops = newOps()
+    val schema2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 1000L).map(k => Row(k, k * 7)), 8),
+      schema2)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+    val total = ops.meta(ref).chunks.length
+    val vAttr = AttributeReference("v", LongType, nullable = false)()
+
+    // OR of two clustered ranges keeps both ends, prunes the middle
+    val orFiles = filesFor(ops, ref, Or(
+      LessThan(vAttr, Literal(70L)),
+      GreaterThanOrEqual(vAttr, Literal(6650L))))
+    assert(orFiles >= 2 && orFiles < total / 2,
+      s"OR of two edges listed $orFiles of $total files")
+    // an OR with an ununderstood side prunes nothing (conservative)
+    assert(filesFor(ops, ref, Or(
+      LessThan(vAttr, Literal(70L)),
+      EqualTo(Literal(1), Literal(1)))) == total)
+    // NOT(=) prunes only the chunks proven single-valued — here none
+    assert(filesFor(ops, ref, Not(EqualTo(vAttr, Literal(7L)))) == total)
+    // nested AND under OR: (v<70 AND v>=0) OR v>=6650
+    val nested = filesFor(ops, ref, Or(
+      And(LessThan(vAttr, Literal(70L)), GreaterThanOrEqual(vAttr, Literal(0L))),
+      GreaterThanOrEqual(vAttr, Literal(6650L))))
+    assert(nested == orFiles, s"nested AND changed the OR listing: $nested")
+    // coercion casts around literals still prune (analyzed-shape input)
+    val casted = filesFor(ops, ref,
+      EqualTo(vAttr, Cast(Literal(35, IntegerType), LongType)))
+    assert(casted >= 1 && casted < total / 2,
+      s"cast-wrapped literal listed $casted of $total")
+  }
+
   test("SQL over catalog tables gets the pruned scan end-to-end") {
     val ops = newOps()
     val cat = new Catalog(ops.store)

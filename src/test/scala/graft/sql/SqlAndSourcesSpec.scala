@@ -180,6 +180,61 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "UPDATE nope SET v = 1 WHERE k = 1"))
   }
 
+  test("non-key DML: zone maps pass untouched chunks through; sharing survives") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE m (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+    // v correlates with k, so per-chunk v-ranges are tight and selective
+    run("INSERT INTO m SELECT id AS k, id AS v, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS s FROM range(0, 2000)")
+    def chunksOf(): Seq[graft.core.ChunkMeta] =
+      ops.meta(graft.core.TableRef(cat.root("m").tableHash)).chunks
+    val before = chunksOf()
+    assert(before.length > 20, s"fixture spans ${before.length} chunks")
+
+    // selective DELETE on a VALUE column: chunks whose stats exclude the
+    // range pass through VERBATIM — object identity preserved, only the
+    // overlapping chunks rewrite
+    ops.store.stats.reset()
+    run("DELETE FROM m WHERE v >= 100 AND v < 140")
+    val afterDel = chunksOf()
+    val beforeSet = before.map(_.hash).toSet
+    val sharedDel = afterDel.count(c => beforeSet(c.hash))
+    assert(sharedDel >= afterDel.length - 4,
+      s"delete must share untouched chunks ($sharedDel of ${afterDel.length})")
+    val delSaves = ops.store.stats.snapshot("chunkSaves")
+    assert(delSaves <= 6, s"selective delete wrote $delSaves chunks")
+    assert(ops.scanOrdered(cat.get("m").get).collect().map(_.getLong(0)).toSeq
+      == ((0L until 100L) ++ (140L until 2000L)))
+
+    // selective UPDATE: same passthrough economics
+    ops.store.stats.reset()
+    run("UPDATE m SET s = 'big' WHERE v >= 1900")
+    val afterUpd = chunksOf()
+    val delSet = afterDel.map(_.hash).toSet
+    val sharedUpd = afterUpd.count(c => delSet(c.hash))
+    assert(sharedUpd >= afterUpd.length - 4,
+      s"update must share untouched chunks ($sharedUpd of ${afterUpd.length})")
+    assert(ops.store.stats.snapshot("chunkSaves") <= 6)
+    val smap = ops.scanOrdered(cat.get("m").get).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(smap(1950L) == "big" && smap(1899L) == "odd" && smap(400L) == "even")
+
+    // DML matching NOTHING is a pure passthrough: no content change, no root
+    val rootBefore = ops.store.currentRootHash
+    run("DELETE FROM m WHERE v > 99999999")
+    run("UPDATE m SET s = 'x' WHERE v < -5")
+    assert(ops.store.currentRootHash == rootBefore,
+      "no-match non-key DML minted a root")
+
+    // OR predicates prune too (ZoneMaps recursion)
+    ops.store.stats.reset()
+    run("DELETE FROM m WHERE v < 10 OR v >= 1990")
+    assert(ops.store.stats.snapshot("chunkSaves") <= 6)
+    val left = ops.scanOrdered(cat.get("m").get).collect().map(_.getLong(0))
+    assert(!left.exists(k => k < 10 || k >= 1990) && left.length > 1800)
+  }
+
   test("JSON export -> import round-trips a table bit-exactly (fields by NAME)") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
