@@ -70,15 +70,22 @@ final class Views(ops: Ops, catalog: Catalog) {
 
   /** Re-materialize from the source's current catalog version. Cost is
     * zero (memo hit) when the source hash is unchanged, O(touched
-    * chunks) after a delta for key-preserving transforms. */
-  def refresh(view: String): TableRef = {
+    * chunks) after a delta for key-preserving transforms. A source that
+    * is ITSELF a declared view refreshes first (recursively), so a
+    * single-view refresh of a chained view observes fresh sources —
+    * refreshing an already-fresh source is a memo hit and mints no
+    * root, so over-refreshing costs nothing. */
+  def refresh(view: String): TableRef = refresh(view, Set.empty)
+
+  private def refresh(view: String, visiting: Set[String]): TableRef = {
+    require(!visiting.contains(view), s"view dependency cycle at $view")
+    val vs = visiting + view
     val out = joinDefs.get(view) match {
-      case Some(j) => refreshJoin(view, j)
+      case Some(j) => refreshJoin(view, j, vs)
       case None =>
         val d = defs.getOrElse(view,
           throw new NoSuchElementException(s"undefined view: $view"))
-        val src = catalog.get(d.source).getOrElse(
-          throw new NoSuchElementException(s"view $view: missing source table ${d.source}"))
+        val src = sourceRef(view, d.source, vs)
         ops.transform(src, d.transform, d.fold)
     }
     // don't mint a new catalog root for a no-op refresh (the git
@@ -87,9 +94,16 @@ final class Views(ops: Ops, catalog: Catalog) {
     out
   }
 
-  private def refreshJoin(view: String, j: JoinDef): TableRef = {
-    def src(name: String): TableRef = catalog.get(name).getOrElse(
-      throw new NoSuchElementException(s"view $view: missing source table $name"))
+  private def sourceRef(view: String, source: String,
+      visiting: Set[String]): TableRef =
+    if (defs.contains(source) || joinDefs.contains(source))
+      refresh(source, visiting)
+    else catalog.get(source).getOrElse(
+      throw new NoSuchElementException(s"view $view: missing source table $source"))
+
+  private def refreshJoin(view: String, j: JoinDef,
+      visiting: Set[String]): TableRef = {
+    def src(name: String): TableRef = sourceRef(view, name, visiting)
     val (aRef, bRef) = (src(j.left), src(j.right))
     val (am, bm) = (ops.meta(aRef), ops.meta(bRef))
     require(am.keyCols == bm.keyCols,

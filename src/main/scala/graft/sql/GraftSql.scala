@@ -479,7 +479,14 @@ object GraftSql {
         Right(ops.store.currentRootHash.getOrElse(
           throw new SqlException("no catalog root")))
       case dropMvRe(rawName) =>
-        Right(catalog.dropViewDef(unquote(rawName)))
+        val name = unquote(rawName)
+        // a HAVING view owns an internal aggregate-stage table
+        // (SqlViews.innerAggName); it lives and dies with the definition
+        val dropInner = catalog.viewDefs.get(name).exists(SqlViews.hasHaving)
+        val inner = SqlViews.innerAggName(name)
+        Right(catalog.statementFull(
+          ts => if (dropInner) ts - name - inner else ts - name,
+          vs => vs - name))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
       case alterRe(rawName, verb, tail) =>

@@ -444,12 +444,13 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     run("DROP MATERIALIZED VIEW joined")
     assert(cat.get("joined").isEmpty && !cat.viewDefs.contains("joined"))
 
-    // rejections: dropped key column; HAVING gets a specific message
+    // rejections: dropped key column; HAVING over aggregate CALLS must
+    // name the alias instead (the post-filter speaks the agg view's cols)
     assertThrows[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW nk AS SELECT grp, v FROM fact"))
     val having = intercept[GraftSql.SqlException](run(
       "CREATE MATERIALIZED VIEW h AS " +
-        "SELECT grp, SUM(v) AS s FROM fact GROUP BY grp HAVING s > 5"))
+        "SELECT grp, SUM(v) AS s FROM fact GROUP BY grp HAVING SUM(v) > 5"))
     assert(having.getMessage.contains("HAVING"))
 
     // EXPLAIN passes through to Spark SQL over the catalog tables
@@ -535,6 +536,55 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
       .apply(2002L % 7) == want.find(_._1 == 2002L % 7).get._2 + 2002L)
     assert(evensBefore != cat.root("evens").tableHash)
+  }
+
+  test("HAVING materialized views: two-stage chain, single refresh, drop cleans both") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fact (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO fact SELECT id AS k, id % 100 AS v FROM range(0, 2000)")
+
+    // bucket b: total = 200*b + 9000, n = 200 ⇒ HAVING total >= 9600
+    // keeps buckets 3..9
+    run("CREATE MATERIALIZED VIEW big AS " +
+      "SELECT v % 10 AS bucket, SUM(v) AS total, COUNT(*) AS n " +
+      "FROM fact GROUP BY bucket HAVING total >= 9600")
+    def snap(): Seq[(Long, Long, Long)] = {
+      val Left(d) = run(
+        "SELECT bucket, total, n FROM big ORDER BY bucket"): @unchecked
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(snap() == (3L to 9L).map(b => (b, 200 * b + 9000, 200L)))
+    // the internal aggregate stage is a real catalog table holding ALL
+    // buckets; only the visible view has a persisted definition
+    assert(cat.get("big__agg").isDefined)
+    assert(ops.scanOrdered(cat.get("big__agg").get).count() == 10)
+    assert(cat.viewDefs.keySet == Set("big"))
+
+    // a delta pushing bucket 2 over the threshold lands through a
+    // SINGLE-view refresh (the chain refreshes its source first)
+    run("INSERT INTO fact SELECT 10000 + id AS k, 22 AS v FROM range(0, 300)")
+    run("REFRESH MATERIALIZED VIEW big")
+    assert(snap() == ((2L, 9400L + 22L * 300, 500L) +:
+      (3L to 9L).map(b => (b, 200 * b + 9000, 200L))))
+
+    // definitions persist: a fresh catalog rebuilds the chain from the
+    // ONE persisted SQL and refreshes to the same content
+    val cat2 = new Catalog(ops.store)
+    assert(cat2.viewDefs.keySet == Set("big"))
+    GraftSql.execute(spark, ops, cat2, "REFRESH ALL")
+    assert(cat2.root("big").tableHash == cat.root("big").tableHash)
+
+    // aggregate calls in HAVING are rejected toward the alias form
+    val bad = intercept[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW b2 AS SELECT v % 10 AS g, SUM(v) AS s " +
+        "FROM fact GROUP BY g HAVING COUNT(*) > 3"))
+    assert(bad.getMessage.contains("alias"))
+
+    // DROP removes the view, its internal stage, and the def in ONE root
+    run("DROP MATERIALIZED VIEW big")
+    assert(cat.get("big").isEmpty && cat.get("big__agg").isEmpty &&
+      !cat.viewDefs.contains("big"))
   }
 
   test("ALTER TABLE ADD/DROP/RENAME COLUMN: per-chunk rewrite, memoized replay") {
