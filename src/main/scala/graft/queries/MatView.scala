@@ -109,6 +109,51 @@ object MatView {
        |       COUNT(*) AS n, MIN(price_c) AS lo_c, MAX(price_c) AS hi_c
        |FROM u WHERE o_orderstatus = 'F' GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The round-5 HAVING/AVG view chain end-to-end: AVG lowers to an
+    * exact __sum/__cnt pair in the internal aggregate stage plus ONE
+    * final fp division in the key-preserving post stage, and HAVING is
+    * the post stage's row filter — define, delta, single REFRESH (the
+    * chain refreshes its aggregate stage first), read back. */
+  def sqlMatviewAvg(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mva-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 8 === 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_a_src")
+    run("CREATE TABLE orders_a PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_a_src")
+
+    run("CREATE MATERIALIZED VIEW cust_avg AS " +
+      "SELECT o_custkey % 10 AS bucket, AVG(price_c) AS mean_c, COUNT(*) AS n, " +
+      "SUM(price_c) AS total_c FROM orders_a GROUP BY bucket HAVING n >= 5")
+
+    run("INSERT INTO orders_a " +
+      "SELECT o_orderkey + 100000000, o_custkey, price_c + 31 " +
+      "FROM orders_a WHERE o_orderkey % 16 = 2")
+    run("REFRESH MATERIALIZED VIEW cust_avg")
+
+    val Left(out) = run(
+      "SELECT bucket, mean_c, n, total_c FROM cust_avg ORDER BY bucket"): @unchecked
+    out
+  }
+
+  val sqlMatviewAvgSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 8 = 2),
+       |delta AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, price_c + 31 AS price_c
+       |  FROM base WHERE o_orderkey % 16 = 2),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+       |SELECT o_custkey % 10 AS bucket, CAST(SUM(price_c) AS DOUBLE)/COUNT(*) AS mean_c,
+       |       COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       |FROM u GROUP BY bucket HAVING COUNT(*) >= 5 ORDER BY bucket""".stripMargin
+
   /** The SQL DML surface end-to-end (round-5 zone-map DML): CTAS with a
     * composite PK, a non-key DELETE (key-preserving filtered transform —
     * chunks whose zone maps exclude the predicate pass through verbatim),
@@ -165,9 +210,11 @@ object MatView {
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
+    "sql_matview_avg" -> (sqlMatviewAvg _),
     "sql_dml" -> (sqlDml _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
+    "sql_matview_avg" -> sqlMatviewAvgSql,
     "sql_dml" -> sqlDmlSql)
 }

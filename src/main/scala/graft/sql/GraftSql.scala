@@ -480,9 +480,9 @@ object GraftSql {
           throw new SqlException("no catalog root")))
       case dropMvRe(rawName) =>
         val name = unquote(rawName)
-        // a HAVING view owns an internal aggregate-stage table
+        // a HAVING/AVG view owns an internal aggregate-stage table
         // (SqlViews.innerAggName); it lives and dies with the definition
-        val dropInner = catalog.viewDefs.get(name).exists(SqlViews.hasHaving)
+        val dropInner = catalog.viewDefs.get(name).exists(SqlViews.hasInnerStage)
         val inner = SqlViews.innerAggName(name)
         Right(catalog.statementFull(
           ts => if (dropInner) ts - name - inner else ts - name,

@@ -587,6 +587,59 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       !cat.viewDefs.contains("big"))
   }
 
+  test("AVG materialized views: exact sum/cnt stage + derived division, HAVING on avg") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fact (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO fact SELECT id AS k, id % 7 AS v FROM range(0, 700)")
+
+    // avg(v) per bucket b over v = k % 7, bucket = k % 4: exact ints in
+    // the inner stage, ONE double division in the post stage
+    run("CREATE MATERIALIZED VIEW avgs AS " +
+      "SELECT k % 4 AS bucket, AVG(v) AS mean_v, COUNT(*) AS n " +
+      "FROM fact GROUP BY bucket")
+    def snap(view: String): Map[Long, (Double, Long)] = {
+      val Left(d) = run(
+        s"SELECT bucket, mean_v, n FROM $view ORDER BY bucket"): @unchecked
+      d.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    }
+    // oracle: per-bucket mean over 0..699 of (k % 7) grouped by k % 4
+    def oracle(n: Int): Map[Long, (Double, Long)] =
+      (0L until n).groupBy(_ % 4).map { case (b, ks) =>
+        b -> (ks.map(_ % 7).sum.toDouble / ks.length, ks.length.toLong) }
+    assert(snap("avgs") == oracle(700))
+    // the inner stage is a real table holding the exact pair columns
+    assert(cat.get("avgs__agg").isDefined)
+    val innerCols = ops.scanOrdered(cat.get("avgs__agg").get).columns.toSeq
+    assert(innerCols == Seq("bucket", "mean_v__sum", "mean_v__cnt", "n"))
+
+    // incremental refresh after a delta: still exact
+    run("INSERT INTO fact SELECT 1000 + id AS k, 6 AS v FROM range(0, 100)")
+    run("REFRESH MATERIALIZED VIEW avgs")
+    val after = snap("avgs")
+    val base = (0L until 700L).groupBy(_ % 4)
+    val delta = (1000L until 1100L).groupBy(_ % 4)
+    val want = base.map { case (b, ks) =>
+      val dn = delta.getOrElse(b, Seq.empty).length
+      b -> ((ks.map(_ % 7).sum + 6L * dn).toDouble / (ks.length + dn),
+        (ks.length + dn).toLong)
+    }
+    assert(after == want)
+
+    // HAVING may reference the avg alias (rewritten onto the pair)
+    run("CREATE MATERIALIZED VIEW hi_avg AS " +
+      "SELECT k % 4 AS bucket, AVG(v) AS mean_v, COUNT(*) AS n " +
+      "FROM fact GROUP BY bucket HAVING mean_v > " + want(0)._1)
+    assert(snap("hi_avg").keySet == want.filter(_._2._1 > want(0)._1).keySet)
+
+    // persisted definition rebuilds the chain; DROP cleans both stages
+    val cat2 = new Catalog(ops.store)
+    GraftSql.execute(spark, ops, cat2, "REFRESH MATERIALIZED VIEW avgs")
+    assert(cat2.root("avgs").tableHash == cat.root("avgs").tableHash)
+    run("DROP MATERIALIZED VIEW avgs")
+    assert(cat.get("avgs").isEmpty && cat.get("avgs__agg").isEmpty)
+  }
+
   test("ALTER TABLE ADD/DROP/RENAME COLUMN: per-chunk rewrite, memoized replay") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
