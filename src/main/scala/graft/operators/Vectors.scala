@@ -55,20 +55,26 @@ object Vectors {
     * repeated interactive queries. */
   def quantizedTable(ops: graft.core.Ops, s: SparkSession,
       dir: String): graft.core.TableRef = {
-    import graft.core.Hashing
+    val op = graft.core.Hashing.opHash(
+      "graft-vector-index-v1" +: sourceFingerprint(dir))
+    graft.core.TableRef(ops.store.memoized(op) {
+      ops.fromDataFrame(quantized(s, dir), Seq("vec_id")).hash
+    })
+  }
+
+  /** Spark's own staleness rule (name + size + mtime per source file) as
+    * a memo-key fingerprint for operations derived from the embeddings
+    * parquet. */
+  private def sourceFingerprint(dir: String): Seq[String] = {
     val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(src))
         graft.core.FsUtil.listDir(src).sortBy(_.getFileName.toString)
       else Seq(src)
-    val fp = files.map { p =>
+    files.map { p =>
       s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
         java.nio.file.Files.getLastModifiedTime(p).toMillis
     }
-    val op = Hashing.opHash("graft-vector-index-v1" +: fp)
-    graft.core.TableRef(ops.store.memoized(op) {
-      ops.fromDataFrame(quantized(s, dir), Seq("vec_id")).hash
-    })
   }
 
   /** Native codegen'd dot product (graft.functions.DotProductLong) —
@@ -335,33 +341,100 @@ object Vectors {
     * reads nprobe partitions instead of the corpus. */
   val IvfProbes = 2
 
+  /** The deterministic centroid set (every corpus vec_id ≡ 5 mod 10) and
+    * integer-squared-L2 cell assignment shared by [[simAnnIvf]] and the
+    * graft-table-served [[simAnnIvfIndexed]] — ONE assignment rule, so
+    * the two variants agree by construction. */
+  private def ivfCents(v: DataFrame): DataFrame =
+    v.where(col("vec_id") >= 10 && col("vec_id") % 10 === 5)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("nq").as("cn"))
+
+  private def nearestCellsTo(cents: DataFrame, side: DataFrame,
+      keep: Int): DataFrame = {
+    val d2 = (col("nq") + col("cn") - lit(2L) * dot(col("q"), col("cq"))).as("d2")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    side.join(broadcast(cents))
+      .select(side.columns.map(col) :+ col("c_id") :+ d2: _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= keep)
+  }
+
+  /** Probe side: each query's [[IvfProbes]] nearest cells. */
+  private def ivfProbes(v: DataFrame): DataFrame =
+    nearestCellsTo(ivfCents(v), v.where(col("vec_id") < 10), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qn"), col("c_id").as("cell"))
+
+  /** Exact cosine re-rank of cell-matched (probe, member) candidates →
+    * top-3 per query. */
+  private def ivfRerank(assigned: DataFrame, probes: DataFrame): DataFrame = {
+    val scored = assigned.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qq"), col("q")) /
+          sqrt(col("qn").cast("double") * col("nq"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = quantized(s, dir)
-    val cents = v.where($"vec_id" >= 10 && $"vec_id" % 10 === 5)
-      .select($"vec_id".as("c_id"), $"q".as("cq"), $"nq".as("cn"))
-    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
-      val d2 = (col("nq") + col("cn") - lit(2L) * dot(col("q"), col("cq"))).as("d2")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
-      side.join(broadcast(cents))
-        .select(side.columns.map(col) :+ col("c_id") :+ d2: _*)
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= keep)
-    }
-    val assigned = nearestCells(v.where($"vec_id" >= 10), 1)
+    val assigned = nearestCellsTo(ivfCents(v), v.where($"vec_id" >= 10), 1)
       .select($"vec_id", $"q", $"nq", $"c_id".as("cell"))
-    val probes = nearestCells(v.where($"vec_id" < 10), IvfProbes)
-      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nq".as("qn"),
-        $"c_id".as("cell"))
-    val scored = assigned.join(broadcast(probes), "cell")
-      .select($"query_id", $"vec_id",
-        (dot($"qq", $"q") / sqrt($"qn".cast("double") * $"nq")).as("cos"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    scored.withColumn("rank", row_number().over(w))
-      .where($"rank" <= 3)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
-      .orderBy($"query_id", $"rank")
+    ivfRerank(assigned, ivfProbes(v))
   }
+
+  /** The IVF corpus as a canonical graft table keyed by `(cell, vec_id)`
+    * — "cell becomes the partition key" (SCALE.md) made literal. Build
+    * is memoized on the source fingerprint: an unchanged corpus is a
+    * pure memo hit (no read, no write, same table hash), and the table
+    * is content-addressed, so it replicates to serving stores and
+    * participates in GC like any other graft table. */
+  def ivfIndexTable(ops: graft.core.Ops, s: SparkSession,
+      dir: String): graft.core.TableRef = {
+    val op = graft.core.Hashing.opHash(
+      "graft-ann-ivf-index-v1" +: sourceFingerprint(dir))
+    graft.core.TableRef(ops.store.memoized(op) {
+      val v = quantized(s, dir)
+      val assigned = nearestCellsTo(ivfCents(v), v.where(col("vec_id") >= 10), 1)
+        .select(col("c_id").as("cell"), col("vec_id"), col("q"), col("nq"))
+      ops.fromDataFrame(assigned, Seq("cell", "vec_id")).hash
+    })
+  }
+
+  /** [[simAnnIvf]] SERVED from the [[ivfIndexTable]] graft table: the
+    * probe's candidate read is `scan(index) WHERE cell IN (probe
+    * cells)`, which [[graft.core.GraftFileIndex]] prunes to the chunk
+    * FILES overlapping those cells at planning time — a probe reads
+    * nprobe cells' chunks, not the corpus, exactly the access path a
+    * 100 TB serving store would take. The probe-cell list is
+    * metadata-sized (queries × nprobe ids, like the k-means model), the
+    * ONLY driver round-trip. Results are identical to [[simAnnIvf]] by
+    * construction (same centroids, same assignment, same re-rank), so
+    * the same oracle covers both. */
+  def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (ops, ref) = indexedStores.getOrElseUpdate((s, dir), {
+      val store = new graft.core.FsStore(
+        java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString)
+      val ops = new graft.core.Ops(s, store, IvfIndexChunkRows)
+      (ops, ivfIndexTable(ops, s, dir))
+    })
+    val probes = ivfProbes(quantized(s, dir))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = ops.scan(ref).where(col("cell").isin(probeCells: _*))
+    ivfRerank(assigned, probes)
+  }
+
+  /** Small chunk target so the index spans many chunk files even at test
+    * scale — at 100 TB this is the usual 64–256 MB chunk sizing. */
+  val IvfIndexChunkRows = 64L
+
+  private val indexedStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.core.Ops, graft.core.TableRef)]
 
   /** Distributed Lloyd k-means over the quantized vectors — the
     * production centroid source for IVF (the deterministic-pick variant
@@ -727,6 +800,7 @@ object Vectors {
     "sim_neardup_exact" -> (simNeardupExact _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -737,6 +811,9 @@ object Vectors {
     "sim_neardup" -> simNeardupSql,
     "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,
+    // identical semantics by construction — the indexed variant changes
+    // the ACCESS PATH (graft-table chunk pruning), not the result
+    "sim_ann_ivf_indexed" -> simAnnIvfSql,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "multimodal_meta" -> multimodalMetaSql,

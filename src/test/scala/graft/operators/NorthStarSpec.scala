@@ -247,6 +247,38 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ops.store.stats.snapshot("chunkSaves") <= 2, "edge-only rewrite")
   }
 
+  test("sim_ann_ivf_indexed: equals the plain variant; probe scan prunes chunk files") {
+    import graft.core._
+    // identical results by construction (shared centroids/assignment/rerank)
+    val plain = Vectors.simAnnIvf(spark, sf).collect().map(_.toString).toSeq
+    val indexed = Vectors.simAnnIvfIndexed(spark, sf).collect().map(_.toString).toSeq
+    assert(indexed == plain, "indexed IVF must equal the broadcast-join IVF")
+
+    // the probe read is chunk-pruned: the cell IN-list lists fewer files
+    // than the full index
+    val ops = new Ops(spark,
+      new FsStore(java.nio.file.Files.createTempDirectory("graft-ivfq-").toString),
+      Vectors.IvfIndexChunkRows)
+    val ref = Vectors.ivfIndexTable(ops, spark, sf)
+    val m = ops.meta(ref)
+    val total = m.chunks.length
+    assert(total > 4, s"index should span several chunks, got $total")
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val cellAttr = AttributeReference("cell", LongType, nullable = false)()
+    val idx = new GraftFileIndex(spark, ops.store, m)
+    // centroid ids are corpus vec_ids ≡ 5 (mod 10), so 15/25 are real cells
+    val listed = idx.listFiles(Nil,
+      Seq(In(cellAttr, Seq(Literal(15L), Literal(25L))))).map(_.files.length).sum
+    assert(listed < total, s"IN-probe listed $listed of $total chunk files")
+
+    // unchanged corpus ⇒ index rebuild is a pure memo hit
+    ops.store.stats.reset()
+    assert(Vectors.ivfIndexTable(ops, spark, sf) == ref)
+    assert(ops.store.stats.memoHits.get > 0 &&
+      ops.store.stats.chunkSaves.get == 0, "rebuild must be a memo hit")
+  }
+
   test("bloom prefilter keeps all matches and prunes most non-matches") {
     import spark.implicits._
     val fact = spark.range(0, 100000).select(($"id" % 10000).as("k"), $"id".as("v"))
