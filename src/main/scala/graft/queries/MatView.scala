@@ -207,14 +207,131 @@ object MatView {
        |       CAST(SUM(qty) AS BIGINT) AS sum_qty
        |FROM u1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** `MERGE INTO` end-to-end (round-5): CTAS, then ONE statement carrying
+    * all three action families — conditional DELETE, both-sides UPDATE
+    * expression, conditional INSERT — executed as the chunk-pruned
+    * envelope splice (Merge.scala), then an aggregate readback. The
+    * DuckDB oracle replays the standard MERGE semantics as a LEFT-JOIN
+    * pair (survivors + inserts). The source mixes matching keys (updates
+    * and deletes, drawn from the table itself) with novel keys (inserts,
+    * half filtered out by the NOT MATCHED condition). */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-merge-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"), col("o_orderstatus"))
+      .createOrReplaceTempView("orders_m_src")
+    run("CREATE TABLE ords PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_m_src")
+
+    run("""MERGE INTO ords AS t USING (
+      SELECT o_orderkey AS k, price_c AS p FROM ords WHERE o_orderkey % 12 = 2
+      UNION ALL
+      SELECT o_orderkey + 50000000 AS k, price_c AS p FROM ords WHERE o_orderkey % 20 = 2
+    ) AS s ON t.o_orderkey = s.k
+    WHEN MATCHED AND s.p > 20000000 THEN DELETE
+    WHEN MATCHED THEN UPDATE SET price_c = t.price_c + s.p div 100
+    WHEN NOT MATCHED AND s.p % 2 = 0 THEN
+      INSERT (o_orderkey, o_custkey, price_c, o_orderstatus) VALUES (s.k, 0, s.p, 'M')""")
+
+    val Left(out) = run(
+      "SELECT o_orderstatus, COUNT(*) AS n, SUM(price_c) AS total_c, " +
+        "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
+        "FROM ords GROUP BY o_orderstatus ORDER BY o_orderstatus"): @unchecked
+    out
+  }
+
+  val sqlMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c, o_orderstatus
+       |  FROM orders WHERE o_orderkey % 4 = 2),
+       |src AS (
+       |  SELECT o_orderkey AS k, price_c AS p FROM base WHERE o_orderkey % 12 = 2
+       |  UNION ALL
+       |  SELECT o_orderkey + 50000000 AS k, price_c AS p FROM base WHERE o_orderkey % 20 = 2),
+       |merged AS (
+       |  SELECT t.o_orderkey, t.o_custkey,
+       |         CASE WHEN s.k IS NOT NULL AND NOT (s.p > 20000000)
+       |              THEN t.price_c + s.p // 100 ELSE t.price_c END AS price_c,
+       |         t.o_orderstatus
+       |  FROM base t LEFT JOIN src s ON t.o_orderkey = s.k
+       |  WHERE NOT coalesce(s.p > 20000000, false)
+       |  UNION ALL
+       |  SELECT s.k AS o_orderkey, 0 AS o_custkey, s.p AS price_c, 'M' AS o_orderstatus
+       |  FROM src s LEFT JOIN base t ON t.o_orderkey = s.k
+       |  WHERE t.o_orderkey IS NULL AND s.p % 2 = 0)
+       |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Time-travel reads end-to-end (round-5 `VERSION AS OF`): CTAS
+    * captures its root hash, DML moves the table forward, then ONE
+    * SELECT joins the CURRENT version to the table's own PAST (no
+    * RESTORE/CHECKOUT — pointers never move) and classifies every row
+    * as added/changed/same. The DuckDB oracle replays the delta
+    * algebraically (base vs base+DML). */
+  def sqlHistory(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-hist-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 3)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_h_src")
+    val Right(v1) = run(
+      "CREATE TABLE hist PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_h_src"): @unchecked
+
+    // leading-key-range UPDATE (incremental fast path) + INSERT delta
+    run("UPDATE hist SET price_c = price_c + 9 WHERE o_orderkey >= 400 AND o_orderkey < 2000")
+    run("INSERT INTO hist SELECT o_orderkey + 90000000, price_c FROM hist WHERE o_orderkey % 16 = 3")
+
+    val Left(out) = run(
+      s"""SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+         |            WHEN cur.price_c <> old.price_c THEN 'changed' ELSE 'same' END AS status,
+         |       COUNT(*) AS n, SUM(cur.price_c) AS total_c
+         |FROM hist cur LEFT JOIN hist VERSION AS OF '$v1' old
+         |  ON cur.o_orderkey = old.o_orderkey
+         |GROUP BY status ORDER BY status""".stripMargin): @unchecked
+    out
+  }
+
+  val sqlHistorySql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 4 = 3),
+       |upd AS (
+       |  SELECT o_orderkey, CASE WHEN o_orderkey >= 400 AND o_orderkey < 2000
+       |         THEN price_c + 9 ELSE price_c END AS price_c FROM base),
+       |cur AS (
+       |  SELECT * FROM upd
+       |  UNION ALL
+       |  SELECT o_orderkey + 90000000, price_c FROM upd WHERE o_orderkey % 16 = 3)
+       |SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+       |            WHEN cur.price_c <> old.price_c THEN 'changed' ELSE 'same' END AS status,
+       |       COUNT(*) AS n, CAST(SUM(cur.price_c) AS BIGINT) AS total_c
+       |FROM cur LEFT JOIN base old ON cur.o_orderkey = old.o_orderkey
+       |GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
     "sql_matview_avg" -> (sqlMatviewAvg _),
-    "sql_dml" -> (sqlDml _))
+    "sql_dml" -> (sqlDml _),
+    "sql_merge" -> (sqlMerge _),
+    "sql_history" -> (sqlHistory _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
     "sql_matview_avg" -> sqlMatviewAvgSql,
-    "sql_dml" -> sqlDmlSql)
+    "sql_dml" -> sqlDmlSql,
+    "sql_merge" -> sqlMergeSql,
+    "sql_history" -> sqlHistorySql)
 }

@@ -188,6 +188,11 @@ object GraftSql {
   private val renameTailRe = """(?is)^("?\w+"?)\s+to\s+("?\w+"?)$""".r
   private val showVersionsRe =
     """(?is)^\s*show\s+versions\s*(?:limit\s+(\d+))?\s*$""".r
+  private val showTablesRe = """(?is)^\s*show\s+tables\s*$""".r
+  private val describeRe =
+    """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?("?[\w.]+"?)\s*$""".r
+  private val vacuumRe =
+    """(?is)^\s*vacuum\s*(?:keep\s+(\d+)|prune\s+history)?\s*$""".r
   private val restoreRe = ("""(?is)^\s*restore\s+table\s+("?[\w.]+"?)\s+""" +
     """version\s+as\s+of\s+'([0-9a-f]+)'\s*$""").r
   private val checkoutRe = """(?is)^\s*checkout\s+'([0-9a-f]+)'\s*$""".r
@@ -551,6 +556,67 @@ object GraftSql {
         }
         val out = ops.transform(ref, transform, graft.core.FoldSpec.FoldLast)
         Right(catalog.put(name, out, declared = Some(newDeclared)))
+      case showTablesRe() =>
+        // `SHOW TABLES`: names + key columns + size from chunk METADATA
+        // (no data read — counts come from the chunk index)
+        val rows = catalog.root.toSeq.sortBy(_._1).map { case (name, e) =>
+          val m = ops.meta(graft.core.TableRef(e.tableHash))
+          Row(name, e.keyCols.mkString(","), m.rows, m.chunks.length.toLong,
+            catalog.viewDefs.contains(name))
+        }
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("key_cols", StringType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("chunks", LongType, nullable = false),
+          StructField("is_view", BooleanType, nullable = false)))
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema))
+      case describeRe(rawName) =>
+        // `DESCRIBE [TABLE] t`: columns in DECLARED order with key marks
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        val s = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val rows = entry.declaredCols.map { c =>
+          val f = s(s.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+          Row(f.name, f.dataType.sql.toLowerCase, f.nullable,
+            entry.keyCols.contains(f.name))
+        }
+        val outSchema = StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("nullable", BooleanType, nullable = false),
+          StructField("key", BooleanType, nullable = false)))
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), outSchema))
+      case vacuumRe(keepRaw) =>
+        // `VACUUM [KEEP n | PRUNE HISTORY]`: mark-and-sweep GC as a SQL
+        // statement (snapshot-expiry maintenance). Default keeps every
+        // version in the root log (collects only unreachable objects);
+        // KEEP n is the retention policy; PRUNE HISTORY keeps only the
+        // current root. Mutates the store, mints no root; returns the
+        // kept/deleted counts.
+        val t = sqlText.trim.toLowerCase
+        val keep =
+          if (t.contains("prune")) Seq.empty[String]
+          else Option(keepRaw) match {
+            case Some(n) => catalog.log(n.toInt)
+            case None => catalog.log(Int.MaxValue)
+          }
+        val s = graft.core.Gc.run(ops.store, keep)
+        val outSchema = StructType(Seq(
+          StructField("kept_roots", LongType, nullable = false),
+          StructField("kept_tables", LongType, nullable = false),
+          StructField("kept_chunks", LongType, nullable = false),
+          StructField("deleted_roots", LongType, nullable = false),
+          StructField("deleted_tables", LongType, nullable = false),
+          StructField("deleted_chunks", LongType, nullable = false),
+          StructField("deleted_memos", LongType, nullable = false)))
+        Left(spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(
+          s.keptRoots.toLong, s.keptTables.toLong, s.keptChunks.toLong,
+          s.deletedRoots.toLong, s.deletedTables.toLong,
+          s.deletedChunks.toLong, s.deletedMemos.toLong)), 1), outSchema))
       case showVersionsRe(limitRaw) =>
         // `SHOW VERSIONS [LIMIT n]`: the git-like root history, newest
         // first (every statement minted one; old roots stay addressable)
@@ -589,15 +655,42 @@ object GraftSql {
           throw new SqlException(s"no such version: $rootHash")
         catalog.checkout(rootHash)
         Right(rootHash)
+      case t if Merge.matches(t) =>
+        Merge.execute(spark, ops, catalog, t, () => registerViews())
       case t if t.toLowerCase.startsWith("create table") =>
         val ct = parseCreateTable(sqlText)
         val ref = ops.emptyTable(ct.schema, ct.keyCols)
         Right(catalog.put(ct.name, ref, declared = Some(ct.schema.fieldNames.toSeq)))
       case _ =>
         registerViews()
-        Left(spark.sql(sqlText))
+        Left(spark.sql(rewriteVersionAsOf(spark, ops, catalog, sqlText)))
     }
   }
+
+  private val versionAsOfRe =
+    """(?is)("?[\w.]+"?)\s+version\s+as\s+of\s+'([0-9a-f]+)'""".r
+
+  /** Time-travel READS: `SELECT ... FROM t VERSION AS OF '<root>'`.
+    * Each occurrence registers a temp view over the table's version at
+    * that root and the reference rewrites to it — content addressing
+    * makes this free (the old version's chunks are still in the store;
+    * reading them is just a scan of an older meta). Complements
+    * RESTORE/CHECKOUT, which move pointers: VERSION AS OF moves nothing.
+    * Joining a table to its own past (`FROM t JOIN t VERSION AS OF '..'`)
+    * works — the rewrite leaves the current-version reference alone. */
+  private def rewriteVersionAsOf(spark: SparkSession, ops: Ops,
+      catalog: Catalog, sqlText: String): String =
+    versionAsOfRe.replaceAllIn(sqlText, m => {
+      val name = unquote(m.group(1))
+      val rootHash = m.group(2)
+      if (!ops.store.hasRoot(rootHash))
+        throw new SqlException(s"no such version: $rootHash")
+      val e = catalog.rootAt(rootHash).getOrElse(name,
+        throw new SqlException(s"table $name does not exist in version $rootHash"))
+      val view = s"${name}__v_${rootHash.take(12)}"
+      ops.scan(graft.core.TableRef(e.tableHash)).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
 
   private val betweenRe =
     """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r

@@ -1,0 +1,363 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, DataType}
+import graft.core.{Bound, Catalog, FoldSpec, Ops, TableRef}
+import GraftSql.SqlException
+
+/** `MERGE INTO` — the lakehouse upsert statement, executed as a SPLICE
+  * over the incremental table algebra.
+  *
+  * The reference has no MERGE (its SQL surface is CREATE TABLE only,
+  * /root/reference/messdb-sql/src/MessDB/SQL.hs:21-26); this is the
+  * dialect extension every warehouse user reaches for first. Semantics
+  * follow the standard:
+  *
+  * {{{
+  * MERGE INTO t [AS] a USING (<query> | table) [AS] b ON a.k = b.k [AND ...]
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...
+  *   WHEN MATCHED [AND cond] THEN DELETE
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT *
+  * }}}
+  *
+  * ON must be an equality on the target's FULL primary key (our tables
+  * are keyed maps — a non-key merge has no single-row match semantics).
+  * Clauses apply first-match-wins per row, standard order: a matched
+  * target row with no applicable clause stays; a source row with no
+  * applicable NOT MATCHED clause is ignored. Duplicate or null source
+  * keys are an error (the standard's "cannot update the same row twice").
+  *
+  * Execution is the Delta-style touched-region rewrite, expressed in the
+  * memoized algebra:
+  *
+  *  1. ONE small aggregation over the source computes row count, key
+  *     uniqueness, and the key ENVELOPE [lo, hi] (min/max key tuple).
+  *  2. The target restricted to the envelope (`rangeFilter` — chunk
+  *     pruning by metadata, at most two edge rewrites) FULL OUTER joins
+  *     the source on the key; per-clause CASE logic computes each output
+  *     row (update / delete / insert / keep).
+  *  3. The result splices back: `deleteRange(target, lo..hi)` (the
+  *     complement — metadata + two edge chunks) merged with the rebuilt
+  *     region under the region-memoized merge.
+  *
+  * Chunks outside the envelope pass through VERBATIM — the new version
+  * shares their objects, so replication/diff/GC see only the touched
+  * range. Data read is O(envelope + source), not O(table): a merge of
+  * time-ordered deltas (the common append-mostly shape) touches only the
+  * tail; a key-scattered source degrades to the full range, exactly like
+  * Delta/Iceberg MERGE on unclustered keys. A no-op merge (empty source,
+  * or every row keeping its value) mints no new root.
+  */
+object Merge {
+
+  private sealed trait Action
+  private final case class Update(assigns: Seq[(String, String)]) extends Action
+  private case object Delete extends Action
+  /** cols/exprs None ⇒ INSERT * (source columns by name; key columns via
+    * the ON mapping). */
+  private final case class Insert(cols: Option[Seq[String]],
+      exprs: Seq[String]) extends Action
+  private final case class Clause(matched: Boolean, cond: Option[String],
+      action: Action)
+
+  private final case class Parsed(target: String, tAlias: String,
+      sourceSql: String, sAlias: String, onPairs: Seq[(String, String)],
+      clauses: Seq[Clause])
+
+  private def unq(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+
+  private val headRe =
+    """(?is)^\s*merge\s+into\s+("?[\w.]+"?)\s*(?:(?:as\s+)?(?!using\b)("?\w+"?)\s+)?using\s+(.*)$""".r
+  private val namedSrcRe =
+    """(?is)^("?[\w.]+"?)\s*(?:(?:as\s+)?(?!on\b)("?\w+"?)\s+)?on\s+(.*)$""".r
+  private val subAliasRe = """(?is)^\s*(?:as\s+)?("?\w+"?)\s+on\s+(.*)$""".r
+  private val onEqRe =
+    """(?s)^\s*(\w+)\s*\.\s*("?\w+"?)\s*=\s*(\w+)\s*\.\s*("?\w+"?)\s*$""".r
+  private val clauseHeadRe = """(?is)^\s*(not\s+)?matched\s*(?:\s+and\s+(.+?))?\s*$""".r
+  private val updateActRe = """(?is)^\s*update\s+set\s+(.+)$""".r
+  private val deleteActRe = """(?is)^\s*delete\s*$""".r
+  private val insertStarRe = """(?is)^\s*insert\s+\*\s*$""".r
+  private val insertActRe =
+    """(?is)^\s*insert\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$""".r
+  private val assignRe = """(?s)^\s*(?:(\w+)\s*\.\s*)?("?\w+"?)\s*=\s*(.+?)\s*$""".r
+
+  def matches(sqlText: String): Boolean =
+    sqlText.matches("""(?is)^\s*merge\s+into\b.*""")
+
+  /** Index of the ')' matching the '(' at position 0 (quote-aware). */
+  private def matchParen(s: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (quote != '`' && c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new SqlException("unbalanced parentheses in MERGE USING")
+  }
+
+  private def parse(sqlText: String): Parsed = {
+    // split on top-level WHEN; fragments not starting a clause (a CASE
+    // WHEN inside an unparenthesized expression) re-attach to the left
+    val rawParts = GraftSql.splitOnKeyword(sqlText.trim.stripSuffix(";"), "when")
+    val parts = rawParts.tail.foldLeft(Vector(rawParts.head)) { (acc, p) =>
+      if (p.matches("""(?is)^\s*(not\s+)?matched\b.*""")) acc :+ p
+      else acc.init :+ (acc.last + " when " + p)
+    }
+    val (target, tAliasRaw, usingTail) = parts.head match {
+      case headRe(t, a, rest) => (unq(t), Option(a).map(unq), rest)
+      case other => throw new SqlException(s"cannot parse MERGE header: $other")
+    }
+    val (sourceSql, sAlias, onCond) = {
+      val t = usingTail.trim
+      if (t.startsWith("(")) {
+        val close = matchParen(t)
+        t.substring(close + 1) match {
+          case subAliasRe(a, on) => (t.substring(1, close), unq(a), on)
+          case _ => throw new SqlException(
+            "MERGE USING (subquery) requires an alias followed by ON")
+        }
+      } else t match {
+        case namedSrcRe(n, a, on) =>
+          (s"SELECT * FROM ${n}", Option(a).map(unq).getOrElse(unq(n)), on)
+        case _ => throw new SqlException(s"cannot parse MERGE USING: $t")
+      }
+    }
+    val tAlias = tAliasRaw.getOrElse(target)
+    if (tAlias.equalsIgnoreCase(sAlias))
+      throw new SqlException("MERGE target and source aliases must differ")
+    val onPairs = GraftSql.splitOnKeyword(onCond, "and").map(_.trim).map {
+      case onEqRe(a1, c1, a2, c2) =>
+        if (a1.equalsIgnoreCase(tAlias) && a2.equalsIgnoreCase(sAlias))
+          unq(c1) -> unq(c2)
+        else if (a1.equalsIgnoreCase(sAlias) && a2.equalsIgnoreCase(tAlias))
+          unq(c2) -> unq(c1)
+        else throw new SqlException(
+          s"MERGE ON conjunct must equate target and source columns: $a1.$c1 = $a2.$c2")
+      case other => throw new SqlException(
+        s"MERGE ON must be a conjunction of alias.col = alias.col equalities, got: $other")
+    }
+    val clauses = parts.tail.map { c =>
+      // first top-level THEN separates condition from action; CASE WHEN
+      // ... THEN inside the ACTION re-joins below. (A CASE..THEN inside
+      // the clause CONDITION must be parenthesized.)
+      val thenParts = GraftSql.splitOnKeyword(c, "then")
+      if (thenParts.length < 2)
+        throw new SqlException(s"MERGE clause missing THEN: when $c")
+      val head = thenParts.head
+      val act = thenParts.tail.mkString(" then ")
+      val (matched, cond) = head match {
+        case clauseHeadRe(not, cnd) => (not == null, Option(cnd).map(_.trim))
+        case _ => throw new SqlException(
+          s"cannot parse MERGE clause head (parenthesize CASE expressions in conditions): when $head")
+      }
+      val action = act match {
+        case updateActRe(assigns) =>
+          if (!matched) throw new SqlException("WHEN NOT MATCHED cannot UPDATE")
+          Update(GraftSql.splitTopLevel(assigns).map {
+            case assignRe(_, c0, e) => unq(c0) -> e.trim
+            case other => throw new SqlException(s"bad SET clause: $other")
+          })
+        case deleteActRe() =>
+          if (!matched) throw new SqlException("WHEN NOT MATCHED cannot DELETE")
+          Delete
+        case insertStarRe() =>
+          if (matched) throw new SqlException("WHEN MATCHED cannot INSERT")
+          Insert(None, Nil)
+        case insertActRe(cols, exprs) =>
+          if (matched) throw new SqlException("WHEN MATCHED cannot INSERT")
+          Insert(Some(cols.split(",").map(c => unq(c.trim)).toSeq),
+            GraftSql.splitTopLevel(exprs).map(_.trim))
+        case other => throw new SqlException(s"unsupported MERGE action: $other")
+      }
+      Clause(matched, cond, action)
+    }
+    if (clauses.isEmpty)
+      throw new SqlException("MERGE requires at least one WHEN clause")
+    Parsed(target, tAlias, sourceSql, sAlias, onPairs, clauses)
+  }
+
+  def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
+      sqlText: String, registerViews: () => Unit): Either[DataFrame, String] = {
+    val p = parse(sqlText)
+    val entry = catalog.root.getOrElse(p.target,
+      throw new SqlException(s"no such table: ${p.target}"))
+    if (catalog.viewDefs.contains(p.target))
+      throw new SqlException(
+        s"${p.target} is a materialized view: change its defining SELECT instead")
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val keyCols = entry.keyCols
+
+    // resolve ON pairs against the real key set: every PK column exactly
+    // once, nothing else (a partial-key merge has no match semantics)
+    val onMap: Map[String, String] = p.onPairs.map { case (t, s) =>
+      val resolved = keyCols.find(_.equalsIgnoreCase(t)).getOrElse(
+        throw new SqlException(
+          s"MERGE ON column $t is not a primary key column of ${p.target}"))
+      resolved -> s
+    }.toMap
+    if (onMap.size != p.onPairs.length)
+      throw new SqlException("duplicate column in MERGE ON")
+    if (onMap.size != keyCols.length)
+      throw new SqlException(
+        s"MERGE ON must cover the full primary key (${keyCols.mkString(", ")})")
+
+    // UPDATE may not reassign key columns (a key change is a delete +
+    // insert — say what you mean); resolve assignment names now
+    val clauses = p.clauses.map {
+      case cl @ Clause(_, _, Update(assigns)) =>
+        val resolved = assigns.map { case (c, e) =>
+          val r = schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new SqlException(s"UPDATE column $c not in table ${p.target}"))
+          if (keyCols.exists(_.equalsIgnoreCase(r)))
+            throw new SqlException(s"MERGE UPDATE cannot assign key column $r")
+          r -> e
+        }
+        if (resolved.map(_._1).distinct.length != resolved.length)
+          throw new SqlException("duplicate column in MERGE UPDATE SET")
+        cl.copy(action = Update(resolved))
+      case cl @ Clause(_, _, Insert(Some(cols), exprs)) =>
+        val resolved = cols.map { c =>
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new SqlException(s"INSERT column $c not in table ${p.target}"))
+        }
+        if (resolved.distinct.length != resolved.length)
+          throw new SqlException("duplicate column in MERGE INSERT")
+        if (resolved.length != exprs.length)
+          throw new SqlException(
+            s"MERGE INSERT arity ${exprs.length} != column list arity ${resolved.length}")
+        keyCols.foreach { k =>
+          if (!resolved.contains(k)) throw new SqlException(
+            s"MERGE INSERT must provide key column $k")
+        }
+        cl.copy(action = Insert(Some(resolved), exprs))
+      case cl => cl
+    }
+
+    registerViews()
+    val src0 = spark.sql(p.sourceSql)
+    val srcKeyCols = keyCols.map { k =>
+      val sc = onMap(k)
+      src0.columns.find(_.equalsIgnoreCase(sc)).getOrElse(
+        throw new SqlException(s"MERGE source has no column $sc (ON ${k} = $sc)"))
+    }
+    // INSERT * needs every non-key target column present in the source
+    clauses.foreach {
+      case Clause(_, _, Insert(None, _)) =>
+        schema.fieldNames.filterNot(keyCols.contains).foreach { c =>
+          if (!src0.columns.exists(_.equalsIgnoreCase(c)))
+            throw new SqlException(
+              s"MERGE INSERT * requires source column $c")
+        }
+      case _ => ()
+    }
+
+    val src = src0.cache()
+    try {
+      // one small job: count, key uniqueness, null keys, key envelope.
+      // Envelope values are cast to the TARGET key types — Bound encoding
+      // and chunk pruning speak the target's KeyCodec, and a wider-typed
+      // source key must compare in target space.
+      val keyStruct = struct(srcKeyCols.zip(keyCols).map { case (sc, k) =>
+        col(sc).cast(schema(k).dataType) }: _*)
+      val chk = src.agg(count(lit(1)).as("n"),
+        count_distinct(keyStruct).as("nd"),
+        sum(when(srcKeyCols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as("nullkeys"),
+        min(keyStruct).as("lo"), max(keyStruct).as("hi")).head()
+      val n = chk.getLong(0)
+      if (n == 0) // empty source: a no-op mints no root
+        return Right(ops.store.currentRootHash.getOrElse(
+          throw new SqlException("no catalog root")))
+      if (chk.getLong(2) > 0)
+        throw new SqlException("MERGE source has null key values")
+      if (chk.getLong(1) != n)
+        throw new SqlException(
+          "MERGE source has duplicate keys: a target row cannot match twice")
+      val lo = chk.getStruct(3).toSeq
+      val hi = chk.getStruct(4).toSeq
+
+      val tgtRef = TableRef(entry.tableHash)
+      // the touched region: target restricted to the source key envelope
+      // (chunk-pruned; interior chunks pass through to the scan unscanned)
+      val rangeRef = ops.rangeFilter(tgtRef,
+        Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
+      val tA = p.tAlias; val sA = p.sAlias
+      val joined = ops.scan(rangeRef).alias(tA)
+        .join(src.alias(sA),
+          keyCols.map(k => col(s"$tA.`$k`") === col(s"$sA.`${onMap(k)}`"))
+            .reduce(_ && _),
+          "full_outer")
+      // key columns are non-null by construction on both sides, so
+      // presence == a non-null key after the outer join
+      val tPresent = col(s"$tA.`${keyCols.head}`").isNotNull
+      val sPresent = col(s"$sA.`${onMap(keyCols.head)}`").isNotNull
+
+      def condCol(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
+      val matchedCs = clauses.zipWithIndex.filter(_._1.matched)
+      val notMatchedCs = clauses.zipWithIndex.filterNot(_._1.matched)
+      // first-match-wins fate per row; "keep" = target row unchanged,
+      // "drop" = source row with no applicable insert
+      val matchedFate = matchedCs.foldRight(lit("keep")) {
+        case ((cl, i), els) => when(condCol(cl.cond), lit(s"c$i")).otherwise(els)
+      }
+      val notMatchedFate = notMatchedCs.foldRight(lit("drop")) {
+        case ((cl, i), els) => when(condCol(cl.cond), lit(s"c$i")).otherwise(els)
+      }
+      val fateCol = when(tPresent && sPresent, matchedFate)
+        .when(sPresent, notMatchedFate)
+        .otherwise(lit("keep"))
+      val fates = joined.withColumn("__graft_merge_fate", fateCol)
+      val dropped = "drop" +: clauses.zipWithIndex.collect {
+        case (Clause(_, _, Delete), i) => s"c$i"
+      }
+      val kept = fates.where(!col("__graft_merge_fate").isin(dropped: _*))
+
+      val fate = col("__graft_merge_fate")
+      def outCol(f: StructField): Column = {
+        val base: Column = col(s"$tA.`${f.name}`") // fate "keep"
+        val overrides: Seq[(String, Column)] = clauses.zipWithIndex.flatMap {
+          case (Clause(_, _, Update(assigns)), i) =>
+            assigns.toMap.get(f.name).map(e => s"c$i" -> expr(e).cast(f.dataType))
+          case (Clause(_, _, Insert(colsOpt, exprs)), i) =>
+            val v = colsOpt match {
+              case Some(cols) => cols.indexOf(f.name) match {
+                case -1 => lit(null).cast(f.dataType)
+                case j => expr(exprs(j)).cast(f.dataType)
+              }
+              case None => // INSERT *: keys via ON mapping, values by name
+                if (keyCols.contains(f.name)) col(s"$sA.`${onMap(f.name)}`").cast(f.dataType)
+                else col(s"$sA.`${f.name}`").cast(f.dataType)
+            }
+            Some(s"c$i" -> v)
+          case _ => None
+        }
+        overrides.foldRight(base) { case ((tag, v), els) =>
+          when(fate === tag, v).otherwise(els)
+        }.as(f.name)
+      }
+      val projected = kept.select(schema.fields.map(outCol).toIndexedSeq: _*)
+
+      // splice: complement range (metadata + ≤2 edge chunks) merged with
+      // the rebuilt region — chunks outside the envelope pass through
+      // verbatim and the new version shares their objects
+      val regionTable = ops.fromDataFrame(projected, keyCols)
+      val complement = ops.deleteRange(tgtRef,
+        Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
+      val out = ops.merge(Seq(complement, regionTable), FoldSpec.FoldLast)
+      if (out == tgtRef)
+        Right(ops.store.currentRootHash.getOrElse(
+          throw new SqlException("no catalog root")))
+      else Right(catalog.put(p.target, out))
+    } finally { src.unpersist(); () }
+  }
+}

@@ -913,4 +913,182 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       graft.sources.Csv.readNameMatched(spark, dir.resolve("bad.csv").toString, schema)
     }
   }
+
+  test("MERGE INTO: update/delete/insert with conditions, first-match-wins") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE tg (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+    run("INSERT INTO tg SELECT id, id * 10, 'old' FROM range(0, 10)")
+    // matched keys 3..9 (8,9 hit the DELETE condition; 3 hits the
+    // targeted UPDATE; 4..7 the general one); novel keys 10..12 (12
+    // filtered out by the NOT MATCHED condition)
+    run("""MERGE INTO tg AS t USING (
+        SELECT id AS sk, id * 100 AS sv FROM range(3, 13)
+      ) AS s ON t.k = s.sk
+      WHEN MATCHED AND s.sv >= 800 THEN DELETE
+      WHEN MATCHED AND t.v = 30 THEN UPDATE SET v = t.v + s.sv, s = 'thirty'
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED AND s.sv <= 1100 THEN INSERT (k, v, s) VALUES (s.sk, s.sv, 'new')""")
+    val rows = ops.scanOrdered(cat.get("tg").get).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (0L, 0L, "old"), (1L, 10L, "old"), (2L, 20L, "old"),
+      (3L, 330L, "thirty"),
+      (4L, 400L, "old"), (5L, 500L, "old"), (6L, 600L, "old"), (7L, 700L, "old"),
+      (10L, 1000L, "new"), (11L, 1100L, "new")))
+  }
+
+  test("MERGE INTO: envelope splice shares every chunk outside the source key range") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE big (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO big SELECT id, id FROM range(0, 2000)")
+    def chunksOf() = ops.meta(graft.core.TableRef(cat.root("big").tableHash)).chunks
+    val before = chunksOf()
+    assert(before.length > 20, s"fixture spans ${before.length} chunks")
+    ops.store.stats.reset()
+    run("""MERGE INTO big AS t USING (
+        SELECT id AS k2, id * 2 AS v2 FROM range(500, 540)
+      ) AS s ON t.k = s.k2
+      WHEN MATCHED THEN UPDATE SET v = s.v2
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k2, s.v2)""")
+    val after = chunksOf()
+    val beforeSet = before.map(_.hash).toSet
+    val shared = after.count(c => beforeSet(c.hash))
+    assert(shared >= after.length - 6,
+      s"merge must share chunks outside the envelope ($shared of ${after.length})")
+    val saves = ops.store.stats.snapshot("chunkSaves")
+    assert(saves <= 12, s"envelope merge wrote $saves chunks")
+    val m = ops.scanOrdered(cat.get("big").get).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 2000 && m(510L) == 1020L && m(499L) == 499L && m(540L) == 540L)
+  }
+
+  test("MERGE INTO: INSERT * maps keys through ON; no-op merges mint no root") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t3 (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+    run("INSERT INTO t3 SELECT id, id, 'x' FROM range(0, 50)")
+    // INSERT *: key k comes from src.kk via the ON mapping, v/s by name
+    run("""MERGE INTO t3 AS t USING (
+        SELECT id + 100 AS kk, id AS v, 'ins' AS s FROM range(0, 5)
+      ) AS src ON t.k = src.kk
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = ops.scanOrdered(cat.get("t3").get).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 55 && got.takeRight(5).toSeq ==
+      (0L until 5L).map(i => (i + 100L, i, "ins")))
+
+    // empty source: no root minted
+    val root1 = ops.store.currentRootHash
+    run("""MERGE INTO t3 AS t USING (
+        SELECT id AS kk, id AS v, 'y' AS s FROM range(0, 0)
+      ) AS src ON t.k = src.kk
+      WHEN MATCHED THEN UPDATE SET v = src.v""")
+    assert(ops.store.currentRootHash == root1, "empty-source MERGE minted a root")
+    // identity update: content unchanged ⇒ same table hash ⇒ no root
+    run("""MERGE INTO t3 AS t USING (
+        SELECT id AS kk FROM range(5, 10)
+      ) AS src ON t.k = src.kk
+      WHEN MATCHED THEN UPDATE SET v = t.v""")
+    assert(ops.store.currentRootHash == root1, "identity MERGE minted a root")
+  }
+
+  test("MERGE INTO rejections: dup/null keys, partial ON, key assignment, bad clauses") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE r2 (k1 bigint PRIMARY KEY, k2 bigint PRIMARY KEY, v bigint)")
+    run("INSERT INTO r2 SELECT id, id, id FROM range(0, 10)")
+    def bad(sql: String): Unit = assertThrows[GraftSql.SqlException](run(sql))
+    // duplicate source keys: a target row cannot match twice
+    bad("""MERGE INTO r2 AS t USING (
+        SELECT 1 AS a, 1 AS b, 9 AS v UNION ALL SELECT 1, 1, 8
+      ) AS s ON t.k1 = s.a AND t.k2 = s.b
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    // null source key
+    bad("""MERGE INTO r2 AS t USING (
+        SELECT CAST(NULL AS BIGINT) AS a, 1 AS b, 9 AS v
+      ) AS s ON t.k1 = s.a AND t.k2 = s.b
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    // ON must cover the FULL primary key
+    bad("""MERGE INTO r2 AS t USING (SELECT 1 AS a, 2 AS v) AS s ON t.k1 = s.a
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    // UPDATE may not assign a key column
+    bad("""MERGE INTO r2 AS t USING (SELECT 1 AS a, 1 AS b) AS s
+      ON t.k1 = s.a AND t.k2 = s.b
+      WHEN MATCHED THEN UPDATE SET k2 = 5""")
+    // INSERT must provide every key column
+    bad("""MERGE INTO r2 AS t USING (SELECT 99 AS a, 99 AS b) AS s
+      ON t.k1 = s.a AND t.k2 = s.b
+      WHEN NOT MATCHED THEN INSERT (k1, v) VALUES (s.a, 1)""")
+    // action/clause polarity
+    bad("""MERGE INTO r2 AS t USING (SELECT 1 AS a, 1 AS b) AS s
+      ON t.k1 = s.a AND t.k2 = s.b
+      WHEN NOT MATCHED THEN DELETE""")
+    bad("""MERGE INTO r2 AS t USING (SELECT 1 AS a, 1 AS b) AS s
+      ON t.k1 = s.a AND t.k2 = s.b
+      WHEN MATCHED THEN INSERT (k1, k2, v) VALUES (1, 1, 1)""")
+    // a CASE WHEN inside an UPDATE expression must not break clause splits
+    run("""MERGE INTO r2 AS t USING (SELECT 2 AS a, 2 AS b, 7 AS sv) AS s
+      ON t.k1 = s.a AND t.k2 = s.b
+      WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.sv > 5 THEN s.sv ELSE t.v END""")
+    val v2 = ops.scanOrdered(cat.get("r2").get).collect()
+      .find(_.getLong(0) == 2L).get.getLong(2)
+    assert(v2 == 7L)
+  }
+
+  test("SELECT ... VERSION AS OF reads old versions without moving any pointer") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE kv2 (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO kv2 SELECT id, id FROM range(0, 20)")
+    val v1root = ops.store.currentRootHash.get
+    run("UPDATE kv2 SET v = v + 1000 WHERE k >= 0 AND k < 10")
+    run("INSERT INTO kv2 SELECT id, id FROM range(20, 25)")
+    val curRoot = ops.store.currentRootHash.get
+
+    val Left(old) = run(
+      s"SELECT k, v FROM kv2 VERSION AS OF '$v1root' ORDER BY k"): @unchecked
+    assert(old.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 20L).map(i => (i, i)))
+    // join the table to its own past: the rewrite leaves `cur` alone
+    val Left(joined) = run(
+      s"""SELECT cur.k, cur.v - old.v AS dv
+         |FROM kv2 cur JOIN kv2 VERSION AS OF '$v1root' old ON cur.k = old.k
+         |WHERE cur.v <> old.v ORDER BY cur.k""".stripMargin): @unchecked
+    assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 10L).map(i => (i, 1000L)))
+    // reads mint nothing and move nothing
+    assert(ops.store.currentRootHash.contains(curRoot))
+    assertThrows[GraftSql.SqlException](
+      run("SELECT * FROM kv2 VERSION AS OF 'deadbeef'"))
+  }
+
+  test("SHOW TABLES / DESCRIBE / VACUUM surface the catalog and GC in SQL") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE a1 (k bigint PRIMARY KEY, v text)")
+    run("INSERT INTO a1 SELECT id, 'x' FROM range(0, 10)")
+    run("CREATE TABLE b2 (k bigint PRIMARY KEY, w bigint NOT NULL)")
+    val Left(st) = run("SHOW TABLES"): @unchecked
+    assert(st.collect().map(r => (r.getString(0), r.getLong(2))).toMap ==
+      Map("a1" -> 10L, "b2" -> 0L))
+    val Left(d) = run("DESCRIBE a1"): @unchecked
+    assert(d.collect().map(r =>
+      (r.getString(0), r.getBoolean(2), r.getBoolean(3))).toSeq ==
+      Seq(("k", false, true), ("v", true, false)))
+    assertThrows[GraftSql.SqlException](run("DESCRIBE nope"))
+
+    // VACUUM KEEP 1: earlier versions collected, current data intact
+    run("UPDATE a1 SET v = 'y' WHERE k >= 0 AND k < 5")
+    val Left(g) = run("VACUUM KEEP 1"): @unchecked
+    val gr = g.head()
+    assert(gr.getLong(0) == 1L, s"kept_roots = ${gr.getLong(0)}")
+    assert(gr.getLong(3) >= 2L, s"deleted_roots = ${gr.getLong(3)}")
+    assert(ops.scan(cat.get("a1").get).count() == 10)
+    assert(ops.scan(cat.get("a1").get).where(org.apache.spark.sql.functions
+      .col("v") === "y").count() == 5)
+    val Left(v) = run("SHOW VERSIONS"): @unchecked
+    assert(v.count() == 1, "history beyond the kept root must be gone")
+  }
 }
