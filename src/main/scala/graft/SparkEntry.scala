@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.queries ++ TpchRest.queries ++ Joins.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ Events.queries ++
       Sketches.queries ++ Subqueries.queries ++ Generators.queries ++
-      MatView.queries ++
+      MatView.queries ++ Cluster.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
       operators.Vectors.queries ++ operators.Pipeline.queries
 
@@ -31,7 +31,7 @@ object SparkEntry {
     Relational.oracles ++ TpchRest.oracles ++ Joins.oracles ++ Windows.oracles ++
       SetOps.oracles ++ Scalars.oracles ++ Events.oracles ++
       Sketches.oracles ++ Subqueries.oracles ++ Generators.oracles ++
-      MatView.oracles ++
+      MatView.oracles ++ Cluster.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
       operators.Vectors.oracles ++ operators.Pipeline.oracles
 }

@@ -165,6 +165,13 @@ object Canonical {
   /** The oversize sentinel in chunkDigests output: nulls == -1 means
     * "no stats for this column in this chunk". */
   private[core] val StatsDropped = -1L
+  /** Chunk-dictionary cap ([[ColStats.dictHex]]): a stat column holding
+    * at most this many distinct non-null values in a chunk records the
+    * complete value set. 8 values × ≤64 B × ≤16 columns ≤ 8 KB of
+    * metadata per chunk worst-case — bounded at any table size — while
+    * covering the categorical columns (status flags, enum codes,
+    * partition-ish labels) where the [min,max] envelope never prunes. */
+  private[core] val DictMaxValues = 8
 
   /** Per-chunk digests + zone maps in ONE sorted pass. Stats come FREE
     * out of the row bytes: `rb` is the concatenation of the per-column
@@ -193,7 +200,8 @@ object Canonical {
         StructField("rows", LongType), StructField("hash", StringType)) ++
       (0 until nStats).flatMap(i => Seq(
         StructField(s"smin$i", BinaryType), StructField(s"smax$i", BinaryType),
-        StructField(s"snulls$i", LongType))))
+        StructField(s"snulls$i", LongType),
+        StructField(s"sdict$i", ArrayType(BinaryType)))))
     val enc = RowEncoder.encoderFor(outSchema)
     // unsigned lexicographic compare of rb[from,to) vs a retained extreme
     def cmpRange(rb: Array[Byte], from: Int, to: Int, other: Array[Byte]): Int = {
@@ -222,6 +230,11 @@ object Canonical {
             val maxs = Array.fill[Array[Byte]](nStats)(null)
             val nulls = Array.fill[Long](nStats)(0L)
             val dead = Array.fill[Boolean](nStats)(false)
+            // chunk dictionary: distinct encodings up to DictMaxValues,
+            // then the column's dictionary (only) goes dead
+            val dicts = Array.fill(nStats)(
+              new scala.collection.mutable.ArrayBuffer[Array[Byte]](DictMaxValues))
+            val dictDead = Array.fill[Boolean](nStats)(false)
             while (base.hasNext && gIdx.map(base.head.get) == key) {
               val r = base.next()
               val rb = r.getAs[Array[Byte]](rbIdx)
@@ -245,6 +258,16 @@ object Canonical {
                         mins(i) = java.util.Arrays.copyOfRange(rb, from, to)
                       if (maxs(i) == null || cmpRange(rb, from, to, maxs(i)) > 0)
                         maxs(i) = java.util.Arrays.copyOfRange(rb, from, to)
+                      if (!dictDead(i)) {
+                        val buf = dicts(i)
+                        var j = 0
+                        while (j < buf.length && cmpRange(rb, from, to, buf(j)) != 0)
+                          j += 1
+                        if (j == buf.length) {
+                          if (buf.length >= DictMaxValues) dictDead(i) = true
+                          else buf += java.util.Arrays.copyOfRange(rb, from, to)
+                        }
+                      }
                     }
                   }
                   i += 1
@@ -252,8 +275,13 @@ object Canonical {
               }
             }
             val statOut = (0 until nStats).flatMap { i =>
-              if (dead(i)) Seq(null, null, StatsDropped)
-              else Seq(mins(i), maxs(i), nulls(i))
+              if (dead(i)) Seq(null, null, StatsDropped, null)
+              else Seq(mins(i), maxs(i), nulls(i),
+                // sorted for a canonical meta encoding (insertion order
+                // is already deterministic — rows arrive rb-sorted —
+                // but the sorted set is the natural identity)
+                if (dictDead(i)) null
+                else dicts(i).sortWith(Hashing.compareBytes(_, _) < 0).toSeq)
             }
             Row.fromSeq(key ++ Seq(minKb, maxKb, n, Hashing.hex(md.digest())) ++ statOut)
           }
@@ -265,12 +293,14 @@ object Canonical {
   private def statsOfRow(r: Row, statCols: Seq[String], baseIdx: Int)
       : Map[String, ColStats] =
     statCols.zipWithIndex.flatMap { case (c, i) =>
-      val nulls = r.getLong(baseIdx + 3 * i + 2)
+      val nulls = r.getLong(baseIdx + 4 * i + 2)
       if (nulls == StatsDropped) None
       else Some(c -> ColStats(
-        Option(r.getAs[Array[Byte]](baseIdx + 3 * i)).map(Hashing.hex),
-        Option(r.getAs[Array[Byte]](baseIdx + 3 * i + 1)).map(Hashing.hex),
-        nulls))
+        Option(r.getAs[Array[Byte]](baseIdx + 4 * i)).map(Hashing.hex),
+        Option(r.getAs[Array[Byte]](baseIdx + 4 * i + 1)).map(Hashing.hex),
+        nulls,
+        Option(r.getAs[scala.collection.Seq[Array[Byte]]](baseIdx + 4 * i + 3))
+          .map(_.toSeq.map(Hashing.hex))))
     }.toMap
 
   /** Materialize df (one row per key, columns already canonical-ordered)

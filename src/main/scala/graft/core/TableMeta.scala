@@ -11,9 +11,20 @@ import org.json4s.jackson.JsonMethods
   * with nulls > 0 marks an all-null chunk column; a column is simply
   * absent when stats were not collected (non-whitelisted type,
   * oversized values, or a meta predating stats) — absence always reads
-  * as "cannot prune". */
+  * as "cannot prune".
+  *
+  * `dictHex` is the chunk DICTIONARY: when the column holds at most
+  * [[Canonical.DictMaxValues]] distinct non-null values in this chunk,
+  * the complete sorted set of their encodings. Low-cardinality
+  * (categorical) columns are exactly where min/max is weakest — an
+  * unclustered status column spans its whole alphabet in every chunk,
+  * so the [min, max] envelope never excludes anything — while the
+  * dictionary answers `=` / `IN` EXACTLY (parquet row-group
+  * dictionaries, lifted to chunk metadata where pruning happens before
+  * any file opens). None = cardinality exceeded the cap or stats
+  * predate dictionaries; pruning then falls back to the envelope. */
 final case class ColStats(minHex: Option[String], maxHex: Option[String],
-    nulls: Long)
+    nulls: Long, dictHex: Option[Seq[String]] = None)
 
 /** One immutable chunk: a PK-sorted parquet file named by the SHA-256 of
   * its canonical row bytes; min/max key kept for pruning (the analogue of
@@ -89,22 +100,32 @@ object TableMeta {
     * are the wrong driver cost for 1e5+-chunk tables). */
   val InlineChunkLimit = 10000
 
-  /** stats ⇄ JSON: {"col": [minHexOrNull, maxHexOrNull, nulls]} —
-    * shared by the inline meta and the ChunkIndex sidecar. */
+  /** stats ⇄ JSON: {"col": [minHexOrNull, maxHexOrNull, nulls]} with an
+    * optional 4th element — the sorted dictionary ([[ColStats.dictHex]])
+    * — shared by the inline meta and the ChunkIndex sidecar. 3-element
+    * arrays (pre-dictionary metas) read back with dictHex = None. */
   def statsToJson(stats: Map[String, ColStats]): JObject =
     JObject(stats.toList.sortBy(_._1).map { case (c, s) =>
-      c -> (JArray(List(
+      val base = List(
         s.minHex.map(JString(_)).getOrElse(JNull),
         s.maxHex.map(JString(_)).getOrElse(JNull),
-        JInt(s.nulls))): JValue)
+        JInt(s.nulls))
+      c -> (JArray(s.dictHex match {
+        case Some(ds) => base :+ JArray(ds.toList.map(JString(_)))
+        case None => base
+      }): JValue)
     })
 
   def statsFromJson(j: JValue): Map[String, ColStats] = j match {
     case JObject(fields) => fields.map {
-      case (c, JArray(List(mn, mx, JInt(n)))) =>
+      case (c, JArray(mn :: mx :: JInt(n) :: rest)) =>
         def str(v: JValue): Option[String] =
           v match { case JString(s) => Some(s); case _ => None }
-        c -> ColStats(str(mn), str(mx), n.toLong)
+        val dict = rest match {
+          case List(JArray(ds)) => Some(ds.collect { case JString(s) => s })
+          case _ => None
+        }
+        c -> ColStats(str(mn), str(mx), n.toLong, dict)
       case (c, other) => sys.error(s"bad stats for $c: $other")
     }.toMap
     case _ => Map.empty

@@ -51,9 +51,16 @@ object ZoneMaps {
       c.stats.get(name) match {
         case None => true // no stats recorded — cannot prune
         case Some(s) => op match {
-          // all-null chunk (min/max None): no comparison can match
-          case "=" => cmp(s, _.minHex, b).exists(_ <= 0) &&
-            cmp(s, _.maxHex, b).exists(_ >= 0)
+          // equality: the chunk DICTIONARY answers exactly when present
+          // (categorical columns, where the [min,max] envelope spans the
+          // whole alphabet in every chunk and never excludes anything);
+          // otherwise the envelope. All-null chunk (min/max None, empty
+          // dict): no comparison can match.
+          case "=" => s.dictHex match {
+            case Some(ds) => ds.contains(Hashing.hex(b))
+            case None => cmp(s, _.minHex, b).exists(_ <= 0) &&
+              cmp(s, _.maxHex, b).exists(_ >= 0)
+          }
           case ">=" => cmp(s, _.maxHex, b).exists(_ >= 0)
           case ">" => cmp(s, _.maxHex, b).exists(_ > 0)
           case "<=" => cmp(s, _.minHex, b).exists(_ <= 0)
@@ -79,8 +86,15 @@ object ZoneMaps {
             (a: Array[Byte], b: Array[Byte]) => Hashing.compareBytes(a, b) < 0))
           val hi = encoded.maxBy(identity)(Ordering.fromLessThan(
             (a: Array[Byte], b: Array[Byte]) => Hashing.compareBytes(a, b) < 0))
-          // the list's [lo, hi] envelope must intersect the chunk's
-          Some((c: ChunkMeta) => keep(n, ">=", lo)(c) && keep(n, "<=", hi)(c))
+          val hexes = encoded.map(Hashing.hex).toSet
+          Some((c: ChunkMeta) => c.stats.get(n) match {
+            case Some(s) if s.dictHex.isDefined =>
+              // exact: some listed value must BE in the chunk dictionary
+              s.dictHex.get.exists(hexes)
+            case _ =>
+              // the list's [lo, hi] envelope must intersect the chunk's
+              keep(n, ">=", lo)(c) && keep(n, "<=", hi)(c)
+          })
         }
       }
     e match {

@@ -334,4 +334,115 @@ class GraftScanSpec extends AnyFunSuite {
     assert(rows == (250L until 260L).map(k => (k, k * 3)))
     assert(df.queryExecution.executedPlan.toString.contains("GraftFileIndex"))
   }
+
+  test("chunk dictionaries prune categorical equality where envelopes cannot") {
+    val ops = newOps()
+    val dictSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true),
+      StructField("u", StringType, nullable = true)))
+    // cat alternates within each half — every first-half chunk holds
+    // {alpha, omega}, whose [min,max] ENVELOPE contains 'beta' (alpha <
+    // beta < omega), so only the exact dictionary can prune it.
+    // u is near-unique (> DictMaxValues distinct per chunk) — its
+    // dictionary must go dead and equality falls back to the envelope.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 2000L).map { k =>
+        val cat = if (k < 1000) (if (k % 2 == 0) "alpha" else "omega")
+                  else (if (k % 2 == 0) "beta" else "zeta")
+        Row(k, cat, f"u$k%06d")
+      }, 8), dictSchema)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+    val m = ops.meta(ref)
+    val total = m.chunks.length
+    assert(total >= 16, s"fixture should span many chunks, got $total")
+    assert(m.chunks.forall(_.stats("cat").dictHex.isDefined),
+      "cat must carry a dictionary on every chunk")
+    // ≤2 values everywhere except the chunk straddling the k=1000 seam
+    assert(m.chunks.count(_.stats("cat").dictHex.exists(_.length <= 2)) >= total - 1,
+      "cat dictionaries must be 2-valued away from the half boundary")
+    // u is unique per row: the dictionary survives EXACTLY on chunks
+    // with ≤ DictMaxValues rows (content-defined boundaries make some
+    // chunks short) and goes dead everywhere else
+    assert(m.chunks.forall(c =>
+      c.stats("u").dictHex.isDefined == (c.rows <= Canonical.DictMaxValues)),
+      "unique-column dictionary must exist iff the chunk is dict-cap-sized")
+
+    val catAttr = AttributeReference("cat", StringType, nullable = true)()
+    val uAttr = AttributeReference("u", StringType, nullable = true)()
+    // dictionary prunes the first half exactly; envelope alone could not
+    val betaFiles = filesFor(ops, ref, EqualTo(catAttr, Literal("beta")))
+    assert(betaFiles > 0 && betaFiles <= total * 6 / 10,
+      s"dict should prune roughly the first half: $betaFiles of $total")
+    assert(ops.scan(ref).where(col("cat") === "beta").count() == 500L)
+    // equality on an absent value lists nothing (envelope [alpha,zeta]
+    // would have kept every chunk: alpha < "nope"? no — use a value
+    // strictly inside the global envelope)
+    assert(filesFor(ops, ref, EqualTo(catAttr, Literal("gamma"))) == 0,
+      "a value inside every envelope but in no dictionary must prune all")
+    // IN intersects the dictionary exactly
+    val inFiles = filesFor(ops, ref,
+      In(catAttr, Seq(Literal("beta"), Literal("gamma"))))
+    assert(inFiles == betaFiles, s"IN(beta,gamma) listed $inFiles")
+    assert(filesFor(ops, ref,
+      In(catAttr, Seq(Literal("gamma"), Literal("delta")))) == 0)
+    // the dict-less column still prunes by envelope (u is k-ordered)
+    val uFiles = filesFor(ops, ref, EqualTo(uAttr, Literal("u000005")))
+    assert(uFiles == 1, s"envelope equality on u listed $uFiles")
+
+    // pre-dictionary stats JSON (3-element arrays) reads back dict-less
+    val legacy = TableMeta.statsFromJsonString("""{"c":["0a","0b",2]}""")
+    assert(legacy("c") == ColStats(Some("0a"), Some("0b"), 2L, None))
+    val rt = TableMeta.statsFromJsonString(TableMeta.statsToJsonString(
+      m.chunks.head.stats))
+    assert(rt == m.chunks.head.stats, "dict stats must round-trip the sidecar JSON")
+  }
+
+  test("z-order keys give zone maps tight envelopes on every dimension") {
+    val ops = newOps()
+    val gridSchema = StructType(Seq(
+      StructField("ub", LongType, nullable = false),
+      StructField("tb", LongType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    val grid = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (for { a <- 0L until 64L; b <- 0L until 64L }
+          yield Row(a, b, a * 64 + b)).toSeq, 8),
+      gridSchema)
+    // z-clustered: keyed by the interleaved address — per-chunk ub AND tb
+    // envelopes are both tight
+    val zKeyed = grid.select(
+      graft.functions.Zorder.zhex(32, col("ub"), col("tb")).as("z"),
+      col("ub"), col("tb"), col("w"))
+    val zRef = ops.fromDataFrame(zKeyed, Seq("z"))
+    val zTotal = ops.meta(zRef).chunks.length
+    // linear comparison layout: keyed (ub, tb) — tb envelopes span the
+    // whole axis inside every ub stripe
+    val linRef = ops.fromDataFrame(grid, Seq("ub", "tb"))
+    val linTotal = ops.meta(linRef).chunks.length
+    assert(zTotal >= 16 && linTotal >= 16, s"grids span $zTotal/$linTotal chunks")
+
+    val ubA = AttributeReference("ub", LongType, nullable = false)()
+    val tbA = AttributeReference("tb", LongType, nullable = false)()
+    def rectFilters(u0: Long, u1: Long, t0: Long, t1: Long) = Seq(
+      GreaterThanOrEqual(ubA, Literal(u0)), LessThanOrEqual(ubA, Literal(u1)),
+      GreaterThanOrEqual(tbA, Literal(t0)), LessThanOrEqual(tbA, Literal(t1)))
+
+    // an aligned 8×8 rectangle is one short z range — a handful of files
+    val zRect = filesFor(ops, zRef, rectFilters(16, 23, 32, 39): _*)
+    assert(zRect <= zTotal / 8,
+      s"8×8 rectangle should touch few z chunks: $zRect of $zTotal")
+    // the NON-leading dimension alone: z prunes, linear cannot (every ub
+    // stripe spans the whole tb axis)
+    val zTb = filesFor(ops, zRef,
+      GreaterThanOrEqual(tbA, Literal(8L)), LessThanOrEqual(tbA, Literal(15L)))
+    val linTb = filesFor(ops, linRef,
+      GreaterThanOrEqual(tbA, Literal(8L)), LessThanOrEqual(tbA, Literal(15L)))
+    assert(zTb <= zTotal * 2 / 3, s"z tb-slice listed $zTb of $zTotal")
+    assert(linTb >= linTotal * 9 / 10, s"linear tb-slice listed $linTb of $linTotal")
+    // results stay exact through the pruned scan
+    assert(ops.scan(zRef)
+      .where(col("ub").between(16, 23) && col("tb").between(32, 39))
+      .count() == 64L)
+  }
 }
