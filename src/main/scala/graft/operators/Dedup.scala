@@ -531,6 +531,77 @@ object Dedup {
        |WHERE hamming <= $SimhashMaxHamming
        |ORDER BY i, j""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the [[dedupShingle]]
+    * pair graph, labeling every member with the minimum doc_id of its
+    * component — the step that turns pairwise near-dup detection into
+    * "keep one representative per cluster" corpus dedup (pairs alone
+    * over-delete when A~B and B~C but A!~C).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors; converges
+    * in O(component diameter) rounds (near-dup clusters are small and
+    * dense, so a handful). Each round is ONE shuffle join + one
+    * aggregation on the edge list, fully distributed; the driver sees
+    * only a per-round checksum. Convergence is detected by the label
+    * SUM: labels are per-node monotone non-increasing, so the sum is
+    * strictly decreasing until fixpoint (no row-level diff join needed).
+    * At 100 TB scale the same loop applies (edges ≪ corpus because they
+    * only exist among near-dups); if components ever grow deep, the
+    * large-star/small-star rewrite halves diameter per round with the
+    * identical join shape. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupShingle(s, dir).select($"i", $"j")
+    val edges = pairs.select($"i".as("a"), $"j".as("b"))
+      .union(pairs.select($"j".as("a"), $"i".as("b")))
+      .cache()
+    var labels = edges.select($"a".as("id"), $"a".as("lbl")).distinct().cache()
+    var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, $"a" === $"id")
+        .select($"b".as("id"), $"lbl")
+      val next = labels.union(prop)
+        .groupBy($"id").agg(min($"lbl").as("lbl"))
+        .cache()
+      val s2 = next.agg(sum($"lbl")).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      rounds += 1
+    }
+    val comp = labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+    val csz = comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
+    val out = comp.join(csz, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"n_docs")
+      .orderBy($"doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |  WHERE 10*c >= 5*(sa.n + sb.n - c)),
+       |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+       |csz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1)
+       |SELECT doc_id, cluster_id, n_docs FROM comp JOIN csz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -538,7 +609,8 @@ object Dedup {
     "dedup_shingle_capped" -> (dedupShingleCapped _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_minhash" -> (dedupMinhash _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -547,5 +619,6 @@ object Dedup {
     "dedup_shingle_capped" -> dedupShingleCappedSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_minhash" -> dedupMinhashSql,
-    "dedup_simhash" -> dedupSimhashSql)
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

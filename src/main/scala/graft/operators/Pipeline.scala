@@ -105,11 +105,44 @@ object Pipeline {
        |ORDER BY keep_id""".stripMargin
   }
 
+  /** Deterministic train/valid/test assignment by content-free key hash
+    * — the split every training-data pipeline needs, done so it is (a)
+    * reproducible across runs/engines (md5 of the doc id, no RNG state),
+    * (b) stable under corpus growth (a doc's split never changes when
+    * others are added), and (c) embarrassingly parallel (pure column
+    * expression, no shuffle until the audit aggregation). 80/10/10 via
+    * md5 bucket mod 100; the query returns the per-(lang, split) audit
+    * counts a pipeline would assert on before training. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    Tables(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  val sampleSplitSql: String =
+    """WITH b AS (SELECT lang, n_chars,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+      |       ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "decontaminate" -> (decontaminate _),
-    "pipeline_curation" -> (pipelineCuration _))
+    "pipeline_curation" -> (pipelineCuration _),
+    "sample_split" -> (sampleSplit _))
 
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
-    "pipeline_curation" -> pipelineCurationSql)
+    "pipeline_curation" -> pipelineCurationSql,
+    "sample_split" -> sampleSplitSql)
 }

@@ -182,15 +182,48 @@ object Text {
       |   (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals: documents whose duplicate-token
+    * mass is high are boilerplate/spam candidates. Per doc: total
+    * tokens, distinct tokens, and the count of the single most frequent
+    * token; flag docs where >= 20% of tokens are repeats (exact integer
+    * threshold 5·(n_tokens − n_distinct) >= n_tokens). One explode +
+    * two aggregations — the (doc_id, token) groupBy is map-side
+    * combinable, so the shuffle carries per-partition partial counts,
+    * not raw tokens; no windows, no UDFs. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_tok_n"))
+      .where(lit(5) * ($"n_tokens" - $"n_distinct") >= $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_tok_n")
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |per AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_tok_n
+      |        FROM per GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct, top_tok_n
+      |FROM agg WHERE 5 * (n_tokens - n_distinct) >= n_tokens
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_tokens" -> (textTokens _))
+    "text_tokens" -> (textTokens _),
+    "text_repetition" -> (textRepetition _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_tokens" -> textTokensSql)
+    "text_tokens" -> textTokensSql,
+    "text_repetition" -> textRepetitionSql)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.core.{Catalog, FsStore, Ops}
@@ -320,18 +320,83 @@ object MatView {
        |FROM cur LEFT JOIN base old ON cur.o_orderkey = old.o_orderkey
        |GROUP BY status ORDER BY status""".stripMargin
 
+  /** CDC apply end-to-end (round-5 StreamCdc): a deterministic I/U/D
+    * change log — updates and deletes drawn from the table's own keys,
+    * inserts on novel keys including an insert-then-update of the SAME
+    * key inside the batch, plus a delete of an absent key (no-op) —
+    * applies through [[graft.streaming.StreamCdc.applyBatch]]: last
+    * event per key wins, then ONE envelope-spliced MERGE. The DuckDB
+    * oracle replays the net effect algebraically (survivors ∪ inserts).
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-cdc-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    val base = Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+    base.createOrReplaceTempView("orders_cdc_src")
+    run("CREATE TABLE cdc_mirror PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_cdc_src")
+
+    val k = col("o_orderkey")
+    def ev(op: String, seq: Long, key: Column, price: Column) = Seq(
+      lit(op).as("op"), lit(seq).as("seq"), key.as("o_orderkey"),
+      col("o_custkey").as("o_custkey"), price.as("price_c"))
+    val changes =
+      base.where(k % 12 === 1).select(ev("U", 1L, k, col("price_c") + 7): _*)
+        .unionAll(base.where(k % 20 === 1).select(ev("D", 2L, k, lit(0L)): _*))
+        .unionAll(base.where(k % 16 === 1)
+          .select(ev("I", 1L, k + 70000000L, col("price_c") * 2): _*))
+        .unionAll(base.where(k % 32 === 1)
+          .select(ev("U", 2L, k + 70000000L, col("price_c") * 2 + 1): _*))
+        .unionAll(base.where(k % 40 === 1)
+          .select(ev("D", 1L, k + 80000000L, lit(0L)): _*))
+    graft.streaming.StreamCdc.applyBatch(s, ops, cat, changes, "cdc_mirror",
+      "op", "seq",
+      java.nio.file.Files.createTempDirectory("graft-cdc-q-ckpt-").toString,
+      batchId = 1L)
+
+    val Left(out) = run(
+      "SELECT o_custkey % 7 AS g, COUNT(*) AS n, SUM(price_c) AS total_c, " +
+        "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
+        "FROM cdc_mirror GROUP BY o_custkey % 7 ORDER BY g"): @unchecked
+    out
+  }
+
+  val cdcApplySql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 4 = 1),
+       |final AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         CASE WHEN o_orderkey % 12 = 1 THEN price_c + 7 ELSE price_c END AS price_c
+       |  FROM base WHERE NOT o_orderkey % 20 = 1
+       |  UNION ALL
+       |  SELECT o_orderkey + 70000000, o_custkey,
+       |         CASE WHEN o_orderkey % 32 = 1 THEN price_c * 2 + 1 ELSE price_c * 2 END
+       |  FROM base WHERE o_orderkey % 16 = 1)
+       |SELECT o_custkey % 7 AS g, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM final GROUP BY 1 ORDER BY g""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
     "sql_matview_avg" -> (sqlMatviewAvg _),
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
-    "sql_history" -> (sqlHistory _))
+    "sql_history" -> (sqlHistory _),
+    "cdc_apply" -> (cdcApply _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
     "sql_matview_avg" -> sqlMatviewAvgSql,
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
-    "sql_history" -> sqlHistorySql)
+    "sql_history" -> sqlHistorySql,
+    "cdc_apply" -> cdcApplySql)
 }
