@@ -803,6 +803,52 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** Change FEED between two table versions (the Delta-CDF read side,
+    * `old` → `new`): full rows tagged `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage (an updated key emits BOTH
+    * images, like Delta/Debezium, so a consumer can compute deltas of
+    * aggregates without the old version). Same structural-sharing
+    * economics as [[diff]]: chunks shared by the two versions are
+    * skipped unread, so feed cost is O(changed chunks); rows relocated
+    * only by a chunk-boundary shift compare equal and drop out. The
+    * output composes with [[graft.streaming.StreamCdc]] (insert/
+    * update_postimage → upsert, delete → delete) — change feed out of
+    * one table, CDC apply into a replica, is incremental replication. */
+  def changes(a: TableRef, b: TableRef): DataFrame = {
+    val ma = meta(a); val mb = meta(b)
+    require(ma.schemaJson == mb.schemaJson && ma.keyCols == mb.keyCols,
+      "changes requires identically-shaped tables")
+    val hashesA = ma.chunks.map(_.hash).toSet
+    val hashesB = mb.chunks.map(_.hash).toSet
+    val onlyA = ma.chunks.filterNot(c => hashesB(c.hash))
+    val onlyB = mb.chunks.filterNot(c => hashesA(c.hash))
+    val keyCols = ma.keyCols
+    val valueCols = ma.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    def read(chunks: Seq[ChunkMeta]): DataFrame =
+      if (chunks.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ma.schema)
+      else spark.read.schema(Canonical.withFieldIds(ma.schema))
+        .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+    def packed(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        struct(valueCols.map(col): _*).as(s"_v_$tag"): _*)
+    val joined = packed(read(onlyA), "a")
+      .join(packed(read(onlyB), "b"), keyCols, "full_outer")
+      .where(col("_v_a").isNull || col("_v_b").isNull ||
+        !(col("_v_a") <=> col("_v_b")))
+    def img(tag: String, v: Column): Column =
+      struct(lit(tag).as("_t"), v.as("_v"))
+    val exploded = joined
+      .select(keyCols.map(col) :+ explode(
+        when(col("_v_a").isNull, array(img("insert", col("_v_b"))))
+          .when(col("_v_b").isNull, array(img("delete", col("_v_a"))))
+          .otherwise(array(img("update_preimage", col("_v_a")),
+            img("update_postimage", col("_v_b"))))).as("_c"): _*)
+    exploded.select(keyCols.map(col) ++
+      valueCols.map(v => col(s"_c._v.$v").as(v)) :+
+      col("_c._t").as("_change_type"): _*)
+  }
+
   /** Integrity check — the checkTrie analogue (Trie.hs:593-631): verify
     * every chunk's content hash, row count, key range, sort order, and
     * chunk disjointness against the stored metadata. Returns the list of

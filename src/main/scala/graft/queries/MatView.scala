@@ -383,6 +383,64 @@ object MatView {
        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
        |FROM final GROUP BY 1 ORDER BY g""".stripMargin
 
+  /** Change-feed end-to-end (round-5 `CHANGES`): CTAS captures v1, then
+    * UPDATE + self-INSERT + range DELETE move the table forward, and ONE
+    * SELECT aggregates `CHANGES(t, v1)` — the Delta-CDF read side: every
+    * row insert/delete/update with BOTH update images, served by reading
+    * only chunks the two versions do NOT share. The DuckDB oracle
+    * replays the three statements algebraically and tags the same four
+    * change classes. */
+  def sqlChanges(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-chg-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_chg_src")
+    val Right(v1) = run(
+      "CREATE TABLE feed PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_chg_src"): @unchecked
+
+    run("UPDATE feed SET price_c = price_c + 11 WHERE o_orderkey >= 1000 AND o_orderkey < 3000")
+    run("INSERT INTO feed SELECT o_orderkey + 90000000, price_c FROM feed WHERE o_orderkey % 16 = 0")
+    run("DELETE FROM feed WHERE o_orderkey >= 600 AND o_orderkey < 800")
+
+    val Left(out) = run(
+      s"""SELECT _change_type, COUNT(*) AS n, SUM(price_c) AS total_c,
+         |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         |FROM CHANGES(feed, '$v1')
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin): @unchecked
+    out
+  }
+
+  val sqlChangesSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 4 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000
+       |         THEN price_c + 11 ELSE price_c END AS price_c FROM base),
+       |ins AS (
+       |  SELECT o_orderkey + 90000000 AS o_orderkey, price_c FROM upd
+       |  WHERE o_orderkey % 16 = 0),
+       |ch AS (
+       |  SELECT 'insert' AS _change_type, o_orderkey, price_c FROM ins
+       |  UNION ALL
+       |  SELECT 'delete', o_orderkey, price_c FROM base
+       |  WHERE o_orderkey >= 600 AND o_orderkey < 800
+       |  UNION ALL
+       |  SELECT 'update_preimage', o_orderkey, price_c FROM base
+       |  WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+       |  UNION ALL
+       |  SELECT 'update_postimage', o_orderkey, price_c + 11 FROM base
+       |  WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+       |SELECT _change_type, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
@@ -390,7 +448,8 @@ object MatView {
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
-    "cdc_apply" -> (cdcApply _))
+    "cdc_apply" -> (cdcApply _),
+    "sql_changes" -> (sqlChanges _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
@@ -398,5 +457,6 @@ object MatView {
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,
-    "cdc_apply" -> cdcApplySql)
+    "cdc_apply" -> cdcApplySql,
+    "sql_changes" -> sqlChangesSql)
 }

@@ -281,7 +281,7 @@ object GraftSql {
         registerViews()
         val name = unquote(rawName)
         val keyCols = keys.split(",").map(k => unquote(k.trim)).toSeq
-        val df = spark.sql(query)
+        val df = spark.sql(rewriteReads(spark, ops, catalog, query))
         keyCols.foreach { k =>
           if (!df.columns.contains(k))
             throw new SqlException(s"PRIMARY KEY column $k not in query output")
@@ -294,7 +294,7 @@ object GraftSql {
         val entry = catalog.root.getOrElse(name,
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-        val raw = spark.sql(query)
+        val raw = spark.sql(rewriteReads(spark, ops, catalog, query))
         val aligned = if (colList != null) {
           // explicit column list: bind query output positionally to the
           // listed columns; unlisted nullable columns are NULL-filled
@@ -663,9 +663,49 @@ object GraftSql {
         Right(catalog.put(ct.name, ref, declared = Some(ct.schema.fieldNames.toSeq)))
       case _ =>
         registerViews()
-        Left(spark.sql(rewriteVersionAsOf(spark, ops, catalog, sqlText)))
+        Left(spark.sql(rewriteReads(spark, ops, catalog, sqlText)))
     }
   }
+
+  /** The read-side rewrites every query position gets: `VERSION AS OF`
+    * time travel and `CHANGES(...)` feeds — applied to bare SELECTs and
+    * to the inner query of CTAS/INSERT alike, so `CREATE TABLE clone
+    * ... AS SELECT * FROM t VERSION AS OF '<v>'` (version cloning) and
+    * `INSERT INTO replica SELECT ... FROM CHANGES(src, '<v>')` work. */
+  private def rewriteReads(spark: SparkSession, ops: Ops,
+      catalog: Catalog, sqlText: String): String =
+    rewriteVersionAsOf(spark, ops, catalog,
+      rewriteChanges(spark, ops, catalog, sqlText))
+
+  private val changesRe =
+    """(?is)changes\s*\(\s*("?[\w.]+"?)\s*,\s*'([0-9a-f]+)'(?:\s*,\s*'([0-9a-f]+)')?\s*\)""".r
+
+  /** Change-feed READS: `SELECT ... FROM CHANGES(t, '<from>'[, '<to>'])`
+    * — rows added/removed/updated between two versions of `t`, tagged
+    * `_change_type` (update emits pre+post images). `<to>` defaults to
+    * the current version. Lowers to [[graft.core.Ops.changes]], so only
+    * chunks NOT shared by the two versions are read. */
+  private def rewriteChanges(spark: SparkSession, ops: Ops,
+      catalog: Catalog, sqlText: String): String =
+    changesRe.replaceAllIn(sqlText, m => {
+      val name = unquote(m.group(1))
+      val fromRoot = m.group(2)
+      def hashAt(root: String): String = {
+        if (!ops.store.hasRoot(root))
+          throw new SqlException(s"no such version: $root")
+        catalog.rootAt(root).getOrElse(name,
+          throw new SqlException(s"table $name does not exist in version $root"))
+          .tableHash
+      }
+      val oldHash = hashAt(fromRoot)
+      val newHash = Option(m.group(3)).map(hashAt).getOrElse(
+        catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name")).tableHash)
+      val view = s"${name}__ch_${oldHash.take(8)}_${newHash.take(8)}"
+      ops.changes(graft.core.TableRef(oldHash), graft.core.TableRef(newHash))
+        .createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
 
   private val versionAsOfRe =
     """(?is)("?[\w.]+"?)\s+version\s+as\s+of\s+'([0-9a-f]+)'""".r
