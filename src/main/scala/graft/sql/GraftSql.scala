@@ -196,6 +196,8 @@ object GraftSql {
   private val restoreRe = ("""(?is)^\s*restore\s+table\s+("?[\w.]+"?)\s+""" +
     """version\s+as\s+of\s+'([0-9a-f]+)'\s*$""").r
   private val checkoutRe = """(?is)^\s*checkout\s+'([0-9a-f]+)'\s*$""".r
+  private val cloneRe = ("""(?is)^\s*clone\s+table\s+("?[\w.]+"?)\s+as\s+("?[\w.]+"?)""" +
+    """(?:\s+version\s+as\s+of\s+'([0-9a-f]+)')?\s*$""").r
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -646,6 +648,28 @@ object GraftSql {
         val e = past.getOrElse(name, throw new SqlException(
           s"table $name does not exist in version $rootHash"))
         Right(catalog.put(name, graft.core.TableRef(e.tableHash),
+          declared = Some(e.declaredCols)))
+      case cloneRe(rawSrc, rawDst, rootHash) =>
+        // `CLONE TABLE src AS dst [VERSION AS OF '<root>']`: ZERO-copy —
+        // content addressing means a clone is a new catalog entry
+        // pointing at the same table hash; no chunk is read or written,
+        // and the two tables share every object until DML diverges them
+        // (then they share everything but the touched chunks). Cloning a
+        // materialized view yields a detached plain table.
+        val src = unquote(rawSrc); val dst = unquote(rawDst)
+        val entries = Option(rootHash) match {
+          case Some(r) =>
+            if (!ops.store.hasRoot(r))
+              throw new SqlException(s"no such version: $r")
+            catalog.rootAt(r)
+          case None => catalog.root
+        }
+        val e = entries.getOrElse(src, throw new SqlException(
+          s"no such table: $src" +
+            Option(rootHash).map(r => s" in version $r").getOrElse("")))
+        if (catalog.root.contains(dst))
+          throw new SqlException(s"table already exists: $dst")
+        Right(catalog.put(dst, graft.core.TableRef(e.tableHash),
           declared = Some(e.declaredCols)))
       case checkoutRe(rootHash) =>
         // `CHECKOUT '<root>'`: move the whole catalog pointer (tables

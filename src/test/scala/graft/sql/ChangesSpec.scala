@@ -93,4 +93,36 @@ class ChangesSpec extends AnyFunSuite {
     assert(cat.root("dst").tableHash == cat.root("src").tableHash,
       "replica must converge to the source version byte-for-byte")
   }
+
+  test("CLONE TABLE is zero-copy; clones diverge by DML and feed their delta") {
+    import spark.implicits._
+    val (store, ops, cat) = fresh()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    spark.range(0, 100).select($"id".as("k"), $"id".as("v"))
+      .createOrReplaceTempView("chg_cl_src")
+    val Right(v1) = run(
+      "CREATE TABLE orig PRIMARY KEY (k) AS SELECT * FROM chg_cl_src"): @unchecked
+    run("UPDATE orig SET v = v + 1 WHERE k >= 0 AND k < 1")
+
+    store.stats.reset()
+    run("CLONE TABLE orig AS copy")
+    run(s"CLONE TABLE orig AS copy_v1 VERSION AS OF '$v1'")
+    assert(store.stats.snapshot("chunkSaves") == 0, "clone must write no chunks")
+    assert(cat.root("copy").tableHash == cat.root("orig").tableHash)
+    assert(cat.root("copy_v1").tableHash ==
+      cat.rootAt(v1).apply("orig").tableHash)
+
+    // clones are independent: DML on the clone leaves the source alone,
+    // and the delta between them is exactly the clone's own edits
+    val origBefore = cat.root("orig").tableHash
+    run("UPDATE copy SET v = v + 10 WHERE k >= 90 AND k < 93")
+    assert(cat.root("orig").tableHash == origBefore)
+    val feed = ops.changes(TableRef(cat.root("orig").tableHash),
+      TableRef(cat.root("copy").tableHash))
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(90L, 91L, 92L))
+
+    val ex = intercept[GraftSql.SqlException] { run("CLONE TABLE orig AS copy") }
+    assert(ex.getMessage.contains("already exists"))
+  }
 }
