@@ -551,34 +551,8 @@ object Dedup {
     * identical join shape. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupShingle(s, dir).select($"i", $"j")
-    val edges = pairs.select($"i".as("a"), $"j".as("b"))
-      .union(pairs.select($"j".as("a"), $"i".as("b")))
-      .cache()
-    var labels = edges.select($"a".as("id"), $"a".as("lbl")).distinct().cache()
-    var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val prop = edges.join(labels, $"a" === $"id")
-        .select($"b".as("id"), $"lbl")
-      val next = labels.union(prop)
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
-        .cache()
-      val s2 = next.agg(sum($"lbl")).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = s2 == prevSum
-      prevSum = s2
-      rounds += 1
-    }
-    val comp = labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
-    val csz = comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
-    val out = comp.join(csz, "cluster_id")
-      .select($"doc_id", $"cluster_id", $"n_docs")
-      .orderBy($"doc_id")
-    edges.unpersist()
-    out
+    Components.connectedComponents(s,
+      dedupShingle(s, dir).select($"i", $"j"), "i", "j", "doc_id", "n_docs")
   }
 
   val dedupClustersSql: String =

@@ -791,8 +791,55 @@ object Vectors {
       |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcross
       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Embedding-space near-dup CLUSTERS: connected components over the
+    * [[simNeardup]] pair graph — the same [[Components]] loop that
+    * clusters shingle near-dups (`dedup_clusters`), here over cosine
+    * pairs; proves the CC operator composes across modalities. Every
+    * member labels with its component's min vec_id + component size. */
+  def simClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Components.connectedComponents(s,
+      simNeardup(s, dir).select($"i", $"j"), "i", "j", "vec_id", "n_members")
+  }
+
+  val simClustersSql: String =
+    """WITH RECURSIVE qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv),
+      |cents AS (SELECT vec_id AS c_id, q AS cq, nq AS cn
+      |  FROM n WHERE vec_id % 20 = 5),
+      |assigned AS (
+      |  SELECT vec_id, q, nq, c_id AS cell FROM (
+      |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+      |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+      |    FROM n a, cents c)
+      |  WHERE rn <= 2),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) > 0
+      |    AND 25 * CAST(CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT) AS HUGEINT)
+      |           * CAST(list_sum(list_transform(range(1, len(a.q)+1), k -> a.q[k]*b.q[k])) AS BIGINT)
+      |        >= 4 * CAST(a.nq AS HUGEINT) * b.nq),
+      |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+      |comp AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      |csz AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY 1)
+      |SELECT vec_id, cluster_id, n_members FROM comp JOIN csz USING (cluster_id)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
+    "sim_clusters" -> (simClusters _),
     // APPROXIMATE: IVF-cell-blocked pairs (the scale path; recall vs
     // exhaustive pinned in NorthStarSpec) — exhaustive semantics live
     // under sim_neardup_exact
@@ -808,6 +855,7 @@ object Vectors {
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
+    "sim_clusters" -> simClustersSql,
     "sim_neardup" -> simNeardupSql,
     "sim_neardup_exact" -> simNeardupExactSql,
     "sim_ann_ivf" -> simAnnIvfSql,

@@ -125,4 +125,42 @@ class ChangesSpec extends AnyFunSuite {
     val ex = intercept[GraftSql.SqlException] { run("CLONE TABLE orig AS copy") }
     assert(ex.getMessage.contains("already exists"))
   }
+
+  test("changes plans only the non-shared chunk files") {
+    import spark.implicits._
+    val (store, ops, cat) = fresh()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    spark.range(0, 400).select($"id".as("k"), $"id".as("v"))
+      .createOrReplaceTempView("chg_files_src")
+    val Right(v1) = run(
+      "CREATE TABLE f PRIMARY KEY (k) AS SELECT * FROM chg_files_src"): @unchecked
+    run("UPDATE f SET v = v + 1 WHERE k >= 100 AND k < 103")
+
+    val oldRef = TableRef(cat.rootAt(v1).apply("f").tableHash)
+    val newRef = TableRef(cat.root("f").tableHash)
+    val shared = ops.meta(oldRef).chunks.map(_.hash).toSet
+      .intersect(ops.meta(newRef).chunks.map(_.hash).toSet)
+    assert(shared.nonEmpty, "a 3-key update must leave most chunks shared")
+    val planned = ops.changes(oldRef, newRef).inputFiles.toSet
+    val sharedPaths = shared.map(h => "file:" + store.chunkPath(h))
+    assert(planned.intersect(sharedPaths).isEmpty,
+      "chunks shared by both versions must never be scanned")
+    assert(planned.nonEmpty)
+  }
+
+  test("VACUUM keeps chunks reachable through a clone") {
+    import spark.implicits._
+    val (_, ops, cat) = fresh()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    spark.range(0, 100).select($"id".as("k"), $"id".as("v"))
+      .createOrReplaceTempView("chg_gc_src")
+    run("CREATE TABLE keeper PRIMARY KEY (k) AS SELECT * FROM chg_gc_src")
+    run("CLONE TABLE keeper AS keeper2")
+    run("UPDATE keeper2 SET v = v + 1 WHERE k >= 0 AND k < 1")
+    run("VACUUM KEEP 1")
+    // both tables fully readable after GC: shared chunks survive because
+    // the clone's catalog entry is a root reference like any other
+    assert(ops.scanOrdered(cat.get("keeper").get).count() == 100)
+    assert(ops.scanOrdered(cat.get("keeper2").get).count() == 100)
+  }
 }
