@@ -11,12 +11,21 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects; read
-      // the raw int64 nanos and truncate to microseconds — exactly what
-      // DuckDB does when it loads the same file (ns → µs timestamp).
+      // events.ts arrives as either parquet TIMESTAMP(NANOS) (older
+      // generators; Spark surfaces it as int64 under nanosAsLong) or
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (newer generators;
+      // Spark reads TIMESTAMP_NTZ). Normalize both to a session-TZ
+      // timestamp — the session is pinned UTC, so wall-clock values
+      // match what DuckDB yields for the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
