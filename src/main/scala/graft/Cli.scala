@@ -70,9 +70,12 @@ object Cli {
         case "sql" :: stmt :: Nil =>
           // O34: run N ;-separated SQL statements in order; DDL/writes
           // mutate the catalog, queries print JSON lines
-          // (messdb-tool.hs:164-196 runs statement lists the same way)
+          // (messdb-tool.hs:164-196 runs statement lists the same way).
+          // A session carries BEGIN/COMMIT/ROLLBACK state across the
+          // statements, so a script can be one atomic transaction.
+          val session = new graft.sql.SqlSession(spark, ops, cat)
           graft.sql.GraftSql.splitStatements(stmt).foreach { s =>
-            graft.sql.GraftSql.execute(spark, ops, cat, s) match {
+            session.execute(s) match {
               case Right(root) => println(s"root=$root")
               case Left(df) => df.toJSON.toLocalIterator().forEachRemaining(println(_))
             }

@@ -1,0 +1,65 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Catalog, Ops, Txn, TxnStore}
+
+/** Stateful SQL session: [[GraftSql.execute]] plus transaction control.
+  *
+  * `BEGIN [TRANSACTION]` opens a private branch of the root pointer
+  * (core.TxnStore); every following statement — DML, DDL, materialized
+  * views, MERGE, even CHECKOUT — runs against the branch and is
+  * invisible outside the session. `COMMIT` publishes the accumulated
+  * state as ONE new catalog version via an optimistic compare-and-set
+  * (core.Txn.commit); `ROLLBACK` discards the branch. Reads inside the
+  * transaction see its own writes (read-your-writes); reads outside see
+  * the pre-transaction version (snapshot isolation via content
+  * addressing — nothing shared mutates until the commit's pointer swap).
+  *
+  * The reference's repo model executes one statement per root
+  * (/root/reference/messdb-repo/src/MessDB/Repo.hs:120-130); this is the
+  * same model with the statement granularity widened to a statement
+  * LIST, the natural extension of `Catalog.putAll`'s atomic multi-table
+  * commit to arbitrary statement sequences.
+  */
+final class SqlSession(spark: SparkSession, baseOps: Ops, val catalog: Catalog) {
+
+  private var txn: Option[(TxnStore, Ops, Catalog)] = None
+
+  def inTransaction: Boolean = txn.isDefined
+
+  def execute(sqlText: String): Either[DataFrame, String] = {
+    val t = sqlText.trim.stripSuffix(";").trim
+    t.toLowerCase match {
+      case "begin" | "begin transaction" | "start transaction" =>
+        if (txn.isDefined)
+          throw new GraftSql.SqlException("transaction already open (no nesting)")
+        val ts = Txn.begin(baseOps.store)
+        txn = Some((ts,
+          new Ops(spark, ts, baseOps.chunkTargetRows, baseOps.registry),
+          new Catalog(ts)))
+        Right(ts.startPtr.getOrElse(""))
+      case "commit" =>
+        val (ts, _, _) = txn.getOrElse(
+          throw new GraftSql.SqlException("COMMIT without an open transaction"))
+        txn = None // a failed CAS still closes the transaction (git: the
+        // branch is dead, retry means replaying the statements)
+        Right(Txn.commit(ts))
+      case "rollback" | "abort" =>
+        if (txn.isEmpty)
+          throw new GraftSql.SqlException("ROLLBACK without an open transaction")
+        txn = None
+        Right(baseOps.store.currentRootHash.getOrElse(""))
+      case _ =>
+        val (o, c) = txn match {
+          case Some((_, ops, cat)) => (ops, cat)
+          case None => (baseOps, catalog)
+        }
+        GraftSql.execute(spark, o, c, t)
+    }
+  }
+
+  /** Run a ;-separated script through the session, returning each
+    * statement's result in order. */
+  def executeScript(script: String): Seq[Either[DataFrame, String]] =
+    GraftSql.splitStatements(script).map(execute)
+}
