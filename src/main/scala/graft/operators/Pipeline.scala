@@ -136,13 +136,120 @@ object Pipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** Concat-and-chunk sequence packing (the GPT pretraining shape):
+    * documents are concatenated in deterministic doc_id order and cut
+    * into fixed 512-token training sequences; the query returns the
+    * per-sequence audit (docs starting there, their token mass, and how
+    * many cross the boundary).
+    *
+    * The packing position of a doc is a GLOBAL running token sum — the
+    * one operation a naive `Window.orderBy` does on a single partition
+    * (Spark collapses an unpartitioned ordered window to one task; at
+    * 100 TB that is THE scale bug). Implemented instead as the textbook
+    * two-phase distributed prefix sum: (1) range-bucket the id space —
+    * one tiny min/max stats job sizes 32 contiguous buckets; (2) running
+    * sums WITHIN each bucket (parallel windows); (3) one 32-row window
+    * over the per-bucket totals yields exclusive bucket offsets,
+    * broadcast back. Driver traffic is 2 longs + 32 rows regardless of
+    * corpus size. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 512L
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id".cast("long").as("doc_id"),
+        size(split($"text", " ")).cast("long").as("tok"))
+    val r = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (minId, maxId) = (r.getLong(0), r.getLong(1))
+    val span = (maxId - minId) / 32 + 1
+    val b = docs.withColumn("bucket",
+      floor(($"doc_id" - minId) / span).cast("long"))
+    val inBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy($"bucket").agg(sum($"tok").as("btot"))
+      .withColumn("boff", coalesce(sum($"btot").over(overBuckets), lit(0L)))
+      .select($"bucket", $"boff")
+    b.withColumn("cum", sum($"tok").over(inBucket))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start", $"boff" + $"cum" - $"tok")
+      .withColumn("seq_id", floor($"start" / seqLen))
+      .withColumn("crosses",
+        (floor(($"start" + $"tok" - 1) / seqLen) > $"seq_id").cast("long"))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+        sum($"crosses").as("n_spanning"))
+      .orderBy($"seq_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |                        AND CURRENT ROW) - tok AS BIGINT) AS start
+      |  FROM d)
+      |SELECT start // 512 AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN (start + tok - 1) // 512 > start // 512
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+      |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin
+
+  /** Deterministic language-mix rebalancing: downsample every language
+    * to the SMALLEST language's document count (a uniform mix), keeping
+    * a doc iff its content-free hash bucket clears the language's keep
+    * rate — reproducible across runs/engines (no RNG), growth-stable
+    * per doc, and decided by an EXACT integer cross-multiply
+    * (bucket · n_lang < min_n · 10^6), so no float threshold drift.
+    * The per-language counts and the global min are tiny aggregates
+    * broadcast back; the row-level gate is a pure column expression.
+    * The query returns the per-language audit a pipeline asserts on. */
+  def sampleRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = 1000000L
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    val langN = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val minN = langN.agg(min($"n_lang").as("min_n"))
+    docs.join(broadcast(langN), "lang")
+      .crossJoin(broadcast(minN))
+      .withColumn("kept", ($"bucket" * $"n_lang" < $"min_n" * buckets).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_before"), sum($"kept").as("n_after"),
+        sum(when($"kept" === 1, $"n_chars").otherwise(0L)).as("chars_after"))
+      .orderBy($"lang")
+  }
+
+  val sampleRebalanceSql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000000 AS bucket
+      |  FROM documents),
+      |ln AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY 1),
+      |mn AS (SELECT MIN(n_lang) AS min_n FROM ln)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(SUM(CASE WHEN bucket * n_lang < min_n * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN bucket * n_lang < min_n * 1000000 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+      |FROM d JOIN ln USING (lang) CROSS JOIN mn
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "decontaminate" -> (decontaminate _),
     "pipeline_curation" -> (pipelineCuration _),
-    "sample_split" -> (sampleSplit _))
+    "sample_split" -> (sampleSplit _),
+    "pack_sequences" -> (packSequences _),
+    "sample_rebalance" -> (sampleRebalance _))
 
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
     "pipeline_curation" -> pipelineCurationSql,
-    "sample_split" -> sampleSplitSql)
+    "sample_split" -> sampleSplitSql,
+    "pack_sequences" -> packSequencesSql,
+    "sample_rebalance" -> sampleRebalanceSql)
 }
