@@ -182,6 +182,39 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     }
     val records = recB.result()
 
+    // ---- degenerate-overlap fallback: one flat shuffle ----
+    // The piece/region plan wins when inputs are mostly DISJOINT (a
+    // delta against a chunked base: few dirty regions, clean
+    // passthrough elsewhere). When the inputs all span the same key
+    // range — the re-key first build, whose per-chunk minis each cover
+    // the whole new-key space — the plan degenerates: every chunk
+    // splits into a piece for every region (quadratic tiny files, the
+    // 70 s CREATE INDEX pathology). Detect the regime by span fanout
+    // and do what a sort engine would: ONE shuffle folding all inputs,
+    // canonical materialize, whole-op memo only (region memos would
+    // never be reusable here — each refresh shifts every region's
+    // participant set). Bit-identical to the region path: the same
+    // SRC-tagged aggregation over the same rows, grouped globally
+    // instead of per disjoint region.
+    val spanningPairs = records.iterator.map(_.parts.count(_.spanning)).sum
+    val distinctSpanning = records.iterator.flatMap(
+      _.parts.iterator.filter(_.spanning).map(_.chunk.hash)).toSet.size
+    if (distinctSpanning > 0 &&
+        spanningPairs > math.max(256, 8 * distinctSpanning)) {
+      val srcParts = refs.zipWithIndex.map { case (r, i) =>
+        val paths = store.chunkStream(r.hash)()
+          .map(c => store.chunkPath(c.hash)).toSeq
+        spark.read.schema(Canonical.withFieldIds(schema))
+          .parquet(paths: _*)
+          .withColumn(SRC, lit(i.toLong))
+      }
+      val union = srcParts.reduce(_.unionByName(_))
+      val folded = union.groupBy(keyCols.map(col): _*)
+        .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+      return Canonical.materialize(spark, store,
+        castValues(folded, schema, valueCols), keyCols, target)
+    }
+
     // ---- split spanning chunks into per-region pieces (memoized) ----
     // A chunk spanning several regions (it crosses boundary keys absent
     // from its own data — typical for a wide delta over a chunked base)
@@ -760,6 +793,50 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     else {
       val pred = m.keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }
         .reduce(_ && _)
+      spark.read.schema(Canonical.withFieldIds(m.schema))
+        .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
+    }
+  }
+
+  /** Chunks that can contain any of `keys` (each a full-key or
+    * key-prefix tuple) — the metadata half of [[lookupMany]], exposed
+    * for plan-economics tests: a selective secondary-index probe must
+    * open exactly these chunks, not the table. Driver-only: encodes each
+    * probe key once and scans the in-memory chunk boundary list. */
+  private[graft] def chunksForKeys(m: TableMeta, keys: Seq[Seq[Any]]): Seq[ChunkMeta] = {
+    val kbs = keys.map(k => boundBytes(m.schema, m.keyCols, Bound(k, inclusive = true)))
+    m.chunks.filter(c => kbs.exists(kb =>
+      (Hashing.compareBytes(c.minKey, kb) <= 0 || startsWith(c.minKey, kb)) &&
+        (Hashing.compareBytes(kb, c.maxKey) <= 0 || startsWith(c.maxKey, kb))))
+  }
+
+  /** Multi-point lookup: ONE pruned read serving many key probes (the
+    * fetch half of a secondary-index lookup: index range scan yields
+    * primary keys, this reads just the chunks those keys can live in).
+    * The probe set is driver-resident by contract — callers cap it and
+    * fall back to a full scan above the cap, the classic index-versus-
+    * scan selectivity flip. Rows are re-filtered to exactly the probed
+    * keys, so over-approximate chunk pruning never over-returns. */
+  def lookupMany(ref: TableRef, keys: Seq[Seq[Any]]): DataFrame = {
+    val m = meta(ref)
+    if (keys.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    val hit = chunksForKeys(m, keys)
+    if (hit.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else {
+      // key tuples may be PREFIXES (e.g. the leading key columns): match
+      // rows whose leading columns equal any probe tuple. Single-column
+      // probes compile to one IN (→ InSet past the codegen threshold);
+      // composite probes OR per-tuple conjunctions — fine under the
+      // caller's probe cap.
+      val pred = keys.groupBy(_.length).map {
+        case (1, ks) => col(m.keyCols.head).isin(ks.map(_.head): _*)
+        case (n, ks) => ks.map(k =>
+          m.keyCols.take(n).zip(k).map { case (c, v) => col(c) === lit(v) }
+            .reduce(_ && _)).reduce(_ || _)
+      }.reduce(_ || _)
       spark.read.schema(Canonical.withFieldIds(m.schema))
         .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
     }

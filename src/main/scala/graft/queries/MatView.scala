@@ -441,6 +441,109 @@ object MatView {
        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
        |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin
 
+  /** SQL transactions end-to-end (round-5 `BEGIN`/`COMMIT`/`ROLLBACK`,
+    * core.Txn): a first transaction stages destructive DML (zero every
+    * price, delete half the table) and ROLLBACKs — the oracle proves
+    * none of it landed; a second transaction runs UPDATE + DELETE +
+    * self-referencing INSERT and COMMITs as ONE squash version. The
+    * DuckDB oracle applies exactly the committed statements in order. */
+  def sqlTxn(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-txn-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    val sess = new graft.sql.SqlSession(s, ops, cat)
+    def run(sql: String) = sess.execute(sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_txn_src")
+    run("CREATE TABLE txn_t PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_txn_src")
+
+    // transaction 1: staged, then discarded — must leave no trace
+    run("BEGIN")
+    run("UPDATE txn_t SET price_c = 0 WHERE o_orderkey >= 0")
+    run("DELETE FROM txn_t WHERE o_orderkey % 2 = 1")
+    run("ROLLBACK")
+
+    // transaction 2: committed as one squash version
+    run("BEGIN")
+    run("UPDATE txn_t SET price_c = price_c + 13 WHERE o_orderkey % 16 = 1")
+    run("DELETE FROM txn_t WHERE o_orderkey % 32 = 9")
+    run("INSERT INTO txn_t SELECT o_orderkey + 70000000, o_custkey, price_c " +
+      "FROM txn_t WHERE o_orderkey % 24 = 1")
+    run("COMMIT")
+
+    val Left(out) = run(
+      "SELECT o_custkey % 10 AS g, COUNT(*) AS n, SUM(price_c) AS total_c, " +
+        "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
+        "FROM txn_t GROUP BY o_custkey % 10 ORDER BY g"): @unchecked
+    out
+  }
+
+  val sqlTxnSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 4 = 1),
+       |upd AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         CASE WHEN o_orderkey % 16 = 1 THEN price_c + 13 ELSE price_c END AS price_c
+       |  FROM base WHERE NOT (o_orderkey % 32 = 9)),
+       |fin AS (
+       |  SELECT * FROM upd
+       |  UNION ALL
+       |  SELECT o_orderkey + 70000000, o_custkey, price_c FROM upd
+       |  WHERE o_orderkey % 24 = 1)
+       |SELECT o_custkey % 10 AS g, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM fin GROUP BY o_custkey % 10 ORDER BY g""".stripMargin
+
+  /** Secondary index end-to-end (round-5 CREATE INDEX, SqlIndex): CTAS
+    * binds orders to a pk-keyed table, CREATE INDEX re-keys it by
+    * (o_custkey, o_orderkey) — a key-only index table maintained
+    * O(delta) by the memoized rekey — then DML lands AFTER the index is
+    * built, and the final equality SELECT goes through the index-probe
+    * rewrite (refresh-by-memo keeps it correct over the DML). The
+    * DuckDB oracle computes the same final state directly; the rewrite
+    * can only prune IO, never change rows. */
+  def sqlIndex(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-idx-q-").toString)
+    val ops = new Ops(s, store, 2048)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_idx_src")
+    run("CREATE TABLE orders_ix PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_idx_src")
+    run("CREATE INDEX orders_ix_cust ON orders_ix (o_custkey)")
+    // DML after the index exists: probe-time refresh must see all of it
+    run("INSERT INTO orders_ix SELECT o_orderkey + 80000000, 1, price_c + 5 " +
+      "FROM orders_ix WHERE o_custkey = 4")
+    run("DELETE FROM orders_ix WHERE o_custkey = 1 AND o_orderkey % 2 = 1")
+    val Left(out) = run(
+      "SELECT o_orderkey, price_c FROM orders_ix WHERE o_custkey = 1 " +
+        "ORDER BY o_orderkey"): @unchecked
+    out
+  }
+
+  val sqlIndexSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders),
+       |ins AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT o_orderkey + 80000000, 1, price_c + 5 FROM base WHERE o_custkey = 4),
+       |fin AS (
+       |  SELECT * FROM ins WHERE NOT (o_custkey = 1 AND o_orderkey % 2 = 1))
+       |SELECT o_orderkey, price_c FROM fin WHERE o_custkey = 1
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
@@ -449,7 +552,9 @@ object MatView {
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
     "cdc_apply" -> (cdcApply _),
-    "sql_changes" -> (sqlChanges _))
+    "sql_changes" -> (sqlChanges _),
+    "sql_txn" -> (sqlTxn _),
+    "sql_index" -> (sqlIndex _))
   val oracles: Map[String, String] = Map(
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
@@ -458,5 +563,7 @@ object MatView {
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,
     "cdc_apply" -> cdcApplySql,
-    "sql_changes" -> sqlChangesSql)
+    "sql_changes" -> sqlChangesSql,
+    "sql_txn" -> sqlTxnSql,
+    "sql_index" -> sqlIndexSql)
 }

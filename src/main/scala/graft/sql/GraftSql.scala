@@ -176,6 +176,14 @@ object GraftSql {
     """(?is)^\s*refresh\s+(?:materialized\s+view\s+("?[\w.]+"?)|all)\s*$""".r
   private val dropMvRe =
     """(?is)^\s*drop\s+materialized\s+view\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*$""".r
+  private val createIdxRe =
+    """(?is)^\s*create\s+index\s+("?[\w.]+"?)\s+on\s+("?[\w.]+"?)\s*\(([^)]*)\)\s*$""".r
+  private val dropIdxRe =
+    """(?is)^\s*drop\s+index\s+(?:if\s+exists\s+)?("?[\w.]+"?)\s*$""".r
+  private val copyToRe =
+    """(?is)^\s*copy\s+("?[\w.]+"?)\s+to\s+'([^']+)'(?:\s*\(\s*format\s+'?(\w+)'?\s*\))?\s*$""".r
+  private val copyFromRe =
+    """(?is)^\s*copy\s+("?[\w.]+"?)\s+from\s+'([^']+)'(?:\s*\(\s*format\s+'?(\w+)'?\s*\))?\s*$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+("?[\w.]+"?)\s+where\s+(.+?)\s*;?\s*$""".r
   // captures the whole SET...WHERE tail; the quote-aware splitOnKeyword
@@ -485,6 +493,72 @@ object GraftSql {
         }
         Right(ops.store.currentRootHash.getOrElse(
           throw new SqlException("no catalog root")))
+      case copyToRe(rawName, path, fmtRaw) =>
+        // `COPY t TO '<path>' (FORMAT csv|json|parquet)` — distributed
+        // ordered export (O32/O33 as a SQL statement). The path becomes
+        // a directory of part files, the Spark-native shape that scales
+        // to any table size; format defaults from the path extension.
+        val name = unquote(rawName)
+        val ref = catalog.get(name).getOrElse(
+          throw new SqlException(s"no such table: $name"))
+        val df = ops.scanOrdered(ref)
+        copyFormat(path, fmtRaw) match {
+          case "csv" =>
+            df.write.mode("overwrite").option("header", "true").csv(path)
+          case "json" => df.write.mode("overwrite").json(path)
+          case "parquet" => df.write.mode("overwrite").parquet(path)
+          case other => throw new SqlException(s"unsupported COPY format: $other")
+        }
+        Right(ops.store.currentRootHash.getOrElse(
+          throw new SqlException("no catalog root")))
+      case copyFromRe(rawName, path, fmtRaw) =>
+        // `COPY t FROM '<path>' (FORMAT …)` — merge-in import (O31 as a
+        // SQL statement): columns matched BY NAME against the existing
+        // table's schema, rows upserted through the memoized merge. The
+        // table must exist (CREATE TABLE binds the key first) — the
+        // import is a delta, so repeated COPY FROM converges instead of
+        // duplicating.
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(
+            s"no such table: $name (COPY FROM merges into an existing table)"))
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val df = copyFormat(path, fmtRaw) match {
+          case "csv" => graft.sources.Csv.readNameMatched(spark, path, schema)
+          case "json" => graft.sources.Json.readNameMatched(spark, path, schema)
+          case "parquet" =>
+            val raw = spark.read.parquet(path)
+            val missing = schema.fieldNames.filterNot(raw.columns.contains)
+            if (missing.nonEmpty) throw new SqlException(
+              s"parquet at $path is missing required columns: ${missing.mkString(", ")}")
+            raw.select(schema.fields.toSeq.map(f =>
+              org.apache.spark.sql.functions.col(f.name)
+                .cast(f.dataType).as(f.name)): _*)
+          case other => throw new SqlException(s"unsupported COPY format: $other")
+        }
+        val ref = graft.core.TableRef(entry.tableHash)
+        Right(catalog.put(name,
+          ops.upsert(ref, ops.fromDataFrame(df, entry.keyCols))))
+      case createIdxRe(rawIdx, rawTable, colList) =>
+        // `CREATE INDEX idx ON t (cols)` — a key-only secondary index as
+        // a re-keying materialized view (SqlIndex): content-addressed,
+        // versioned, replicated, and maintained O(delta) by the memoized
+        // rekey. The definition persists in the root like any view.
+        val idx = unquote(rawIdx)
+        val table = unquote(rawTable)
+        val cols = colList.split(",").map(c => unquote(c.trim)).toSeq.filter(_.nonEmpty)
+        if (catalog.root.contains(idx) && !catalog.viewDefs.contains(idx))
+          throw new SqlException(s"table $idx already exists")
+        val ivs = SqlViews.fromCatalog(ops, catalog)
+        val markerSql = SqlIndex.marker(table, cols)
+        SqlIndex.declare(ivs, catalog, idx, markerSql)
+        ivs.refresh(idx)
+        Right(catalog.putViewDef(idx, markerSql))
+      case dropIdxRe(rawName) =>
+        val name = unquote(rawName)
+        if (!catalog.viewDefs.get(name).exists(SqlIndex.isIndexDef))
+          throw new SqlException(s"no such index: $name")
+        Right(catalog.dropViewDef(name))
       case dropMvRe(rawName) =>
         val name = unquote(rawName)
         // a HAVING/AVG view owns an internal aggregate-stage table
@@ -687,8 +761,90 @@ object GraftSql {
         Right(catalog.put(ct.name, ref, declared = Some(ct.schema.fieldNames.toSeq)))
       case _ =>
         registerViews()
-        Left(spark.sql(rewriteReads(spark, ops, catalog, sqlText)))
+        Left(spark.sql(rewriteIndexedFrom(spark, ops, catalog,
+          rewriteReads(spark, ops, catalog, sqlText))))
     }
+  }
+
+  /** Index acceleration for the plain-SELECT shape `… FROM t WHERE
+    * <conjuncts>`: when `t` has a secondary index whose leading
+    * column(s) are pinned by equality conjuncts, the table reference is
+    * rewritten to a temp view over the index-driven point read
+    * ([[SqlIndex.probe]]: refresh-by-memo, chunk-pruned index range
+    * scan, then only the table chunks the matching primary keys live
+    * in). The WHERE clause stays in the SQL and is re-applied, so the
+    * rewrite can only PRUNE IO, never change results; any shape this
+    * doesn't recognize (joins, top-level OR, unparseable literals,
+    * low-selectivity probes past the key cap) falls back to the plain
+    * scan untouched. */
+  private def rewriteIndexedFrom(spark: SparkSession, ops: Ops,
+      catalog: Catalog, sqlText: String): String = {
+    val m = fromWhereRe.findFirstMatchIn(sqlText).getOrElse(return sqlText)
+    if (inQuotes(sqlText, m.start)) return sqlText
+    val table = unquote(m.group(1))
+    val entry = catalog.root.getOrElse(table, return sqlText)
+    if (catalog.viewDefs.contains(table)) return sqlText // views refresh explicitly
+    val indexes = SqlIndex.indexesOn(catalog, table)
+    if (indexes.isEmpty) return sqlText
+    // the WHERE expression ends at the first top-level follow-on clause
+    val whereExpr = Seq("group", "order", "limit", "having", "window",
+      "union", "intersect", "except", "qualify")
+      .foldLeft(m.group(2))((acc, kw) => splitOnKeyword(acc, kw).head).trim
+    if (splitOnKeyword(whereExpr, "or").length > 1) return sqlText
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val eqOf: Map[String, Any] = splitOnKeyword(whereExpr, "and").map(_.trim)
+      .flatMap {
+        case cmpRe(c, "=", raw) =>
+          val name = unquote(c)
+          schema.fields.find(_.name == name)
+            .flatMap(f => parseLiteral(spark, f.dataType, raw))
+            .map(name -> _)
+        case _ => None
+      }.toMap
+    // longest satisfied equality prefix wins; name breaks ties
+    val best = indexes
+      .map { case (n, cols) => (n, cols.takeWhile(eqOf.contains)) }
+      .filter(_._2.nonEmpty)
+      .sortBy { case (n, p) => (-p.length, n) }
+      .headOption.getOrElse(return sqlText)
+    val views = SqlViews.fromCatalog(ops, catalog)
+    SqlIndex.probe(spark, ops, catalog, views, table, best._1,
+      best._2.map(eqOf)) match {
+      case Some(df) =>
+        val view = s"${table}__ix_${best._1}"
+        df.createOrReplaceTempView(view)
+        sqlText.substring(0, m.start(1)) + view + sqlText.substring(m.end(1))
+      case None => sqlText
+    }
+  }
+
+  private val fromWhereRe =
+    """(?is)\bfrom\s+("?\w+"?)\s+where\s+(.+)$""".r
+
+  /** COPY format: explicit `(FORMAT x)` wins, else the path extension,
+    * defaulting to parquet. */
+  private def copyFormat(path: String, fmtRaw: String): String =
+    Option(fmtRaw).map(_.toLowerCase).getOrElse {
+      val p = path.toLowerCase
+      if (p.endsWith(".csv")) "csv"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+      else "parquet"
+    }
+
+  /** Whether position `pos` in `s` falls inside a quoted literal or
+    * identifier — guards regex rewrites from touching string content. */
+  private def inQuotes(s: String, pos: Int): Boolean = {
+    var quote: Char = 0
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (quote != '`' && c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      i += 1
+    }
+    quote != 0
   }
 
   /** The read-side rewrites every query position gets: `VERSION AS OF`

@@ -1,0 +1,145 @@
+package graft.sql
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core._
+
+/** Secondary indexes (SqlIndex): a key-only re-keyed view, probed by
+  * equality on its leading columns, fetching base rows through
+  * chunk-pruned multi-point lookups — and maintained incrementally by
+  * the memoized rekey (freshness decided by the op hash, not metadata).
+  */
+class IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Small chunks so pruning is observable: 2000 rows / 64-row chunks
+    * ≈ 32 chunks per table. */
+  private def newSession(): (SqlSession, Ops, Catalog) = {
+    val store = new FsStore(Files.createTempDirectory("graft-idx-").toString)
+    val ops = new Ops(spark, store, 64)
+    val cat = new Catalog(store)
+    (new SqlSession(spark, ops, cat), ops, cat)
+  }
+
+  private def seed(sess: SqlSession): Unit = {
+    sess.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL, v text NOT NULL)")
+    import spark.implicits._
+    (0L until 2000L).map(i => (i, i % 97, s"v$i")).toDF("id", "grp", "v")
+      .createOrReplaceTempView("idx_seed")
+    sess.execute("INSERT INTO t SELECT * FROM idx_seed")
+  }
+
+  test("CREATE INDEX + SELECT equality: same rows as a full scan") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val Left(df) = sess.execute(
+      "SELECT id, v FROM t WHERE grp = 13 ORDER BY id"): @unchecked
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 2000L).filter(_ % 97 == 13).map(i => (i, s"v$i"))
+    assert(got == want)
+  }
+
+  test("probe economics: opens only the chunks the matches live in") {
+    val (sess, ops, cat) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val entry = cat.root("t")
+    val m = ops.meta(TableRef(entry.tableHash))
+    assert(m.chunks.length > 20, s"need many chunks, got ${m.chunks.length}")
+    // ~21 matches for grp=13 spread over 2000 rows: the pk probes hit a
+    // strict subset of chunks (each chunk holds 64 consecutive ids, and
+    // matches are 97 apart, so roughly every other chunk is skipped)
+    val pks = (0L until 2000L).filter(_ % 97 == 13).map(Seq(_))
+    val hit = ops.chunksForKeys(m, pks)
+    assert(hit.length < m.chunks.length,
+      s"probe must prune: ${hit.length} vs ${m.chunks.length}")
+    // and the index's own probe is a chunk-pruned point read too
+    val idxRef = cat.get("t_grp").get
+    val im = ops.meta(idxRef)
+    val ihit = ops.chunksForKeys(im, Seq(Seq(13L)))
+    assert(ihit.length < im.chunks.length || im.chunks.length <= 2,
+      s"index probe must prune: ${ihit.length} vs ${im.chunks.length}")
+  }
+
+  test("index stays correct after DML: refresh-by-memo at probe time") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    // rows inserted AFTER the index was built must still be found
+    sess.execute("INSERT INTO t VALUES (5001, 13, 'late'), (5002, 14, 'other')")
+    sess.execute("DELETE FROM t WHERE id = 13")  // was grp 13
+    val Left(df) = sess.execute(
+      "SELECT id, v FROM t WHERE grp = 13 ORDER BY id"): @unchecked
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 2000L).filter(i => i % 97 == 13 && i != 13L)
+      .map(i => (i, s"v$i")) :+ ((5001L, "late"))
+    assert(got == want)
+  }
+
+  test("incremental maintenance: an unchanged source refreshes with zero chunk recomputes") {
+    val (sess, ops, cat) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val v1 = cat.get("t_grp").get
+    // no DML: the probe-time refresh is a whole-op memo hit — the index
+    // table hash cannot move
+    sess.execute("SELECT id FROM t WHERE grp = 5")
+    assert(cat.get("t_grp").contains(v1))
+    // small delta: refresh advances the index but reuses every mini for
+    // untouched source chunks (per-chunk memo) — verify the new version
+    // differs and still matches a from-scratch rebuild
+    sess.execute("INSERT INTO t VALUES (9001, 5, 'x')")
+    sess.execute("SELECT id FROM t WHERE grp = 5")
+    val v2 = cat.get("t_grp").get
+    assert(v2 != v1)
+    import org.apache.spark.sql.functions.col
+    val ids = ops.scan(v2).where(col("grp") === 5).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.contains(9001L) &&
+      ids.filter(_ < 2000).sameElements((0L until 2000L).filter(_ % 97 == 5)))
+  }
+
+  test("multi-column index serves a two-column equality prefix") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_gv ON t (grp, v)")
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp = 13 AND v = 'v110' ORDER BY id"): @unchecked
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(110L))
+  }
+
+  test("DROP INDEX removes the definition and its table; SELECT falls back to scan") {
+    val (sess, _, cat) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    assert(cat.viewDefs.contains("t_grp") && cat.root.contains("t_grp"))
+    sess.execute("DROP INDEX t_grp")
+    assert(!cat.viewDefs.contains("t_grp") && !cat.root.contains("t_grp"))
+    val Left(df) = sess.execute(
+      "SELECT count(*) AS n FROM t WHERE grp = 13"): @unchecked
+    assert(df.collect().head.getLong(0) == 21L)
+  }
+
+  test("index definition survives sessions and REFRESH ALL maintains it") {
+    val dir = Files.createTempDirectory("graft-idx2-").toString
+    val (ops1, cat1) = (new Ops(spark, new FsStore(dir), 64), new Catalog(new FsStore(dir)))
+    val sess1 = new SqlSession(spark, ops1, cat1)
+    sess1.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    sess1.execute("INSERT INTO t VALUES (1, 7), (2, 8), (3, 7)")
+    sess1.execute("CREATE INDEX t_grp ON t (grp)")
+    // a NEW session over the same store: defs rebuild from the root
+    val store2 = new FsStore(dir)
+    val (ops2, cat2) = (new Ops(spark, store2, 64), new Catalog(store2))
+    val sess2 = new SqlSession(spark, ops2, cat2)
+    sess2.execute("INSERT INTO t VALUES (4, 7)")
+    sess2.execute("REFRESH ALL")
+    import org.apache.spark.sql.functions.col
+    val ids = ops2.scan(cat2.get("t_grp").get).where(col("grp") === 7)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 3L, 4L)))
+    val Left(df) = sess2.execute("SELECT id FROM t WHERE grp = 7 ORDER BY id"): @unchecked
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+  }
+}
