@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * pairwise near-dup detection (shingle Jaccard, embedding cosine, ...)
   * into "keep one representative per cluster" corpus dedup.
   *
-  * Iterative min-label propagation: each round every node takes the
-  * minimum label among itself and its neighbors — ONE shuffle join +
-  * one aggregation per round, fully distributed; converges in
-  * O(component diameter) rounds (near-dup clusters are small and
-  * dense). The driver sees only a per-round checksum: labels are
-  * per-node monotone non-increasing, so the label SUM is strictly
-  * decreasing until fixpoint — no row-level change-detection join. If a
-  * pathological graph chained deep components, the large-star/
-  * small-star rewrite (same join shape) bounds rounds at O(log n).
+  * Iterative min-label propagation WITH pointer jumping: each round
+  * every node takes the minimum label among itself and its neighbors
+  * (one shuffle join + aggregation), then shortcuts to its label's
+  * label (one self-join) — the path-halving step that collapses chains,
+  * bounding rounds at O(log diameter) instead of O(diameter). A
+  * chain-of-n component converges in ~log2(n) rounds, so the 50-round
+  * cap is unreachable for any physical graph (2^50 nodes). The driver
+  * sees only a per-round checksum: labels are per-node monotone
+  * non-increasing, so the label SUM is strictly decreasing until
+  * fixpoint — no row-level change-detection join.
   */
 object Components {
 
@@ -26,25 +27,37 @@ object Components {
   def connectedComponents(s: SparkSession, pairs: DataFrame,
       iCol: String, jCol: String, idName: String, sizeName: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint (not cache): each round's state is REFERENCED
+    // TWICE next round (propagate join + the path-halving self-join), so
+    // an un-truncated lineage doubles every round — exponential plan
+    // growth. Checkpointing cuts the plan at materialized blocks; the
+    // per-round plan stays constant-size for any round count.
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
-      .cache()
+      .localCheckpoint()
     // round-0 state folds the init INTO the first propagation: a node's
     // starting label is min(self, direct neighbors)
     var labels = edges.groupBy($"a".as("id"))
       .agg(least(min($"b"), first($"a")).as("lbl"))
-      .cache()
+      .localCheckpoint()
     var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val prop = edges.join(labels, $"a" === $"id")
         .select($"b".as("id"), $"lbl")
-      val next = labels.union(prop)
+      val lab1 = labels.union(prop)
         .groupBy($"id").agg(min($"lbl").as("lbl"))
-        .cache()
+        .localCheckpoint()
+      // path halving: lbl := lbl(lbl). Labels are node ids (every node
+      // appears in `labels` — edges carry both directions), so the
+      // jump target always resolves; left+coalesce keeps singletons of
+      // the round-0 state safe anyway.
+      val jump = lab1.select($"id".as("jid"), $"lbl".as("jlbl"))
+      val next = lab1.join(jump, lab1("lbl") === jump("jid"), "left")
+        .select(lab1("id"), coalesce($"jlbl", lab1("lbl")).as("lbl"))
+        .localCheckpoint()
       val s2 = next.agg(sum($"lbl")).first().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s2 == prevSum
       prevSum = s2
@@ -52,10 +65,11 @@ object Components {
     }
     val comp = labels.select($"id".as(idName), $"lbl".as("cluster_id"))
     val csz = comp.groupBy($"cluster_id").agg(count(lit(1)).as(sizeName))
-    val out = comp.join(csz, "cluster_id")
+    // no unpersist here: the returned plan reads the final checkpoint's
+    // blocks lazily; intermediate round blocks are reclaimed by the
+    // context cleaner once their RDDs go out of scope
+    comp.join(csz, "cluster_id")
       .select(col(idName), $"cluster_id", col(sizeName))
       .orderBy(col(idName))
-    edges.unpersist()
-    out
   }
 }
