@@ -792,24 +792,50 @@ object GraftSql {
       .foldLeft(m.group(2))((acc, kw) => splitOnKeyword(acc, kw).head).trim
     if (splitOnKeyword(whereExpr, "or").length > 1) return sqlText
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val eqOf: Map[String, Any] = splitOnKeyword(whereExpr, "and").map(_.trim)
-      .flatMap {
-        case cmpRe(c, "=", raw) =>
-          val name = unquote(c)
-          schema.fields.find(_.name == name)
-            .flatMap(f => parseLiteral(spark, f.dataType, raw))
-            .map(name -> _)
+    def lit(c: String, raw: String): Option[(String, Any)] = {
+      val name = unquote(c)
+      schema.fields.find(_.name == name)
+        .flatMap(f => parseLiteral(spark, f.dataType, raw))
+        .map(name -> _)
+    }
+    val conjuncts = splitConjuncts(whereExpr)
+    val eqOf: Map[String, Any] = conjuncts.flatMap {
+      case cmpRe(c, "=", raw) => lit(c, raw)
+      case _ => None
+    }.toMap
+    // per-column range bounds from </<=/>/>=/BETWEEN conjuncts
+    import SqlIndex.RangeBound
+    val rangeOf: Map[String, (Option[RangeBound], Option[RangeBound])] =
+      conjuncts.flatMap {
+        case betweenRe(c, loRaw, hiRaw) =>
+          for { (n, lo) <- lit(c, loRaw); (_, hi) <- lit(c, hiRaw) }
+            yield (n, Some(RangeBound(lo, true)), Some(RangeBound(hi, true)))
+        case cmpRe(c, op, raw) if op != "=" =>
+          lit(c, raw).map { case (n, v) => op match {
+            case ">" => (n, Some(RangeBound(v, false)), None)
+            case ">=" => (n, Some(RangeBound(v, true)), None)
+            case "<" => (n, None, Some(RangeBound(v, false)))
+            case "<=" => (n, None, Some(RangeBound(v, true)))
+          }}
         case _ => None
-      }.toMap
-    // longest satisfied equality prefix wins; name breaks ties
+      }.groupBy(_._1).map { case (n, bs) =>
+        // multiple bounds on one column: intersect (any lo, any hi)
+        n -> (bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
+      }
+    // longest satisfied equality prefix wins; a range on the next index
+    // column extends the probe; name breaks ties
     val best = indexes
-      .map { case (n, cols) => (n, cols.takeWhile(eqOf.contains)) }
-      .filter(_._2.nonEmpty)
-      .sortBy { case (n, p) => (-p.length, n) }
+      .map { case (n, cols) =>
+        val p = cols.takeWhile(eqOf.contains)
+        val r = cols.drop(p.length).headOption.flatMap(rangeOf.get)
+        (n, cols, p, r)
+      }
+      .filter { case (_, _, p, r) => p.nonEmpty || r.isDefined }
+      .sortBy { case (n, _, p, r) => (-p.length, r.isEmpty, n) }
       .headOption.getOrElse(return sqlText)
     val views = SqlViews.fromCatalog(ops, catalog)
-    SqlIndex.probe(spark, ops, catalog, views, table, best._1,
-      best._2.map(eqOf)) match {
+    SqlIndex.probe(spark, ops, catalog, views, table, best._1, best._2,
+      best._3.map(eqOf), best._4) match {
       case Some(df) =>
         val view = s"${table}__ix_${best._1}"
         df.createOrReplaceTempView(view)
@@ -912,6 +938,21 @@ object GraftSql {
       java.util.regex.Matcher.quoteReplacement(view)
     })
 
+  /** Top-level AND conjuncts (quote-aware), re-joining the halves a
+    * BETWEEN owns. */
+  private[sql] def splitConjuncts(cond: String): Vector[String] = {
+    val raw = splitOnKeyword(cond, "and").map(_.trim).toArray
+    val parts = Vector.newBuilder[String]
+    var idx = 0
+    while (idx < raw.length) {
+      if (raw(idx).matches("""(?is)^"?\w+"?\s+between\s+.+""") &&
+          idx + 1 < raw.length) {
+        parts += raw(idx) + " AND " + raw(idx + 1); idx += 2
+      } else { parts += raw(idx); idx += 1 }
+    }
+    parts.result()
+  }
+
   private val betweenRe =
     """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r
   private val cmpRe = """(?s)^("?\w+"?)\s*(<=|>=|=|<|>)\s*(.+)$""".r
@@ -988,17 +1029,8 @@ object GraftSql {
       keyCols: Seq[String], cond: String): Option[(Option[graft.core.Bound],
         Option[graft.core.Bound])] = {
     import graft.core.Bound
-    // split on top-level AND (quote-aware), re-joining the halves a
-    // BETWEEN owns
-    val raw = splitOnKeyword(cond, "and").map(_.trim).toArray
     val parts = Vector.newBuilder[String]
-    var idx = 0
-    while (idx < raw.length) {
-      if (raw(idx).matches("""(?is)^"?\w+"?\s+between\s+.+""") &&
-          idx + 1 < raw.length) {
-        parts += raw(idx) + " AND " + raw(idx + 1); idx += 2
-      } else { parts += raw(idx); idx += 1 }
-    }
+    parts ++= splitConjuncts(cond)
     def colIdx(c: String): Int =
       keyCols.indexWhere(_.equalsIgnoreCase(unquote(c)))
     def lit(i: Int, raw: String): Option[Any] =

@@ -89,21 +89,37 @@ object SqlIndex {
         n -> parse(sql)._2
     }
 
-  /** Index-driven point read: refresh the index (memo decides — zero
-    * jobs when the source is unchanged), range-probe it on the equality
-    * prefix (chunk-pruned), pull the matching primary keys to the
-    * driver, and read ONLY the table chunks those keys can live in
-    * ([[Ops.lookupMany]]). Above `maxKeys` matches the selectivity bet
-    * has lost and the caller should scan instead — the bitmap-scan ↔
-    * seq-scan flip every planner makes. Returns None on fallback. */
+  /** One bound of a range conjunct: literal value + inclusivity. */
+  final case class RangeBound(value: Any, inclusive: Boolean)
+
+  /** Index-driven read: refresh the index (memo decides — zero jobs
+    * when the source is unchanged), scan it under the equality-prefix +
+    * optional next-column range predicate — [[graft.core.GraftFileIndex]]
+    * prunes index chunk FILES on leading-key predicates at planning
+    * time, so the probe reads only the matching index range — pull the
+    * matching primary keys to the driver, and read ONLY the table
+    * chunks those keys can live in ([[Ops.lookupMany]]). Above
+    * `maxKeys` matches the selectivity bet has lost and the caller
+    * should scan instead — the bitmap-scan ↔ seq-scan flip every
+    * planner makes. Returns None on fallback. */
   def probe(spark: SparkSession, ops: Ops, catalog: Catalog,
-      views: Views, table: String, index: String, eqPrefix: Seq[Any],
+      views: Views, table: String, index: String, idxCols: Seq[String],
+      eqPrefix: Seq[Any],
+      range: Option[(Option[RangeBound], Option[RangeBound])] = None,
       maxKeys: Int = 100000): Option[DataFrame] = {
     views.refresh(index)
     val idxRef = catalog.get(index).getOrElse(return None)
     val entry = catalog.root(table)
     val pkCols = entry.keyCols
-    val pks = ops.lookup(idxRef, eqPrefix)
+    val eqPred = idxCols.zip(eqPrefix).map { case (c, v) => col(c) === lit(v) }
+    val rangePred = range.toSeq.flatMap { case (lo, hi) =>
+      val c = col(idxCols(eqPrefix.length))
+      lo.map(b => if (b.inclusive) c >= lit(b.value) else c > lit(b.value)) ++
+        hi.map(b => if (b.inclusive) c <= lit(b.value) else c < lit(b.value))
+    }
+    val preds = eqPred ++ rangePred
+    if (preds.isEmpty) return None
+    val pks = ops.scan(idxRef).where(preds.reduce(_ && _))
       .select(pkCols.map(col): _*)
       .limit(maxKeys + 1).collect()
     if (pks.length > maxKeys) return None

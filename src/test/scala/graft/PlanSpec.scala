@@ -199,4 +199,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"recent-orders window not pushed:\n$p")
   }
+
+  test("pack_sequences: per-bucket running sums, bucket offsets broadcast back") {
+    val p = plan("pack_sequences")
+    // the corpus-wide running sum must be windowed WITHIN buckets (the
+    // distributed prefix sum), never one unpartitioned window over the
+    // full table; the only global window is the 32-row offsets frame
+    assert(p.contains("[bucket"),
+      s"in-bucket window lost its partitioning:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast, not shuffle:\n$p")
+  }
+
+  test("sample_rebalance: per-language counts and the global min join broadcast") {
+    val p = plan("sample_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"language counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny aggregates must not shuffle-join:\n$p")
+  }
 }

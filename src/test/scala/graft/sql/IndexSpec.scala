@@ -101,6 +101,26 @@ class IndexSpec extends AnyFunSuite {
       ids.filter(_ < 2000).sameElements((0L until 2000L).filter(_ % 97 == 5)))
   }
 
+  test("range predicates probe the index: BETWEEN and one-sided") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val Left(a) = sess.execute(
+      "SELECT id FROM t WHERE grp BETWEEN 90 AND 93 ORDER BY id"): @unchecked
+    assert(a.collect().map(_.getLong(0)).toSeq ==
+      (0L until 2000L).filter(i => i % 97 >= 90 && i % 97 <= 93))
+    val Left(b) = sess.execute(
+      "SELECT count(*) AS n FROM t WHERE grp >= 95"): @unchecked
+    assert(b.collect().head.getLong(0) ==
+      (0L until 2000L).count(_ % 97 >= 95))
+    // equality prefix + range on the second index column
+    sess.execute("CREATE INDEX t_gv ON t (grp, v)")
+    val Left(c) = sess.execute(
+      "SELECT id FROM t WHERE grp = 13 AND v < 'v2' ORDER BY id"): @unchecked
+    assert(c.collect().map(_.getLong(0)).toSeq ==
+      (0L until 2000L).filter(i => i % 97 == 13 && s"v$i" < "v2"))
+  }
+
   test("multi-column index serves a two-column equality prefix") {
     val (sess, _, _) = newSession()
     seed(sess)

@@ -121,6 +121,29 @@ class TxnSpec extends AnyFunSuite {
     assert(count(ops, cat, "kv") == 2)
   }
 
+  test("CREATE INDEX inside a transaction: private until COMMIT, probes on the branch") {
+    val (sess, ops, cat) = newSession()
+    sess.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    import spark.implicits._
+    (0L until 500L).map(i => (i, i % 7)).toDF("id", "grp")
+      .createOrReplaceTempView("txn_idx_seed")
+    sess.execute("INSERT INTO t SELECT * FROM txn_idx_seed")
+    sess.execute("BEGIN")
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    sess.execute("INSERT INTO t VALUES (1000, 3)")
+    // the indexed SELECT runs against the branch and sees the staged row
+    val Left(df) = sess.execute(
+      "SELECT count(*) AS n FROM t WHERE grp = 3"): @unchecked
+    assert(df.collect().head.getLong(0) ==
+      (0L until 500L).count(_ % 7 == 3) + 1)
+    // outside: no index, no staged row
+    assert(!cat.viewDefs.contains("t_grp"))
+    assert(ops.scan(cat.get("t").get).count() == 500)
+    sess.execute("COMMIT")
+    assert(cat.viewDefs.contains("t_grp") && cat.root.contains("t_grp"))
+    assert(ops.scan(cat.get("t").get).count() == 501)
+  }
+
   test("materialized view defined inside a transaction survives the commit") {
     val (sess, ops, cat) = newSession()
     sess.execute("CREATE TABLE src (k bigint PRIMARY KEY, v bigint NOT NULL)")
