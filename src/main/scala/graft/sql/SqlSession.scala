@@ -62,4 +62,29 @@ final class SqlSession(spark: SparkSession, baseOps: Ops, val catalog: Catalog) 
     * statement's result in order. */
   def executeScript(script: String): Seq[Either[DataFrame, String]] =
     GraftSql.splitStatements(script).map(execute)
+
+  /** Optimistic-retry transaction block: BEGIN, run `body`, COMMIT —
+    * and when a concurrent writer wins the CAS, replay the whole block
+    * against the new state (the standard optimistic-concurrency loop;
+    * the body re-reads through the fresh branch, so decisions based on
+    * reads are re-made, not replayed blindly). Any exception from the
+    * body rolls back. Returns the published root hash. */
+  def withTransaction[A](maxRetries: Int = 3)(body: SqlSession => A): String = {
+    var attempt = 0
+    while (true) {
+      execute("BEGIN")
+      try {
+        body(this)
+        val Right(root) = execute("COMMIT"): @unchecked
+        return root
+      } catch {
+        case _: graft.core.TxnConflictException if attempt < maxRetries =>
+          attempt += 1 // COMMIT already closed the transaction
+        case e: Throwable =>
+          if (inTransaction) execute("ROLLBACK")
+          throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 }

@@ -144,6 +144,31 @@ class TxnSpec extends AnyFunSuite {
     assert(ops.scan(cat.get("t").get).count() == 501)
   }
 
+  test("withTransaction replays the block after a CAS conflict and wins on retry") {
+    val (sess, ops, cat) = newSession()
+    sess.execute("CREATE TABLE acct (id bigint PRIMARY KEY, bal bigint NOT NULL)")
+    sess.execute("INSERT INTO acct VALUES (1, 100), (2, 100)")
+    val other = new SqlSession(spark, ops, cat)
+    var attempts = 0
+    val root = sess.withTransaction() { s =>
+      attempts += 1
+      // the body RE-READS balance on each attempt — a conditional
+      // transfer decided from the fresh branch state
+      val Left(df) = s.execute("SELECT bal FROM acct WHERE id = 1"): @unchecked
+      val bal = df.collect().head.getLong(0)
+      if (attempts == 1) // a concurrent writer races the first attempt
+        other.execute("UPDATE acct SET bal = bal + 7 WHERE id = 1")
+      s.execute(s"UPDATE acct SET bal = ${bal - 50} WHERE id = 1")
+      s.execute("UPDATE acct SET bal = bal + 50 WHERE id = 2")
+    }
+    assert(attempts == 2, s"conflict must force one replay, got $attempts")
+    assert(ops.store.currentRootHash.contains(root))
+    import spark.implicits._
+    val bals = ops.scan(cat.get("acct").get).as[(Long, Long)].collect().toMap
+    // the retry observed the +7 write: 107 - 50, and the credit applied once
+    assert(bals == Map(1L -> 57L, 2L -> 150L), s"got $bals")
+  }
+
   test("materialized view defined inside a transaction survives the commit") {
     val (sess, ops, cat) = newSession()
     sess.execute("CREATE TABLE src (k bigint PRIMARY KEY, v bigint NOT NULL)")
