@@ -213,17 +213,75 @@ object Text {
       |FROM agg WHERE 5 * (n_tokens - n_distinct) >= n_tokens
       |ORDER BY doc_id""".stripMargin
 
+  /** PII detection + redaction (the C4-style scrub stage): count and
+    * redact emails, IPv4 addresses, and phone numbers with regexes that
+    * parse identically under Java regex and DuckDB's RE2. The corpus is
+    * synthetic, so deterministic PII fixtures are planted inside the
+    * query (doc_id-derived, identical in both engines) — the detection
+    * and redaction paths are then exercised on known-positive rows, and
+    * the redacted-text fingerprint proves the REPLACEMENT is
+    * byte-identical, not just the counts. Pure column expressions, no
+    * UDFs. */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val phoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables(s, dir, "documents")
+      .withColumn("body", concat($"text",
+        when($"doc_id" % 17 === 3,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 23 === 5,
+          concat(lit(" from 10.0."), ($"doc_id" % 200).cast("string"),
+            lit(".1 call 555-867-530"), ($"doc_id" % 10).cast("string")))
+          .otherwise(lit(""))))
+    planted.select(
+      $"doc_id",
+      regexp_count($"body", lit(emailRe)).cast("long").as("n_email"),
+      regexp_count($"body", lit(ipRe)).cast("long").as("n_ip"),
+      regexp_count($"body", lit(phoneRe)).cast("long").as("n_phone"),
+      md5(regexp_replace(regexp_replace(regexp_replace($"body",
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+        .as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 17 = 3
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 23 = 5
+      |      THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |           '.1 call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+      |      ELSE '' END AS body
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(body, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(body,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
-    "text_repetition" -> (textRepetition _))
+    "text_repetition" -> (textRepetition _),
+    "text_pii" -> (textPii _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
-    "text_repetition" -> textRepetitionSql)
+    "text_repetition" -> textRepetitionSql,
+    "text_pii" -> textPiiSql)
 }

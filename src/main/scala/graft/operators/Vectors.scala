@@ -837,9 +837,60 @@ object Vectors {
       |SELECT vec_id, cluster_id, n_members FROM comp JOIN csz USING (cluster_id)
       |ORDER BY vec_id""".stripMargin
 
+  /** SEMANTIC decontamination (the embedding-space complement of the
+    * n-gram `decontaminate`): a training vector is contaminated when it
+    * is cosine-close to any held-out eval vector. The eval split is
+    * deterministic (vec_id % 20 == 7 — a benchmark set is a fixed,
+    * SMALL fraction of the corpus) and BROADCAST against the training
+    * side — the standard shape at 100 TB, where eval sets are thousands
+    * of rows and the train side streams map-side with no shuffle. The
+    * cos >= 0.4 test is the same exact-integer cross-multiply as
+    * [[simNeardup]] (dot>0 ∧ 25·dot² >= 4·na·nb in decimal(38) /
+    * HUGEINT), so both engines agree bit-exactly. Returns each
+    * contaminated train vector with its hit count and first witness. */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val eval = v.where($"vec_id" % 20 === 7)
+      .select($"vec_id".as("eval_id"), $"q".as("eq"), $"nq".as("en"))
+    val train = v.where($"vec_id" % 20 =!= 7)
+    val dec = "decimal(38,0)"
+    train.join(broadcast(eval))
+      .withColumn("d", dot($"q", $"eq"))
+      .where($"d" > 0 &&
+        lit(25).cast(dec) * $"d".cast(dec) * $"d".cast(dec) >=
+          lit(4).cast(dec) * $"nq".cast(dec) * $"en".cast(dec))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), min($"eval_id").as("first_eval"))
+      .orderBy($"vec_id")
+  }
+
+  val decontaminateSemanticSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+      |  FROM qv),
+      |ev AS (SELECT vec_id AS eval_id, q AS eq, nq AS en FROM n WHERE vec_id % 20 = 7),
+      |tr AS (SELECT vec_id, q, nq FROM n WHERE vec_id % 20 <> 7),
+      |hits AS (
+      |  SELECT t.vec_id, e.eval_id,
+      |    CAST(list_sum(list_transform(range(1, len(t.q)+1), k -> t.q[k]*e.eq[k])) AS BIGINT) AS d
+      |  FROM tr t, ev e),
+      |pos AS (
+      |  SELECT vec_id, eval_id FROM hits
+      |  JOIN tr USING (vec_id) JOIN ev USING (eval_id)
+      |  WHERE d > 0 AND 25 * CAST(d AS HUGEINT) * d >= 4 * CAST(nq AS HUGEINT) * en)
+      |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+      |  MIN(eval_id) AS first_eval
+      |FROM pos GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
     "sim_clusters" -> (simClusters _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     // APPROXIMATE: IVF-cell-blocked pairs (the scale path; recall vs
     // exhaustive pinned in NorthStarSpec) — exhaustive semantics live
     // under sim_neardup_exact
@@ -855,6 +906,7 @@ object Vectors {
 
   val oracles: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "sim_clusters" -> simClustersSql,
     "sim_neardup" -> simNeardupSql,
     "sim_neardup_exact" -> simNeardupExactSql,
