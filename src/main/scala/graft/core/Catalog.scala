@@ -15,9 +15,18 @@ import org.json4s.JsonDSL._
   *   align against it. Roots written before this field existed fall back
   *   to the canonical order on load (the declaration order was never
   *   recorded and cannot be recovered); positional inserts into such
-  *   legacy tables follow print-schema order, as they always did. */
+  *   legacy tables follow print-schema order, as they always did.
+  * @param notNull VALUE columns declared NOT NULL (key columns are
+  *   implicitly non-null). The canonical schema relaxes value columns to
+  *   nullable (Canonical.normalizeSchema keeps chunk identity
+  *   declaration-free), so the declared constraint lives HERE and the
+  *   SQL write paths enforce it at runtime — the reference makes the
+  *   same split: constraints are schema-layer, tries are typed rows
+  *   (messdb-sql/src/MessDB/SQL/Schema.hs:49-57). Legacy roots load as
+  *   unconstrained. */
 final case class CatalogEntry(tableHash: String, keyCols: Seq[String],
-    schemaJson: String, declaredCols: Seq[String])
+    schemaJson: String, declaredCols: Seq[String],
+    notNull: Seq[String] = Nil)
 
 final class Catalog(store: GraftStore) {
 
@@ -57,7 +66,8 @@ final class Catalog(store: GraftStore) {
           .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
       }
       name -> CatalogEntry((e \ "table").extract[String],
-        (e \ "keyCols").extract[Seq[String]], schemaJson, declared)
+        (e \ "keyCols").extract[Seq[String]], schemaJson, declared,
+        (e \ "notnull").extractOpt[Seq[String]].getOrElse(Nil))
     }
   }
 
@@ -68,7 +78,8 @@ final class Catalog(store: GraftStore) {
     * existing entry's declared order survives as long as the column set
     * is unchanged (so an INSERT-driven re-put doesn't reset a CREATE
     * TABLE declaration to canonical order). */
-  def put(name: String, ref: TableRef, declared: Option[Seq[String]] = None): String = {
+  def put(name: String, ref: TableRef, declared: Option[Seq[String]] = None,
+      notNull: Option[Seq[String]] = None): String = {
     val m = store.loadTableMeta(ref.hash)
     val fieldNames = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
@@ -79,7 +90,11 @@ final class Catalog(store: GraftStore) {
       val order = declared
         .orElse(cur.get(name).map(_.declaredCols).filter(_.toSet == fieldNames.toSet))
         .getOrElse(fieldNames)
-      cur + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order))
+      // NOT NULL declarations survive re-puts while the columns exist
+      val nn = notNull
+        .orElse(cur.get(name).map(_.notNull.filter(fieldNames.contains)))
+        .getOrElse(Nil)
+      cur + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order, nn))
     }
   }
 
@@ -94,7 +109,9 @@ final class Catalog(store: GraftStore) {
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
       val order = acc.get(name).map(_.declaredCols)
         .filter(_.toSet == fieldNames.toSet).getOrElse(fieldNames)
-      acc + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order))
+      val nn = acc.get(name).map(_.notNull.filter(fieldNames.contains))
+        .getOrElse(Nil)
+      acc + (name -> CatalogEntry(ref.hash, m.keyCols, m.schemaJson, order, nn))
     }
   }
 
@@ -129,7 +146,7 @@ final class Catalog(store: GraftStore) {
     val parent = store.currentRootHash
     val tables: JObject = JObject(next.toList.sortBy(_._1).map { case (name, e) =>
       name -> (("table" -> e.tableHash) ~ ("keyCols" -> e.keyCols) ~
-        ("declared" -> e.declaredCols) ~
+        ("declared" -> e.declaredCols) ~ ("notnull" -> e.notNull) ~
         ("schema" -> JsonMethods.parse(e.schemaJson)))
     })
     val j: JObject = ("tables" -> tables) ~

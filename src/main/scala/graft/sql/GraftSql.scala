@@ -197,6 +197,8 @@ object GraftSql {
   private val showVersionsRe =
     """(?is)^\s*show\s+versions\s*(?:limit\s+(\d+))?\s*$""".r
   private val showTablesRe = """(?is)^\s*show\s+tables\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*show\s+create\s+table\s+("?[\w.]+"?)\s*$""".r
   private val describeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?("?[\w.]+"?)\s*$""".r
   private val vacuumRe =
@@ -352,7 +354,7 @@ object GraftSql {
         }
         val casted = aligned.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-        val delta = ops.fromDataFrame(casted, entry.keyCols)
+        val delta = ops.fromDataFrame(guardNotNull(casted, entry, name), entry.keyCols)
         val merged = ops.upsert(graft.core.TableRef(entry.tableHash), delta)
         Right(catalog.put(name, merged))
       case deleteRe(rawName, cond) =>
@@ -434,9 +436,9 @@ object GraftSql {
               case None => qid(f.name)
             }
           }
-          ops.fromDataFrame(
+          ops.fromDataFrame(guardNotNull(
             spark.sql(s"SELECT ${proj.mkString(", ")} FROM ${qid(name)}"),
-            entry.keyCols)
+            entry, name), entry.keyCols)
         }
         val out =
           if (touchesKey || cond == null) rebuild()
@@ -450,7 +452,8 @@ object GraftSql {
                     .getOrElse(qid(f))
                 }.toIndexedSeq: _*)
                 if (updated.isEmpty) ref
-                else ops.upsert(ref, ops.fromDataFrame(updated, entry.keyCols))
+                else ops.upsert(ref,
+                  ops.fromDataFrame(guardNotNull(updated, entry, name), entry.keyCols))
               } catch {
                 // SET expression needs more than row-local columns
                 // (subquery, other table): the rebuild path registers
@@ -461,7 +464,7 @@ object GraftSql {
               // non-key predicate, row-local SETs → per-chunk transform
               // with zone-map passthrough of provably-unaffected chunks
               updateByTransform(spark, ops, schema, entry.keyCols, ref,
-                sets, cond).getOrElse(rebuild())
+                sets, cond, entry.notNull).getOrElse(rebuild())
           }
         if (out == ref)
           Right(ops.store.currentRootHash.getOrElse(
@@ -538,7 +541,8 @@ object GraftSql {
         }
         val ref = graft.core.TableRef(entry.tableHash)
         Right(catalog.put(name,
-          ops.upsert(ref, ops.fromDataFrame(df, entry.keyCols))))
+          ops.upsert(ref,
+            ops.fromDataFrame(guardNotNull(df, entry, name), entry.keyCols))))
       case createIdxRe(rawIdx, rawTable, colList) =>
         // `CREATE INDEX idx ON t (cols)` — a key-only secondary index as
         // a re-keying materialized view (SqlIndex): content-addressed,
@@ -632,6 +636,40 @@ object GraftSql {
         }
         val out = ops.transform(ref, transform, graft.core.FoldSpec.FoldLast)
         Right(catalog.put(name, out, declared = Some(newDeclared)))
+      case showCreateRe(rawName) =>
+        // `SHOW CREATE TABLE t`: reconstruct the declaration from the
+        // catalog entry — declared column order, canonical type names
+        // (O29 inverted), PRIMARY KEY and persisted NOT NULL constraints
+        val name = unquote(rawName)
+        val entry = catalog.root.getOrElse(name,
+          throw new SqlException(s"no such table: $name"))
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        def typeName(dt: DataType): String = dt match {
+          case ShortType => "smallint"
+          case IntegerType => "integer"
+          case LongType => "bigint"
+          case FloatType => "real"
+          case DoubleType => "double precision"
+          case BinaryType => "bytes"
+          case StringType => "text"
+          case DateType => "date"
+          case TimestampType => "timestamp"
+          case BooleanType => "boolean"
+          case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+          case other => other.sql.toLowerCase
+        }
+        val cols = entry.declaredCols.map { c =>
+          val f = schema(c)
+          val tags = (if (entry.keyCols.contains(c)) " PRIMARY KEY" else "") +
+            (if (!entry.keyCols.contains(c) && entry.notNull.contains(c))
+              " NOT NULL" else "")
+          s"  $c ${typeName(f.dataType)}$tags"
+        }
+        val ddl = s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)"
+        Left(spark.createDataFrame(
+          java.util.List.of(Row(ddl)),
+          StructType(Seq(StructField("create_statement", StringType,
+            nullable = false)))))
       case showTablesRe() =>
         // `SHOW TABLES`: names + key columns + size from chunk METADATA
         // (no data read — counts come from the chunk index)
@@ -758,7 +796,14 @@ object GraftSql {
       case t if t.toLowerCase.startsWith("create table") =>
         val ct = parseCreateTable(sqlText)
         val ref = ops.emptyTable(ct.schema, ct.keyCols)
-        Right(catalog.put(ct.name, ref, declared = Some(ct.schema.fieldNames.toSeq)))
+        // the canonical schema relaxes value columns to nullable; the
+        // declared NOT NULL set persists in the catalog entry and the
+        // write paths enforce it (guardNotNull)
+        val nn = ct.schema.fields
+          .filter(f => !f.nullable && !ct.keyCols.contains(f.name))
+          .map(_.name).toSeq
+        Right(catalog.put(ct.name, ref,
+          declared = Some(ct.schema.fieldNames.toSeq), notNull = Some(nn)))
       case _ =>
         registerViews()
         Left(spark.sql(rewriteIndexedFrom(spark, ops, catalog,
@@ -938,6 +983,26 @@ object GraftSql {
       java.util.regex.Matcher.quoteReplacement(view)
     })
 
+  /** Runtime NOT NULL enforcement for the SQL write paths: key columns
+    * and declared-NOT-NULL value columns raise on a null at WRITE time
+    * (codegen'd coalesce+raise_error — no extra job, no extra pass).
+    * Keys get it too: a null key would otherwise surface as an opaque
+    * executor error from the key encoder. */
+  private[sql] def guardNotNull(df: DataFrame,
+      entry: graft.core.CatalogEntry, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error}
+    val guarded = (entry.keyCols ++ entry.notNull).distinct
+      .filter(df.columns.contains).toSet
+    if (guarded.isEmpty) df
+    else df.select(df.columns.toSeq.map { c =>
+      if (guarded.contains(c))
+        coalesce(col(c), raise_error(lit(
+          s"NOT NULL violation: column $c of table $table"))
+          .cast(df.schema(c).dataType)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Top-level AND conjuncts (quote-aware), re-joining the halves a
     * BETWEEN owns. */
   private[sql] def splitConjuncts(cond: String): Vector[String] = {
@@ -992,14 +1057,24 @@ object GraftSql {
     * row pass through verbatim. None → caller rebuilds. */
   private def updateByTransform(spark: SparkSession, ops: Ops,
       schema: StructType, keyCols: Seq[String], ref: graft.core.TableRef,
-      sets: Map[String, String], cond: String): Option[graft.core.TableRef] =
+      sets: Map[String, String], cond: String,
+      notNull: Seq[String] = Nil): Option[graft.core.TableRef] =
     try {
       import org.apache.spark.sql.functions.{col, expr}
+      // a SET on a declared-NOT-NULL column raises at write time; the
+      // untouched ELSE branch carries the (non-null) stored value, so
+      // the guard wraps the whole CASE without changing it
       val cols = schema.fields.map { f =>
         sets.get(f.name) match {
-          case Some(e) => expr(
-            s"CASE WHEN coalesce(($cond), false) THEN " +
-              s"CAST(($e) AS ${f.dataType.sql}) ELSE `${f.name}` END").as(f.name)
+          case Some(e) =>
+            val base = s"CASE WHEN coalesce(($cond), false) THEN " +
+              s"CAST(($e) AS ${f.dataType.sql}) ELSE `${f.name}` END"
+            val guarded =
+              if (notNull.contains(f.name))
+                s"coalesce($base, raise_error(" +
+                  s"'NOT NULL violation: column ${f.name}'))"
+              else base
+            expr(guarded).as(f.name)
           case None => col(f.name)
         }
       }.toSeq
@@ -1009,8 +1084,11 @@ object GraftSql {
       else {
         val setKey = sets.toSeq.sortBy(_._1)
           .map { case (c, e) => s"$c=${e.trim}" }.mkString(",")
+        // the guard changes the operation for constrained columns —
+        // version the FuncKey so pre-guard memo entries never serve it
+        val ver = if (sets.keySet.exists(notNull.contains)) "v2" else "v1"
         Some(ops.transform(ref, graft.core.ColTransform(
-          s"sql-update-v1:$setKey:${cond.trim}", keyCols, cols,
+          s"sql-update-$ver:$setKey:${cond.trim}", keyCols, cols,
           preservesKeys = true,
           passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
       }

@@ -345,7 +345,9 @@ object Merge {
           when(fate === tag, v).otherwise(els)
         }.as(f.name)
       }
-      val projected = kept.select(schema.fields.map(outCol).toIndexedSeq: _*)
+      val projected = GraftSql.guardNotNull(
+        kept.select(schema.fields.map(outCol).toIndexedSeq: _*),
+        entry, p.target)
 
       // splice: complement range (metadata + ≤2 edge chunks) merged with
       // the rebuilt region — chunks outside the envelope pass through

@@ -1139,4 +1139,66 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     val lines = scala.io.Source.fromFile(part).getLines().toSeq
     assert(lines.head == "id,v" && lines.contains("7,x"))
   }
+
+  test("NOT NULL enforcement: declared constraints raise at write time on every path") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t (k bigint PRIMARY KEY, v text NOT NULL, o text)")
+    run("INSERT INTO t VALUES (1, 'a', NULL)") // nullable column: fine
+    def rejected(sql: String): Boolean =
+      try { run(sql); false }
+      catch { case e: Throwable =>
+        var c: Throwable = e; var hit = false
+        while (c != null && !hit) {
+          hit = Option(c.getMessage).exists(_.contains("NOT NULL violation"))
+          c = c.getCause
+        }
+        hit
+      }
+    assert(rejected("INSERT INTO t VALUES (2, NULL, 'x')"), "INSERT null value")
+    assert(rejected("INSERT INTO t VALUES (NULL, 'b', 'x')"), "INSERT null key")
+    assert(rejected("UPDATE t SET v = NULL WHERE o IS NULL"), "UPDATE transform path")
+    assert(rejected("UPDATE t SET v = NULL WHERE k >= 0"), "UPDATE range path")
+    assert(rejected(
+      "MERGE INTO t AS tgt USING (SELECT 1 AS k, CAST(NULL AS STRING) AS v, 'z' AS o) AS src " +
+        "ON tgt.k = src.k WHEN MATCHED THEN UPDATE SET v = src.v"), "MERGE update")
+    // a failed statement must leave the table untouched (no partial write)
+    assert(ops.scan(cat.get("t").get).count() == 1)
+    // the constraint survives re-puts and a fresh catalog over the store
+    run("INSERT INTO t VALUES (4, 'd', 'x')")
+    val cat2 = new Catalog(ops.store)
+    assert(cat2.root("t").notNull == Seq("v"))
+    val err = intercept[Exception](
+      GraftSql.execute(spark, ops, cat2, "INSERT INTO t VALUES (5, NULL, 'x')"))
+    assert(err.toString.contains("NOT NULL") || err.getCause != null)
+  }
+
+  test("COPY FROM enforces NOT NULL (csv empty field reads as null)") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t (k bigint PRIMARY KEY, v text NOT NULL)")
+    val dir = Files.createTempDirectory("graft-copynull-").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"), "k,v\n1,\n")
+    val e = intercept[Exception](run(s"COPY t FROM '$dir/in.csv' (FORMAT csv)"))
+    var c: Throwable = e; var hit = false
+    while (c != null && !hit) {
+      hit = Option(c.getMessage).exists(_.contains("NOT NULL violation")); c = c.getCause
+    }
+    assert(hit, s"expected NOT NULL violation, got $e")
+    assert(ops.scan(cat.get("t").get).count() == 0)
+  }
+
+  test("SHOW CREATE TABLE round-trips the declaration") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    val ddl = "CREATE TABLE t (\n  id bigint PRIMARY KEY,\n  name text NOT NULL,\n" +
+      "  score real,\n  amt decimal(12,2) NOT NULL\n)"
+    run(ddl)
+    val Left(df) = run("SHOW CREATE TABLE t"): @unchecked
+    val got = df.collect().head.getString(0)
+    assert(got == ddl, s"got:\n$got")
+    // and the reconstruction is itself valid DDL (parse round-trip)
+    val ct = GraftSql.parseCreateTable(got)
+    assert(ct.keyCols == Seq("id"))
+  }
 }
