@@ -199,6 +199,8 @@ object GraftSql {
   private val showTablesRe = """(?is)^\s*show\s+tables\s*$""".r
   private val showCreateRe =
     """(?is)^\s*show\s+create\s+table\s+("?[\w.]+"?)\s*$""".r
+  private val showIndexesRe = """(?is)^\s*show\s+indexes\s*$""".r
+  private val showMvRe = """(?is)^\s*show\s+materialized\s+views\s*$""".r
   private val describeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?("?[\w.]+"?)\s*$""".r
   private val vacuumRe =
@@ -670,6 +672,35 @@ object GraftSql {
           java.util.List.of(Row(ddl)),
           StructType(Seq(StructField("create_statement", StringType,
             nullable = false)))))
+      case showIndexesRe() =>
+        // `SHOW INDEXES`: every secondary index with its source table,
+        // indexed columns, and materialized size (metadata only)
+        val rows = catalog.viewDefs.toSeq.sortBy(_._1)
+          .filter { case (_, sql) => SqlIndex.isIndexDef(sql) }
+          .map { case (idx, sql) =>
+            val (table, cols) = SqlIndex.parse(sql)
+            val n = catalog.get(idx)
+              .map(r => ops.meta(r).rows).getOrElse(0L)
+            Row(idx, table, cols.mkString(","), n)
+          }
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("index", StringType, nullable = false),
+            StructField("table", StringType, nullable = false),
+            StructField("columns", StringType, nullable = false),
+            StructField("rows", LongType, nullable = false)))))
+      case showMvRe() =>
+        // `SHOW MATERIALIZED VIEWS`: persisted view definitions
+        // (indexes excluded — they have SHOW INDEXES)
+        val rows = catalog.viewDefs.toSeq.sortBy(_._1)
+          .filterNot { case (_, sql) => SqlIndex.isIndexDef(sql) }
+          .map { case (v, sql) => Row(v, sql) }
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("view", StringType, nullable = false),
+            StructField("definition", StringType, nullable = false)))))
       case showTablesRe() =>
         // `SHOW TABLES`: names + key columns + size from chunk METADATA
         // (no data read — counts come from the chunk index)

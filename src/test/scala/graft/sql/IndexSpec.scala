@@ -162,4 +162,18 @@ class IndexSpec extends AnyFunSuite {
     val Left(df) = sess2.execute("SELECT id FROM t WHERE grp = 7 ORDER BY id"): @unchecked
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
   }
+
+  test("SHOW INDEXES and SHOW MATERIALIZED VIEWS list the right definitions") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    sess.execute("CREATE MATERIALIZED VIEW mv AS SELECT id, grp FROM t")
+    val Left(ix) = sess.execute("SHOW INDEXES"): @unchecked
+    val ixRows = ix.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(ixRows.toSeq == Seq(("t_grp", "t", "grp")))
+    assert(ix.collect().head.getLong(3) == 2000L)
+    val Left(mv) = sess.execute("SHOW MATERIALIZED VIEWS"): @unchecked
+    val mvRows = mv.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(mvRows.toSeq == Seq(("mv", "SELECT id, grp FROM t")))
+  }
 }
