@@ -516,6 +516,7 @@ object MatView {
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
 
     Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 2 === 1) // same slice discipline as sql_txn
       .select(col("o_orderkey"), col("o_custkey"),
         cents(col("o_totalprice")).as("price_c"))
       .createOrReplaceTempView("orders_idx_src")
@@ -524,7 +525,7 @@ object MatView {
     // DML after the index exists: probe-time refresh must see all of it
     run("INSERT INTO orders_ix SELECT o_orderkey + 80000000, 1, price_c + 5 " +
       "FROM orders_ix WHERE o_custkey = 4")
-    run("DELETE FROM orders_ix WHERE o_custkey = 1 AND o_orderkey % 2 = 1")
+    run("DELETE FROM orders_ix WHERE o_custkey = 1 AND o_orderkey % 4 = 1")
     val Left(out) = run(
       "SELECT o_orderkey, price_c FROM orders_ix WHERE o_custkey = 1 " +
         "ORDER BY o_orderkey"): @unchecked
@@ -534,13 +535,13 @@ object MatView {
   val sqlIndexSql: String =
     s"""WITH base AS (
        |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
-       |  FROM orders),
+       |  FROM orders WHERE o_orderkey % 2 = 1),
        |ins AS (
        |  SELECT * FROM base
        |  UNION ALL
        |  SELECT o_orderkey + 80000000, 1, price_c + 5 FROM base WHERE o_custkey = 4),
        |fin AS (
-       |  SELECT * FROM ins WHERE NOT (o_custkey = 1 AND o_orderkey % 2 = 1))
+       |  SELECT * FROM ins WHERE NOT (o_custkey = 1 AND o_orderkey % 4 = 1))
        |SELECT o_orderkey, price_c FROM fin WHERE o_custkey = 1
        |ORDER BY o_orderkey""".stripMargin
 
