@@ -90,9 +90,14 @@ final class MemoryStore extends GraftStore {
   }
 
   // ---- root pointer ----------------------------------------------------
-  def saveRoot(json: String): String = {
+  def putRootObject(json: String): String = {
     val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
     roots.putIfAbsent(hash, json)
+    hash
+  }
+
+  def saveRoot(json: String): String = {
+    val hash = putRootObject(json)
     pointer.set(Some(hash))
     hash
   }

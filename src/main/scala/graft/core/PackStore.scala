@@ -211,10 +211,15 @@ final class PackStore(val rootDir: String) extends GraftStore {
 
   // ---- roots -----------------------------------------------------------
 
-  def saveRoot(json: String): String = {
+  def putRootObject(json: String): String = {
     val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
     val p = root.resolve("roots").resolve(s"$hash.json")
     if (!Files.exists(p)) { Files.writeString(p, json); () }
+    hash
+  }
+
+  def saveRoot(json: String): String = {
+    val hash = putRootObject(json)
     Files.writeString(root.resolve("root"), hash)
     hash
   }

@@ -79,33 +79,20 @@ object Replicate {
       }
     }
 
-    // saveRoot both saves AND installs the pointer (the Catalog
-    // statement contract) — capture the destination head first and
-    // restore it below unless a fast-forward advance is wanted
     val dstHeadBefore = dst.currentRootHash
 
-    // roots oldest-first so every parent exists before its child; any
-    // failure mid-copy must still restore the pointer saveRoot moved —
-    // including back to the NO-pointer state when the destination was
-    // empty (advancePointer = false must leave a fresh store pointerless)
-    def restoreHead(): Unit = dstHeadBefore match {
-      case Some(h) => dst.setRootPointer(h)
-      case None => dst.clearRootPointer()
-    }
+    // roots oldest-first so every parent exists before its child;
+    // putRootObject never moves the destination pointer, so a failure
+    // mid-copy leaves the head exactly where it was (including the
+    // NO-pointer state of a fresh store) with only orphaned objects
     var copiedRoots = 0
-    try {
-      roots.reverse.foreach { r =>
-        if (!dst.hasRoot(r)) {
-          val saved = dst.saveRoot(src.loadRoot(r))
-          require(saved == r,
-            s"root hash diverged across stores: $r vs $saved")
-          copiedRoots += 1
-        }
+    roots.reverse.foreach { r =>
+      if (!dst.hasRoot(r)) {
+        val saved = dst.putRootObject(src.loadRoot(r))
+        require(saved == r,
+          s"root hash diverged across stores: $r vs $saved")
+        copiedRoots += 1
       }
-    } finally {
-      // provisional restore — the fast-forward decision below may
-      // re-advance it; on a mid-copy exception this is the final state
-      if (copiedRoots > 0) restoreHead()
     }
 
     val fastForward = dstHeadBefore.isEmpty ||
@@ -123,7 +110,6 @@ object Replicate {
       }
     if (advancePointer && fastForward) dst.setRootPointer(rootHash)
     else {
-      restoreHead() // undo saveRoot's side effect
       require(!advancePointer,
         s"destination root ${dstHeadBefore.getOrElse("?")} is not in the " +
           "pushed history — refusing a non-fast-forward pointer move " +

@@ -98,6 +98,12 @@ trait GraftStore {
     }
 
   // ---- root pointer ----------------------------------------------------
+  /** Write a root OBJECT (content-addressed) WITHOUT touching the
+    * pointer — the staging primitive transactions and replication need:
+    * a TxnStore persists its private head and Replicate copies history
+    * without ever exposing in-flight state through the shared pointer
+    * (a crash leaves only an unreferenced object for GC). */
+  def putRootObject(json: String): String
   def saveRoot(json: String): String
   def setRootPointer(rootHash: String): Unit
   /** Remove the pointer entirely (back to the fresh-store "no current
@@ -229,10 +235,15 @@ final class FsStore(val rootDir: String,
     if (!Files.exists(p)) writeAtomic(p, resultHash)
   }
 
-  def saveRoot(json: String): String = {
+  def putRootObject(json: String): String = {
     val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
     val p = root.resolve("roots").resolve(s"$hash.json")
     if (!Files.exists(p)) writeAtomic(p, json)
+    hash
+  }
+
+  def saveRoot(json: String): String = {
+    val hash = putRootObject(json)
     writeAtomic(root.resolve("root"), hash)
     hash
   }
@@ -429,10 +440,15 @@ final class ObjectStoreSimStore(val rootDir: String) extends GraftStore {
     if (!Files.exists(p)) putString(p, resultHash)
   }
 
-  def saveRoot(json: String): String = {
+  def putRootObject(json: String): String = {
     val hash = Hashing.sha256Hex(json.getBytes(StandardCharsets.UTF_8))
     val p = root.resolve("roots").resolve(s"$hash.json")
     if (!Files.exists(p)) putString(p, json)
+    hash
+  }
+
+  def saveRoot(json: String): String = {
+    val hash = putRootObject(json)
     putString(root.resolve("root"), hash)
     hash
   }
@@ -588,6 +604,8 @@ final class LoggingStore(inner: GraftStore,
   def memoPut(opHash: String, resultHash: String): Unit =
     tap(s"memoPut $opHash -> $resultHash")(inner.memoPut(opHash, resultHash))
 
+  def putRootObject(json: String): String =
+    tap(s"putRootObject ${json.length}B")(inner.putRootObject(json))
   def saveRoot(json: String): String =
     tap(s"saveRoot ${json.length}B")(inner.saveRoot(json))
   def setRootPointer(rootHash: String): Unit =

@@ -53,18 +53,13 @@ final class TxnStore(val inner: GraftStore) extends GraftStore {
   // ---- root pointer: private to the transaction ------------------------
   /** Root OBJECTS are shared (content-addressed, harmless before a
     * pointer references them); only the POINTER is transaction-local.
-    * The inner store's saveRoot moves its pointer as a side effect, so
-    * restore it under the same monitor Catalog serializes on. */
+    * putRootObject never touches the shared pointer, so staged state is
+    * invisible to concurrent readers and a crash mid-transaction leaves
+    * only an unreferenced root object for GC — never a published one. */
+  def putRootObject(json: String): String = inner.putRootObject(json)
+
   def saveRoot(json: String): String = {
-    val h = inner.synchronized {
-      val prev = inner.currentRootHash
-      val h0 = inner.saveRoot(json)
-      prev match {
-        case Some(p) => inner.setRootPointer(p)
-        case None => inner.clearRootPointer()
-      }
-      h0
-    }
+    val h = inner.putRootObject(json)
     ptr = Some(h)
     h
   }

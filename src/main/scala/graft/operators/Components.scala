@@ -40,7 +40,13 @@ object Components {
     var labels = edges.groupBy($"a".as("id"))
       .agg(least(min($"b"), first($"a")).as("lbl"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum($"lbl")).first().getLong(0)
+    // checksum in DECIMAL(38,0): a LongType sum wraps at ~10^12 nodes
+    // with 64-bit ids, and a wrapped collision could declare convergence
+    // early; 38 digits hold any physical node count × id magnitude
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum($"lbl".cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = checksum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -57,9 +63,9 @@ object Components {
       val next = lab1.join(jump, lab1("lbl") === jump("jid"), "left")
         .select(lab1("id"), coalesce($"jlbl", lab1("lbl")).as("lbl"))
         .localCheckpoint()
-      val s2 = next.agg(sum($"lbl")).first().getLong(0)
+      val s2 = checksum(next)
       labels = next
-      converged = s2 == prevSum
+      converged = s2.compareTo(prevSum) == 0
       prevSum = s2
       rounds += 1
     }

@@ -915,7 +915,11 @@ object GraftSql {
       case Some(df) =>
         val view = s"${table}__ix_${best._1}"
         df.createOrReplaceTempView(view)
-        sqlText.substring(0, m.start(1)) + view + sqlText.substring(m.end(1))
+        // alias the view back to the original table name so qualified
+        // references elsewhere in the query (SELECT t.id, GROUP BY
+        // t.grp) keep resolving after the rewrite
+        sqlText.substring(0, m.start(1)) + s"$view AS $table" +
+          sqlText.substring(m.end(1))
       case None => sqlText
     }
   }

@@ -75,9 +75,15 @@ object SqlIndex {
     val outKeys = (cols ++ entry.keyCols.filterNot(cols.contains)).distinct
     val sig = Hashing.sha256Hex(
       (name + " " + marker(table, cols)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // NULL-keyed rows are excluded from the index: equality and range
+    // probes never match NULL (SQL three-valued logic), and the key
+    // encoder requires non-null keys — the standard partial-index-on-
+    // NOT-NULL treatment. v2: the filter is part of the op identity.
+    val nonNullKeys = cols.map(col(_).isNotNull).reduce(_ && _)
     views.declare(name, table,
-      ColTransform(s"sqlidx-v1:$sig", outKeys,
-        outKeys.map(col) :+ lit(1).cast("tinyint").as("_present")),
+      ColTransform(s"sqlidx-v2:$sig", outKeys,
+        outKeys.map(col) :+ lit(1).cast("tinyint").as("_present"),
+        filter = Some(nonNullKeys)),
       FoldSpec.FoldMin)
   }
 

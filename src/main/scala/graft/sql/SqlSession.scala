@@ -79,7 +79,11 @@ final class SqlSession(spark: SparkSession, baseOps: Ops, val catalog: Catalog) 
         return root
       } catch {
         case _: graft.core.TxnConflictException if attempt < maxRetries =>
-          attempt += 1 // COMMIT already closed the transaction
+          // COMMIT closes the transaction before throwing, but the BODY
+          // may also surface a conflict (e.g. a nested commit helper) —
+          // roll back if still open so the retry's BEGIN succeeds
+          if (inTransaction) execute("ROLLBACK")
+          attempt += 1
         case e: Throwable =>
           if (inTransaction) execute("ROLLBACK")
           throw e

@@ -109,8 +109,13 @@ object ChangeFeedStream {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    consume(feed, batchId)
+    // pin the upper bound BEFORE delivery: a crash after consume's side
+    // effects but before the pin would otherwise let the replay compute
+    // a WIDER interval from an advanced root — and a consumer-side
+    // idempotence marker keyed on batchId would then silently skip the
+    // widened part. Pinning first makes replays interval-identical.
     if (store.memoGet(key).isEmpty) store.memoPut(key, to)
+    consume(feed, batchId)
     ()
   }
 
