@@ -77,7 +77,7 @@ object Cli {
           graft.sql.GraftSql.splitStatements(stmt).foreach { s =>
             session.execute(s) match {
               case Right(root) => println(s"root=$root")
-              case Left(df) => df.toJSON.toLocalIterator().forEachRemaining(println(_))
+              case Left(df) => printJson(df)
             }
           }
         case "range" :: table :: lo :: hi :: Nil =>
@@ -87,17 +87,17 @@ object Cli {
           val out = ops.rangeFilter(ref,
             Some(Bound(Seq(loV), inclusive = true)),
             Some(Bound(Seq(hiV), inclusive = false)))
-          ops.scanOrdered(out).toJSON.toLocalIterator().forEachRemaining(println(_))
+          printJson(ops.scanOrdered(out))
           printStats(store)
         case "lookup" :: table :: key :: Nil =>
           val ref = need(cat, table)
-          ops.lookup(ref, Seq(parseKey(spark, ops.meta(ref), key)))
-            .toJSON.toLocalIterator().forEachRemaining(println(_))
+          printJson(ops.lookup(ref, Seq(parseKey(spark, ops.meta(ref), key))))
         case "export-json" :: table :: Nil =>
-          // JSON-lines export (Tool/Json.hs:16-32), ordered scan
-          ops.scanOrdered(need(cat, table)).toJSON.toLocalIterator().forEachRemaining(println(_))
+          // JSON-lines export (Tool/Json.hs:16-32), ordered scan; binary
+          // columns render as hex (Table/Bytes.hs:16-28 parity)
+          printJson(ops.scanOrdered(need(cat, table)))
         case "export-csv" :: table :: outDir :: Nil =>
-          ops.scanOrdered(need(cat, table)).coalesce(1)
+          graft.sources.Hex.encode(ops.scanOrdered(need(cat, table))).coalesce(1)
             .write.mode("overwrite").option("header", "true").csv(outDir)
           println(s"wrote $outDir")
         case "print-schema" :: table :: Nil =>
@@ -171,8 +171,7 @@ object Cli {
           val cur = cat.get(table).getOrElse(sys.error(s"no such table: $table"))
           val old = cat.rootAt(oldRoot).getOrElse(table,
             sys.error(s"table $table absent in root $oldRoot"))
-          ops.diff(graft.core.TableRef(old.tableHash), cur)
-            .toJSON.toLocalIterator().forEachRemaining(println(_))
+          printJson(ops.diff(graft.core.TableRef(old.tableHash), cur))
         case "gc" :: rest if rest.isEmpty ||
             rest == List("--keep-history") || rest == List("--prune-history") ||
             (rest.length == 2 && rest.head == "--keep-last" &&
@@ -236,6 +235,12 @@ object Cli {
       case _ => s
     }
   }
+
+  /** JSON-lines output, streamed; binary columns as lowercase hex
+    * (Table/Bytes.hs:16-28 serialization parity). */
+  private def printJson(df: org.apache.spark.sql.DataFrame): Unit =
+    graft.sources.Hex.encode(df).toJSON.toLocalIterator()
+      .forEachRemaining(println(_))
 
   private def printStats(store: GraftStore): Unit =
     println(store.stats.snapshot.toSeq.sortBy(_._1)

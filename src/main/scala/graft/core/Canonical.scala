@@ -185,9 +185,10 @@ object Canonical {
     * as the single byte 0x00; values over MaxStatBytes drop the
     * column's stats for the chunk (StatsDropped sentinel). */
   private[core] def chunkDigests(df: DataFrame, groupCols: Seq[String],
-      statPos: Array[Int] = Array.empty): DataFrame = {
+      statPos: Array[Int] = Array.empty, width: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
+    val nPart =
+      if (width > 0) width else spark.sessionState.conf.numShufflePartitions
     val nStats = statPos.length
     val inSchema = df.schema
     val gIdx = groupCols.map(inSchema.fieldIndex)
@@ -358,8 +359,18 @@ object Canonical {
     (nRows, keys)
   }
 
+  /** `rowBound`: caller-known upper bound on the input row count (from
+    * chunk metadata — merges, transforms, and patches know it; bulk
+    * ingest does not). Materializations provably SMALL
+    * ([[smallJob]]) skip the split-sample job, the input persist, and
+    * run width-1 — for a statement flow of metadata-sized jobs this
+    * halves the per-materialization job count and strips the fixed
+    * shuffle overhead. Splits and widths only shape tasks: chunk
+    * content is a pure function of the key set, so hashes are
+    * identical either way. */
   def materialize(spark: SparkSession, store: GraftStore, df0: DataFrame,
-      keyCols: Seq[String], chunkTargetRows: Long): TableMeta = {
+      keyCols: Seq[String], chunkTargetRows: Long,
+      rowBound: Option[Long] = None): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
     val cols = canonicalColumns(df0.schema, keyCols)
     // strip inherited column metadata: projections built over chunk
@@ -369,8 +380,10 @@ object Canonical {
     val df = df0.select(cols.map(c => col(c).as(c, Metadata.empty)): _*)
     val schemaJson = normalizeSchema(df.schema, keyCols).json
 
-    val kbDf = withKeyBytes(df, keyCols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = smallJob(rowBound, chunkTargetRows)
+    val kbDf0 = withKeyBytes(df, keyCols)
+    val kbDf = if (small) kbDf0
+      else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 1. range SPLITS: an intrinsic subsample of the boundary keys.
       //    hash(kb) % (target·sub) == 0 implies hash(kb) % target == 0,
@@ -378,11 +391,15 @@ object Canonical {
       //    inside split intervals. The driver holds only O(4·nPart)
       //    split keys — never the full boundary list (which is
       //    O(rows/target) and was the 100 TB driver-memory ceiling).
+      //    Small jobs skip the pass: no splits, one write task.
       val target = chunkTargetRows
-      val nPart = spark.sessionState.conf.numShufflePartitions
+      val nPart =
+        if (small) 1 else spark.sessionState.conf.numShufflePartitions
       // one fused pass: row count + subsampled split keys (also
       // materializes the persisted frame for the write pass below)
-      val (_, sampled) = sampleSplits(kbDf, None, target, nPart)
+      val sampled =
+        if (small) Array.empty[(String, Array[Byte])]
+        else sampleSplits(kbDf, None, target, nPart)._2
       val splits: Array[Array[Byte]] = sampled.map(_._2)
         .sortWith(Hashing.compareBytes(_, _) < 0)
       val bcS = spark.sparkContext.broadcast(splits)
@@ -457,7 +474,8 @@ object Canonical {
           Row(r.get(chunkIdx), kEnc(proj), rb, ends.toSeq)
         }
       }(hashInEnc)
-      val chunkRows = chunkDigests(perRow, Seq(CHUNK), statPos).collect()
+      val chunkRows = chunkDigests(perRow, Seq(CHUNK), statPos,
+        width = nPart).collect()
       val statBase = 5 // CHUNK, minkb, maxkb, rows, hash
 
       // 4. commit chunk files into the content-addressed store — ONE
@@ -483,10 +501,20 @@ object Canonical {
       store.saveTableMeta(meta)
       meta
     } finally {
-      kbDf.unpersist()
+      if (!small) kbDf.unpersist()
       ()
     }
   }
+
+  /** A materialization is "small" when the caller-known row bound fits
+    * comfortably in one task: fixed per-job overhead (sample pass,
+    * persist, multi-task shuffles) then dominates the data work. At
+    * production chunk targets (~1M rows) this covers the metadata-sized
+    * jobs of DML/refresh statement flows without ever narrowing a
+    * genuinely large materialization. */
+  private[core] val SmallJobRows = 1L << 16
+  private[core] def smallJob(rowBound: Option[Long], target: Long): Boolean =
+    rowBound.exists(_ <= math.max(2 * target, SmallJobRows))
 
   /** Grouped materialization: like [[materialize]], but the input carries
     * a group column and every group becomes its own canonical table in
@@ -497,7 +525,8 @@ object Canonical {
     * /root/reference/messdb-base/src/MessDB/Trie.hs:467-470). */
   def materializeGrouped(spark: SparkSession, store: GraftStore,
       df0: DataFrame, groupCol: String, keyCols: Seq[String],
-      chunkTargetRows: Long): Map[String, TableMeta] = {
+      chunkTargetRows: Long,
+      rowBound: Option[Long] = None): Map[String, TableMeta] = {
     val cols = canonicalColumns(
       StructType(df0.schema.filterNot(_.name == groupCol)), keyCols)
     // strip inherited metadata (stale field ids) — see materialize
@@ -506,17 +535,23 @@ object Canonical {
     val dataSchema = StructType(df.schema.filterNot(_.name == groupCol))
     val schemaJson = normalizeSchema(dataSchema, keyCols).json
 
-    val kbDf = withKeyBytesKeeping(df, keyCols, groupCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = smallJob(rowBound, chunkTargetRows)
+    val kbDf0 = withKeyBytesKeeping(df, keyCols, groupCol)
+    val kbDf = if (small) kbDf0
+      else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // same fused one-pass sampled-split scheme as [[materialize]],
       // compounded with the group: the driver holds an
       // O(shuffle-partitions) subsample of (group, boundary-key) pairs,
       // never the full per-group boundary lists. Chunk membership is
-      // derived locally per task.
+      // derived locally per task. Small jobs skip the pass (see
+      // materialize).
       val target = chunkTargetRows
-      val nPart = spark.sessionState.conf.numShufflePartitions
-      val (_, sampled) = sampleSplits(kbDf, Some(groupCol), target, nPart)
+      val nPart =
+        if (small) 1 else spark.sessionState.conf.numShufflePartitions
+      val sampled =
+        if (small) Array.empty[(String, Array[Byte])]
+        else sampleSplits(kbDf, Some(groupCol), target, nPart)._2
       val splits: Map[String, Array[Array[Byte]]] = sampled
         .groupBy(_._1)
         .map { case (g, pairs) =>
@@ -583,7 +618,8 @@ object Canonical {
         }
       }(hashInEnc)
       val chunkRows =
-        chunkDigests(perRow, Seq(groupCol, CHUNK), statPos).collect()
+        chunkDigests(perRow, Seq(groupCol, CHUNK), statPos,
+          width = nPart).collect()
       val statBase = 6 // groupCol, CHUNK, minkb, maxkb, rows, hash
 
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
@@ -615,7 +651,7 @@ object Canonical {
       deleteRecursively(Paths.get(tmpDir))
       out
     } finally {
-      kbDf.unpersist()
+      if (!small) kbDf.unpersist()
       ()
     }
   }

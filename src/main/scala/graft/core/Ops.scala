@@ -73,7 +73,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   def emptyTable(schema: StructType, keyCols: Seq[String]): TableRef = {
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val meta = Canonical.materialize(spark, store, df, keyCols, chunkTargetRows)
+    val meta = Canonical.materialize(spark, store, df, keyCols,
+      chunkTargetRows, rowBound = Some(0L))
     TableRef(meta.tableHash)
   }
 
@@ -201,9 +202,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       _.parts.iterator.filter(_.spanning).map(_.chunk.hash)).toSet.size
     if (distinctSpanning > 0 &&
         spanningPairs > math.max(256, 8 * distinctSpanning)) {
+      var flatRows = 0L
       val srcParts = refs.zipWithIndex.map { case (r, i) =>
         val paths = store.chunkStream(r.hash)()
-          .map(c => store.chunkPath(c.hash)).toSeq
+          .map { c => flatRows += c.rows; store.chunkPath(c.hash) }.toSeq
         spark.read.schema(Canonical.withFieldIds(schema))
           .parquet(paths: _*)
           .withColumn(SRC, lit(i.toLong))
@@ -212,7 +214,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val folded = union.groupBy(keyCols.map(col): _*)
         .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
       return Canonical.materialize(spark, store,
-        castValues(folded, schema, valueCols), keyCols, target)
+        castValues(folded, schema, valueCols), keyCols, target,
+        rowBound = Some(flatRows))
     }
 
     // ---- split spanning chunks into per-region pieces (memoized) ----
@@ -263,7 +266,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .withColumn(grp,
             concat_ws("-", col(grp), pieceIdx(col(grp), col(Canonical.KB))))
           .drop(Canonical.KB)
-        Canonical.materializeGrouped(spark, store, tagged, grp, keyCols, target)
+        Canonical.materializeGrouped(spark, store, tagged, grp, keyCols, target,
+          rowBound = Some(toSplit.map(_.rows).sum))
           .map { case (g, m) =>
             val i = g.lastIndexOf('-')
             val h = g.substring(0, i)
@@ -357,7 +361,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val folded = union.groupBy(col(grp) +: keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
         val subMetas = Canonical.materializeGrouped(spark, store,
-          castValues(folded, schema, valueCols), grp, keyCols, target)
+          castValues(folded, schema, valueCols), grp, keyCols, target,
+          rowBound = Some(miss.flatMap(_._1).map(_._2.rows).sum))
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
       }
@@ -388,6 +393,114 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * singleton/delta table, last-wins. */
   def upsert(base: TableRef, delta: TableRef): TableRef =
     merge(Seq(base, delta), FoldSpec.FoldLast)
+
+  /** Targeted delta apply: upsert `upserts` (full rows, canonical column
+    * order = prev's schema) and delete `deleteKeys` (full key tuples)
+    * into `prev`, rewriting ONLY the touched chunk runs — the point-DML
+    * economics of a B-tree, on the content-defined chunk format. The
+    * delta is driver-resident by contract (callers cap it and fall back
+    * to a bulk path above the cap).
+    *
+    * Hash-converges with a from-scratch build because the chunk
+    * decomposition is a pure function of the key set: a key starts a
+    * chunk iff it is a boundary key ([[Canonical.isBoundaryKey]]), so an
+    * edit only perturbs the run between the surrounding untouched
+    * boundary keys. The one cross-chunk case — deleting the boundary key
+    * that STARTS a chunk fuses its remainder into the predecessor — is
+    * handled by extending the touched run to the predecessor. */
+  def patchTable(prev: TableRef, upserts: Seq[org.apache.spark.sql.Row],
+      deleteKeys: Seq[Seq[Any]]): TableRef = {
+    import org.apache.spark.sql.Row
+    val m = meta(prev)
+    if (upserts.isEmpty && deleteKeys.isEmpty) return prev
+    val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
+    val upsertKbs = upserts.map(kEnc)
+    val deleteKbs = deleteKeys.map(k =>
+      boundBytes(m.schema, m.keyCols, Bound(k, inclusive = true)))
+    if (m.chunks.isEmpty) {
+      if (upserts.isEmpty) return prev
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(upserts.toSeq), m.schema)
+      return TableRef(Canonical.materialize(spark, store, df, m.keyCols,
+        m.chunkTargetRows, rowBound = Some(upserts.length.toLong)).tableHash)
+    }
+    // owner chunk of a key: the run it belongs to under the boundary rule
+    // — the last chunk starting at or before it (keys before the first
+    // chunk join chunk 0's run; keys after the last join the last's)
+    val minKeys: Array[Array[Byte]] = m.chunks.map(_.minKey).toArray
+    def owner(kb: Array[Byte]): Int =
+      math.max(0, Canonical.boundaryIndex(minKeys, kb) - 1)
+    val touched = scala.collection.mutable.SortedSet.empty[Int]
+    upsertKbs.foreach(kb => touched += owner(kb))
+    deleteKbs.foreach { kb =>
+      val o = owner(kb)
+      touched += o
+      // deleting the chunk-starting boundary key fuses the remainder
+      // into the predecessor — they must rewrite as one run
+      if (o > 0 && java.util.Arrays.equals(kb, m.chunks(o).minKey))
+        touched += (o - 1)
+    }
+    // maximal contiguous runs of touched chunks
+    val runs = Vector.newBuilder[Seq[Int]]
+    var cur = List.empty[Int]
+    touched.foreach { i =>
+      cur match {
+        case h :: _ if i == h + 1 => cur = i :: cur
+        case Nil => cur = List(i)
+        case _ => runs += cur.reverse; cur = List(i)
+      }
+    }
+    if (cur.nonEmpty) runs += cur.reverse
+    val runList = runs.result()
+    val runOfChunk: Map[Int, String] = runList.zipWithIndex.flatMap {
+      case (idxs, r) => idxs.map(_ -> s"r$r")
+    }.toMap
+    val grp = "_graft_grp"
+    // dead keys: rows being deleted, plus rows replaced by an upsert
+    val deadHex: Set[String] =
+      (upsertKbs.iterator ++ deleteKbs.iterator).map(Hashing.hex).toSet
+    val bcDead = spark.sparkContext.broadcast(deadHex)
+    val isDead = udf { (kb: Array[Byte]) => bcDead.value(Hashing.hex(kb)) }
+    val fileToRun = Canonical.fileTagUdf(spark, touched.iterator.map(i =>
+      store.chunkPath(m.chunks(i).hash) -> runOfChunk(i)).toMap)
+    val kept = Canonical.withKeyBytesKeeping(
+      spark.read.schema(Canonical.withFieldIds(m.schema))
+        .parquet(touched.iterator.map(i => store.chunkPath(m.chunks(i).hash)).toSeq: _*)
+        .withColumn(grp, fileToRun(input_file_name())),
+      m.keyCols, grp)
+      .where(!isDead(col(Canonical.KB)))
+      .drop(Canonical.KB)
+    // upsert rows are tagged with their owner's run on the driver (the
+    // owner is touched by construction, so every upsert lands in a run)
+    val upSchema = m.schema.add(org.apache.spark.sql.types.StructField(
+      grp, org.apache.spark.sql.types.StringType, nullable = false))
+    val upRows = upserts.zip(upsertKbs).map { case (r, kb) =>
+      Row.fromSeq(r.toSeq :+ runOfChunk(owner(kb)))
+    }
+    val upDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(upRows.toSeq), upSchema)
+    val patched = kept.unionByName(upDf)
+    val runMetas: Map[String, TableMeta] = Canonical.materializeGrouped(
+      spark, store, patched, grp, m.keyCols, m.chunkTargetRows,
+      rowBound = Some(touched.iterator.map(i => m.chunks(i).rows).sum +
+        upserts.length))
+    // splice: untouched chunks verbatim; each run's chunks at the
+    // position of its first member (a run may vanish entirely)
+    val out = Vector.newBuilder[ChunkMeta]
+    val runHead: Map[Int, String] = runList.zipWithIndex.map {
+      case (idxs, r) => idxs.head -> s"r$r"
+    }.toMap
+    m.chunks.indices.foreach { i =>
+      if (!touched(i)) out += m.chunks(i)
+      else runHead.get(i).foreach(rid =>
+        out ++= runMetas.get(rid).map(_.chunks).getOrElse(Nil))
+    }
+    val chunks = out.result()
+      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
+    store.saveTableMeta(outMeta)
+    TableRef(outMeta.tableHash)
+  }
 
   // ---- transform (O2) --------------------------------------------------
 
@@ -436,7 +549,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     TableRef(out.tableHash)
   }
 
-  def transform(ref: TableRef, t: ColTransform, fold: FoldSpec): TableRef = {
+  /** `prev`: the caller's previous RESULT of this same transform (e.g. a
+    * materialized view's current catalog version). Purely an execution
+    * hint — results are identical with or without it — that unlocks the
+    * O(delta) patch path for [[ColTransform.uniqueKeys]] re-keys: the
+    * new result is derived from `prev` by a targeted chunk patch instead
+    * of a re-merge of every per-chunk mini (which for a re-key is the
+    * degenerate full-shuffle regime — every mini spans the whole output
+    * key space). */
+  def transform(ref: TableRef, t: ColTransform, fold: FoldSpec,
+      prev: Option[TableRef] = None): TableRef = {
     // load the meta ONCE per call — with parquet-indexed chunk lists a
     // meta load is a sidecar read, not a free field access
     val m = meta(ref)
@@ -449,7 +571,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     TableRef(store.memoized(opHash) {
       if (t.keyPreserving) transformPerChunk(m, t)
       else if (m.chunks.nonEmpty && rekeyCombinable(m, t, fold))
-        transformRekeyIncremental(m, t, fold)
+        transformRekeyIncremental(m, t, fold, prev)
       else {
         val src0 = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
         val src = t.rowFilter.map(src0.where).getOrElse(src0)
@@ -489,7 +611,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * the minis through the region-memoized merge. Partial-fold-then-fold
     * equals direct fold exactly because the fold is combinable. */
   private def transformRekeyIncremental(m: TableMeta, t: ColTransform,
-      fold: FoldSpec): String = {
+      fold: FoldSpec, prev: Option[TableRef] = None): String = {
     def miniOp(chunkHash: String): String = Hashing.opHash(Seq(
       "graft-op-rekey-chunk-v1", t.key, fold.key,
       m.chunkTargetRows.toString, chunkHash))
@@ -544,7 +666,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val casted = castValues(folded,
           StructType(projected.schema.filterNot(_.name == grp)), valueCols)
         val metas = Canonical.materializeGrouped(spark, store, casted, grp,
-          t.outKeyCols, m.chunkTargetRows)
+          t.outKeyCols, m.chunkTargetRows,
+          rowBound = Some(missing.map(_.rows).sum))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(miniOp(srcHash), sub.tableHash)
         }
@@ -565,7 +688,105 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           sub.tableHash
       })
     }
-    merge(miniRefs, fold).hash
+    // the reverse memo (result → source) lets the NEXT refresh find this
+    // source version from the catalog's previous result and take the
+    // O(delta) patch path below
+    def finish(resultHash: String): String = {
+      store.memoPut(rekeyRevOp(t, fold, m.chunkTargetRows, resultHash),
+        m.tableHash)
+      resultHash
+    }
+    val patched =
+      if (t.uniqueKeys)
+        prev.flatMap(p => patchAgainstPrevious(m, t, fold, p, miniOp))
+      else None
+    finish(patched.getOrElse(merge(miniRefs, fold).hash))
+  }
+
+  /** Reverse memo key: which SOURCE version produced `resultHash` under
+    * this transform — written after every re-key refresh, consumed by
+    * [[patchAgainstPrevious]]. Write-once is fine: any source mapping to
+    * the same result serves equally as "previous" (its minis reproduce
+    * exactly the result's rows under the uniqueKeys contract). */
+  private def rekeyRevOp(t: ColTransform, fold: FoldSpec, target: Long,
+      resultHash: String): String =
+    Hashing.opHash(Seq("graft-op-rekey-src-v1", t.key, fold.key,
+      target.toString, resultHash))
+
+  /** O(delta) refresh of a uniqueKeys re-key: diff the replaced source
+    * chunks' minis (old vs new — O(changed chunks) data, structural
+    * sharing skips everything else), collect the tiny row-level delta,
+    * and [[patchTable]] it onto the previous result. Returns None — fall
+    * back to the mini merge — when any precondition fails: no reverse
+    * memo, missing mini memos (GC), shape drift, or a delta above the
+    * driver-resident caps. The result is bit-identical to the merge path
+    * (same rows; content-defined chunking makes the chunk decomposition
+    * a pure function of the key set). */
+  private def patchAgainstPrevious(m: TableMeta, t: ColTransform,
+      fold: FoldSpec, prev: TableRef, miniOp: String => String)
+      : Option[String] = {
+    import scala.util.control.NonFatal
+    def tryLoad(h: String): Option[TableMeta] =
+      try Some(store.loadTableMeta(h)) catch { case NonFatal(_) => None }
+    for {
+      s1Hash <- store.memoGet(
+        rekeyRevOp(t, fold, m.chunkTargetRows, prev.hash))
+      m1 <- tryLoad(s1Hash)
+      if m1.schemaJson == m.schemaJson && m1.keyCols == m.keyCols &&
+        m1.chunkTargetRows == m.chunkTargetRows
+      pm <- tryLoad(prev.hash)
+      if pm.chunkTargetRows == m.chunkTargetRows
+      result <- {
+        val c2 = m.chunks.iterator.map(_.hash).toSet
+        val c1 = m1.chunks.iterator.map(_.hash).toSet
+        val removed = m1.chunks.filterNot(c => c2(c.hash)).distinctBy(_.hash)
+        val added = m.chunks.filterNot(c => c1(c.hash)).distinctBy(_.hash)
+        if (removed.isEmpty && added.isEmpty) Some(prev.hash)
+        else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
+          None
+        else {
+          def minis(cs: Seq[ChunkMeta]): Option[Seq[TableMeta]] = {
+            val ms = cs.map(c => store.memoGet(miniOp(c.hash)).flatMap(tryLoad))
+            if (ms.forall(_.isDefined)) Some(ms.flatten) else None
+          }
+          for {
+            remM <- minis(removed)
+            addM <- minis(added)
+            h <- {
+              def readAll(ms: Seq[TableMeta]): DataFrame = {
+                val paths = ms.flatMap(_.chunks).map(c => store.chunkPath(c.hash))
+                if (paths.isEmpty) spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pm.schema)
+                else spark.read.schema(Canonical.withFieldIds(pm.schema))
+                  .parquet(paths: _*)
+                  .select(pm.schema.fieldNames.map(n => col(n)
+                    .as(n, org.apache.spark.sql.types.Metadata.empty)): _*)
+              }
+              val cap = Ops.PatchMaxDeltaRows
+              val a = readAll(addM); val r = readAll(remM)
+              // row-level diff: rows identical in the old and new minis
+              // (the vast majority — only the source delta's rows differ)
+              // drop out, so the collected delta is O(source delta rows)
+              val ins = a.exceptAll(r).limit(cap + 1).collect()
+              if (ins.length > cap) None
+              else {
+                val del = r.exceptAll(a).limit(cap + 1).collect()
+                if (del.length > cap) None
+                else {
+                  val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
+                  def keyOf(row: org.apache.spark.sql.Row): Seq[Any] =
+                    kIdx.map(row.get)
+                  val insKeys = ins.iterator.map(keyOf).toSet
+                  val delKeys = del.iterator.map(keyOf)
+                    .filterNot(insKeys).toSeq.distinct
+                  Some(patchTable(prev, ins.toSeq, delKeys).hash)
+                }
+              }
+            }
+          } yield h
+        }
+      }
+    } yield result
   }
 
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
@@ -637,7 +858,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
         val projected = df.select(t.columns :+ col(grp): _*)
         val metas = Canonical.materializeGrouped(spark, store, projected, grp,
-          t.outKeyCols, m.chunkTargetRows)
+          t.outKeyCols, m.chunkTargetRows,
+          rowBound = Some(missing.map(_.rows).sum))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(Hashing.opHash(Seq(
             "graft-op-transform-chunk-v2", t.key,
@@ -741,7 +963,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // edge rewrite keeps the TABLE's chunk granularity (passthrough
         // chunks are cut at it; a mixed-granularity meta would break the
         // boundary assumptions of later merges)
-        Canonical.materialize(spark, store, df, m.keyCols, m.chunkTargetRows).chunks
+        Canonical.materialize(spark, store, df, m.keyCols, m.chunkTargetRows,
+          rowBound = Some(edgeChunks.map(_.rows).sum)).chunks
       }
     val all = (keep.result() ++ recomputed)
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
@@ -1037,6 +1260,14 @@ object Ops {
     * each table and travels with it, so mixed-target stores stay
     * consistent (merge derives granularity from the tables). */
   val DefaultChunkTargetRows: Long = 1L << 20
+
+  /** Caps for the refresh-by-patch path ([[Ops.patchAgainstPrevious]]).
+    * Changed-chunk cap bounds the mini-diff read (O(changed × chunk
+    * rows)); delta-row cap bounds the driver-resident patch. Above
+    * either, the refresh falls back to the mini merge — the bulk path
+    * is the right plan for bulk deltas anyway. */
+  val PatchMaxChangedChunks: Int = 1024
+  val PatchMaxDeltaRows: Int = 65536
 }
 
 /** Projection-style transform: named output columns (aliased), a subset of
@@ -1066,13 +1297,23 @@ trait ColTransform extends Serializable {
     * (SQL `UPDATE ... WHERE p` / `DELETE ... WHERE p` shapes). Like
     * `rowFilter`, it is part of the operation identified by `key`. */
   def identityUnless: Option[Column] = None
+  /** Caller contract for O(delta) refresh-by-patch on RE-KEYING
+    * transforms: every output key arises from AT MOST ONE source row
+    * across the whole table (e.g. a secondary index whose out-key
+    * appends the source primary key). The fold then never sees a
+    * collision, so the new result can be derived from the PREVIOUS one
+    * by deleting the keys of replaced source chunks' old rows and
+    * upserting the new ones — no re-merge of every per-chunk mini.
+    * Like `rowFilter`, part of the operation identified by `key`. */
+  def uniqueKeys: Boolean = false
 }
 
 object ColTransform {
   def apply(k: String, keys: Seq[String], cols: Seq[Column],
       preservesKeys: Boolean = false,
       filter: Option[Column] = None,
-      passUnless: Option[Column] = None): ColTransform =
+      passUnless: Option[Column] = None,
+      uniqueOutKeys: Boolean = false): ColTransform =
     new ColTransform {
       val key = k
       val outKeyCols = keys
@@ -1080,5 +1321,6 @@ object ColTransform {
       override val rowFilter = filter
       override val keyPreserving = preservesKeys
       override val identityUnless = passUnless
+      override val uniqueKeys = uniqueOutKeys
     }
 }

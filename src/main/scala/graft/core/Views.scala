@@ -24,8 +24,13 @@ final class Views(ops: Ops, catalog: Catalog) {
       fold: FoldSpec)
 
   /** Keyed full-outer join view over two catalog tables with IDENTICAL
-    * key columns and disjoint value columns. */
-  final case class JoinDef(left: String, right: String)
+    * key columns and disjoint value columns. `presence` appends per-side
+    * marker columns ([[Views.PresentLeft]]/[[Views.PresentRight]]: 1
+    * from the contributing side, NULL otherwise) so a downstream stage
+    * can distinguish "side absent" from "side present with NULL values"
+    * — the lowering substrate for INNER/LEFT join views. */
+  final case class JoinDef(left: String, right: String,
+      presence: Boolean = false)
 
   private val defs =
     scala.collection.concurrent.TrieMap.empty[String, ViewDef]
@@ -41,8 +46,9 @@ final class Views(ops: Ops, catalog: Catalog) {
   }
 
   /** [[declare]] for keyed join views. */
-  def declareJoin(view: String, left: String, right: String): Unit = {
-    joinDefs.put(view, JoinDef(left, right)); ()
+  def declareJoin(view: String, left: String, right: String,
+      presence: Boolean = false): Unit = {
+    joinDefs.put(view, JoinDef(left, right, presence)); ()
   }
 
   /** Register a view and materialize its first version. */
@@ -86,7 +92,10 @@ final class Views(ops: Ops, catalog: Catalog) {
         val d = defs.getOrElse(view,
           throw new NoSuchElementException(s"undefined view: $view"))
         val src = sourceRef(view, d.source, vs)
-        ops.transform(src, d.transform, d.fold)
+        // the view's current catalog version is the previous result of
+        // this exact transform — the hint that unlocks O(delta)
+        // refresh-by-patch for uniqueKeys re-keys (secondary indexes)
+        ops.transform(src, d.transform, d.fold, prev = catalog.get(view))
     }
     // don't mint a new catalog root for a no-op refresh (the git
     // equivalent of refusing an empty commit)
@@ -116,17 +125,36 @@ final class Views(ops: Ops, catalog: Catalog) {
     val shared = aVals.map(_.name).toSet.intersect(bVals.map(_.name).toSet)
     require(shared.isEmpty,
       s"join view $view needs disjoint value columns, shared: $shared")
+    if (j.presence) {
+      val taken = (keys ++ (aVals ++ bVals).map(_.name)).toSet
+      require(!taken(Views.PresentLeft) && !taken(Views.PresentRight),
+        s"join view $view: column names ${Views.PresentLeft}/" +
+          s"${Views.PresentRight} are reserved for presence markers")
+    }
     // the transform key IS the cache identity: fingerprint the joint
     // schema so a source schema change is a different operation
     val sig = Hashing.opHash(Seq("graft-join-schema-v1") ++ keys ++
-      (aVals ++ bVals).map(f => f.name + ":" + f.dataType.json))
+      (aVals ++ bVals).map(f => f.name + ":" + f.dataType.json) ++
+      (if (j.presence) Seq("presence") else Nil))
+    // presence markers: the contributing side writes 1, the widened-in
+    // side NULL; FoldCoalesce (max) merges them, so after the join a
+    // marker is non-NULL iff that side had the key — NULL-safe side
+    // detection that value columns cannot provide
+    def markers(leftSide: Boolean): Seq[org.apache.spark.sql.Column] =
+      if (!j.presence) Nil
+      else Seq(
+        (if (leftSide) lit(1).cast("tinyint") else lit(null).cast("tinyint"))
+          .as(Views.PresentLeft),
+        (if (leftSide) lit(null).cast("tinyint") else lit(1).cast("tinyint"))
+          .as(Views.PresentRight))
     val widenA = ColTransform(s"graft-join-widen-left-v1:$sig", keys,
       keys.map(col) ++ aVals.map(f => col(f.name)) ++
-        bVals.map(f => lit(null).cast(f.dataType).as(f.name)),
+        bVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        markers(leftSide = true),
       preservesKeys = true)
     val widenB = ColTransform(s"graft-join-widen-right-v1:$sig", keys,
       keys.map(col) ++ aVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        bVals.map(f => col(f.name)),
+        bVals.map(f => col(f.name)) ++ markers(leftSide = false),
       preservesKeys = true)
     val a2 = ops.transform(aRef, widenA, FoldSpec.FoldLast)
     val b2 = ops.transform(bRef, widenB, FoldSpec.FoldLast)
@@ -158,4 +186,10 @@ final class Views(ops: Ops, catalog: Catalog) {
 
   def definitions: Map[String, ViewDef] = defs.toMap
   def joinDefinitions: Map[String, JoinDef] = joinDefs.toMap
+}
+
+object Views {
+  /** Presence-marker column names of a `presence = true` join view. */
+  val PresentLeft = "__left_present"
+  val PresentRight = "__right_present"
 }

@@ -33,7 +33,10 @@ object Vectors {
     quantizedCache.clear()
   }
 
-  def quantized(s: SparkSession, dir: String): DataFrame =
+  def quantized(s: SparkSession, dir: String): DataFrame = {
+    // bounded registry: overflow unpersists and clears wholesale (the
+    // entries rebuild cheaply; sessions/dirs churn only in test fleets)
+    if (quantizedCache.size > 8) invalidateCache()
     quantizedCache.getOrElseUpdate((s, dir), {
       Tables(s, dir, "embeddings")
         .withColumn("q", expr(
@@ -42,6 +45,7 @@ object Vectors {
         .select(col("vec_id"), col("label"), col("q"), col("nq"))
         .cache()
     })
+  }
 
   /** The quantized vector index as a CANONICAL GRAFT TABLE keyed by
     * vec_id — content-addressed, memo-participating, and visible to
@@ -416,10 +420,21 @@ object Vectors {
     * construction (same centroids, same assignment, same re-rank), so
     * the same oracle covers both. */
   def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    if (indexedStores.size > 8) indexedStores.clear()
     val (ops, ref) = indexedStores.getOrElseUpdate((s, dir), {
-      val store = new graft.core.FsStore(
-        java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString)
-      val ops = new graft.core.Ops(s, store, IvfIndexChunkRows)
+      // DETERMINISTIC store path per source dir (not a fresh temp dir):
+      // a re-run — same JVM or a new one — reopens the same store, the
+      // fingerprinted op is a memo hit, and nothing rebuilds or leaks.
+      // In production the index lives in the main catalog store; this
+      // standalone entry point keeps a stable side store with the same
+      // content-addressed semantics.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft-ivf-index-" + graft.core.Hashing.sha256Hex(
+          dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(16))
+      java.nio.file.Files.createDirectories(path)
+      val ops = new graft.core.Ops(s, new graft.core.FsStore(path.toString),
+        IvfIndexChunkRows)
       (ops, ivfIndexTable(ops, s, dir))
     })
     val probes = ivfProbes(quantized(s, dir))

@@ -500,6 +500,72 @@ object MatView {
        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
        |FROM fin GROUP BY o_custkey % 10 ORDER BY g""".stripMargin
 
+  /** Round-6 INNER/LEFT JOIN materialized views end-to-end: both lower
+    * as a presence-marked full-outer join stage (absent side
+    * distinguishable from present-with-NULLs) plus a key-preserving
+    * post-filter — so a delta to EITHER side refreshes in O(delta)
+    * (pinned in SqlAndSourcesSpec). Deltas land on both sides: new
+    * orders without items (kept by LEFT with NULL qty, dropped by
+    * INNER) and items for nonexistent orders (dropped by both). */
+  def sqlMatviewJoin(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mvj-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 8 === 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_j_src")
+    run("CREATE TABLE orders_j PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_j_src")
+    Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 8 === 3)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .select(col("l_orderkey").as("o_orderkey"), col("qty"))
+      .createOrReplaceTempView("items_j_src")
+    run("CREATE TABLE items_j PRIMARY KEY (o_orderkey) AS SELECT * FROM items_j_src")
+
+    run("CREATE MATERIALIZED VIEW oj_inner AS SELECT * FROM orders_j INNER JOIN items_j USING (o_orderkey)")
+    run("CREATE MATERIALIZED VIEW oj_left AS SELECT * FROM orders_j LEFT JOIN items_j USING (o_orderkey)")
+    run("INSERT INTO orders_j SELECT o_orderkey + 90000000, o_custkey, price_c + 7 " +
+      "FROM orders_j WHERE o_orderkey % 40 = 3")
+    run("INSERT INTO items_j SELECT o_orderkey + 90000000, qty + 1 " +
+      "FROM items_j WHERE o_orderkey % 40 = 19")
+    run("REFRESH ALL")
+
+    val Left(out) = run(
+      "SELECT 'i' AS side, o_orderkey, o_custkey, price_c, qty " +
+        "FROM oj_inner WHERE o_orderkey % 50 = 3 " +
+        "UNION ALL " +
+        "SELECT 'l' AS side, o_orderkey, o_custkey, price_c, COALESCE(qty, -1) AS qty " +
+        "FROM oj_left WHERE o_orderkey % 50 = 3 " +
+        "ORDER BY side, o_orderkey"): @unchecked
+    out
+  }
+
+  val sqlMatviewJoinSql: String =
+    s"""WITH lefts0 AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 8 = 3),
+       |items0 AS (
+       |  SELECT l_orderkey AS o_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+       |  FROM lineitem WHERE l_orderkey % 8 = 3 GROUP BY 1),
+       |lefts AS (SELECT * FROM lefts0 UNION ALL
+       |  SELECT o_orderkey + 90000000, o_custkey, price_c + 7
+       |  FROM lefts0 WHERE o_orderkey % 40 = 3),
+       |items AS (SELECT * FROM items0 UNION ALL
+       |  SELECT o_orderkey + 90000000, qty + 1
+       |  FROM items0 WHERE o_orderkey % 40 = 19)
+       |SELECT 'i' AS side, l.o_orderkey, l.o_custkey, l.price_c, i.qty
+       |FROM lefts l JOIN items i USING (o_orderkey) WHERE l.o_orderkey % 50 = 3
+       |UNION ALL
+       |SELECT 'l' AS side, l.o_orderkey, l.o_custkey, l.price_c, COALESCE(i.qty, -1) AS qty
+       |FROM lefts l LEFT JOIN items i USING (o_orderkey) WHERE l.o_orderkey % 50 = 3
+       |ORDER BY side, o_orderkey""".stripMargin
+
   /** Secondary index end-to-end (round-5 CREATE INDEX, SqlIndex): CTAS
     * binds orders to a pk-keyed table, CREATE INDEX re-keys it by
     * (o_custkey, o_orderkey) — a key-only index table maintained
@@ -526,9 +592,11 @@ object MatView {
     run("INSERT INTO orders_ix SELECT o_orderkey + 80000000, 1, price_c + 5 " +
       "FROM orders_ix WHERE o_custkey = 4")
     run("DELETE FROM orders_ix WHERE o_custkey = 1 AND o_orderkey % 4 = 1")
+    // IN-list probe: per-value index reads union in ONE scan under the
+    // same probe cap (round-6 extension of the equality probe)
     val Left(out) = run(
-      "SELECT o_orderkey, price_c FROM orders_ix WHERE o_custkey = 1 " +
-        "ORDER BY o_orderkey"): @unchecked
+      "SELECT o_orderkey, o_custkey, price_c FROM orders_ix " +
+        "WHERE o_custkey IN (1, 4) ORDER BY o_orderkey"): @unchecked
     out
   }
 
@@ -542,13 +610,14 @@ object MatView {
        |  SELECT o_orderkey + 80000000, 1, price_c + 5 FROM base WHERE o_custkey = 4),
        |fin AS (
        |  SELECT * FROM ins WHERE NOT (o_custkey = 1 AND o_orderkey % 4 = 1))
-       |SELECT o_orderkey, price_c FROM fin WHERE o_custkey = 1
+       |SELECT o_orderkey, o_custkey, price_c FROM fin WHERE o_custkey IN (1, 4)
        |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, QFn] = Map(
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
     "sql_matview_avg" -> (sqlMatviewAvg _),
+    "sql_matview_join" -> (sqlMatviewJoin _),
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
@@ -560,6 +629,7 @@ object MatView {
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
     "sql_matview_avg" -> sqlMatviewAvgSql,
+    "sql_matview_join" -> sqlMatviewJoinSql,
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,

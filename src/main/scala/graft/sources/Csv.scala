@@ -23,6 +23,6 @@ object Csv {
     require(missing.isEmpty,
       s"CSV at $path is missing required columns: ${missing.mkString(", ")}")
     raw.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      Hex.importCol(col(f.name), f.dataType).as(f.name)): _*)
   }
 }

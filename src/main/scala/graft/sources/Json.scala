@@ -19,6 +19,6 @@ object Json {
     require(missing.isEmpty,
       s"JSON at $path is missing required fields: ${missing.mkString(", ")}")
     raw.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      Hex.importCol(col(f.name), f.dataType).as(f.name)): _*)
   }
 }

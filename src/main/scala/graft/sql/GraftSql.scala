@@ -507,10 +507,14 @@ object GraftSql {
         val ref = catalog.get(name).getOrElse(
           throw new SqlException(s"no such table: $name"))
         val df = ops.scanOrdered(ref)
+        // text formats render binary columns as lowercase hex
+        // (Table/Bytes.hs:16-28 parity); parquet keeps them native
         copyFormat(path, fmtRaw) match {
           case "csv" =>
-            df.write.mode("overwrite").option("header", "true").csv(path)
-          case "json" => df.write.mode("overwrite").json(path)
+            graft.sources.Hex.encode(df).write.mode("overwrite")
+              .option("header", "true").csv(path)
+          case "json" =>
+            graft.sources.Hex.encode(df).write.mode("overwrite").json(path)
           case "parquet" => df.write.mode("overwrite").parquet(path)
           case other => throw new SqlException(s"unsupported COPY format: $other")
         }
@@ -567,12 +571,14 @@ object GraftSql {
         Right(catalog.dropViewDef(name))
       case dropMvRe(rawName) =>
         val name = unquote(rawName)
-        // a HAVING/AVG view owns an internal aggregate-stage table
-        // (SqlViews.innerAggName); it lives and dies with the definition
-        val dropInner = catalog.viewDefs.get(name).exists(SqlViews.hasInnerStage)
-        val inner = SqlViews.innerAggName(name)
+        // a HAVING/AVG view owns an internal aggregate-stage table and
+        // an INNER/LEFT join view a presence-marked join stage
+        // (SqlViews.innerStageNames); they live and die with the
+        // definition
+        val inners = catalog.viewDefs.get(name).toSeq
+          .flatMap(sql => SqlViews.innerStageNames(name, sql))
         Right(catalog.statementFull(
-          ts => if (dropInner) ts - name - inner else ts - name,
+          ts => inners.foldLeft(ts - name)(_ - _),
           vs => vs - name))
       case dropRe(rawName) =>
         Right(catalog.drop(unquote(rawName)))
@@ -879,6 +885,23 @@ object GraftSql {
       case cmpRe(c, "=", raw) => lit(c, raw)
       case _ => None
     }.toMap
+    // IN-lists act as multi-value equalities: the probe unions the
+    // per-value index reads in ONE scan (col IN (...)), under the same
+    // probe-key cap as a single equality
+    val inOf: Map[String, Seq[Any]] = conjuncts.flatMap {
+      case inListRe(c, vals) =>
+        val name = unquote(c)
+        schema.fields.find(_.name == name).flatMap { f =>
+          val parsed = splitTopLevel(vals)
+            .map(v => parseLiteral(spark, f.dataType, v.trim))
+          if (parsed.nonEmpty && parsed.forall(_.isDefined))
+            Some(name -> parsed.flatten.distinct)
+          else None
+        }
+      case _ => None
+    }.toMap
+    val valsOf: Map[String, Seq[Any]] =
+      inOf ++ eqOf.view.mapValues(Seq(_)).toMap
     // per-column range bounds from </<=/>/>=/BETWEEN conjuncts
     import SqlIndex.RangeBound
     val rangeOf: Map[String, (Option[RangeBound], Option[RangeBound])] =
@@ -898,20 +921,22 @@ object GraftSql {
         // multiple bounds on one column: intersect (any lo, any hi)
         n -> (bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
       }
-    // longest satisfied equality prefix wins; a range on the next index
-    // column extends the probe; name breaks ties
+    // longest satisfied equality/IN prefix wins; a range on the next
+    // index column extends the probe; smaller IN fanout, then name,
+    // break ties (multi-index choice)
     val best = indexes
       .map { case (n, cols) =>
-        val p = cols.takeWhile(eqOf.contains)
+        val p = cols.takeWhile(valsOf.contains)
         val r = cols.drop(p.length).headOption.flatMap(rangeOf.get)
-        (n, cols, p, r)
+        val fanout = p.map(c => valsOf(c).length.toLong).product
+        (n, cols, p, r, fanout)
       }
-      .filter { case (_, _, p, r) => p.nonEmpty || r.isDefined }
-      .sortBy { case (n, _, p, r) => (-p.length, r.isEmpty, n) }
+      .filter { case (_, _, p, r, _) => p.nonEmpty || r.isDefined }
+      .sortBy { case (n, _, p, r, fanout) => (-p.length, r.isEmpty, fanout, n) }
       .headOption.getOrElse(return sqlText)
     val views = SqlViews.fromCatalog(ops, catalog)
     SqlIndex.probe(spark, ops, catalog, views, table, best._1, best._2,
-      best._3.map(eqOf), best._4) match {
+      best._3.map(valsOf), best._4) match {
       case Some(df) =>
         val view = s"${table}__ix_${best._1}"
         df.createOrReplaceTempView(view)
@@ -1056,6 +1081,7 @@ object GraftSql {
   private val betweenRe =
     """(?is)^\s*("?\w+"?)\s+between\s+('[^']*'|\S+)\s+and\s+('[^']*'|\S+)\s*$""".r
   private val cmpRe = """(?s)^("?\w+"?)\s*(<=|>=|=|<|>)\s*(.+)$""".r
+  private val inListRe = """(?is)^\s*("?\w+"?)\s+in\s*\((.+)\)\s*$""".r
 
   /** Non-key DELETE as a key-preserving filtered transform, when the
     * predicate is row-local and deterministic: per-chunk memoized, and

@@ -83,7 +83,11 @@ object SqlIndex {
     views.declare(name, table,
       ColTransform(s"sqlidx-v2:$sig", outKeys,
         outKeys.map(col) :+ lit(1).cast("tinyint").as("_present"),
-        filter = Some(nonNullKeys)),
+        filter = Some(nonNullKeys),
+        // out keys embed the source pk ⇒ unique across the table: the
+        // refresh after a delta patches the PREVIOUS index version
+        // (O(delta) chunk writes) instead of re-merging every mini
+        uniqueOutKeys = true),
       FoldSpec.FoldMin)
   }
 
@@ -104,20 +108,25 @@ object SqlIndex {
     * prunes index chunk FILES on leading-key predicates at planning
     * time, so the probe reads only the matching index range — pull the
     * matching primary keys to the driver, and read ONLY the table
-    * chunks those keys can live in ([[Ops.lookupMany]]). Above
-    * `maxKeys` matches the selectivity bet has lost and the caller
-    * should scan instead — the bitmap-scan ↔ seq-scan flip every
-    * planner makes. Returns None on fallback. */
+    * chunks those keys can live in ([[Ops.lookupMany]]). Each prefix
+    * position carries the column's candidate VALUES: one for an
+    * equality, several for an IN-list (the per-value probes union in
+    * this single scan). Above `maxKeys` matches the selectivity bet has
+    * lost and the caller should scan instead — the bitmap-scan ↔
+    * seq-scan flip every planner makes. Returns None on fallback. */
   def probe(spark: SparkSession, ops: Ops, catalog: Catalog,
       views: Views, table: String, index: String, idxCols: Seq[String],
-      eqPrefix: Seq[Any],
+      eqPrefix: Seq[Seq[Any]],
       range: Option[(Option[RangeBound], Option[RangeBound])] = None,
       maxKeys: Int = 100000): Option[DataFrame] = {
     views.refresh(index)
     val idxRef = catalog.get(index).getOrElse(return None)
     val entry = catalog.root(table)
     val pkCols = entry.keyCols
-    val eqPred = idxCols.zip(eqPrefix).map { case (c, v) => col(c) === lit(v) }
+    val eqPred = idxCols.zip(eqPrefix).map { case (c, vs) =>
+      if (vs.lengthCompare(1) == 0) col(c) === lit(vs.head)
+      else col(c).isin(vs: _*)
+    }
     val rangePred = range.toSeq.flatMap { case (lo, hi) =>
       val c = col(idxCols(eqPrefix.length))
       lo.map(b => if (b.inclusive) c >= lit(b.value) else c > lit(b.value)) ++

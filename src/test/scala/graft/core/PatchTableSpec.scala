@@ -1,0 +1,105 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import scala.util.Random
+
+/** [[Ops.patchTable]]: targeted delta apply must hash-converge with a
+  * from-scratch build of the same row set (content-defined chunking
+  * makes the decomposition a pure function of the key set), while
+  * rewriting only the touched chunk runs — the point-DML economics a
+  * secondary-index refresh rides. */
+class PatchTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: Seq[(String, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
+
+  private def newOps(): Ops =
+    new Ops(spark, new FsStore(
+      Files.createTempDirectory("graft-patch-").toString), 16)
+
+  /** Reference semantics: base minus deleted keys minus replaced keys,
+    * plus upserts. */
+  private def applyModel(base: Seq[(String, Long)], ups: Seq[(String, Long)],
+      dels: Seq[String]): Seq[(String, Long)] = {
+    val dead = dels.toSet ++ ups.map(_._1)
+    base.filterNot(r => dead(r._1)) ++ ups
+  }
+
+  private def check(ops: Ops, base: Seq[(String, Long)],
+      ups: Seq[(String, Long)], dels: Seq[String]): Unit = {
+    val ref = ops.fromDataFrame(df(base), Seq("k"))
+    val patched = ops.patchTable(ref,
+      ups.map(u => Row(u._1, u._2)), dels.map(Seq(_)))
+    val want = applyModel(base, ups, dels)
+    val scratch = ops.fromDataFrame(df(want), Seq("k"))
+    assert(patched.hash == scratch.hash,
+      s"patch diverged from rebuild for ups=$ups dels=$dels")
+  }
+
+  test("edge shapes: boundary deletes, out-of-range inserts, whole-chunk delete, empty delta") {
+    val ops = newOps()
+    val base = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(base), Seq("k"))
+    val m = ops.meta(ref)
+    assert(m.chunks.length > 10, s"need many chunks, got ${m.chunks.length}")
+    // empty delta is the identity
+    assert(ops.patchTable(ref, Nil, Nil) == ref)
+    // delete every chunk-STARTING key (the fuse-with-predecessor case)
+    val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
+    val starters = base.filter { case (k, v) =>
+      m.chunks.exists(c => java.util.Arrays.equals(c.minKey, kEnc(Row(k, v)))) }
+    assert(starters.nonEmpty)
+    check(ops, base, Nil, starters.take(3).map(_._1))
+    // inserts before the first and after the last key
+    check(ops, base, Seq("aaa" -> -1L, "zzz" -> -2L), Nil)
+    // delete an entire chunk's rows
+    val firstChunkRows = base.take(m.chunks.head.rows.toInt)
+    check(ops, base, Nil, firstChunkRows.map(_._1))
+    // mixed: replace + delete + insert in one patch
+    check(ops, base, Seq("key0100" -> 7L, "key0777" -> 8L), Seq("key0200"))
+  }
+
+  test("randomized convergence against from-scratch builds") {
+    val ops = newOps()
+    val rnd = new Random(42)
+    for (round <- 0 until 6) {
+      val n = 200 + rnd.nextInt(400)
+      val base = rnd.shuffle((0 until 1000).toList).take(n)
+        .map(i => f"k$i%04d" -> i.toLong)
+      val ups = (0 until rnd.nextInt(20)).map(_ =>
+        f"k${rnd.nextInt(1100)}%04d" -> rnd.nextLong(1000))
+        .distinctBy(_._1)
+      val dels = (0 until rnd.nextInt(20)).map(_ =>
+        f"k${rnd.nextInt(1100)}%04d").distinct
+        .filterNot(ups.map(_._1).contains(_))
+      check(ops, base, ups, dels)
+    }
+  }
+
+  test("patch economics: a point delta rewrites O(delta) chunks, not the table") {
+    val ops = newOps()
+    val store = ops.store
+    val base = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(base), Seq("k"))
+    val nChunks = ops.meta(ref).chunks.length
+    assert(nChunks > 60, s"need many chunks, got $nChunks")
+    store.stats.reset()
+    val out = ops.patchTable(ref,
+      Seq(Row("key00500", 1L)), Seq(Seq("key01500")))
+    val saves = store.stats.snapshot("chunkSaves")
+    assert(saves <= 6,
+      s"point patch must rewrite few chunks, wrote $saves of $nChunks")
+    val want = applyModel(base, Seq("key00500" -> 1L), Seq("key01500"))
+    assert(out.hash == ops.fromDataFrame(df(want), Seq("k")).hash)
+  }
+}

@@ -101,6 +101,46 @@ class IndexSpec extends AnyFunSuite {
       ids.filter(_ < 2000).sameElements((0L until 2000L).filter(_ % 97 == 5)))
   }
 
+  test("O(delta) maintenance: a 1-row DML refreshes a many-chunk index with bounded chunk writes and no full-index shuffle") {
+    val store = new FsStore(Files.createTempDirectory("graft-idx3-").toString)
+    val ops = new Ops(spark, store, 16)
+    val cat = new Catalog(store)
+    val sess = new SqlSession(spark, ops, cat)
+    sess.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    import spark.implicits._
+    (0L until 8000L).map(i => (i, i % 97)).toDF("id", "grp")
+      .createOrReplaceTempView("idx_seed3")
+    sess.execute("INSERT INTO t SELECT * FROM idx_seed3")
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val idxChunks = ops.meta(cat.get("t_grp").get).chunks.length
+    assert(idxChunks > 300, s"need a many-chunk index, got $idxChunks")
+    // 1-row DML, then the probe-time refresh: the patch path must write
+    // O(delta) chunks — mini for the touched source chunk + the touched
+    // index runs — NOT re-merge/rewrite the whole index
+    sess.execute("INSERT INTO t VALUES (9001, 13)")
+    store.stats.reset()
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp = 13 ORDER BY id"): @unchecked
+    val saves = store.stats.snapshot("chunkSaves")
+    assert(saves <= 12,
+      s"index refresh after a point DML wrote $saves chunks of $idxChunks — not O(delta)")
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      ((0L until 8000L).filter(_ % 97 == 13) :+ 9001L))
+    // and the patched index hash-equals a from-scratch rebuild
+    val patchedHash = cat.get("t_grp").get.hash
+    val store2 = new FsStore(Files.createTempDirectory("graft-idx3b-").toString)
+    val ops2 = new Ops(spark, store2, 16)
+    val cat2 = new Catalog(store2)
+    val sess2 = new SqlSession(spark, ops2, cat2)
+    sess2.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    sess2.execute("INSERT INTO t SELECT * FROM idx_seed3")
+    sess2.execute("INSERT INTO t VALUES (9001, 13)")
+    sess2.execute("CREATE INDEX t_grp ON t (grp)")
+    sess2.execute("SELECT id FROM t WHERE grp = 13")
+    assert(cat2.get("t_grp").get.hash == patchedHash,
+      "patched index diverged from the from-scratch rebuild")
+  }
+
   test("range predicates probe the index: BETWEEN and one-sided") {
     val (sess, _, _) = newSession()
     seed(sess)
@@ -119,6 +159,44 @@ class IndexSpec extends AnyFunSuite {
       "SELECT id FROM t WHERE grp = 13 AND v < 'v2' ORDER BY id"): @unchecked
     assert(c.collect().map(_.getLong(0)).toSeq ==
       (0L until 2000L).filter(i => i % 97 == 13 && s"v$i" < "v2"))
+  }
+
+  test("IN-list probes union per-value index reads in one scan") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val Left(df) = sess.execute(
+      "SELECT id, grp FROM t WHERE grp IN (13, 40, 95) ORDER BY id"): @unchecked
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 2000L).filter(i => Set(13L, 40L, 95L)(i % 97))
+      .map(i => (i, i % 97))
+    assert(got == want)
+    // IN on a leading column + equality residual still correct
+    val Left(df2) = sess.execute(
+      "SELECT id FROM t WHERE grp IN (13, 40) AND v = 'v110' ORDER BY id"): @unchecked
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(110L))
+    // string IN-lists parse too
+    sess.execute("CREATE INDEX t_v ON t (v)")
+    val Left(df3) = sess.execute(
+      "SELECT id FROM t WHERE v IN ('v7', 'v42') ORDER BY id"): @unchecked
+    assert(df3.collect().map(_.getLong(0)).toSeq == Seq(7L, 42L))
+  }
+
+  test("multi-index choice: the longest satisfied prefix wins") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    sess.execute("CREATE INDEX t_gv ON t (grp, v)")
+    // both indexes apply; (grp, v) satisfies a 2-column prefix and must
+    // serve the probe — observable only as a correct result here, the
+    // ranking itself is pinned by the fanout/prefix sort
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp = 13 AND v = 'v110'"): @unchecked
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(110L))
+    // IN + second-column equality across two candidate indexes
+    val Left(df2) = sess.execute(
+      "SELECT id FROM t WHERE grp IN (13, 14) AND v = 'v111' ORDER BY id"): @unchecked
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(111L))
   }
 
   test("multi-column index serves a two-column equality prefix") {

@@ -262,6 +262,105 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       graft.sources.Json.readNameMatched(spark, bad.toString, schema))
   }
 
+  test("INNER and LEFT JOIN materialized views: presence-marked stage + O(delta) post-filter") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE f (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    run("INSERT INTO f SELECT id AS k, id * 10 AS v FROM range(0, 2000)")
+    run("CREATE TABLE d (k bigint PRIMARY KEY, label text)")
+    // row 5 is PRESENT with a NULL label — an inner join must keep it
+    // (presence markers, not a value-null heuristic)
+    run("INSERT INTO d VALUES (0, 'zero'), (1, 'one'), (5, NULL)")
+
+    run("CREATE MATERIALIZED VIEW ij AS SELECT * FROM f INNER JOIN d USING (k)")
+    val Left(ijDf) = run("SELECT k, v, label FROM ij ORDER BY k"): @unchecked
+    assert(ijDf.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(2)))).toSeq ==
+      Seq((0L, 0L, Some("zero")), (1L, 10L, Some("one")), (5L, 50L, None)))
+    // the presence markers are internal — the visible view doesn't show them
+    assert(ops.meta(cat.get("ij").get).schema.fieldNames.toSeq ==
+      Seq("k", "v", "label"))
+
+    run("CREATE MATERIALIZED VIEW lj AS SELECT * FROM f LEFT JOIN d USING (k)")
+    val Left(ljDf) = run(
+      "SELECT k, label FROM lj WHERE k <= 2 ORDER BY k"): @unchecked
+    assert(ljDf.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((0L, Some("zero")), (1L, Some("one")), (2L, None)))
+    assert(ops.scan(cat.get("lj").get).count() == 2000)
+
+    // O(delta) refresh: a 1-row delta to the dim side rewrites only the
+    // touched chunks of the join stage + post stage, not the view
+    val viewChunks = ops.meta(cat.get("lj").get).chunks.length
+    assert(viewChunks > 20, s"need many chunks, got $viewChunks")
+    run("INSERT INTO d VALUES (7, 'seven')")
+    ops.store.stats.reset()
+    run("REFRESH MATERIALIZED VIEW lj")
+    val saves = ops.store.stats.snapshot("chunkSaves")
+    assert(saves <= 12,
+      s"join view refresh after a point delta wrote $saves chunks of $viewChunks")
+    val Left(l7) = run("SELECT label FROM lj WHERE k = 7"): @unchecked
+    assert(l7.collect().head.getString(0) == "seven")
+
+    // DROP removes the view AND its internal join stage in one root
+    val inner = SqlViews.innerJoinName("ij")
+    assert(cat.root.contains(inner), "inner join stage must be cataloged")
+    run("DROP MATERIALIZED VIEW ij")
+    assert(cat.get("ij").isEmpty && !cat.root.contains(inner) &&
+      !cat.viewDefs.contains("ij"))
+
+    // definition persists: a fresh catalog redeclares and refreshes it
+    val cat2 = new Catalog(ops.store)
+    assert(cat2.viewDefs.contains("lj"))
+    GraftSql.execute(spark, ops, cat2, "REFRESH MATERIALIZED VIEW lj")
+
+    // FULL ... WHERE tail lowers with the same post stage
+    run("CREATE MATERIALIZED VIEW fw AS SELECT * FROM f FULL OUTER JOIN d USING (k) WHERE k < 3")
+    assert(ops.scan(cat.get("fw").get).count() == 3)
+
+    // USING must name the key columns
+    assertThrows[GraftSql.SqlException](run(
+      "CREATE MATERIALIZED VIEW bad AS SELECT * FROM f INNER JOIN d USING (v)"))
+  }
+
+  test("binary columns render as lowercase hex in text exports and round-trip through import") {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE bt (k bigint PRIMARY KEY, b bytes)")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("b", BinaryType)))
+    val rows = (0L until 20L).map(i =>
+      Row(i, Array.tabulate[Byte](8)(j => (i * 16 + j).toByte)))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    cat.put("bt", ops.upsert(cat.get("bt").get, ops.fromDataFrame(src, Seq("k"))))
+    val origHash = cat.get("bt").get.hash
+
+    // COPY TO json renders hex (Table/Bytes.hs:16-28 parity)
+    val dir = Files.createTempDirectory("graft-hex-").toString
+    GraftSql.execute(spark, ops, cat, s"COPY bt TO '$dir' (FORMAT json)")
+    val line = spark.read.text(dir).collect().map(_.getString(0))
+      .find(_.contains("\"k\":1")).get
+    assert(line.contains("\"b\":\"1011121314151617\""),
+      s"expected lowercase hex rendering, got: $line")
+
+    // and the by-name JSON reader parses it back to the identical table
+    val schema2 = cat.schemaOf("bt").get
+    val imported = ops.fromDataFrame(
+      graft.sources.Json.readNameMatched(spark, dir, schema2), Seq("k"))
+    assert(imported.hash == origHash,
+      "hex export -> import must reproduce the identical table hash")
+
+    // CSV round-trips too
+    val dirC = Files.createTempDirectory("graft-hexc-").toString
+    GraftSql.execute(spark, ops, cat, s"COPY bt TO '$dirC' (FORMAT csv)")
+    val importedC = ops.fromDataFrame(
+      graft.sources.Csv.readNameMatched(spark, dirC, schema2), Seq("k"))
+    assert(importedC.hash == origHash)
+  }
+
   test("composite-key DML: equality prefix + range plans as one tuple-prefix range") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
