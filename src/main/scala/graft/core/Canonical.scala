@@ -290,6 +290,107 @@ object Canonical {
       }(enc)
   }
 
+  /** One finished chunk digest as produced executor-side by the FUSED
+    * write+digest pass: chunk identity fields plus the temp-dir tag that
+    * names the written file. Stats are already in their meta (hex)
+    * representation. */
+  private[core] final case class FusedDigest(group: String, tag: String,
+      minKey: String, maxKey: String, rows: Long, hash: String,
+      stats: Map[String, ColStats])
+
+  /** Mutable per-chunk digest accumulation for the fused pass — the
+    * same arithmetic as [[chunkDigests]]'s per-group loop (sha-256 over
+    * concatenated canonical row bytes in key order; zone-map min/max by
+    * unsigned compare over rb slices; null markers; MaxStatBytes drop;
+    * DictMaxValues dictionary), so fused and standalone digests are
+    * byte-identical. */
+  private[core] final class DigestState(statCols: Seq[String],
+      statPos: Array[Int]) {
+    private val nStats = statPos.length
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    private var minKb: Array[Byte] = _
+    private var maxKb: Array[Byte] = _
+    private var n = 0L
+    private val mins = new Array[Array[Byte]](nStats)
+    private val maxs = new Array[Array[Byte]](nStats)
+    private val nulls = new Array[Long](nStats)
+    private val dead = new Array[Boolean](nStats)
+    private val dicts = Array.fill(nStats)(
+      new scala.collection.mutable.ArrayBuffer[Array[Byte]](DictMaxValues))
+    private val dictDead = new Array[Boolean](nStats)
+
+    def reset(): Unit = {
+      md.reset(); minKb = null; maxKb = null; n = 0L
+      var i = 0
+      while (i < nStats) {
+        mins(i) = null; maxs(i) = null; nulls(i) = 0L; dead(i) = false
+        dicts(i).clear(); dictDead(i) = false
+        i += 1
+      }
+    }
+
+    private def cmpRange(rb: Array[Byte], from: Int, to: Int,
+        other: Array[Byte]): Int = {
+      val len = math.min(to - from, other.length)
+      var i = 0
+      while (i < len) {
+        val a = rb(from + i) & 0xff; val b = other(i) & 0xff
+        if (a != b) return a - b
+        i += 1
+      }
+      (to - from) - other.length
+    }
+
+    def update(kb: Array[Byte], rb: Array[Byte], ends: Array[Int]): Unit = {
+      md.update(rb)
+      if (minKb == null) minKb = kb
+      maxKb = kb
+      n += 1
+      var i = 0
+      while (i < nStats) {
+        if (!dead(i)) {
+          val p = statPos(i)
+          val from = if (p == 0) 0 else ends(p - 1)
+          val to = ends(p)
+          if (to - from == 1 && rb(from) == 0) nulls(i) += 1
+          else if (to - from > MaxStatBytes) dead(i) = true
+          else {
+            if (mins(i) == null || cmpRange(rb, from, to, mins(i)) < 0)
+              mins(i) = java.util.Arrays.copyOfRange(rb, from, to)
+            if (maxs(i) == null || cmpRange(rb, from, to, maxs(i)) > 0)
+              maxs(i) = java.util.Arrays.copyOfRange(rb, from, to)
+            if (!dictDead(i)) {
+              val buf = dicts(i)
+              var j = 0
+              while (j < buf.length && cmpRange(rb, from, to, buf(j)) != 0)
+                j += 1
+              if (j == buf.length) {
+                if (buf.length >= DictMaxValues) dictDead(i) = true
+                else buf += java.util.Arrays.copyOfRange(rb, from, to)
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+
+    def result(group: String, tag: String): FusedDigest = {
+      val stats = statCols.indices.flatMap { i =>
+        if (dead(i)) None
+        else Some(statCols(i) -> ColStats(
+          Option(mins(i)).map(Hashing.hex),
+          Option(maxs(i)).map(Hashing.hex),
+          nulls(i),
+          if (dictDead(i)) None
+          else Some(dicts(i).sortWith(Hashing.compareBytes(_, _) < 0)
+            .toSeq.map(Hashing.hex))))
+      }.toMap
+      FusedDigest(group, tag, Hashing.hex(minKb), Hashing.hex(maxKb), n,
+        Hashing.hex(md.digest()), stats)
+    }
+  }
+
   /** Assemble the stats map of one chunkDigests output row. */
   private def statsOfRow(r: Row, statCols: Seq[String], baseIdx: Int)
       : Map[String, ColStats] =
@@ -384,7 +485,7 @@ object Canonical {
     val kbDf0 = withKeyBytes(df, keyCols)
     val kbDf = if (small) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withEngineConf(spark) {
       // 1. range SPLITS: an intrinsic subsample of the boundary keys.
       //    hash(kb) % (target·sub) == 0 implies hash(kb) % target == 0,
       //    so every split is a boundary key and chunk intervals nest
@@ -409,30 +510,54 @@ object Canonical {
       //    boundary key AND a present row, so every interval (except the
       //    leading "head") STARTS with a boundary row and no chunk ever
       //    crosses a task — each chunk becomes exactly one file below.
+      //    Small jobs coalesce instead: no exchange at all, one task.
       val partIdUdf = udf { (kb: Array[Byte]) => boundaryIndex(bcS.value, kb) }
 
       val tmpDir = Files.createTempDirectory("graft-canon-").toString
-      val parted = kbDf.withColumn(PART, partIdUdf(col(KB)))
-        .repartition(nPart, col(PART))
+      val parted0 = kbDf.withColumn(PART, partIdUdf(col(KB)))
+      val parted = (if (small) parted0.coalesce(1)
+        else parted0.repartition(nPart, col(PART)))
         .sortWithinPartitions(col(PART), col(KB))
-      // single sorted pass per task: a boundary key opens a new chunk;
-      // the tag (interval, ordinal) only names the temp dir — chunk
-      // CONTENT is still a pure function of the key set, so hashes and
-      // the canonical decomposition are unchanged
+      // 3. ONE fused write+digest job: the tagging pass streams each
+      //    task's rows in (interval, key) order — a boundary key opens a
+      //    new chunk — and computes the per-chunk canonical digest (and
+      //    zone maps) from each row's canonical bytes AS the row flows to
+      //    the parquet writer; finished digests reach the driver through
+      //    an accumulator. Chunk CONTENT stays a pure function of the key
+      //    set (tags only name temp dirs), the digested bytes are the
+      //    same rb stream the former read-back pass produced, and result
+      //    tasks report accumulator updates exactly once — so hashes are
+      //    unchanged while the former full re-read of every
+      //    materialization disappears.
       val inSchema = parted.schema
       val kbI = inSchema.fieldIndex(KB)
       val pI = inSchema.fieldIndex(PART)
+      val rbEnc = KeyCodec.rowEncoderSliced(StructType(df.schema.fields), cols)
+      val statCols = statColumns(df.schema, keyCols)
+      val statPos = statCols.map(cols.indexOf).toArray
+      val dataIdx = cols.map(inSchema.fieldIndex)
+      val acc = spark.sparkContext
+        .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))
-      val tagged = parted.mapPartitions { it =>
-        var curP = -1; var ord = -1; var tag = ""
-        it.map { r =>
-          val p = r.getInt(pI)
-          if (p != curP) { curP = p; ord = -1; tag = s"$p-head" }
-          if (isBoundaryKey(r.getAs[Array[Byte]](kbI), target)) {
-            ord += 1; tag = s"$p-$ord"
+      val tagged = parted.mapPartitions { base =>
+        val st = new DigestState(statCols, statPos)
+        var curP = -1; var ord = -1; var tag = ""; var open = false
+        def flush(): Unit = if (open) { acc.add(st.result("", tag)); open = false }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = base.hasNext; if (!h) flush(); h }
+          def next(): Row = {
+            val r = base.next()
+            val p = r.getInt(pI)
+            val kb = r.getAs[Array[Byte]](kbI)
+            if (p != curP) { flush(); curP = p; ord = -1; tag = s"$p-head" }
+            if (isBoundaryKey(kb, target)) { flush(); ord += 1; tag = s"$p-$ord" }
+            if (!open) { st.reset(); open = true }
+            val proj = Row.fromSeq(dataIdx.map(i => r.get(i)))
+            val (rb, ends) = rbEnc(proj)
+            st.update(kb, rb, ends)
+            Row.fromSeq(r.toSeq :+ tag)
           }
-          Row.fromSeq(r.toSeq :+ tag)
         }
       }(tagEnc)
       // positional field ids with EXPLICIT metadata: inherited metadata
@@ -448,51 +573,18 @@ object Canonical {
         .option("compression", store.chunkCodec)
         .partitionBy(CHUNK).parquet(tmpDir)
 
-      // 3. per-chunk canonical hash from the written files (rows sorted by
-      //    key within each chunk file; row bytes are self-delimiting so
-      //    sorting by rowBytes == sorting by key)
-      // explicit schema: the dir may be empty (empty table), and the
-      // partition column must be typed either way
-      val writtenSchema = df.schema.add(StructField(CHUNK, StringType))
-      val written = spark.read.schema(writtenSchema).parquet(tmpDir)
-      val rbEnc = KeyCodec.rowEncoderSliced(
-        StructType(df.schema.fields), cols)
-      val kEnc = KeyCodec.rowEncoder(StructType(df.schema.fields), keyCols)
-      val statCols = statColumns(df.schema, keyCols)
-      val statPos = statCols.map(cols.indexOf).toArray
-      val hashInSchema = StructType(Seq(
-        StructField(CHUNK, StringType), StructField("kb", BinaryType),
-        StructField("rb", BinaryType),
-        StructField("ends", ArrayType(IntegerType, containsNull = false))))
-      val hashInEnc = RowEncoder.encoderFor(hashInSchema)
-      val colIdx = cols.map(written.schema.fieldIndex)
-      val chunkIdx = written.schema.fieldIndex(CHUNK)
-      val perRow = written.mapPartitions { it =>
-        it.map { r =>
-          val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          val (rb, ends) = rbEnc(proj)
-          Row(r.get(chunkIdx), kEnc(proj), rb, ends.toSeq)
-        }
-      }(hashInEnc)
-      val chunkRows = chunkDigests(perRow, Seq(CHUNK), statPos,
-        width = nPart).collect()
-      val statBase = 5 // CHUNK, minkb, maxkb, rows, hash
-
       // 4. commit chunk files into the content-addressed store — ONE
       //    batched commit for the whole materialization (object-store
       //    backends turn this into a single commit op, not N renames)
+      import scala.jdk.CollectionConverters._
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
-      val metas = chunkRows.map { r =>
-        val id = r.getAs[String](CHUNK)
-        val hash = r.getAs[String]("hash")
-        val dir = Paths.get(tmpDir, s"$CHUNK=$id")
+      val metas = acc.value.asScala.toArray.map { d =>
+        val dir = Paths.get(tmpDir, s"$CHUNK=${d.tag}")
         val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
         require(files.length == 1,
-          s"expected exactly one file per chunk, got ${files.length} for chunk $id")
-        batch += ((hash, files.head))
-        ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
-          Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"),
-          statsOfRow(r, statCols, statBase))
+          s"expected exactly one file per chunk, got ${files.length} for chunk ${d.tag}")
+        batch += ((d.hash, files.head))
+        ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
       }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
       store.saveChunks(batch.result())
 
@@ -503,6 +595,28 @@ object Canonical {
     } finally {
       if (!small) kbDf.unpersist()
       ()
+    }
+  }
+
+  /** Engine-internal actions run with AQE disabled: every
+    * materialization plan is a fixed scan → encode → explicit
+    * repartition(n) → sort → write shape whose partitioning the engine
+    * already chose, so adaptive re-planning only adds
+    * stage-materialization jobs (`df.rdd` under AQE splits the sample
+    * pass into 2–3 jobs; the write grows an extra exchange job) —
+    * ~2 extra job launches per materialization of pure fixed overhead.
+    * Scale-safe: AQE never coalesces an explicit repartition(n) and no
+    * joins run inside these plans. Restores the previous value even on
+    * failure; statement flows are single-threaded per session, so the
+    * brief session-conf flip is not observable by the flow itself. */
+  private[core] def withEngineConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -539,7 +653,7 @@ object Canonical {
     val kbDf0 = withKeyBytesKeeping(df, keyCols, groupCol)
     val kbDf = if (small) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withEngineConf(spark) {
       // same fused one-pass sampled-split scheme as [[materialize]],
       // compounded with the group: the driver holds an
       // O(shuffle-partitions) subsample of (group, boundary-key) pairs,
@@ -563,26 +677,47 @@ object Canonical {
       }
 
       val tmpDir = Files.createTempDirectory("graft-canon-g-").toString
-      val parted = kbDf.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
-        .repartition(nPart, col(groupCol), col(PART))
+      val parted0 = kbDf.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
+      val parted = (if (small) parted0.coalesce(1)
+        else parted0.repartition(nPart, col(groupCol), col(PART)))
         .sortWithinPartitions(col(groupCol), col(PART), col(KB))
+      // fused write+digest job, exactly as in [[materialize]] but with
+      // the group in the chunk scope: a (group, interval) change or a
+      // boundary key closes the running digest
       val inSchema = parted.schema
       val kbI = inSchema.fieldIndex(KB)
       val pI = inSchema.fieldIndex(PART)
       val gI = inSchema.fieldIndex(groupCol)
+      val rbEnc = KeyCodec.rowEncoderSliced(dataSchema, cols)
+      val statCols = statColumns(dataSchema, keyCols)
+      val statPos = statCols.map(cols.indexOf).toArray
+      val dataIdx = cols.map(inSchema.fieldIndex)
+      val acc = spark.sparkContext
+        .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))
-      val tagged = parted.mapPartitions { it =>
-        var curG: String = null; var curP = -1; var ord = -1; var tag = ""
-        it.map { r =>
-          val g = r.getString(gI); val p = r.getInt(pI)
-          if (g != curG || p != curP) {
-            curG = g; curP = p; ord = -1; tag = s"$p-head"
+      val tagged = parted.mapPartitions { base =>
+        val st = new DigestState(statCols, statPos)
+        var curG: String = null; var curP = -1; var ord = -1
+        var tag = ""; var open = false
+        def flush(): Unit =
+          if (open) { acc.add(st.result(curG, tag)); open = false }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = base.hasNext; if (!h) flush(); h }
+          def next(): Row = {
+            val r = base.next()
+            val g = r.getString(gI); val p = r.getInt(pI)
+            val kb = r.getAs[Array[Byte]](kbI)
+            if (g != curG || p != curP) {
+              flush(); curG = g; curP = p; ord = -1; tag = s"$p-head"
+            }
+            if (isBoundaryKey(kb, target)) { flush(); ord += 1; tag = s"$p-$ord" }
+            if (!open) { st.reset(); open = true }
+            val proj = Row.fromSeq(dataIdx.map(i => r.get(i)))
+            val (rb, ends) = rbEnc(proj)
+            st.update(kb, rb, ends)
+            Row.fromSeq(r.toSeq :+ tag)
           }
-          if (isBoundaryKey(r.getAs[Array[Byte]](kbI), target)) {
-            ord += 1; tag = s"$p-$ord"
-          }
-          Row.fromSeq(r.toSeq :+ tag)
         }
       }(tagEnc)
       // positional field ids, explicit metadata (see materialize)
@@ -594,52 +729,21 @@ object Canonical {
         .option("compression", store.chunkCodec)
         .partitionBy(groupCol, CHUNK).parquet(tmpDir)
 
-      val writtenSchema = dataSchema
-        .add(StructField(groupCol, StringType))
-        .add(StructField(CHUNK, StringType))
-      val written = spark.read.schema(writtenSchema).parquet(tmpDir)
-      val rbEnc = KeyCodec.rowEncoderSliced(dataSchema, cols)
-      val kEnc = KeyCodec.rowEncoder(dataSchema, keyCols)
-      val statCols = statColumns(dataSchema, keyCols)
-      val statPos = statCols.map(cols.indexOf).toArray
-      val hashInSchema = StructType(Seq(
-        StructField(groupCol, StringType), StructField(CHUNK, StringType),
-        StructField("kb", BinaryType), StructField("rb", BinaryType),
-        StructField("ends", ArrayType(IntegerType, containsNull = false))))
-      val hashInEnc = RowEncoder.encoderFor(hashInSchema)
-      val colIdx = cols.map(written.schema.fieldIndex)
-      val gIdx = written.schema.fieldIndex(groupCol)
-      val cIdx = written.schema.fieldIndex(CHUNK)
-      val perRow = written.mapPartitions { it =>
-        it.map { r =>
-          val proj = Row.fromSeq(colIdx.map(i => r.get(i)))
-          val (rb, ends) = rbEnc(proj)
-          Row(r.getString(gIdx), r.get(cIdx), kEnc(proj), rb, ends.toSeq)
-        }
-      }(hashInEnc)
-      val chunkRows =
-        chunkDigests(perRow, Seq(groupCol, CHUNK), statPos,
-          width = nPart).collect()
-      val statBase = 6 // groupCol, CHUNK, minkb, maxkb, rows, hash
-
+      import scala.jdk.CollectionConverters._
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
-      val out = chunkRows.groupBy(_.getString(0)).map { case (g, rows) =>
+      val out = acc.value.asScala.toArray.groupBy(_.group).map { case (g, ds) =>
         // group values become partition directory names; only accept
         // characters Spark's path escaping leaves untouched so the
         // constructed read-back path cannot diverge (all callers pass
         // hex hashes; richer values need escapePathName-aware listing)
         require(g.matches("[A-Za-z0-9_-]+"),
           s"group value '$g' is not path-safe")
-        val metas = rows.map { r =>
-          val id = r.getAs[String](CHUNK)
-          val hash = r.getAs[String]("hash")
-          val dir = Paths.get(tmpDir, s"$groupCol=$g", s"$CHUNK=$id")
+        val metas = ds.map { d =>
+          val dir = Paths.get(tmpDir, s"$groupCol=$g", s"$CHUNK=${d.tag}")
           val files = listFiles(dir).filter(_.toString.endsWith(".parquet"))
-          require(files.length == 1, s"expected 1 file for ($g, $id)")
-          batch += ((hash, files.head))
-          ChunkMeta(hash, Hashing.hex(r.getAs[Array[Byte]]("minkb")),
-            Hashing.hex(r.getAs[Array[Byte]]("maxkb")), r.getAs[Long]("rows"),
-            statsOfRow(r, statCols, statBase))
+          require(files.length == 1, s"expected 1 file for ($g, ${d.tag})")
+          batch += ((d.hash, files.head))
+          ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
         }.sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
         val meta = TableMeta(schemaJson, keyCols, chunkTargetRows, metas.toSeq)
         g -> meta

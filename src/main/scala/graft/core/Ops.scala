@@ -572,20 +572,29 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (t.keyPreserving) transformPerChunk(m, t)
       else if (m.chunks.nonEmpty && rekeyCombinable(m, t, fold))
         transformRekeyIncremental(m, t, fold, prev)
-      else {
-        val src0 = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
-        val src = t.rowFilter.map(src0.where).getOrElse(src0)
-        val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
-        val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
-          .filterNot(_ == SRC).toSeq
-        val folded = projected.groupBy(t.outKeyCols.map(col): _*)
-          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-        Canonical.materialize(spark, store,
-          castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
-            valueCols),
-          t.outKeyCols, target).tableHash
-      }
+      else transformDirect(m, t, fold)
     })
+  }
+
+  /** Whole-table re-key in ONE materialization pass (no per-chunk
+    * sub-results): the generic path for order-sensitive folds, and the
+    * from-scratch BUILD of combinable re-keys (where writing per-chunk
+    * minis first would double the build IO for reuse the patch path
+    * never needs — it computes delta minis on demand). */
+  private def transformDirect(m: TableMeta, t: ColTransform,
+      fold: FoldSpec): String = {
+    val src0 = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
+    val src = t.rowFilter.map(src0.where).getOrElse(src0)
+    val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
+    val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
+      .filterNot(_ == SRC).toSeq
+    val folded = projected.groupBy(t.outKeyCols.map(col): _*)
+      .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+    Canonical.materialize(spark, store,
+      castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
+        valueCols),
+      t.outKeyCols, m.chunkTargetRows,
+      rowBound = Some(m.chunks.map(_.rows).sum)).tableHash
   }
 
   /** The incremental re-key path splits one fold into per-chunk partial
@@ -615,29 +624,76 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     def miniOp(chunkHash: String): String = Hashing.opHash(Seq(
       "graft-op-rekey-chunk-v1", t.key, fold.key,
       m.chunkTargetRows.toString, chunkHash))
+    // the reverse memo (result → source) lets the NEXT refresh find this
+    // source version from the catalog's previous result and take the
+    // O(delta) patch path
+    def finish(resultHash: String): String = {
+      store.memoPut(rekeyRevOp(t, fold, m.chunkTargetRows, resultHash),
+        m.tableHash)
+      resultHash
+    }
+    // 1. O(delta) patch FIRST: it needs only the CHANGED chunks' minis,
+    //    computed on demand inside patchAgainstPrevious — minis of
+    //    unchanged chunks are never materialized at all.
+    if (t.uniqueKeys) prev.foreach { p =>
+      patchAgainstPrevious(m, t, fold, p, miniOp)
+        .foreach(h => return finish(h))
+    }
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
-    val missing0 = m.chunks.filter(c => memoized(c.hash).isEmpty)
+    // 2. uniqueKeys fresh build with nothing to reuse: ONE direct
+    //    materialization, no mini tables written — HALF the build IO of
+    //    the former minis-then-merge flow (which for a re-key always
+    //    degenerates to the flat shuffle anyway). Refreshes stay
+    //    O(delta): the patch path computes just the delta's minis on
+    //    demand from the still-present old chunk objects. Bit-identical
+    //    either way: rekeyCombinable admits only folds whose partial
+    //    folds are bit-stable, and the chunk decomposition is a pure
+    //    function of the key set. (Non-unique re-keys — aggregate
+    //    views — keep eager minis: their O(delta) refresh runs through
+    //    the piece/region-memoized merge, which NEEDS the full mini
+    //    set.)
+    if (t.uniqueKeys && memoized.values.forall(_.isEmpty))
+      return finish(transformDirect(m, t, fold))
+    // 3. per-chunk minis (one batched compute of the missing ones)
+    //    feeding the region-memoized merge.
+    val computed = computeMinis(m.schema, t, fold, m.chunkTargetRows,
+      m.chunks, miniOp)
+    val miniRefs: Seq[TableRef] = m.chunks.map { c =>
+      TableRef(memoized(c.hash)
+        .orElse(computed.get(c.hash).map(_.tableHash))
+        .getOrElse(sys.error(s"missing mini for chunk ${c.hash}")))
+    }
+    finish(merge(miniRefs, fold).hash)
+  }
 
-    // a filtered transform may drop EVERY row of a chunk: the grouped
-    // materialization then emits no group for it, and the mini is the
-    // empty table (memoized like any other so refreshes skip it)
+  /** Compute + memoize the per-chunk minis of `chunks` that lack a memo,
+    * in ONE batched grouped materialization; returns the computed map.
+    * Zone-map-proven all-filtered chunks memoize the empty mini without
+    * being read, and a chunk whose rows are ALL dropped by the rowFilter
+    * (no group in the job output) memoizes the empty mini too. */
+  private def computeMinis(schema: org.apache.spark.sql.types.StructType,
+      t: ColTransform, fold: FoldSpec, target: Long,
+      chunks: Seq[ChunkMeta], miniOp: String => String)
+      : Map[String, TableMeta] = {
+    val missing0 = chunks.distinctBy(_.hash)
+      .filter(c => store.memoGet(miniOp(c.hash)).isEmpty)
+    if (missing0.isEmpty) return Map.empty
     lazy val emptyMini: TableMeta = {
       val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       val outSchema = Canonical.normalizeSchema(
         empty.select(t.columns: _*).schema, t.outKeyCols)
-      val em = TableMeta(outSchema.json, t.outKeyCols, m.chunkTargetRows, Nil)
+      val em = TableMeta(outSchema.json, t.outKeyCols, target, Nil)
       store.saveTableMeta(em)
       em
     }
-
     // zone-map chunk skipping: a chunk whose stats PROVE the rowFilter
     // matches none of its rows memoizes the empty mini without being
     // read — a delta-region refresh of a filtered aggregate view never
     // opens chunks outside the filter
     val noFilterMatch: ChunkMeta => Boolean =
-      statsProveNoMatch(m.schema, t.rowFilter)
+      statsProveNoMatch(schema, t.rowFilter)
     val skipped: Map[String, TableMeta] = missing0.flatMap { c =>
       if (t.rowFilter.isDefined && noFilterMatch(c)) {
         store.memoPut(miniOp(c.hash), emptyMini.tableHash)
@@ -645,14 +701,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       } else None
     }.toMap
     val missing = missing0.filterNot(c => skipped.contains(c.hash))
-
     val computed0: Map[String, TableMeta] =
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df0 = spark.read.schema(Canonical.withFieldIds(m.schema))
+        val df0 = spark.read.schema(Canonical.withFieldIds(schema))
           .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
           .withColumn(grp, fileToHash(input_file_name()))
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
@@ -666,41 +721,19 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val casted = castValues(folded,
           StructType(projected.schema.filterNot(_.name == grp)), valueCols)
         val metas = Canonical.materializeGrouped(spark, store, casted, grp,
-          t.outKeyCols, m.chunkTargetRows,
-          rowBound = Some(missing.map(_.rows).sum))
+          t.outKeyCols, target, rowBound = Some(missing.map(_.rows).sum))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(miniOp(srcHash), sub.tableHash)
         }
         metas
       }
-    val computed = computed0 ++ skipped
-
-    val miniRefs: Seq[TableRef] = m.chunks.map { c =>
-      TableRef(memoized(c.hash) match {
-        case Some(h) => h
-        case None =>
-          val sub = computed.getOrElse(c.hash, {
-            require(t.rowFilter.isDefined,
-              s"missing re-key result for unfiltered chunk ${c.hash}")
-            store.memoPut(miniOp(c.hash), emptyMini.tableHash)
-            emptyMini
-          })
-          sub.tableHash
-      })
-    }
-    // the reverse memo (result → source) lets the NEXT refresh find this
-    // source version from the catalog's previous result and take the
-    // O(delta) patch path below
-    def finish(resultHash: String): String = {
-      store.memoPut(rekeyRevOp(t, fold, m.chunkTargetRows, resultHash),
-        m.tableHash)
-      resultHash
-    }
-    val patched =
-      if (t.uniqueKeys)
-        prev.flatMap(p => patchAgainstPrevious(m, t, fold, p, miniOp))
-      else None
-    finish(patched.getOrElse(merge(miniRefs, fold).hash))
+    val silent = missing.filterNot(c => computed0.contains(c.hash)).map { c =>
+      require(t.rowFilter.isDefined,
+        s"missing re-key result for unfiltered chunk ${c.hash}")
+      store.memoPut(miniOp(c.hash), emptyMini.tableHash)
+      c.hash -> emptyMini
+    }.toMap
+    computed0 ++ skipped ++ silent
   }
 
   /** Reverse memo key: which SOURCE version produced `resultHash` under
@@ -750,6 +783,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             if (ms.forall(_.isDefined)) Some(ms.flatten) else None
           }
           for {
+            // compute the delta's missing minis on demand in one batched
+            // job (REPLACED old chunks' objects are still in the
+            // content-addressed store; if GC swept them, fall back)
+            _ <- (try {
+              computeMinis(m.schema, t, fold, m.chunkTargetRows,
+                removed ++ added, miniOp)
+              Some(())
+            } catch { case NonFatal(_) => None })
             remM <- minis(removed)
             addM <- minis(added)
             h <- {

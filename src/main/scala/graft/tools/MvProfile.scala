@@ -22,13 +22,22 @@ object MvProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
           val names = s.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
-          println(s"[mvprof-job]   stages=${s.stageInfos.length} ${names.mkString(" | ")}")
+          jobStart.put(s.jobId, (System.nanoTime(),
+            s"stages=${s.stageInfos.length} tasks=${s.stageInfos.map(_.numTasks).sum} ${names.mkString(" | ")}"))
+        }
+        override def onJobEnd(
+            s: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(s.jobId)).foreach { case (t0, desc) =>
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[mvprof-job] ${ms}%7.0f ms  $desc")
+          }
         }
       })
 
