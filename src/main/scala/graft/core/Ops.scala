@@ -594,7 +594,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
         valueCols),
       t.outKeyCols, m.chunkTargetRows,
-      rowBound = Some(m.chunks.map(_.rows).sum)).tableHash
+      // generator transforms can exceed the source row count — size
+      // gating must treat their output as unknown
+      rowBound = if (t.generator) None
+        else Some(m.chunks.map(_.rows).sum)).tableHash
   }
 
   /** The incremental re-key path splits one fold into per-chunk partial
@@ -721,7 +724,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val casted = castValues(folded,
           StructType(projected.schema.filterNot(_.name == grp)), valueCols)
         val metas = Canonical.materializeGrouped(spark, store, casted, grp,
-          t.outKeyCols, target, rowBound = Some(missing.map(_.rows).sum))
+          t.outKeyCols, target,
+          rowBound = if (t.generator) None
+            else Some(missing.map(_.rows).sum))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(miniOp(srcHash), sub.tableHash)
         }
@@ -1347,6 +1352,14 @@ trait ColTransform extends Serializable {
     * upserting the new ones — no re-merge of every per-chunk mini.
     * Like `rowFilter`, part of the operation identified by `key`. */
   def uniqueKeys: Boolean = false
+  /** Declare true when `columns` contains a GENERATOR (explode/inline):
+    * one source row may produce MANY output rows, so source chunk row
+    * counts are NOT an upper bound on output rows — size-gated
+    * execution paths (the small-materialization fast path) must treat
+    * the output size as unknown. Results are unaffected either way;
+    * this only keeps task sizing honest. Generators re-key by nature
+    * (`keyPreserving` must stay false). */
+  def generator: Boolean = false
 }
 
 object ColTransform {
@@ -1354,7 +1367,10 @@ object ColTransform {
       preservesKeys: Boolean = false,
       filter: Option[Column] = None,
       passUnless: Option[Column] = None,
-      uniqueOutKeys: Boolean = false): ColTransform =
+      uniqueOutKeys: Boolean = false,
+      generates: Boolean = false): ColTransform = {
+    require(!(generates && preservesKeys),
+      "a generator transform cannot be key-preserving")
     new ColTransform {
       val key = k
       val outKeyCols = keys
@@ -1363,5 +1379,7 @@ object ColTransform {
       override val keyPreserving = preservesKeys
       override val identityUnless = passUnless
       override val uniqueKeys = uniqueOutKeys
+      override val generator = generates
     }
+  }
 }
