@@ -54,6 +54,9 @@ object Dedup {
       sh.join(sz, "doc_id").cache()
     })
 
+  /** The shingle CTE shared with [[IncrementalDedup]]'s oracles. */
+  def shinglesSqlPublic: String = shinglesSql
+
   private val shinglesSql: String =
     """SELECT doc_id,
       |  unnest(list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),

@@ -87,8 +87,49 @@ object IncrementalDedup {
       .orderBy($"i", $"j")
   }
 
+  /** Phrase search served FROM the index: build the shingle index over
+    * the full corpus, find the 3 most document-frequent 3-gram phrases
+    * (ties broken lexicographically — deterministic at any SF), then
+    * read their postings back through the index table. The final read
+    * probes on the index's LEADING KEY, so [[graft.core.GraftFileIndex]]
+    * prunes to only the chunk files whose key range can contain the
+    * phrases — at corpus scale a phrase lookup opens a handful of
+    * chunks, never the index (the search-engine read path; pruning
+    * pinned in GraftScanSpec / IncrementalDedupSpec). */
+  def textSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-tsearch-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    val views = new Views(ops, cat)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
+    declareIndex(views, "shingle_idx", "docs")
+    views.refresh("shingle_idx")
+    val idxRef = TableRef(cat.root("shingle_idx").tableHash)
+    val top: Seq[String] = ops.scan(idxRef)
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"s".asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    ops.scan(idxRef)
+      .where($"s".isin(top: _*))
+      .select($"s".as("term"), $"doc_id")
+      .orderBy($"term", $"doc_id")
+  }
+
+  val textSearchSql: String =
+    s"""WITH sh AS (${Dedup.shinglesSqlPublic}),
+       |top AS (
+       |  SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+       |  ORDER BY df DESC, s LIMIT 3)
+       |SELECT sh.s AS term, sh.doc_id FROM sh JOIN top ON sh.s = top.s
+       |ORDER BY term, doc_id""".stripMargin
+
   val queries: Map[String, graft.queries.Q.QFn] = Map(
-    "dedup_incremental" -> (dedupIncremental _))
+    "dedup_incremental" -> (dedupIncremental _),
+    "text_search" -> (textSearch _))
   val oracles: Map[String, String] = Map(
-    "dedup_incremental" -> Dedup.dedupShingleSql)
+    "dedup_incremental" -> Dedup.dedupShingleSql,
+    "text_search" -> textSearchSql)
 }

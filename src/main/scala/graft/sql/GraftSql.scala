@@ -283,7 +283,24 @@ object GraftSql {
     *    copy), `CHECKOUT '<root>'` (move the whole pointer; the
     *    abandoned chain stays reachable by hash).
     */
+  /** Dev-only per-statement wall profiling (SPARK_GRAFT_PROFILE=1) —
+    * the driver never sets it. */
+  private val profileStatements = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
+      sqlText: String): Either[DataFrame, String] =
+    if (!profileStatements) executeImpl(spark, ops, catalog, sqlText)
+    else {
+      val t0 = System.nanoTime()
+      try executeImpl(spark, ops, catalog, sqlText)
+      finally {
+        val sec = (System.nanoTime() - t0) / 1e9
+        val head = sqlText.trim.replaceAll("\\s+", " ").take(72)
+        println(f"[gsql] $sec%6.2f s  $head")
+      }
+    }
+
+  private def executeImpl(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
     def registerViews(): Unit =
       catalog.root.keys.foreach { name =>

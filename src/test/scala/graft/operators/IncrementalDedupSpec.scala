@@ -85,6 +85,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(cat.root("shingle_idx").tableHash == v1)
   }
 
+  test("phrase probe prunes index chunk files on the leading key") {
+    val (_, ops, cat, views) = newEngine()
+    val docs = corpus(1500)
+    cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
+    IncrementalDedup.declareIndex(views, "shingle_idx", "docs")
+    views.refresh("shingle_idx")
+    val ref = TableRef(cat.root("shingle_idx").tableHash)
+    val m = ops.meta(ref)
+    assert(m.chunks.length > 10, s"need many chunks: ${m.chunks.length}")
+    // one phrase: the index is keyed by (s, doc_id), so the equality on
+    // s prunes to the chunk files whose key range can contain it
+    val phrase = "w0 w1 w2"
+    val probed = ops.scan(ref).where(col("s") === phrase)
+    val scanned = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(scanned > 0 && scanned < m.chunks.length,
+      s"probe must prune: $scanned of ${m.chunks.length} files")
+    // and the pruned read returns exactly the matching postings
+    val got = probed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = expected(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      .collect { case (s, id) if s == phrase => id }
+    assert(got == want)
+  }
+
   test("incremental build hash-equals a from-scratch build") {
     val docs = corpus(800)
     val (_, ops1, cat1, views1) = newEngine()
