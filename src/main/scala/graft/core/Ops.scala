@@ -66,7 +66,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   private def castValues(df: DataFrame, declared: StructType,
       valueCols: Seq[String]): DataFrame =
     df.select(df.columns.toSeq.map { c =>
-      if (valueCols.contains(c)) col(c).cast(declared(c).dataType).as(c)
+      // cast only on a REAL type difference: types equal up to
+      // nullability flags (array containsNull, struct field nullable)
+      // are the same canonical type, and Catalyst rejects such "casts"
+      // (e.g. array<bigint> with containsNull true vs false — a merge
+      // of array-valued tables would fail on the flag alone)
+      if (valueCols.contains(c) &&
+          !org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+            df.schema(c).dataType, declared(c).dataType))
+        col(c).cast(declared(c).dataType).as(c)
       else col(c)
     }: _*)
 

@@ -448,6 +448,93 @@ object Vectors {
     * scale — at 100 TB this is the usual 64–256 MB chunk sizing. */
   val IvfIndexChunkRows = 64L
 
+  /** Declare the frozen-centroid IVF assignment as a uniqueKeys re-key
+    * VIEW over a vectors catalog table: out key `(cell, vec_id)`, cell =
+    * exact-integer argmin of d² = nq + cn − 2·dot(q, cq) over the
+    * centroid literal (ascending c_id + strict `<` ⇒ ties take the
+    * lower id, the same rule as [[simAnnIvf]]'s rank-1 window). The
+    * centroid set is embedded as ONE literal (metadata-sized, the
+    * k-means-model shape) and fingerprinted into the transform key —
+    * the standard IVF train-once discipline, stated as FuncKey
+    * discipline. */
+  def declareIvfIndex(views: graft.core.Views, name: String,
+      vecsTable: String, cents: Seq[(Long, Seq[Long], Long)]): Unit = {
+    require(cents.sliding(2).forall(p => p.length < 2 || p(0)._1 < p(1)._1),
+      "centroids must be ascending by id (the tie-break rule)")
+    val centsCol = typedlit(cents)
+    val sig = graft.core.Hashing.opHash(
+      "graft-ivf-incr-v1" +: cents.map { case (id, cq, cn) =>
+        s"$id:${cq.mkString(",")}:$cn" })
+    def d2(c: Column): Column = col("nq") + c.getField("_3") -
+      lit(2L) * dot_long(col("q"), c.getField("_2"))
+    val best = aggregate(centsCol,
+      struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("cell")),
+      (acc, c) => when(d2(c) < acc.getField("d2"),
+        struct(d2(c).as("d2"), c.getField("_1").as("cell"))).otherwise(acc))
+    views.declare(name, vecsTable,
+      graft.core.ColTransform(s"graft-ivf-incr-v1:$sig",
+        Seq("cell", "vec_id"),
+        Seq(best.getField("cell").as("cell"), col("vec_id"),
+          col("q"), col("nq")),
+        uniqueOutKeys = true),
+      graft.core.FoldSpec.FoldMin)
+  }
+
+  /** [[simAnnIvfIndexed]] with INCREMENTAL index maintenance: the IVF
+    * index is a [[declareIvfIndex]] view over the vectors catalog
+    * table, so ingesting a vector batch refreshes it through the
+    * O(delta) patch path — only the touched vector chunks re-assign,
+    * and the new postings splice into the previous index version with
+    * bounded chunk writes (pinned in AnnIncrementalSpec). The ingest is
+    * the APPEND pattern a crawl produces: the top tenth of the id space
+    * (ids > 9·max/10) arrives as the second batch, and centroids are
+    * frozen from the initial corpus — the train-once discipline the
+    * oracle mirrors by capping its centroid rule at the same cutoff. */
+  def simAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.core.FsStore(
+      java.nio.file.Files.createTempDirectory("graft-annincr-").toString)
+    val ops = new graft.core.Ops(s, store, IvfIndexChunkRows)
+    val cat = new graft.core.Catalog(store)
+    val views = new graft.core.Views(ops, cat)
+    val v = quantized(s, dir)
+    val corpus = v.select(col("vec_id"), col("q"), col("nq"))
+      .where(col("vec_id") >= 10)
+    val maxId = v.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val cutoff = 9L * maxId / 10L
+    cat.put("vecs", ops.fromDataFrame(
+      corpus.where(col("vec_id") <= cutoff), Seq("vec_id")))
+    // frozen centroids: the rule over the INITIAL corpus only
+    val centsDf = ivfCents(v).where(col("c_id") <= cutoff)
+    val cents: Seq[(Long, Seq[Long], Long)] = centsDf
+      .orderBy(col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSeq
+    declareIvfIndex(views, "ivf_idx", "vecs", cents)
+    views.refresh("ivf_idx")
+    // the new batch arrives at the id tail: upsert, refresh patches
+    cat.put("vecs", ops.upsert(
+      graft.core.TableRef(cat.root("vecs").tableHash),
+      ops.fromDataFrame(corpus.where(col("vec_id") > cutoff),
+        Seq("vec_id"))))
+    views.refresh("ivf_idx")
+    val probes = nearestCellsTo(centsDf, v.where(col("vec_id") < 10), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qn"), col("c_id").as("cell"))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = ops.scan(
+      graft.core.TableRef(cat.root("ivf_idx").tableHash))
+      .where(col("cell").isin(probeCells: _*))
+    ivfRerank(assigned, probes)
+  }
+
+  /** [[simAnnIvfSql]] with the centroid rule capped at the freeze
+    * cutoff (9·max/10, floor division — ids are non-negative, so
+    * DuckDB `//` equals JVM truncation). */
+  lazy val simAnnIncrementalSql: String = simAnnIvfSql.replace(
+    "FROM n WHERE vec_id >= 10 AND vec_id % 10 = 5),",
+    """FROM n WHERE vec_id >= 10 AND vec_id % 10 = 5
+      |    AND vec_id <= (SELECT 9*MAX(vec_id)//10 FROM embeddings)),""".stripMargin)
+
   private val indexedStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (graft.core.Ops, graft.core.TableRef)]
 
@@ -914,6 +1001,7 @@ object Vectors {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
+    "sim_ann_incremental" -> (simAnnIncremental _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -929,6 +1017,7 @@ object Vectors {
     // identical semantics by construction — the indexed variant changes
     // the ACCESS PATH (graft-table chunk pruning), not the result
     "sim_ann_ivf_indexed" -> simAnnIvfSql,
+    "sim_ann_incremental" -> simAnnIncrementalSql,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "multimodal_meta" -> multimodalMetaSql,
