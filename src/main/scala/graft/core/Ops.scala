@@ -417,20 +417,32 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * that STARTS a chunk fuses its remainder into the predecessor — is
     * handled by extending the touched run to the predecessor. */
   def patchTable(prev: TableRef, upserts: Seq[org.apache.spark.sql.Row],
-      deleteKeys: Seq[Seq[Any]]): TableRef = {
+      deleteKeys: Seq[Seq[Any]]): TableRef =
+    patchTableBounded(prev, upserts, deleteKeys, None).get
+
+  /** [[patchTable]] with a profitability bound: returns None — caller
+    * should rebuild — when the delta's keys touch more than `maxTouched`
+    * chunks. A SCATTERED delta (e.g. a document batch's postings spread
+    * over a whole inverted-index keyspace at test scale) can touch
+    * nearly every chunk, and then a single-pass rebuild reads and
+    * writes less than run-by-run splicing. */
+  def patchTableBounded(prev: TableRef,
+      upserts: Seq[org.apache.spark.sql.Row],
+      deleteKeys: Seq[Seq[Any]],
+      maxTouched: Option[Int]): Option[TableRef] = {
     import org.apache.spark.sql.Row
     val m = meta(prev)
-    if (upserts.isEmpty && deleteKeys.isEmpty) return prev
+    if (upserts.isEmpty && deleteKeys.isEmpty) return Some(prev)
     val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
     val upsertKbs = upserts.map(kEnc)
     val deleteKbs = deleteKeys.map(k =>
       boundBytes(m.schema, m.keyCols, Bound(k, inclusive = true)))
     if (m.chunks.isEmpty) {
-      if (upserts.isEmpty) return prev
+      if (upserts.isEmpty) return Some(prev)
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(upserts.toSeq), m.schema)
-      return TableRef(Canonical.materialize(spark, store, df, m.keyCols,
-        m.chunkTargetRows, rowBound = Some(upserts.length.toLong)).tableHash)
+      return Some(TableRef(Canonical.materialize(spark, store, df, m.keyCols,
+        m.chunkTargetRows, rowBound = Some(upserts.length.toLong)).tableHash))
     }
     // owner chunk of a key: the run it belongs to under the boundary rule
     // — the last chunk starting at or before it (keys before the first
@@ -459,6 +471,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       }
     }
     if (cur.nonEmpty) runs += cur.reverse
+    if (maxTouched.exists(touched.size > _)) return None
     val runList = runs.result()
     val runOfChunk: Map[Int, String] = runList.zipWithIndex.flatMap {
       case (idxs, r) => idxs.map(_ -> s"r$r")
@@ -507,7 +520,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
     val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
     store.saveTableMeta(outMeta)
-    TableRef(outMeta.tableHash)
+    Some(TableRef(outMeta.tableHash))
   }
 
   // ---- transform (O2) --------------------------------------------------
@@ -650,22 +663,23 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       patchAgainstPrevious(m, t, fold, p, miniOp)
         .foreach(h => return finish(h))
     }
+    // 2. uniqueKeys build/rebuild: ONE direct materialization, no mini
+    //    tables written — HALF the IO of the former minis-then-merge
+    //    flow (which for a re-key always degenerates to the flat
+    //    shuffle anyway). Refreshes stay O(delta): the patch path above
+    //    computes just the delta's minis on demand from the
+    //    still-present old chunk objects; when it declines (wide or
+    //    scattered delta), the rebuild IS the cheapest plan.
+    //    Bit-identical either way: rekeyCombinable admits only folds
+    //    whose partial folds are bit-stable, and the chunk
+    //    decomposition is a pure function of the key set. (Non-unique
+    //    re-keys — aggregate views — keep eager minis: their O(delta)
+    //    refresh runs through the piece/region-memoized merge, which
+    //    NEEDS the full mini set.)
+    if (t.uniqueKeys)
+      return finish(transformDirect(m, t, fold))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
-    // 2. uniqueKeys fresh build with nothing to reuse: ONE direct
-    //    materialization, no mini tables written — HALF the build IO of
-    //    the former minis-then-merge flow (which for a re-key always
-    //    degenerates to the flat shuffle anyway). Refreshes stay
-    //    O(delta): the patch path computes just the delta's minis on
-    //    demand from the still-present old chunk objects. Bit-identical
-    //    either way: rekeyCombinable admits only folds whose partial
-    //    folds are bit-stable, and the chunk decomposition is a pure
-    //    function of the key set. (Non-unique re-keys — aggregate
-    //    views — keep eager minis: their O(delta) refresh runs through
-    //    the piece/region-memoized merge, which NEEDS the full mini
-    //    set.)
-    if (t.uniqueKeys && memoized.values.forall(_.isEmpty))
-      return finish(transformDirect(m, t, fold))
     // 3. per-chunk minis (one batched compute of the missing ones)
     //    feeding the region-memoized merge.
     val computed = computeMinis(m.schema, t, fold, m.chunkTargetRows,
@@ -790,6 +804,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
+        else if ({
+          // wide-delta guard: patching pays only when the delta is a
+          // small fraction of the source — above a quarter of the
+          // source rows, the single-pass rebuild reads and writes less
+          // than mini-diff + run splicing
+          val srcDelta = (removed ++ added).iterator.map(_.rows).sum
+          val srcTotal = m.chunks.iterator.map(_.rows).sum
+          4 * srcDelta > srcTotal
+        }) None
         else {
           def minis(cs: Seq[ChunkMeta]): Option[Seq[TableMeta]] = {
             val ms = cs.map(c => store.memoGet(miniOp(c.hash)).flatMap(tryLoad))
@@ -833,7 +856,10 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
                   val insKeys = ins.iterator.map(keyOf).toSet
                   val delKeys = del.iterator.map(keyOf)
                     .filterNot(insKeys).toSeq.distinct
-                  Some(patchTable(prev, ins.toSeq, delKeys).hash)
+                  // scattered-delta guard: bail to the rebuild when the
+                  // delta's keys touch more than half the chunks
+                  patchTableBounded(prev, ins.toSeq, delKeys,
+                    Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
                 }
               }
             }
