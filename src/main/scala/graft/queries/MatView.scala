@@ -566,6 +566,73 @@ object MatView {
        |FROM lefts l LEFT JOIN items i USING (o_orderkey) WHERE l.o_orderkey % 50 = 3
        |ORDER BY side, o_orderkey""".stripMargin
 
+  /** Round-6 aggregate-over-join materialized view — the workhorse BI
+    * shape — end-to-end: `SELECT g, SUM…, COUNT…, … FROM a INNER JOIN b
+    * USING (k) WHERE … GROUP BY g HAVING …` lowers to the THREE-stage
+    * chain (presence-marked full-outer join stage → mixed-fold
+    * aggregate stage with the join-kind predicate folded into its row
+    * filter → HAVING post stage), every stage the established
+    * incremental kind. Deltas land on both sides (orders without items
+    * stay out of the INNER aggregate; keys gaining both sides join in),
+    * one REFRESH ALL walks the chain, and the readback is compared to
+    * DuckDB replaying the same statements. */
+  def sqlMatviewJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mvja-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 8 === 5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_ja_src")
+    run("CREATE TABLE orders_ja PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_ja_src")
+    Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 8 === 5)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .select(col("l_orderkey").as("o_orderkey"), col("qty"))
+      .createOrReplaceTempView("items_ja_src")
+    run("CREATE TABLE items_ja PRIMARY KEY (o_orderkey) AS SELECT * FROM items_ja_src")
+
+    run("CREATE MATERIALIZED VIEW cust_qty AS " +
+      "SELECT o_custkey % 50 AS g, SUM(qty) AS total_qty, COUNT(*) AS n, " +
+      "SUM(price_c) AS total_c " +
+      "FROM orders_ja INNER JOIN items_ja USING (o_orderkey) " +
+      "WHERE price_c > 1000000 GROUP BY g HAVING n >= 2")
+
+    run("INSERT INTO orders_ja SELECT o_orderkey + 90000000, o_custkey, price_c + 3 " +
+      "FROM orders_ja WHERE o_orderkey % 40 = 5")
+    run("INSERT INTO items_ja SELECT o_orderkey + 90000000, qty + 2 " +
+      "FROM items_ja WHERE o_orderkey % 80 = 5")
+    run("REFRESH ALL")
+
+    val Left(out) = run(
+      "SELECT g, total_qty, n, total_c FROM cust_qty ORDER BY g"): @unchecked
+    out
+  }
+
+  val sqlMatviewJoinAggSql: String =
+    s"""WITH o0 AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 8 = 5),
+       |i0 AS (
+       |  SELECT l_orderkey AS o_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+       |  FROM lineitem WHERE l_orderkey % 8 = 5 GROUP BY 1),
+       |o AS (SELECT * FROM o0 UNION ALL
+       |  SELECT o_orderkey + 90000000, o_custkey, price_c + 3
+       |  FROM o0 WHERE o_orderkey % 40 = 5),
+       |i AS (SELECT * FROM i0 UNION ALL
+       |  SELECT o_orderkey + 90000000, qty + 2 FROM i0 WHERE o_orderkey % 80 = 5),
+       |j AS (
+       |  SELECT o.o_custkey, i.qty, o.price_c
+       |  FROM o JOIN i USING (o_orderkey) WHERE o.price_c > 1000000)
+       |SELECT o_custkey % 50 AS g, CAST(SUM(qty) AS BIGINT) AS total_qty,
+       |       COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       |FROM j GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g""".stripMargin
+
   /** Secondary index end-to-end (round-5 CREATE INDEX, SqlIndex): CTAS
     * binds orders to a pk-keyed table, CREATE INDEX re-keys it by
     * (o_custkey, o_orderkey) — a key-only index table maintained
@@ -618,6 +685,7 @@ object MatView {
     "sql_matview_where" -> (sqlMatviewWhere _),
     "sql_matview_avg" -> (sqlMatviewAvg _),
     "sql_matview_join" -> (sqlMatviewJoin _),
+    "sql_matview_join_agg" -> (sqlMatviewJoinAgg _),
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
@@ -630,6 +698,7 @@ object MatView {
     "sql_matview_where" -> sqlMatviewWhereSql,
     "sql_matview_avg" -> sqlMatviewAvgSql,
     "sql_matview_join" -> sqlMatviewJoinSql,
+    "sql_matview_join_agg" -> sqlMatviewJoinAggSql,
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,

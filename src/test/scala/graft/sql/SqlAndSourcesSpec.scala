@@ -322,6 +322,60 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "CREATE MATERIALIZED VIEW bad AS SELECT * FROM f INNER JOIN d USING (v)"))
   }
 
+  test("aggregate-over-join materialized view: three-stage chain, O(delta) refresh") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE fa (k bigint PRIMARY KEY, grp bigint NOT NULL, x bigint NOT NULL)")
+    run("INSERT INTO fa SELECT id AS k, id % 40 AS grp, id * 3 AS x FROM range(0, 4000)")
+    run("CREATE TABLE da (k bigint PRIMARY KEY, y bigint)")
+    run("INSERT INTO da SELECT id AS k, id * 7 AS y FROM range(0, 4000, 2)")
+
+    run("CREATE MATERIALIZED VIEW gsum AS " +
+      "SELECT grp, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n " +
+      "FROM fa INNER JOIN da USING (k) WHERE x % 5 != 4 GROUP BY grp HAVING n >= 2")
+
+    // reference semantics computed directly
+    def expect(): Map[Long, (Long, Long, Long)] =
+      (0L until 4000L).filter(_ % 2 == 0).map(k => (k % 40, k * 3, k * 7))
+        .filter(_._2 % 5 != 4)
+        .groupBy(_._1).view.mapValues(g =>
+          (g.map(_._2).sum, g.map(_._3).sum, g.size.toLong))
+        .toMap.filter(_._2._3 >= 2)
+    def got(): Map[Long, (Long, Long, Long)] = {
+      val Left(df) = run("SELECT grp, sx, sy, n FROM gsum ORDER BY grp"): @unchecked
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    }
+    assert(got() == expect())
+
+    // the chain owns BOTH internal stages
+    assert(cat.root.contains(SqlViews.innerJoinName("gsum")))
+    assert(cat.root.contains(SqlViews.innerAggName("gsum")))
+
+    // O(delta): a point delta to the dim side refreshes the whole chain
+    // with bounded chunk writes
+    val stageChunks = ops.meta(
+      cat.get(SqlViews.innerJoinName("gsum")).get).chunks.length
+    assert(stageChunks > 20, s"need many stage chunks, got $stageChunks")
+    run("INSERT INTO da VALUES (1, 777)")
+    ops.store.stats.reset()
+    run("REFRESH ALL")
+    val saves = ops.store.stats.snapshot("chunkSaves")
+    assert(saves <= 16,
+      s"chain refresh after a point delta wrote $saves chunks of $stageChunks")
+    // the new (k=1, y=777) row joins in (x=3, 3 % 5 != 4): grp 1 gains it
+    val base = expect()
+    val withDelta = base.updatedWith(1L)(_.map {
+      case (sx, sy, n) => (sx + 3, sy + 777, n + 1) })
+    assert(got() == withDelta)
+
+    // DROP removes the view and BOTH stages
+    run("DROP MATERIALIZED VIEW gsum")
+    assert(cat.get("gsum").isEmpty &&
+      !cat.root.contains(SqlViews.innerJoinName("gsum")) &&
+      !cat.root.contains(SqlViews.innerAggName("gsum")))
+  }
+
   test("binary columns render as lowercase hex in text exports and round-trip through import") {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
