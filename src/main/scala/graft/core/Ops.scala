@@ -473,13 +473,32 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     if (cur.nonEmpty) runs += cur.reverse
     if (maxTouched.exists(touched.size > _)) return None
     val runList = runs.result()
+    // dead keys: rows being deleted, plus rows replaced by an upsert
+    val deadHex: Set[String] =
+      (upsertKbs.iterator ++ deleteKbs.iterator).map(Hashing.hex).toSet
+    // driver fast path: a metadata-sized patch (primitive schema, rows
+    // under the cap) reads, splices, digests, and writes the touched
+    // runs entirely ON THE DRIVER — zero Spark jobs, the point-DML
+    // latency a B-tree page write has. Any surprise (unsupported
+    // physical type in an old file, codec) falls back to the job path
+    // below; results are bit-identical either way (same rows, same
+    // boundary rule, same digest arithmetic — pinned in PatchTableSpec
+    // against the Spark path's hashes).
+    val patchRows =
+      touched.iterator.map(i => m.chunks(i).rows).sum + upserts.length
+    if (Ops.driverPatchEnabled && DriverChunks.supported(m.schema) &&
+        patchRows <= Ops.DriverPatchMaxRows) {
+      try return Some(driverPatch(m, runList, upserts, upsertKbs,
+        deadHex, owner))
+      catch { case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
+          System.err.println(s"[driver-patch fallback] $e")
+      }
+    }
     val runOfChunk: Map[Int, String] = runList.zipWithIndex.flatMap {
       case (idxs, r) => idxs.map(_ -> s"r$r")
     }.toMap
     val grp = "_graft_grp"
-    // dead keys: rows being deleted, plus rows replaced by an upsert
-    val deadHex: Set[String] =
-      (upsertKbs.iterator ++ deleteKbs.iterator).map(Hashing.hex).toSet
     val bcDead = spark.sparkContext.broadcast(deadHex)
     val isDead = udf { (kb: Array[Byte]) => bcDead.value(Hashing.hex(kb)) }
     val fileToRun = Canonical.fileTagUdf(spark, touched.iterator.map(i =>
@@ -521,6 +540,95 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
     store.saveTableMeta(outMeta)
     Some(TableRef(outMeta.tableHash))
+  }
+
+  /** The zero-job patch: read the touched runs' chunk files on the
+    * driver ([[DriverChunks]]), splice the delta in memory, re-chunk by
+    * the boundary rule, digest with the shared [[Canonical.DigestState]]
+    * arithmetic, and write the new chunk files directly — no Spark job,
+    * no shuffle, no plan compilation. Gated by the caller on primitive
+    * schemas and [[Ops.DriverPatchMaxRows]]. */
+  private def driverPatch(m: TableMeta, runList: Seq[Seq[Int]],
+      upserts: Seq[org.apache.spark.sql.Row],
+      upsertKbs: Seq[Array[Byte]], deadHex: Set[String],
+      owner: Array[Byte] => Int): TableRef = {
+    import org.apache.spark.sql.Row
+    val schema = m.schema
+    val cols = schema.fieldNames.toSeq
+    val kEnc = KeyCodec.rowEncoder(schema, m.keyCols)
+    val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
+    val statCols = Canonical.statColumns(schema, m.keyCols)
+    val statPos = statCols.map(cols.indexOf).toArray
+    val target = m.chunkTargetRows
+    val runOf: Map[Int, Int] = runList.zipWithIndex.flatMap {
+      case (idxs, r) => idxs.map(_ -> r)
+    }.toMap
+    val upByRun: Map[Int, Seq[(Row, Array[Byte])]] = upserts.zip(upsertKbs)
+      .groupBy { case (_, kb) => runOf(owner(kb)) }
+      .view.mapValues(_.toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-driver-patch-")
+    try {
+      val batch = Vector.newBuilder[(String, java.nio.file.Path)]
+      var fileN = 0
+      val newChunksByRun: Map[Int, Seq[ChunkMeta]] =
+        runList.zipWithIndex.map { case (idxs, r) =>
+          val kept = idxs.flatMap { i =>
+            DriverChunks.readRows(
+              java.nio.file.Paths.get(store.chunkPath(m.chunks(i).hash)),
+              schema)
+          }.map(row => (row, kEnc(row)))
+            .filterNot { case (_, kb) => deadHex(Hashing.hex(kb)) }
+          val rows = (kept ++ upByRun.getOrElse(r, Nil))
+            .sortWith((a, b) => Hashing.compareBytes(a._2, b._2) < 0)
+          val metas = Vector.newBuilder[ChunkMeta]
+          var cur = Vector.newBuilder[(Row, Array[Byte])]
+          var curN = 0
+          def flush(): Unit = if (curN > 0) {
+            val chunkRows = cur.result()
+            val st = new Canonical.DigestState(statCols, statPos)
+            chunkRows.foreach { case (row, kb) =>
+              val (rb, ends) = rbEnc(row)
+              st.update(kb, rb, ends)
+            }
+            val d = st.result("", "")
+            val f = tmp.resolve(s"c$fileN.parquet")
+            fileN += 1
+            DriverChunks.writeChunk(f, schema, chunkRows.map(_._1),
+              store.chunkCodec)
+            batch += ((d.hash, f))
+            metas += ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
+            cur = Vector.newBuilder[(Row, Array[Byte])]
+            curN = 0
+          }
+          rows.foreach { case t @ (_, kb) =>
+            if (Canonical.isBoundaryKey(kb, target)) flush()
+            cur += t; curN += 1
+          }
+          flush()
+          r -> metas.result()
+        }.toMap
+      store.saveChunks(batch.result())
+      val out = Vector.newBuilder[ChunkMeta]
+      val touchedSet = runList.flatten.toSet
+      val runHead: Map[Int, Int] = runList.zipWithIndex.map {
+        case (idxs, r) => idxs.head -> r
+      }.toMap
+      m.chunks.indices.foreach { i =>
+        if (!touchedSet(i)) out += m.chunks(i)
+        else runHead.get(i).foreach(r => out ++= newChunksByRun(r))
+      }
+      val chunks = out.result()
+        .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+      val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
+      store.saveTableMeta(outMeta)
+      TableRef(outMeta.tableHash)
+    } finally {
+      if (java.nio.file.Files.exists(tmp)) {
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    }
   }
 
   // ---- transform (O2) --------------------------------------------------
@@ -1348,6 +1456,17 @@ object Ops {
     * is the right plan for bulk deltas anyway. */
   val PatchMaxChangedChunks: Int = 1024
   val PatchMaxDeltaRows: Int = 65536
+
+  /** Test seam: lets specs force the Spark patch path to pin
+    * driver-path == job-path hash equality. Always true in production. */
+  @volatile private[graft] var driverPatchEnabled = true
+
+  /** Row cap for the ZERO-JOB driver patch ([[Ops.patchTableBounded]]'s
+    * fast path): total rows of the touched runs + upserts. Under it, a
+    * point DML reads, splices, and writes its chunk runs entirely on
+    * the driver (~milliseconds); above it, the Spark job path runs the
+    * identical algorithm distributed. */
+  val DriverPatchMaxRows: Long = 1L << 17
 }
 
 /** Projection-style transform: named output columns (aliased), a subset of

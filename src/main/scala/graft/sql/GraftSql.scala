@@ -373,8 +373,32 @@ object GraftSql {
         }
         val casted = aligned.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-        val delta = ops.fromDataFrame(guardNotNull(casted, entry, name), entry.keyCols)
-        val merged = ops.upsert(graft.core.TableRef(entry.tableHash), delta)
+        val guarded = guardNotNull(casted, entry, name)
+        // VALUES-only inserts (point writes) take the ZERO-JOB driver
+        // patch: the literal rows collect locally (a LocalRelation —
+        // no Spark job), fold last-wins per key (the same collision
+        // rule as the upsert merge), and splice into the table through
+        // Ops.patchTable — point-INSERT latency in milliseconds.
+        // Results hash-converge with the merge path (pinned in
+        // PatchTableSpec / SqlAndSourcesSpec).
+        val isValues = query.trim.toLowerCase.startsWith("values")
+        val merged =
+          if (isValues) {
+            val rows = guarded.collect().toSeq
+            if (rows.length <= graft.core.Ops.PatchMaxDeltaRows) {
+              val kEnc = graft.core.KeyCodec.rowEncoder(schema, entry.keyCols)
+              val lastWins = rows.zipWithIndex
+                .groupBy { case (r, _) => graft.core.Hashing.hex(kEnc(r)) }
+                .values.map(_.maxBy(_._2)._1).toSeq
+              ops.patchTable(graft.core.TableRef(entry.tableHash), lastWins, Nil)
+            } else {
+              val delta = ops.fromDataFrame(guarded, entry.keyCols)
+              ops.upsert(graft.core.TableRef(entry.tableHash), delta)
+            }
+          } else {
+            val delta = ops.fromDataFrame(guarded, entry.keyCols)
+            ops.upsert(graft.core.TableRef(entry.tableHash), delta)
+          }
         Right(catalog.put(name, merged))
       case deleteRe(rawName, cond) =>
         // `DELETE FROM t WHERE <cond>`: a conjunction of comparisons on

@@ -102,4 +102,72 @@ class PatchTableSpec extends AnyFunSuite {
     val want = applyModel(base, Seq("key00500" -> 1L), Seq("key01500"))
     assert(out.hash == ops.fromDataFrame(df(want), Seq("k")).hash)
   }
+  /** The round-6 ZERO-JOB driver patch: a rich primitive schema
+    * round-trips through DriverChunks (decimal / date / timestamp /
+    * binary / double / boolean), no Spark job runs, and the result
+    * hash-equals both the forced Spark-path patch and a from-scratch
+    * rebuild. */
+  test("driver patch: zero jobs, rich schema round-trip, hash == job path") {
+    val richSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DecimalType(24, 4)),
+      StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("b", BinaryType),
+      StructField("x", DoubleType),
+      StructField("f", BooleanType)))
+    def row(i: Int): Row = Row(i.toLong, s"s$i",
+      new java.math.BigDecimal(s"${i * 7}.25"),
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000L + i)),
+      { val t = new java.sql.Timestamp(1600000000000L + i * 1000L)
+        t.setNanos(i % 1000 * 1000); t },
+      Array[Byte](i.toByte, (i + 1).toByte),
+      i * 1.5, i % 2 == 0)
+    def rich(ops: Ops, n: Int): TableRef = {
+      val rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(row), 4), richSchema)
+      ops.fromDataFrame(rdf, Seq("k"))
+    }
+    val ups = (0 until 7).map(i => row(i * 37 + 1000))
+    val dels = Seq(Seq(3L), Seq(111L))
+
+    val ops1 = newOps()
+    val base1 = rich(ops1, 400)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val driverRes =
+      try { jobs.set(0); ops1.patchTable(base1, ups, dels) }
+      finally ()
+    // listener events are async — give the bus a moment to drain
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0,
+      s"driver patch must run zero Spark jobs, ran ${jobs.get}")
+
+    // forced Spark path on a fresh store: identical hash
+    val ops2 = newOps()
+    val base2 = rich(ops2, 400)
+    assert(base1.hash == base2.hash)
+    Ops.driverPatchEnabled = false
+    val sparkRes =
+      try ops2.patchTable(base2, ups, dels)
+      finally Ops.driverPatchEnabled = true
+    assert(driverRes.hash == sparkRes.hash,
+      "driver patch and Spark patch must converge")
+
+    // and both equal the from-scratch rebuild
+    val ops3 = newOps()
+    val want = (0 until 400).filterNot(i => i == 3 || i == 111)
+      .map(row) ++ ups
+    val wdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(want, 4), richSchema)
+    assert(ops3.fromDataFrame(wdf, Seq("k")).hash == driverRes.hash)
+  }
+
 }
