@@ -627,6 +627,10 @@ object Canonical {
     * jobs of DML/refresh statement flows without ever narrowing a
     * genuinely large materialization. */
   private[core] val SmallJobRows = 1L << 16
+  /** Task width of a SMALL grouped materialization (see the grouped
+    * small path): enough to overlap parquet writer setup across groups,
+    * low enough that task overhead stays negligible. */
+  private[core] val SmallGroupedWidth = 8
   private[core] def smallJob(rowBound: Option[Long], target: Long): Boolean =
     rowBound.exists(_ <= math.max(2 * target, SmallJobRows))
 
@@ -678,7 +682,17 @@ object Canonical {
 
       val tmpDir = Files.createTempDirectory("graft-canon-g-").toString
       val parted0 = kbDf.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
-      val parted = (if (small) parted0.coalesce(1)
+      // small GROUPED jobs still parallelize across groups: hashing on
+      // the group column alone keeps every group inside one task (the
+      // 1-file-per-chunk invariant) while spreading the encode+write
+      // work — a per-chunk mini pass with dozens of groups was a
+      // single-threaded straggler under coalesce(1). Width capped low:
+      // the rows are small by definition, the win is concurrency of
+      // parquet writer setup, not data parallelism.
+      val parted = (if (small)
+          parted0.repartition(
+            math.min(spark.sessionState.conf.numShufflePartitions,
+              SmallGroupedWidth), col(groupCol))
         else parted0.repartition(nPart, col(groupCol), col(PART)))
         .sortWithinPartitions(col(groupCol), col(PART), col(KB))
       // fused write+digest job, exactly as in [[materialize]] but with

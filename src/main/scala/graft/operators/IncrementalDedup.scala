@@ -64,7 +64,13 @@ object IncrementalDedup {
     val cat = new Catalog(store)
     val views = new Views(ops, cat)
 
-    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    // an even-ids corpus slice keeps the bench cost of the TWO full
+    // index materializations (build + guard-chosen rebuild at this
+    // corpus/vocabulary ratio) proportionate; the oracle slices the
+    // same way
+    val docs = Tables(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
     // append-pattern ingest (the crawl shape): the top tenth of the id
     // space arrives as the second batch, so the refresh re-shingles
     // only the tail chunks — O(batch), not O(corpus)
@@ -134,10 +140,19 @@ object IncrementalDedup {
        |SELECT sh.s AS term, sh.doc_id FROM sh JOIN top ON sh.s = top.s
        |ORDER BY term, doc_id""".stripMargin
 
+  /** The dedup_shingle pair algebra over the query's even-ids corpus
+    * slice (the source reference in the shingle CTE rewritten to the
+    * sliced CTE — DuckDB rejects a CTE shadowing a referenced table
+    * name). */
+  val dedupIncrementalSql: String =
+    "WITH docs_half AS (SELECT * FROM documents WHERE doc_id % 2 = 0),\n" +
+      Dedup.dedupShingleSql.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM docs_half")
+
   val queries: Map[String, graft.queries.Q.QFn] = Map(
     "dedup_incremental" -> (dedupIncremental _),
     "text_search" -> (textSearch _))
   val oracles: Map[String, String] = Map(
-    "dedup_incremental" -> Dedup.dedupShingleSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "text_search" -> textSearchSql)
 }

@@ -412,7 +412,15 @@ object GraftSql {
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val ref = graft.core.TableRef(entry.tableHash)
-        val out = parseKeyRange(spark, schema, entry.keyCols, cond) match {
+        val out = parseKeyPoints(spark, schema, entry.keyCols, cond) match {
+          // POINT deletes (full-PK equality, or a PK IN-list): literal
+          // keys need no expression evaluation, so they splice through
+          // the zero-job driver patch — millisecond point-DML latency.
+          // Hash-converges with the range/rebuild paths (patch
+          // convergence is pinned in PatchTableSpec).
+          case Some(keys) if keys.nonEmpty && keys.length <= 10000 =>
+            ops.patchTable(ref, Nil, keys)
+          case _ => parseKeyRange(spark, schema, entry.keyCols, cond) match {
           case Some((lo, hi)) => ops.deleteRange(ref, lo, hi)
           case None =>
             // row-local predicate → key-preserving per-chunk transform:
@@ -428,6 +436,7 @@ object GraftSql {
                   s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
                 ops.fromDataFrame(keep, entry.keyCols)
               }
+          }
         }
         // no-op deletes must not mint empty commits (same rule as Views)
         if (out == ref)
@@ -1195,6 +1204,39 @@ object GraftSql {
           passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
       }
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Recognize `cond` as literal POINT key(s): an equality on EVERY key
+    * column (one key tuple), or — for single-column keys — one IN-list
+    * (several). Like [[parseKeyRange]], the match must consume the
+    * predicate EXACTLY; anything else returns None. */
+  private[sql] def parseKeyPoints(spark: SparkSession, schema: StructType,
+      keyCols: Seq[String], cond: String): Option[Seq[Seq[Any]]] = {
+    val parts = splitConjuncts(cond).map(_.trim)
+    if (keyCols.length == 1) parts match {
+      case Seq(inListRe(c, vals))
+          if unquote(c).equalsIgnoreCase(keyCols.head) =>
+        val parsed = splitTopLevel(vals)
+          .map(v => parseLiteral(spark, schema(keyCols.head).dataType, v.trim))
+        if (parsed.nonEmpty && parsed.forall(_.isDefined))
+          return Some(parsed.flatten.distinct.map(Seq(_)))
+        else return None
+      case _ => ()
+    }
+    // equality on every key column, exactly once each, nothing else
+    val eqs = parts.flatMap {
+      case cmpRe(c, "=", raw) =>
+        val i = keyCols.indexWhere(_.equalsIgnoreCase(unquote(c)))
+        if (i < 0) return None
+        parseLiteral(spark, schema(keyCols(i)).dataType, raw) match {
+          case Some(v) => Some(i -> v)
+          case None => return None
+        }
+      case _ => return None
+    }
+    if (eqs.length != keyCols.length ||
+        eqs.map(_._1).distinct.length != keyCols.length) return None
+    Some(Seq(keyCols.indices.map(i => eqs.find(_._1 == i).get._2)))
+  }
 
   /** Recognize `cond` as a KEY-PREFIX range: an equality chain on the
     * leading key columns, optionally followed by range comparison(s) —
