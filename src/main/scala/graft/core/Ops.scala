@@ -392,7 +392,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         case other => sys.error(s"unrecorded dirty region ${r.loHex}: $other")
       }
     }
-    val meta = TableMeta(schemaJson, keyCols, target, out.result())
+    // canonical-form repair (metadata-only when nothing is wrong):
+    // passthrough regions inherit their input's decomposition, so a
+    // non-canonical INPUT would otherwise propagate
+    val meta = TableMeta(schemaJson, keyCols, target,
+      canonicalizeSplice(schemaJson, keyCols, target, out.result()))
     store.saveTableMeta(meta)
     meta
   }
@@ -535,11 +539,133 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       else runHead.get(i).foreach(rid =>
         out ++= runMetas.get(rid).map(_.chunks).getOrElse(Nil))
     }
-    val chunks = out.result()
-      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    val chunks = canonicalizeSplice(m.schemaJson, m.keyCols,
+      m.chunkTargetRows, out.result()
+        .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0))
     val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
     store.saveTableMeta(outMeta)
     Some(TableRef(outMeta.tableHash))
+  }
+
+  /** Driver-side canonical chunk writer: splits key-sorted rows at
+    * boundary keys (first segment = the run head), digests each chunk
+    * with the shared [[Canonical.DigestState]] arithmetic, writes the
+    * files via [[DriverChunks]], and registers them in `batch`. */
+  private final class DriverRunWriter(schema: StructType,
+      keyCols: Seq[String], target: Long, chunkCodec: String,
+      tmp: java.nio.file.Path,
+      batch: scala.collection.mutable.Builder[(String, java.nio.file.Path), Vector[(String, java.nio.file.Path)]]) {
+    private val cols = schema.fieldNames.toSeq
+    private val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
+    private val statCols = Canonical.statColumns(schema, keyCols)
+    private val statPos = statCols.map(cols.indexOf).toArray
+    private var fileN = 0
+    def writeRun(rows: Seq[(org.apache.spark.sql.Row, Array[Byte])])
+        : Seq[ChunkMeta] = {
+      val metas = Vector.newBuilder[ChunkMeta]
+      var cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
+      var curN = 0
+      def flush(): Unit = if (curN > 0) {
+        val chunkRows = cur.result()
+        val st = new Canonical.DigestState(statCols, statPos)
+        chunkRows.foreach { case (row, kb) =>
+          val (rb, ends) = rbEnc(row)
+          st.update(kb, rb, ends)
+        }
+        val d = st.result("", "")
+        val f = tmp.resolve(s"c$fileN.parquet")
+        fileN += 1
+        DriverChunks.writeChunk(f, schema, chunkRows.map(_._1), chunkCodec)
+        batch += ((d.hash, f))
+        metas += ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
+        cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
+        curN = 0
+      }
+      rows.foreach { case t @ (_, kb) =>
+        if (Canonical.isBoundaryKey(kb, target)) flush()
+        cur += t; curN += 1
+      }
+      flush()
+      metas.result()
+    }
+  }
+
+  private def deleteTmpDir(tmp: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(tmp)) {
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+
+  /** CANONICAL-FORM repair for spliced chunk lists — every chunk except
+    * the first must START at a boundary key, or the decomposition stops
+    * being a pure function of the key set (same rows, different hashes
+    * — breaking memo convergence, replication equality, and version
+    * diff). A filtered per-chunk transform or an edge rewrite can
+    * DELETE a chunk-starting boundary key, leaving its remainder
+    * starting mid-run; this fuses each offender into its predecessor
+    * and re-chunks the run. Detection is metadata-only (minKey
+    * boundary-ness); offender runs are rare and rewrite driver-side
+    * when the schema allows, else in one grouped job. */
+  private def canonicalizeSplice(schemaJson: String, keyCols: Seq[String],
+      target: Long, chunks: Seq[ChunkMeta]): Seq[ChunkMeta] = {
+    if (chunks.length <= 1) return chunks
+    def offender(i: Int): Boolean =
+      i > 0 && !Canonical.isBoundaryKey(chunks(i).minKey, target)
+    if (!(1 until chunks.length).exists(offender)) return chunks
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    // offender runs: each offender fuses with its predecessor;
+    // consecutive/adjacent fusions merge into one run
+    val runs = Vector.newBuilder[Seq[Int]]
+    var cur = List.empty[Int]
+    chunks.indices.foreach { i =>
+      if (offender(i)) {
+        if (cur.isEmpty) cur = List(i, i - 1) else cur = i :: cur
+      } else if (cur.nonEmpty) {
+        // a non-offender ends the run (it starts at a boundary key)
+        runs += cur.reverse; cur = Nil
+      }
+    }
+    if (cur.nonEmpty) runs += cur.reverse
+    val runList = runs.result()
+    val inRun = runList.flatten.toSet
+    val runRows = runList.map(r => r.map(i => chunks(i).rows).sum).sum
+    val rewritten: Map[Int, Seq[ChunkMeta]] =
+      if (DriverChunks.supported(schema) && runRows <= Ops.DriverPatchMaxRows) {
+        val kEnc = KeyCodec.rowEncoder(schema, keyCols)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-canon-fix-")
+        try {
+          val batch = Vector.newBuilder[(String, java.nio.file.Path)]
+          val w = new DriverRunWriter(schema, keyCols, target,
+            store.chunkCodec, tmp, batch)
+          val out = runList.map { idxs =>
+            val rows = idxs.flatMap { i =>
+              DriverChunks.readRows(java.nio.file.Paths.get(
+                store.chunkPath(chunks(i).hash)), schema)
+            }.map(row => (row, kEnc(row)))
+            // chunks are disjoint and ordered — concatenation is sorted
+            idxs.head -> w.writeRun(rows)
+          }.toMap
+          store.saveChunks(batch.result())
+          out
+        } finally deleteTmpDir(tmp)
+      } else {
+        val grp = "_graft_grp"
+        val fileToRun = Canonical.fileTagUdf(spark, runList.flatMap(idxs =>
+          idxs.map(i => store.chunkPath(chunks(i).hash) -> s"r${idxs.head}"))
+          .toMap)
+        val df = spark.read.schema(Canonical.withFieldIds(schema))
+          .parquet(runList.flatten.map(i => store.chunkPath(chunks(i).hash)): _*)
+          .withColumn(grp, fileToRun(input_file_name()))
+        val metas = Canonical.materializeGrouped(spark, store, df, grp,
+          keyCols, target, rowBound = Some(runRows))
+        runList.map(idxs => idxs.head -> metas(s"r${idxs.head}").chunks).toMap
+      }
+    chunks.indices.flatMap { i =>
+      if (!inRun(i)) Seq(chunks(i))
+      else rewritten.getOrElse(i, Nil)
+    }
   }
 
   /** The zero-job patch: read the touched runs' chunk files on the
@@ -554,11 +680,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       owner: Array[Byte] => Int): TableRef = {
     import org.apache.spark.sql.Row
     val schema = m.schema
-    val cols = schema.fieldNames.toSeq
     val kEnc = KeyCodec.rowEncoder(schema, m.keyCols)
-    val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
-    val statCols = Canonical.statColumns(schema, m.keyCols)
-    val statPos = statCols.map(cols.indexOf).toArray
     val target = m.chunkTargetRows
     val runOf: Map[Int, Int] = runList.zipWithIndex.flatMap {
       case (idxs, r) => idxs.map(_ -> r)
@@ -569,7 +691,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val tmp = java.nio.file.Files.createTempDirectory("graft-driver-patch-")
     try {
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
-      var fileN = 0
+      val w = new DriverRunWriter(schema, m.keyCols, target,
+        store.chunkCodec, tmp, batch)
       val newChunksByRun: Map[Int, Seq[ChunkMeta]] =
         runList.zipWithIndex.map { case (idxs, r) =>
           val kept = idxs.flatMap { i =>
@@ -580,32 +703,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             .filterNot { case (_, kb) => deadHex(Hashing.hex(kb)) }
           val rows = (kept ++ upByRun.getOrElse(r, Nil))
             .sortWith((a, b) => Hashing.compareBytes(a._2, b._2) < 0)
-          val metas = Vector.newBuilder[ChunkMeta]
-          var cur = Vector.newBuilder[(Row, Array[Byte])]
-          var curN = 0
-          def flush(): Unit = if (curN > 0) {
-            val chunkRows = cur.result()
-            val st = new Canonical.DigestState(statCols, statPos)
-            chunkRows.foreach { case (row, kb) =>
-              val (rb, ends) = rbEnc(row)
-              st.update(kb, rb, ends)
-            }
-            val d = st.result("", "")
-            val f = tmp.resolve(s"c$fileN.parquet")
-            fileN += 1
-            DriverChunks.writeChunk(f, schema, chunkRows.map(_._1),
-              store.chunkCodec)
-            batch += ((d.hash, f))
-            metas += ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
-            cur = Vector.newBuilder[(Row, Array[Byte])]
-            curN = 0
-          }
-          rows.foreach { case t @ (_, kb) =>
-            if (Canonical.isBoundaryKey(kb, target)) flush()
-            cur += t; curN += 1
-          }
-          flush()
-          r -> metas.result()
+          r -> w.writeRun(rows)
         }.toMap
       store.saveChunks(batch.result())
       val out = Vector.newBuilder[ChunkMeta]
@@ -617,18 +715,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         if (!touchedSet(i)) out += m.chunks(i)
         else runHead.get(i).foreach(r => out ++= newChunksByRun(r))
       }
-      val chunks = out.result()
-        .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+      val chunks = canonicalizeSplice(m.schemaJson, m.keyCols, target,
+        out.result()
+          .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0))
       val outMeta = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, chunks)
       store.saveTableMeta(outMeta)
       TableRef(outMeta.tableHash)
-    } finally {
-      if (java.nio.file.Files.exists(tmp)) {
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      }
-    }
+    } finally deleteTmpDir(tmp)
   }
 
   // ---- transform (O2) --------------------------------------------------
@@ -1062,7 +1155,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // ranges in the same order. A FILTERED transform may drop every row
     // of a chunk — grouped materialize then emits no group for it and
     // its sub-result is the empty table (memoized so refreshes skip it)
-    val allChunks = m.chunks.flatMap { c =>
+    val allChunks0 = m.chunks.flatMap { c =>
       val subMeta = memoized(c.hash) match {
         case Some(h) => store.loadTableMeta(h)
         case None => computed.getOrElse(c.hash, {
@@ -1078,6 +1171,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       orElse computed.values.headOption)
       .map(_.schemaJson)
       .getOrElse(derivedSchemaJson)
+    // canonical-form repair: a rowFilter can drop a chunk-STARTING
+    // boundary key, leaving its sub-result starting mid-run — fuse
+    // (same rows must always give the same hash)
+    val allChunks = canonicalizeSplice(outSchemaJson, t.outKeyCols,
+      m.chunkTargetRows, allChunks0)
     val out = TableMeta(outSchemaJson, t.outKeyCols, m.chunkTargetRows, allChunks)
     store.saveTableMeta(out)
     out.tableHash
@@ -1154,8 +1252,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         Canonical.materialize(spark, store, df, m.keyCols, m.chunkTargetRows,
           rowBound = Some(edgeChunks.map(_.rows).sum)).chunks
       }
-    val all = (keep.result() ++ recomputed)
-      .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0)
+    // canonical-form repair: an edge rewrite can remove the boundary
+    // key that started the chunk AFTER the cut — fuse (see
+    // canonicalizeSplice)
+    val all = canonicalizeSplice(m.schemaJson, m.keyCols, m.chunkTargetRows,
+      (keep.result() ++ recomputed)
+        .sortWith((a, b) => Hashing.compareBytes(a.minKey, b.minKey) < 0))
     val out = TableMeta(m.schemaJson, m.keyCols, m.chunkTargetRows, all)
     store.saveTableMeta(out)
     out

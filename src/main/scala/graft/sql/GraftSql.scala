@@ -283,6 +283,11 @@ object GraftSql {
     *    copy), `CHECKOUT '<root>'` (move the whole pointer; the
     *    abandoned chain stays reachable by hash).
     */
+  /** Test seam: route VALUES inserts through the point patch (always
+    * true in production; specs flip it to compare against the merge
+    * path). */
+  private[graft] var valuesViaPatch = true
+
   /** Dev-only per-statement wall profiling (SPARK_GRAFT_PROFILE=1) —
     * the driver never sets it. */
   private val profileStatements = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
@@ -381,7 +386,8 @@ object GraftSql {
         // Ops.patchTable — point-INSERT latency in milliseconds.
         // Results hash-converge with the merge path (pinned in
         // PatchTableSpec / SqlAndSourcesSpec).
-        val isValues = query.trim.toLowerCase.startsWith("values")
+        val isValues = GraftSql.valuesViaPatch &&
+          query.trim.toLowerCase.startsWith("values")
         val merged =
           if (isValues) {
             val rows = guarded.collect().toSeq

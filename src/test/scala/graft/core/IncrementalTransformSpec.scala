@@ -409,4 +409,41 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(a.hash == b.hash)
     assert(store.stats.snapshot("chunkSaves") == 0)
   }
+  /** Round-6 canonical-form repair: deleting a chunk-STARTING boundary
+    * key — through the filtered per-chunk transform AND through a range
+    * delete — must still hash-equal a from-scratch build of the
+    * surviving rows (same rows ⇒ same hash; the offender chunk fuses
+    * into its predecessor via canonicalizeSplice). */
+  test("canonical form survives deleting a chunk-starting boundary key") {
+    val store = new FsStore(Files.createTempDirectory("graft-cf-").toString)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
+    val ref = ops.fromDataFrame(df(rows), Seq("k"))
+    val m = ops.meta(ref)
+    assert(m.chunks.length > 5)
+    // the key that STARTS the second chunk (a boundary key by the
+    // canonical rule)
+    val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
+    val starter = rows.find { case (k, v) =>
+      java.util.Arrays.equals(kEnc(Row(k, v)), m.chunks(1).minKey) }.get
+    val survivors = rows.filterNot(_ == starter)
+    val want = ops.fromDataFrame(df(survivors), Seq("k")).hash
+
+    // path 1: filtered key-preserving transform (the zone-map DML shape)
+    val del = ColTransform(s"del_${starter._1}_v1", Seq("k"),
+      Seq(col("k"), col("v")), preservesKeys = true,
+      filter = Some(col("v") =!= lit(starter._2)))
+    assert(ops.transform(ref, del, FoldSpec.FoldLast).hash == want,
+      "per-chunk filtered delete of a chunk-starting key must stay canonical")
+
+    // path 2: range delete of exactly that key
+    val b = Bound(Seq(starter._1), inclusive = true)
+    assert(ops.deleteRange(ref, Some(b), Some(b)).hash == want,
+      "range delete of a chunk-starting key must stay canonical")
+
+    // path 3: patchTable delete of exactly that key
+    assert(ops.patchTable(ref, Nil, Seq(Seq(starter._1))).hash == want,
+      "patch delete of a chunk-starting key must stay canonical")
+  }
+
 }

@@ -134,16 +134,23 @@ class PatchTableSpec extends AnyFunSuite {
 
     val ops1 = newOps()
     val base1 = rich(ops1, 400)
+    // suites share the SparkContext and may run in parallel — count
+    // only jobs carrying THIS thread's job group
+    val group = "pt-driver-patch-" + System.nanoTime()
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (g.contains(group)) jobs.incrementAndGet(): Unit
+      }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "driver patch probe")
     val driverRes =
-      try { jobs.set(0); ops1.patchTable(base1, ups, dels) }
-      finally ()
+      try ops1.patchTable(base1, ups, dels)
+      finally spark.sparkContext.clearJobGroup()
     // listener events are async — give the bus a moment to drain
     Thread.sleep(500)
     spark.sparkContext.removeSparkListener(listener)
