@@ -53,7 +53,7 @@ class EngineSpec extends AnyFunSuite {
       var ref = ops.fromDataFrame(df(model.toSeq), Seq("k"))
       val hashes = Vector.newBuilder[String]
       (1 to 12).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => // upsert a small delta (last wins)
             val delta = randRows(rnd, rnd.nextInt(20) + 1, 4).distinctBy(_._1)
             ref = ops.upsert(ref, ops.fromDataFrame(df(delta), Seq("k")))
@@ -84,11 +84,35 @@ class EngineSpec extends AnyFunSuite {
               Some(Bound(Seq(lo), inclusive = true)),
               Some(Bound(Seq(hi), inclusive = false)))
             model = model.filterNot { case (k, _) => k >= lo && k < hi }
+          case 5 => // point patch (zero-job driver path when possible)
+            val ups = randRows(rnd, rnd.nextInt(6), 4).distinctBy(_._1)
+            val delKeys = rnd.shuffle(model.keys.toList).take(rnd.nextInt(4))
+              .filterNot(ups.map(_._1).contains)
+            ref = ops.patchTable(ref, ups.map(u => Row(u._1, u._2)),
+              delKeys.map(Seq(_)))
+            model = (model -- delKeys) ++ ups.toMap
+          case 6 => // filtered per-chunk delete (the canonical-repair path)
+            val cut = rnd.nextLong(1000)
+            val t = ColTransform(s"cap_filter_${cut}_v1", Seq("k"),
+              Seq(org.apache.spark.sql.functions.col("k"),
+                org.apache.spark.sql.functions.col("v")),
+              preservesKeys = true,
+              filter = Some(org.apache.spark.sql.functions.col("v") =!=
+                org.apache.spark.sql.functions.lit(cut)))
+            ref = ops.transform(ref, t, FoldSpec.FoldLast)
+            model = model.filterNot(_._2 == cut)
         }
         hashes += ref.hash
       }
       val got = contents(ops, ref)
       assert(got == model, s"engine diverged from model (seed $seed)")
+      // the content-address capstone: the FINAL state must hash-equal a
+      // from-scratch build of the same rows — the decomposition must be
+      // a pure function of the key set under ANY update history
+      // (the round-6 canonical-form repair is what makes this hold for
+      // filtered deletes of chunk-starting keys)
+      assert(ref.hash == ops.fromDataFrame(df(model.toSeq), Seq("k")).hash,
+        s"history-dependent decomposition (seed $seed)")
       (hashes.result(), model)
     }
     Seq(13, 77).foreach { seed =>
