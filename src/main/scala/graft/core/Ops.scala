@@ -628,11 +628,32 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       }
     }
     if (cur.nonEmpty) runs += cur.reverse
-    val runList = runs.result()
-    val inRun = runList.flatten.toSet
+    val runList0 = runs.result()
+    val inRun = runList0.flatten.toSet
+    // memoized per run (keyed by the participating chunk contents), so
+    // a PERSISTENT offender seam — e.g. a memoized filtered view whose
+    // per-chunk sub-results keep reproducing it — repairs once, and
+    // every later refresh serves the fused run from the memo
+    def runOp(idxs: Seq[Int]): String = Hashing.opHash(
+      Seq("graft-op-canon-fuse-v1", target.toString) ++
+        idxs.map(i => chunks(i).hash))
+    val memoHit: Map[Int, Seq[ChunkMeta]] = runList0.flatMap { idxs =>
+      store.memoGet(runOp(idxs)).map(h =>
+        idxs.head -> store.loadTableMeta(h).chunks)
+    }.toMap
+    val runList = runList0.filterNot(idxs => memoHit.contains(idxs.head))
     val runRows = runList.map(r => r.map(i => chunks(i).rows).sum).sum
-    val rewritten: Map[Int, Seq[ChunkMeta]] =
-      if (DriverChunks.supported(schema) && runRows <= Ops.DriverPatchMaxRows) {
+    def memoize(out: Map[Int, Seq[ChunkMeta]]): Map[Int, Seq[ChunkMeta]] = {
+      runList.foreach { idxs =>
+        val sub = TableMeta(schemaJson, keyCols, target, out(idxs.head))
+        store.saveTableMeta(sub)
+        store.memoPut(runOp(idxs), sub.tableHash)
+      }
+      out
+    }
+    val rewritten0: Map[Int, Seq[ChunkMeta]] =
+      if (runList.isEmpty) Map.empty
+      else if (DriverChunks.supported(schema) && runRows <= Ops.DriverPatchMaxRows) {
         val kEnc = KeyCodec.rowEncoder(schema, keyCols)
         val tmp = java.nio.file.Files.createTempDirectory("graft-canon-fix-")
         try {
@@ -662,6 +683,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           keyCols, target, rowBound = Some(runRows))
         runList.map(idxs => idxs.head -> metas(s"r${idxs.head}").chunks).toMap
       }
+    val rewritten = memoHit ++ memoize(rewritten0)
     chunks.indices.flatMap { i =>
       if (!inRun(i)) Seq(chunks(i))
       else rewritten.getOrElse(i, Nil)
