@@ -322,6 +322,52 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "CREATE MATERIALIZED VIEW bad AS SELECT * FROM f INNER JOIN d USING (v)"))
   }
 
+  /** Round-6 route-convergence capstone: one DML statement program
+    * executed through every internal route combination — VALUES via the
+    * point patch vs the merge, patches on the driver vs as Spark
+    * jobs — must end at the IDENTICAL table hash, which must also equal
+    * a CTAS rebuild of the final rows (content addressing is
+    * unconditional, whatever path computed the state). */
+  test("statement capstone: identical hashes across internal DML routes") {
+    val program = Seq(
+      "INSERT INTO t SELECT id AS k, id % 13 AS g, id * 3 AS v FROM range(0, 1500)",
+      "INSERT INTO t VALUES (2000, 1, 17), (2001, 2, 18), (40, 0, -1)",
+      "DELETE FROM t WHERE k = 700",
+      "DELETE FROM t WHERE k IN (10, 11, 2000)",
+      "UPDATE t SET v = v + 5 WHERE k >= 300 AND k < 400",
+      "DELETE FROM t WHERE g = 7 AND v % 2 = 1",
+      "INSERT INTO t VALUES (2100, 3, 99)",
+      "DELETE FROM t WHERE k >= 1200 AND k < 1300",
+      "UPDATE t SET v = 0 WHERE g = 11")
+    def runProgram(): (String, Seq[(Long, Long, Long)]) = {
+      val (ops, cat) = newOps()
+      GraftSql.execute(spark, ops, cat,
+        "CREATE TABLE t (k bigint PRIMARY KEY, g bigint NOT NULL, v bigint NOT NULL)")
+      program.foreach(GraftSql.execute(spark, ops, cat, _))
+      val rows = ops.scan(TableRef(cat.root("t").tableHash)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      (cat.root("t").tableHash, rows)
+    }
+    val routes = Seq((true, true), (true, false), (false, true), (false, false))
+    val results = routes.map { case (viaPatch, driver) =>
+      GraftSql.valuesViaPatch = viaPatch
+      Ops.driverPatchEnabled = driver
+      try runProgram()
+      finally { GraftSql.valuesViaPatch = true; Ops.driverPatchEnabled = true }
+    }
+    assert(results.map(_._2).distinct.length == 1, "routes disagree on rows")
+    assert(results.map(_._1).distinct.length == 1,
+      s"routes disagree on hash: ${results.map(_._1.take(12))}")
+    // and the canonical rebuild of the same rows
+    val (ops2, cat2) = newOps()
+    import spark.implicits._
+    results.head._2.toDF("k", "g", "v").createOrReplaceTempView("cap_final")
+    GraftSql.execute(spark, ops2, cat2,
+      "CREATE TABLE t PRIMARY KEY (k) AS SELECT * FROM cap_final")
+    assert(cat2.root("t").tableHash == results.head._1,
+      "final state is not canonical")
+  }
+
   test("aggregate-over-join materialized view: three-stage chain, O(delta) refresh") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
