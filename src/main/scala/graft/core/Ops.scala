@@ -634,8 +634,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // a PERSISTENT offender seam — e.g. a memoized filtered view whose
     // per-chunk sub-results keep reproducing it — repairs once, and
     // every later refresh serves the fused run from the memo
+    // schemaJson is part of the key: renamed tables SHARE chunk objects
+    // but carry their own per-name zone-map stats — a fused sub-meta
+    // must never serve across schemas
     def runOp(idxs: Seq[Int]): String = Hashing.opHash(
-      Seq("graft-op-canon-fuse-v1", target.toString) ++
+      Seq("graft-op-canon-fuse-v1", target.toString,
+        Hashing.sha256Hex(schemaJson.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))) ++
         idxs.map(i => chunks(i).hash))
     val memoHit: Map[Int, Seq[ChunkMeta]] = runList0.flatMap { idxs =>
       store.memoGet(runOp(idxs)).map(h =>
