@@ -547,6 +547,33 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     Some(TableRef(outMeta.tableHash))
   }
 
+  /** Driver-side POINT READ: the addressed keys' current rows, read
+    * from their owner chunks through [[DriverChunks]] — no Spark job.
+    * None when the schema isn't driver-readable, a chunk file can't be
+    * read, or the owner chunks exceed the driver row cap (caller falls
+    * back to the scan paths); keys with no row simply don't appear. */
+  def readKeysDriver(ref: TableRef, keys: Seq[Seq[Any]])
+      : Option[Seq[org.apache.spark.sql.Row]] = {
+    val m = meta(ref)
+    if (!DriverChunks.supported(m.schema)) return None
+    if (m.chunks.isEmpty || keys.isEmpty) return Some(Nil)
+    val kbs = keys.map(k =>
+      boundBytes(m.schema, m.keyCols, Bound(k, inclusive = true)))
+    val minKeys = m.chunks.map(_.minKey).toArray
+    val owners = kbs.map(kb =>
+      math.max(0, Canonical.boundaryIndex(minKeys, kb) - 1)).distinct
+    if (owners.map(i => m.chunks(i).rows).sum > Ops.DriverPatchMaxRows)
+      return None
+    val want = kbs.map(Hashing.hex).toSet
+    val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
+    try Some(owners.flatMap { i =>
+      DriverChunks.readRows(java.nio.file.Paths.get(
+        store.chunkPath(m.chunks(i).hash)), m.schema)
+        .filter(r => want(Hashing.hex(kEnc(r))))
+    })
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Driver-side canonical chunk writer: splits key-sorted rows at
     * boundary keys (first segment = the run head), digests each chunk
     * with the shared [[Canonical.DigestState]] arithmetic, writes the

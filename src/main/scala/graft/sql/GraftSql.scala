@@ -283,10 +283,11 @@ object GraftSql {
     *    copy), `CHECKOUT '<root>'` (move the whole pointer; the
     *    abandoned chain stays reachable by hash).
     */
-  /** Test seam: route VALUES inserts through the point patch (always
-    * true in production; specs flip it to compare against the merge
-    * path). */
-  private[graft] var valuesViaPatch = true
+  /** Test seam: route point DML (VALUES inserts, full-PK deletes and
+    * updates) through the point patch (always true in production;
+    * specs flip it to cross-check against the legacy scan/merge
+    * paths). */
+  private[graft] var pointDmlViaPatch = true
 
   /** Dev-only per-statement wall profiling (SPARK_GRAFT_PROFILE=1) —
     * the driver never sets it. */
@@ -386,7 +387,7 @@ object GraftSql {
         // Ops.patchTable — point-INSERT latency in milliseconds.
         // Results hash-converge with the merge path (pinned in
         // PatchTableSpec / SqlAndSourcesSpec).
-        val isValues = GraftSql.valuesViaPatch &&
+        val isValues = GraftSql.pointDmlViaPatch &&
           query.trim.toLowerCase.startsWith("values")
         val merged =
           if (isValues) {
@@ -418,7 +419,8 @@ object GraftSql {
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val ref = graft.core.TableRef(entry.tableHash)
-        val out = parseKeyPoints(spark, schema, entry.keyCols, cond) match {
+        val out = (if (GraftSql.pointDmlViaPatch)
+            parseKeyPoints(spark, schema, entry.keyCols, cond) else None) match {
           // POINT deletes (full-PK equality, or a PK IN-list): literal
           // keys need no expression evaluation, so they splice through
           // the zero-job driver patch — millisecond point-DML latency.
@@ -500,7 +502,18 @@ object GraftSql {
         }
         val out =
           if (touchesKey || cond == null) rebuild()
-          else parseKeyRange(spark, schema, entry.keyCols, cond) match {
+          // POINT updates (full-PK equality / PK IN-list): read the
+          // addressed rows driver-side, evaluate the SET projection on
+          // a LocalRelation (collect on a local plan runs no job), and
+          // splice back through the point patch — the zero-job
+          // point-DML triad completed (INSERT VALUES, point DELETE,
+          // point UPDATE). Falls back on any surprise.
+          else (if (GraftSql.pointDmlViaPatch)
+              parseKeyPoints(spark, schema, entry.keyCols, cond) else None)
+            .filter(ks => ks.nonEmpty && ks.lengthCompare(1000) <= 0)
+            .flatMap(ks =>
+              pointUpdate(spark, ops, schema, entry, name, ref, ks, sets))
+            .getOrElse(parseKeyRange(spark, schema, entry.keyCols, cond) match {
             case Some((lo, hi)) =>
               try {
                 val rows = ops.scan(ops.rangeFilter(ref, lo, hi))
@@ -523,7 +536,7 @@ object GraftSql {
               // with zone-map passthrough of provably-unaffected chunks
               updateByTransform(spark, ops, schema, entry.keyCols, ref,
                 sets, cond, entry.notNull).getOrElse(rebuild())
-          }
+          })
         if (out == ref)
           Right(ops.store.currentRootHash.getOrElse(
             throw new SqlException("no catalog root")))
@@ -1210,6 +1223,31 @@ object GraftSql {
           passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
       }
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** ZERO-JOB point UPDATE: read the addressed rows driver-side
+    * ([[graft.core.Ops.readKeysDriver]]), evaluate the SET projection
+    * over a LocalRelation (a local plan collects without a Spark job),
+    * and splice the updated rows back through the point patch. None —
+    * caller falls back to the range/transform/rebuild chain — on a
+    * non-driver-readable schema, a SET expression needing more than
+    * row-local columns, or any read surprise. */
+  private def pointUpdate(spark: SparkSession, ops: Ops,
+      schema: StructType, entry: graft.core.CatalogEntry, name: String,
+      ref: graft.core.TableRef, keys: Seq[Seq[Any]],
+      sets: Map[String, String]): Option[graft.core.TableRef] =
+    try {
+      val current = ops.readKeysDriver(ref, keys).getOrElse(return None)
+      if (current.isEmpty) return Some(ref) // nothing addressed: no-op
+      import scala.jdk.CollectionConverters._
+      val local = spark.createDataFrame(current.asJava, schema)
+      val updated = local.selectExpr(schema.fieldNames.map { f =>
+        sets.get(f)
+          .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS `$f`")
+          .getOrElse(s"`$f`")
+      }.toIndexedSeq: _*)
+      val rows = guardNotNull(updated, entry, name).collect().toSeq
+      Some(ops.patchTable(ref, rows, Nil))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Recognize `cond` as literal POINT key(s): an equality on EVERY key
     * column (one key tuple), or — for single-column keys — one IN-list

@@ -337,6 +337,9 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "UPDATE t SET v = v + 5 WHERE k >= 300 AND k < 400",
       "DELETE FROM t WHERE g = 7 AND v % 2 = 1",
       "INSERT INTO t VALUES (2100, 3, 99)",
+      "UPDATE t SET v = v * 2 + g WHERE k = 500",
+      "UPDATE t SET v = 1 WHERE k IN (600, 601)",
+      "UPDATE t SET v = -7 WHERE k = 999999999",
       "DELETE FROM t WHERE k >= 1200 AND k < 1300",
       "UPDATE t SET v = 0 WHERE g = 11")
     def runProgram(): (String, Seq[(Long, Long, Long)]) = {
@@ -350,10 +353,10 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     }
     val routes = Seq((true, true), (true, false), (false, true), (false, false))
     val results = routes.map { case (viaPatch, driver) =>
-      GraftSql.valuesViaPatch = viaPatch
+      GraftSql.pointDmlViaPatch = viaPatch
       Ops.driverPatchEnabled = driver
       try runProgram()
-      finally { GraftSql.valuesViaPatch = true; Ops.driverPatchEnabled = true }
+      finally { GraftSql.pointDmlViaPatch = true; Ops.driverPatchEnabled = true }
     }
     assert(results.map(_._2).distinct.length == 1, "routes disagree on rows")
     assert(results.map(_._1).distinct.length == 1,
