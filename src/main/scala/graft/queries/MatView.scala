@@ -680,7 +680,68 @@ object MatView {
        |SELECT o_orderkey, o_custkey, price_c FROM fin WHERE o_custkey IN (1, 4)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Round-6 zero-job point-DML triad end-to-end: CTAS, then a burst of
+    * POINT statements — VALUES inserts, full-PK / IN-list UPDATEs and
+    * DELETEs — each of which runs entirely on the driver (no Spark job:
+    * owner-chunk reads, LocalRelation SET evaluation, chunk-run splice;
+    * the route-matrix capstone pins hash equality with the legacy
+    * paths). What BENCH measures here is the interactive point-DML
+    * latency of the engine. */
+  def sqlPointDml(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-pdml-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 8 === 7)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("orders_p_src")
+    run("CREATE TABLE pt PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_p_src")
+
+    // the point burst: each statement is a zero-job driver patch
+    run("INSERT INTO pt VALUES (90000001, 1, 111), (90000002, 2, 222)")
+    run("UPDATE pt SET price_c = price_c + 5 WHERE o_orderkey = 90000001")
+    run("UPDATE pt SET o_custkey = 9 WHERE o_orderkey IN (90000002, 15)")
+    run("DELETE FROM pt WHERE o_orderkey = 23")
+    run("DELETE FROM pt WHERE o_orderkey IN (90000001, 31)")
+    run("UPDATE pt SET price_c = 0 WHERE o_orderkey = 123456789") // absent: no-op
+
+    val Left(out) = run(
+      "SELECT o_custkey % 5 AS g, COUNT(*) AS n, SUM(price_c) AS total_c, " +
+        "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
+        "FROM pt GROUP BY o_custkey % 5 ORDER BY g"): @unchecked
+    out
+  }
+
+  val sqlPointDmlSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders WHERE o_orderkey % 8 = 7),
+       |ins AS (
+       |  SELECT * FROM base
+       |  UNION ALL SELECT 90000001, 1, 111
+       |  UNION ALL SELECT 90000002, 2, 222),
+       |u1 AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         CASE WHEN o_orderkey = 90000001 THEN price_c + 5 ELSE price_c END AS price_c
+       |  FROM ins),
+       |u2 AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey IN (90000002, 15) THEN 9 ELSE o_custkey END AS o_custkey,
+       |         price_c
+       |  FROM u1),
+       |fin AS (
+       |  SELECT * FROM u2
+       |  WHERE o_orderkey <> 23 AND o_orderkey NOT IN (90000001, 31))
+       |SELECT o_custkey % 5 AS g, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM fin GROUP BY o_custkey % 5 ORDER BY g""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "sql_point_dml" -> (sqlPointDml _),
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
     "sql_matview_avg" -> (sqlMatviewAvg _),
@@ -694,6 +755,7 @@ object MatView {
     "sql_txn" -> (sqlTxn _),
     "sql_index" -> (sqlIndex _))
   val oracles: Map[String, String] = Map(
+    "sql_point_dml" -> sqlPointDmlSql,
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
     "sql_matview_avg" -> sqlMatviewAvgSql,
