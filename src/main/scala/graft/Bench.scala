@@ -26,10 +26,20 @@ object Bench {
       graft.operators.Vectors.quantized(spark, sfDir).count()
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    } catch {
+      // a broken warm-up would silently shift every timing by
+      // first-touch costs — make it loud (queries still run below)
+      case t: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED: $t")
+    }
+    // optional args = run only the named queries (local iteration);
+    // the driver invokes with no args and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     // a query that throws records -1.0 (never a plausible wall time) and
     // lands in "errors" — a regression can't hide as a fast timing
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

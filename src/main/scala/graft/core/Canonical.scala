@@ -65,6 +65,22 @@ object Canonical {
     lo
   }
 
+  /** Driver-side IO parallelism: map `f` over `items` on a transient
+    * fixed pool (file reads/writes dominate; 16 ways saturates local
+    * disks without starving the JVM). Results keep item order; the
+    * first failure propagates (wrapped in ExecutionException — callers'
+    * NonFatal fallbacks treat it like any other surprise). */
+  private[core] def parIo[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    val n = math.min(16, math.max(2, Runtime.getRuntime.availableProcessors))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futs = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** UDF resolving input_file_name() URIs to a caller tag (chunk hash /
     * region op) through a broadcast path map — the one place the
     * URI-to-path normalization lives. */
@@ -485,6 +501,12 @@ object Canonical {
     val kbDf0 = withKeyBytes(df, keyCols)
     val kbDf = if (small) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
+      val got = withEngineConf(spark)(
+        driverMaterialize(spark, store, kbDf, df.schema, schemaJson,
+          keyCols, chunkTargetRows, rowBound.get))
+      got.foreach(return _)
+    }
     try withEngineConf(spark) {
       // 1. range SPLITS: an intrinsic subsample of the boundary keys.
       //    hash(kb) % (target·sub) == 0 implies hash(kb) % target == 0,
@@ -500,7 +522,8 @@ object Canonical {
       // materializes the persisted frame for the write pass below)
       val sampled =
         if (small) Array.empty[(String, Array[Byte])]
-        else sampleSplits(kbDf, None, target, nPart)._2
+        else withJobDesc(spark, "graft:sample")(
+          sampleSplits(kbDf, None, target, nPart)._2)
       val splits: Array[Array[Byte]] = sampled.map(_._2)
         .sortWith(Hashing.compareBytes(_, _) < 0)
       val bcS = spark.sparkContext.broadcast(splits)
@@ -563,15 +586,17 @@ object Canonical {
       // positional field ids with EXPLICIT metadata: inherited metadata
       // (e.g. stale ids riding a projection from a chunk read) must
       // never reach the files — the id IS the position in THIS schema
-      tagged.select(cols.zipWithIndex.map { case (c, i) =>
-          col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
-        } :+ col(CHUNK): _*)
-        .write.mode("overwrite")
-        // one file per chunk is a format invariant; don't let a session
-        // maxRecordsPerFile split chunk files
-        .option("maxRecordsPerFile", 0)
-        .option("compression", store.chunkCodec)
-        .partitionBy(CHUNK).parquet(tmpDir)
+      withJobDesc(spark, "graft:write") {
+        tagged.select(cols.zipWithIndex.map { case (c, i) =>
+            col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
+          } :+ col(CHUNK): _*)
+          .write.mode("overwrite")
+          // one file per chunk is a format invariant; don't let a session
+          // maxRecordsPerFile split chunk files
+          .option("maxRecordsPerFile", 0)
+          .option("compression", store.chunkCodec)
+          .partitionBy(CHUNK).parquet(tmpDir)
+      }
 
       // 4. commit chunk files into the content-addressed store — ONE
       //    batched commit for the whole materialization (object-store
@@ -606,9 +631,20 @@ object Canonical {
     * pass into 2–3 jobs; the write grows an extra exchange job) —
     * ~2 extra job launches per materialization of pure fixed overhead.
     * Scale-safe: AQE never coalesces an explicit repartition(n) and no
-    * joins run inside these plans. Restores the previous value even on
-    * failure; statement flows are single-threaded per session, so the
-    * brief session-conf flip is not observable by the flow itself. */
+    * joins run inside these plans.
+    *
+    * Why the SESSION conf and not a thread-scoped
+    * `SQLConf.withExistingConf` override: Spark executes write commands
+    * asynchronously (`SQLExecution.withThreadLocalCaptured` hops to a
+    * command-execution thread pool) and that hop does NOT carry the
+    * thread-local SQLConf — measured directly (tools/WriteProbe): the
+    * thread-local override still writes in 2 jobs, the session flip in
+    * 1. The flip is restored even on failure. LIMITATION: a concurrent
+    * query on the SAME SparkSession from another thread during an
+    * engine materialization would briefly observe AQE off (plans stay
+    * correct, possibly less adaptive); engine statement flows are
+    * single-threaded per session — concurrent multi-session use should
+    * give each thread its own `SparkSession.newSession()`. */
   private[core] def withEngineConf[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
@@ -618,6 +654,18 @@ object Canonical {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Label the Spark jobs an engine phase launches (shows up in the UI
+    * and in SparkListener job properties) — cheap thread-local tagging
+    * that makes "where did this statement's N jobs come from" a
+    * one-listener question instead of a guess. */
+  private[graft] def withJobDesc[T](spark: SparkSession, desc: String)
+      (body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
   }
 
   /** A materialization is "small" when the caller-known row bound fits
@@ -644,7 +692,8 @@ object Canonical {
   def materializeGrouped(spark: SparkSession, store: GraftStore,
       df0: DataFrame, groupCol: String, keyCols: Seq[String],
       chunkTargetRows: Long,
-      rowBound: Option[Long] = None): Map[String, TableMeta] = {
+      rowBound: Option[Long] = None,
+      rowProbe: Option[Long] = None): Map[String, TableMeta] = {
     val cols = canonicalColumns(
       StructType(df0.schema.filterNot(_.name == groupCol)), keyCols)
     // strip inherited metadata (stale field ids) — see materialize
@@ -657,6 +706,46 @@ object Canonical {
     val kbDf0 = withKeyBytesKeeping(df, keyCols, groupCol)
     val kbDf = if (small) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
+      val got = withEngineConf(spark)(
+        driverMaterializeGrouped(spark, store, kbDf, dataSchema, schemaJson,
+          groupCol, keyCols, chunkTargetRows, rowBound.get))
+      got.foreach(return _)
+    } else if (rowBound.isEmpty && driverMaterializeEnabled &&
+        smallJob(rowProbe, chunkTargetRows) &&
+        DriverChunks.supported(dataSchema)) {
+      // OPTIMISTIC probe (generator-transform size gating): the output
+      // size is unknown — a generator can fan 1→N — but the INPUT is
+      // tiny (`rowProbe` = source rows, under the small-job rule), so
+      // bet the output fits the driver cap: ONE limit-guarded collect
+      // job; over the cap, the bet is off and the standard path below
+      // recomputes (bounded waste, rare by construction).
+      val cap = Ops.adaptiveRowCap(dataSchema, Ops.DriverPatchMaxRows)
+      val probed: Option[Array[Row]] =
+        try Some(withJobDesc(spark, "graft:probe-g")(withEngineConf(spark) {
+          // one job, not incremental-limit's partition doubling: the
+          // probe wants ALL partitions in the first pass. Session-conf
+          // flip, not a thread-local override — execution re-installs
+          // the session conf (withSQLConfPropagated), same mechanics
+          // as the AQE flip in withEngineConf.
+          val key = "spark.sql.limit.initialNumPartitions"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "1000000")
+          try kbDf.limit(cap.toInt + 1).collect()
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }))
+        catch { case scala.util.control.NonFatal(e) =>
+          Ops.warnDriverPatchFallback(e); None }
+      probed.filter(_.length <= cap).foreach { rs =>
+        val got = withEngineConf(spark)(
+          driverMaterializeGroupedRows(spark, store, rs, kbDf.schema,
+            dataSchema, schemaJson, groupCol, keyCols, chunkTargetRows))
+        got.foreach(return _)
+      }
+    }
     try withEngineConf(spark) {
       // same fused one-pass sampled-split scheme as [[materialize]],
       // compounded with the group: the driver holds an
@@ -669,7 +758,8 @@ object Canonical {
         if (small) 1 else spark.sessionState.conf.numShufflePartitions
       val sampled =
         if (small) Array.empty[(String, Array[Byte])]
-        else sampleSplits(kbDf, Some(groupCol), target, nPart)._2
+        else withJobDesc(spark, "graft:sample-g")(
+          sampleSplits(kbDf, Some(groupCol), target, nPart)._2)
       val splits: Map[String, Array[Array[Byte]]] = sampled
         .groupBy(_._1)
         .map { case (g, pairs) =>
@@ -735,13 +825,15 @@ object Canonical {
         }
       }(tagEnc)
       // positional field ids, explicit metadata (see materialize)
-      tagged.select(cols.zipWithIndex.map { case (c, i) =>
-          col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
-        } ++ Seq(col(groupCol), col(CHUNK)): _*)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
-        .option("compression", store.chunkCodec)
-        .partitionBy(groupCol, CHUNK).parquet(tmpDir)
+      withJobDesc(spark, "graft:write-g") {
+        tagged.select(cols.zipWithIndex.map { case (c, i) =>
+            col(c).as(c, new MetadataBuilder().putLong(FieldIdKey, i.toLong).build())
+          } ++ Seq(col(groupCol), col(CHUNK)): _*)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 0) // format invariant: 1 file/chunk
+          .option("compression", store.chunkCodec)
+          .partitionBy(groupCol, CHUNK).parquet(tmpDir)
+      }
 
       import scala.jdk.CollectionConverters._
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
@@ -773,6 +865,161 @@ object Canonical {
       ()
     }
   }
+
+  /** Driver-side canonical chunk writer: splits key-sorted rows at
+    * boundary keys (first segment = the run head), digests each chunk
+    * with the shared [[DigestState]] arithmetic, writes the
+    * files via [[DriverChunks]], and registers them in `batch`. */
+  private[core] final class DriverRunWriter(schema: StructType,
+      keyCols: Seq[String], target: Long, chunkCodec: String,
+      tmp: java.nio.file.Path,
+      batch: scala.collection.mutable.Builder[(String, java.nio.file.Path), Vector[(String, java.nio.file.Path)]]) {
+    private val cols = schema.fieldNames.toSeq
+    private val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
+    private val statCols = statColumns(schema, keyCols)
+    private val statPos = statCols.map(cols.indexOf).toArray
+    private val fileN = new java.util.concurrent.atomic.AtomicInteger
+    /** Thread-safe: concurrent writeRun calls (and the parallel chunk
+      * writes within one call) contend only on the file counter and the
+      * batch builder. */
+    def writeRun(rows: Seq[(org.apache.spark.sql.Row, Array[Byte])])
+        : Seq[ChunkMeta] = {
+      // split at boundary keys (one sequential scan), then digest +
+      // write each chunk CONCURRENTLY (driver IO parallelism, parIo)
+      val segs = Vector.newBuilder[Vector[(org.apache.spark.sql.Row, Array[Byte])]]
+      var cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
+      var curN = 0
+      rows.foreach { case t @ (_, kb) =>
+        if (curN > 0 && isBoundaryKey(kb, target)) {
+          segs += cur.result()
+          cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
+          curN = 0
+        }
+        cur += t; curN += 1
+      }
+      if (curN > 0) segs += cur.result()
+      parIo(segs.result()) { chunkRows =>
+        val st = new DigestState(statCols, statPos)
+        chunkRows.foreach { case (row, kb) =>
+          val (rb, ends) = rbEnc(row)
+          st.update(kb, rb, ends)
+        }
+        val d = st.result("", "")
+        val f = tmp.resolve(s"c${fileN.getAndIncrement()}.parquet")
+        DriverChunks.writeChunk(f, schema, chunkRows.map(_._1), chunkCodec)
+        batch.synchronized { batch += ((d.hash, f)) }
+        ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
+      }
+    }
+  }
+
+
+  /** Test seam + production gate for the ZERO-SHUFFLE driver
+    * materialization below. Always true in production; specs flip it to
+    * pin driver-route == Spark-route hash equality. */
+  @volatile private[graft] var driverMaterializeEnabled = true
+
+  /** A small materialization whose schema the driver writer handles and
+    * whose caller-known row bound fits the driver cap takes the DRIVER
+    * route: ONE collect job (no exchange, no write tasks, no
+    * FileFormatWriter commit protocol), then encode + digest + chunk
+    * files written on the driver — the same statement-flow economics as
+    * the zero-job point DML, applied to every metadata-sized engine
+    * materialization (per-chunk minis, merge regions, small CTAS
+    * deltas). Chunk bytes and hashes are identical to the Spark route:
+    * same boundary rule, same [[DigestState]] arithmetic, same
+    * [[DriverChunks]] writer the patch path already pins. */
+  private def driverMaterializeOk(rowBound: Option[Long], target: Long,
+      dataSchema: StructType): Boolean =
+    driverMaterializeEnabled && smallJob(rowBound, target) &&
+      rowBound.exists(_ <=
+        Ops.adaptiveRowCap(dataSchema, Ops.DriverPatchMaxRows)) &&
+      DriverChunks.supported(dataSchema)
+
+  /** Driver route of [[materialize]]: collect the (data ++ kb) rows,
+    * sort by key bytes, split at boundary keys, write chunks driver-side.
+    * None — caller falls through to the Spark route — on any surprise. */
+  private def driverMaterialize(spark: SparkSession, store: GraftStore,
+      kbDf: DataFrame, dataSchema0: StructType, schemaJson: String,
+      keyCols: Seq[String], target: Long,
+      rowBound: Long): Option[TableMeta] =
+    try {
+      val schema = normalizeSchema(dataSchema0, keyCols)
+      val kbIdx = kbDf.schema.fieldIndex(KB)
+      val n = schema.length
+      // a row bound of 0 asserts the input is empty — no job at all
+      val rows: Array[Row] =
+        if (rowBound == 0L) Array.empty
+        else withJobDesc(spark, "graft:collect")(kbDf.collect())
+      val pairs = rows.map(r =>
+          (Row.fromSeq(r.toSeq.take(n)), r.getAs[Array[Byte]](kbIdx)))
+      java.util.Arrays.sort(pairs,
+        (a: (Row, Array[Byte]), b: (Row, Array[Byte])) =>
+          Hashing.compareBytes(a._2, b._2))
+      val tmp = Files.createTempDirectory("graft-driver-mat-")
+      try {
+        val batch = Vector.newBuilder[(String, java.nio.file.Path)]
+        val w = new DriverRunWriter(schema, keyCols, target,
+          store.chunkCodec, tmp, batch)
+        val metas = w.writeRun(pairs.toSeq)
+        store.saveChunks(batch.result())
+        val meta = TableMeta(schemaJson, keyCols, target, metas)
+        store.saveTableMeta(meta)
+        Some(meta)
+      } finally deleteRecursively(tmp)
+    } catch { case scala.util.control.NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
+
+  /** Driver route of [[materializeGrouped]]: one collect for ALL groups,
+    * then per-group sort/split/write on the driver. */
+  private def driverMaterializeGrouped(spark: SparkSession,
+      store: GraftStore, kbDf: DataFrame, dataSchema: StructType,
+      schemaJson: String, groupCol: String, keyCols: Seq[String],
+      target: Long, rowBound: Long): Option[Map[String, TableMeta]] = {
+    val rows: Array[Row] =
+      if (rowBound == 0L) Array.empty
+      else
+        try withJobDesc(spark, "graft:collect-g")(kbDf.collect())
+        catch { case scala.util.control.NonFatal(e) =>
+          Ops.warnDriverPatchFallback(e); return None }
+    driverMaterializeGroupedRows(spark, store, rows, kbDf.schema,
+      dataSchema, schemaJson, groupCol, keyCols, target)
+  }
+
+  /** [[driverMaterializeGrouped]] over already-collected (data ++ group
+    * ++ kb) rows — shared by the known-bound route and the optimistic
+    * probe route. */
+  private def driverMaterializeGroupedRows(spark: SparkSession,
+      store: GraftStore, rows: Array[Row],
+      kbSchema: StructType, dataSchema: StructType,
+      schemaJson: String, groupCol: String, keyCols: Seq[String],
+      target: Long): Option[Map[String, TableMeta]] =
+    try {
+      val schema = normalizeSchema(dataSchema, keyCols)
+      val gIdx = kbSchema.fieldIndex(groupCol)
+      val kbIdx = kbSchema.fieldIndex(KB)
+      val n = schema.length
+      val tmp = Files.createTempDirectory("graft-driver-mat-g-")
+      try {
+        val batch = Vector.newBuilder[(String, java.nio.file.Path)]
+        val w = new DriverRunWriter(schema, keyCols, target,
+          store.chunkCodec, tmp, batch)
+        val out = parIo(rows.groupBy(_.getString(gIdx)).toSeq) {
+          case (g, rs) =>
+            val pairs = rs.map(r =>
+              (Row.fromSeq(r.toSeq.take(n)), r.getAs[Array[Byte]](kbIdx)))
+            java.util.Arrays.sort(pairs,
+              (a: (Row, Array[Byte]), b: (Row, Array[Byte])) =>
+                Hashing.compareBytes(a._2, b._2))
+            val metas = w.writeRun(pairs.toSeq)
+            g -> TableMeta(schemaJson, keyCols, target, metas)
+        }.toMap
+        store.saveChunks(batch.result())
+        out.values.foreach(store.saveTableMeta)
+        Some(out)
+      } finally deleteRecursively(tmp)
+    } catch { case scala.util.control.NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
 
   /** withKeyBytes preserving an extra column outside the canonical set. */
   private[core] def withKeyBytesKeeping(df: DataFrame, keyCols: Seq[String],

@@ -97,9 +97,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   // FileIndex per table CONTENT (chunks are immutable, so an index never
   // goes stale): repeated scans of the same table skip the per-chunk
   // file-stat pass — at 1M chunks that is a million syscalls per scan
-  // otherwise. Bounded; overflow clears wholesale (they rebuild cheaply).
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, GraftFileIndex]
+  // otherwise. LRU-bounded: overflow evicts only the coldest entry.
+  private val indexCache = new Lru[String, GraftFileIndex](256)
 
   private def scanMeta(m: TableMeta): DataFrame =
     if (m.chunks.isEmpty)
@@ -108,8 +107,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       // chunk-pruned relation: WHERE predicates on the leading key column
       // skip provably-disjoint chunk files at planning time
       // (GraftFileIndex), and scan statistics come from chunk metadata
-      if (indexCache.size > 256) indexCache.clear()
-      val idx = indexCache.getOrElseUpdate(m.tableHash,
+      val idx = indexCache.getOrElseUpdate(m.tableHash)(
         new GraftFileIndex(spark, store, m))
       // request the schema WITH positional field ids (rename-proof chunk
       // reads), then strip the ids from the OUTPUT columns so scan
@@ -401,6 +399,176 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     meta
   }
 
+  /** Keyed merge of DIFFERENTLY-SHAPED tables, each aligned into the
+    * joint output schema by a per-source projection evaluated AT READ
+    * TIME — the fused substrate of the incremental join view
+    * ([[Views.refreshJoin]]). Where the widen-then-merge chain
+    * materialized a full widened copy of every input before merging,
+    * this merges straight from the inputs' ORIGINAL chunk files: one
+    * region-grouped Spark job computes every region the memo does not
+    * already hold, so a first build is a single read+shuffle+write pass
+    * and a refresh after a delta recomputes only the regions whose
+    * participant chunks changed (region memo key = fold + bounds +
+    * per-participant (alignSig, chunk hash)).
+    *
+    * Contract: every projection must pass the key columns through
+    * UNCHANGED (bare `col(k)`), inputs must share key columns and chunk
+    * granularity, and `alignSig` must fingerprint its projection
+    * (FuncKey discipline — same sig ⇒ same column expressions). */
+  def mergeAligned(inputs: Seq[Ops.AlignedInput],
+      outSchema: org.apache.spark.sql.types.StructType,
+      fold: FoldSpec): TableRef = {
+    require(inputs.nonEmpty, "mergeAligned of zero tables")
+    val envs = inputs.map(i => store.tableEnvelope(i.ref.hash))
+    val keyCols = envs.head._2
+    val target = envs.head._3
+    require(envs.forall(e => e._2 == keyCols && e._3 == target),
+      "mergeAligned requires equal key columns and chunk granularity")
+    val schemaJson = Canonical.normalizeSchema(outSchema, keyCols).json
+    val opHash = Hashing.opHash(Seq("graft-op-merge-aligned-v1", fold.key,
+      target.toString, schemaJson) ++
+      inputs.map(i => i.alignSig + ":" + i.ref.hash))
+    TableRef(store.memoized(opHash) {
+      val ins = inputs.zip(envs).map { case (i, e) =>
+        (i, org.apache.spark.sql.types.DataType.fromJson(e._1)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }
+      computeMergeAligned(ins, schemaJson, keyCols, target, fold).tableHash
+    })
+  }
+
+  private def computeMergeAligned(
+      ins: Seq[(Ops.AlignedInput, org.apache.spark.sql.types.StructType)],
+      schemaJson: String, keyCols: Seq[String], target: Long,
+      fold: FoldSpec): TableMeta = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val valueCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    val sources: Seq[MergePlanner.ChunkSource] =
+      ins.map(i => store.chunkStream(i._1.ref.hash))
+    val combinableHere =
+      fold.combinableFor(valueCols.map(c => schema(c).dataType))
+
+    // EVERY region is work here (source chunks are never in the output
+    // schema, so there is no passthrough) — but region outputs memoize,
+    // so after the first build only regions whose participant set
+    // changed recompute. TWO streaming sweeps, like the identity merge:
+    // sweep 1 retains ONLY the missed regions (O(delta) driver memory,
+    // never O(table)); sweep 2 re-derives each region's memo key and
+    // emits its chunks in key order.
+    final case class Rec(loHex: String, hiHex: String,
+        parts: List[MergePlanner.Part])
+
+    // region identity: fold + bounds + participant (alignSig, chunk
+    // content) — src-free + sorted for combinable folds (coalesce),
+    // src-tagged otherwise (order-sensitive folds)
+    def regionOp(rec: Rec): String = {
+      val parts = rec.parts.map(p => (p.src, p.chunk))
+        .sortBy { case (s, c) => (s, c.minKeyHex) }
+      val tags =
+        if (combinableHere)
+          parts.map { case (s, c) => ins(s)._1.alignSig + ":" + c.hash }.sorted
+        else parts.map { case (s, c) =>
+          s.toString + ":" + ins(s)._1.alignSig + ":" + c.hash }
+      Hashing.opHash(Seq("graft-op-merge-aligned-region-v1", fold.key,
+        target.toString, rec.loHex, rec.hiHex) ++ tags)
+    }
+
+    val missed = Vector.newBuilder[(Rec, String)]
+    MergePlanner.sweep(sources, target) { r =>
+      val rec = Rec(r.loHex, r.hiHex, r.parts)
+      val op = regionOp(rec)
+      if (store.memoGet(op).isEmpty) missed += ((rec, op))
+    }
+    val miss = missed.result()
+    // op → computed chunks for the missed regions (regions are disjoint
+    // key intervals, so ops are unique per region)
+    val resolved = scala.collection.mutable.HashMap.empty[String, Seq[ChunkMeta]]
+    if (miss.nonEmpty) {
+      val grp = "_graft_grp"
+      // missed-region membership ranges: disjoint, lo-sorted. A row read
+      // from a shared (spanning) chunk that belongs to a memo-HIT region
+      // maps to no range and drops out — the piece-splitting of the
+      // identity merge path, done with a broadcast binary search instead
+      // of materialized piece files. Broadcast size is O(missed regions)
+      // = O(delta) on refresh, never O(table).
+      val ranges: Array[(Array[Byte], Array[Byte], String)] = miss.map {
+        case (rec, op) =>
+          val lo = if (rec.loHex == "-inf") Array.empty[Byte]
+            else Hashing.unhex(rec.loHex)
+          val hi = if (rec.hiHex == "+inf") null else Hashing.unhex(rec.hiHex)
+          (lo, hi, op)
+      }.toArray
+      val bcRanges = spark.sparkContext.broadcast(ranges)
+      val opOf = udf { (kb: Array[Byte]) =>
+        val rs = bcRanges.value
+        // rightmost region with lo <= kb (boundary keys open regions)
+        var l = 0; var h = rs.length - 1; var found = -1
+        while (l <= h) {
+          val m = (l + h) >>> 1
+          if (Hashing.compareBytes(rs(m)._1, kb) <= 0) { found = m; l = m + 1 }
+          else h = m - 1
+        }
+        if (found < 0) null
+        else {
+          val r = rs(found)
+          if (r._2 == null || Hashing.compareBytes(kb, r._2) < 0) r._3
+          else null
+        }
+      }
+      // per-input read of ONLY the chunks participating in missed
+      // regions, each aligned into the joint schema by its projection
+      var readRows = 0L
+      val bySrc: Map[Int, Seq[ChunkMeta]] = miss
+        .flatMap { case (rec, _) => rec.parts.map(p => (p.src, p.chunk)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinctBy(_.hash)).toMap
+      val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, chunks) =>
+        chunks.foreach(c => readRows += c.rows)
+        val (ai, srcSchema) = ins(src)
+        spark.read.schema(Canonical.withFieldIds(srcSchema))
+          .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+          .select(ai.projection: _*)
+          .withColumn(SRC, lit(src.toLong))
+      }
+      val union = srcParts.reduce(_.unionByName(_))
+      val tagged = Canonical.withKeyBytes(union, keyCols)
+        .withColumn(grp, opOf(col(Canonical.KB)))
+        .where(col(grp).isNotNull)
+        .drop(Canonical.KB)
+      val folded = tagged.groupBy(col(grp) +: keyCols.map(col): _*)
+        .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+      val subMetas = Canonical.materializeGrouped(spark, store,
+        castValues(folded, schema, valueCols), grp, keyCols, target,
+        rowBound = Some(readRows))
+      // a region whose participants have no rows inside it (a spanning
+      // chunk whose keys skip the region) memoizes the empty table
+      lazy val emptyMeta: TableMeta = {
+        val em = TableMeta(schemaJson, keyCols, target, Nil)
+        store.saveTableMeta(em); em
+      }
+      miss.foreach { case (_, op) =>
+        val m = subMetas.getOrElse(op, emptyMeta)
+        store.memoPut(op, m.tableHash)
+        resolved(op) = m.chunks
+      }
+    }
+    // sweep 2: emit in key order. Regions are disjoint ordered
+    // intervals and every chunk lies inside its region, so the
+    // concatenation is already minKey-sorted — no global sort. Memo-hit
+    // regions stream through loadTableMeta without ever being retained.
+    val out = Vector.newBuilder[ChunkMeta]
+    MergePlanner.sweep(sources, target) { r =>
+      val op = regionOp(Rec(r.loHex, r.hiHex, r.parts))
+      out ++= resolved.getOrElse(op,
+        store.loadTableMeta(store.memoGet(op).getOrElse(
+          sys.error(s"aligned merge lost region ${r.loHex}"))).chunks)
+    }
+    val meta = TableMeta(schemaJson, keyCols, target,
+      canonicalizeSplice(schemaJson, keyCols, target, out.result()))
+    store.saveTableMeta(meta)
+    meta
+  }
+
   /** Upsert (tableInsert analogue, Table.hs:142-143): merge with a
     * singleton/delta table, last-wins. */
   def upsert(base: TableRef, delta: TableRef): TableRef =
@@ -491,12 +659,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val patchRows =
       touched.iterator.map(i => m.chunks(i).rows).sum + upserts.length
     if (Ops.driverPatchEnabled && DriverChunks.supported(m.schema) &&
-        patchRows <= Ops.DriverPatchMaxRows) {
+        patchRows <= Ops.DriverPatchHardRowCap &&
+        driverBytesOk(m, touched)) {
       try return Some(driverPatch(m, runList, upserts, upsertKbs,
         deadHex, owner))
       catch { case scala.util.control.NonFatal(e) =>
-        if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
-          System.err.println(s"[driver-patch fallback] $e")
+        Ops.warnDriverPatchFallback(e)
       }
     }
     val runOfChunk: Map[Int, String] = runList.zipWithIndex.flatMap {
@@ -547,6 +715,26 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     Some(TableRef(outMeta.tableHash))
   }
 
+  /** Byte-aware admission for driver-side chunk work (the ADAPTIVE cap,
+    * VERDICT r6 #5): a static row cap assumes an average row width — a
+    * wide schema could blow driver memory under it while a narrow one
+    * is needlessly denied the zero-job path. Observed width comes from
+    * the chunks themselves: compressed file size (one stat per touched
+    * chunk, no read). The work is admitted when the touched bytes fit
+    * [[Ops.DriverPatchMaxBytes]]; any stat surprise declines to the job
+    * path. */
+  private def driverBytesOk(m: TableMeta, chunkIdxs: Iterable[Int]): Boolean =
+    try {
+      var total = 0L
+      val it = chunkIdxs.iterator
+      while (it.hasNext) {
+        total += java.nio.file.Files.size(java.nio.file.Paths.get(
+          store.chunkPath(m.chunks(it.next()).hash)))
+        if (total > Ops.DriverPatchMaxBytes) return false
+      }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Driver-side POINT READ: the addressed keys' current rows, read
     * from their owner chunks through [[DriverChunks]] — no Spark job.
     * None when the schema isn't driver-readable, a chunk file can't be
@@ -562,59 +750,17 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val minKeys = m.chunks.map(_.minKey).toArray
     val owners = kbs.map(kb =>
       math.max(0, Canonical.boundaryIndex(minKeys, kb) - 1)).distinct
-    if (owners.map(i => m.chunks(i).rows).sum > Ops.DriverPatchMaxRows)
+    if (owners.map(i => m.chunks(i).rows).sum > Ops.DriverPatchHardRowCap ||
+        !driverBytesOk(m, owners))
       return None
     val want = kbs.map(Hashing.hex).toSet
     val kEnc = KeyCodec.rowEncoder(m.schema, m.keyCols)
-    try Some(owners.flatMap { i =>
+    try Some(Canonical.parIo(owners) { i =>
       DriverChunks.readRows(java.nio.file.Paths.get(
         store.chunkPath(m.chunks(i).hash)), m.schema)
         .filter(r => want(Hashing.hex(kEnc(r))))
-    })
+    }.flatten)
     catch { case scala.util.control.NonFatal(_) => None }
-  }
-
-  /** Driver-side canonical chunk writer: splits key-sorted rows at
-    * boundary keys (first segment = the run head), digests each chunk
-    * with the shared [[Canonical.DigestState]] arithmetic, writes the
-    * files via [[DriverChunks]], and registers them in `batch`. */
-  private final class DriverRunWriter(schema: StructType,
-      keyCols: Seq[String], target: Long, chunkCodec: String,
-      tmp: java.nio.file.Path,
-      batch: scala.collection.mutable.Builder[(String, java.nio.file.Path), Vector[(String, java.nio.file.Path)]]) {
-    private val cols = schema.fieldNames.toSeq
-    private val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
-    private val statCols = Canonical.statColumns(schema, keyCols)
-    private val statPos = statCols.map(cols.indexOf).toArray
-    private var fileN = 0
-    def writeRun(rows: Seq[(org.apache.spark.sql.Row, Array[Byte])])
-        : Seq[ChunkMeta] = {
-      val metas = Vector.newBuilder[ChunkMeta]
-      var cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
-      var curN = 0
-      def flush(): Unit = if (curN > 0) {
-        val chunkRows = cur.result()
-        val st = new Canonical.DigestState(statCols, statPos)
-        chunkRows.foreach { case (row, kb) =>
-          val (rb, ends) = rbEnc(row)
-          st.update(kb, rb, ends)
-        }
-        val d = st.result("", "")
-        val f = tmp.resolve(s"c$fileN.parquet")
-        fileN += 1
-        DriverChunks.writeChunk(f, schema, chunkRows.map(_._1), chunkCodec)
-        batch += ((d.hash, f))
-        metas += ChunkMeta(d.hash, d.minKey, d.maxKey, d.rows, d.stats)
-        cur = Vector.newBuilder[(org.apache.spark.sql.Row, Array[Byte])]
-        curN = 0
-      }
-      rows.foreach { case t @ (_, kb) =>
-        if (Canonical.isBoundaryKey(kb, target)) flush()
-        cur += t; curN += 1
-      }
-      flush()
-      metas.result()
-    }
   }
 
   private def deleteTmpDir(tmp: java.nio.file.Path): Unit =
@@ -690,7 +836,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val tmp = java.nio.file.Files.createTempDirectory("graft-canon-fix-")
         try {
           val batch = Vector.newBuilder[(String, java.nio.file.Path)]
-          val w = new DriverRunWriter(schema, keyCols, target,
+          val w = new Canonical.DriverRunWriter(schema, keyCols, target,
             store.chunkCodec, tmp, batch)
           val out = runList.map { idxs =>
             val rows = idxs.flatMap { i =>
@@ -745,10 +891,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val tmp = java.nio.file.Files.createTempDirectory("graft-driver-patch-")
     try {
       val batch = Vector.newBuilder[(String, java.nio.file.Path)]
-      val w = new DriverRunWriter(schema, m.keyCols, target,
+      val w = new Canonical.DriverRunWriter(schema, m.keyCols, target,
         store.chunkCodec, tmp, batch)
+      // runs are independent — read, splice, digest, and write them
+      // CONCURRENTLY (a scattered point delta touches dozens of runs;
+      // sequential per-file driver IO was the latency floor)
       val newChunksByRun: Map[Int, Seq[ChunkMeta]] =
-        runList.zipWithIndex.map { case (idxs, r) =>
+        Canonical.parIo(runList.zipWithIndex) { case (idxs, r) =>
           val kept = idxs.flatMap { i =>
             DriverChunks.readRows(
               java.nio.file.Paths.get(store.chunkPath(m.chunks(i).hash)),
@@ -840,15 +989,20 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val m = meta(ref)
     // chunk granularity is intrinsic to the input table (its boundary
     // rule), not to this Ops instance — a differently-configured Ops
-    // over the same store must produce identically-chunked results
-    val target = m.chunkTargetRows
+    // over the same store must produce identically-chunked results.
+    // A re-keying transform may declare its OWN output granularity
+    // (ColTransform.outTargetRows); the effective target is part of
+    // the op identity either way.
+    require(t.outTargetRows.isEmpty || !t.keyPreserving,
+      "a key-preserving transform inherits its source's chunk granularity")
+    val target = t.outTargetRows.getOrElse(m.chunkTargetRows)
     val opHash = Hashing.opHash(Seq(
       "graft-op-transform-v2", t.key, fold.key, target.toString, ref.hash))
     TableRef(store.memoized(opHash) {
       if (t.keyPreserving) transformPerChunk(m, t)
       else if (m.chunks.nonEmpty && rekeyCombinable(m, t, fold))
-        transformRekeyIncremental(m, t, fold, prev)
-      else transformDirect(m, t, fold)
+        transformRekeyIncremental(m, t, fold, prev, target)
+      else transformDirect(m, t, fold, target)
     })
   }
 
@@ -858,7 +1012,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * minis first would double the build IO for reuse the patch path
     * never needs — it computes delta minis on demand). */
   private def transformDirect(m: TableMeta, t: ColTransform,
-      fold: FoldSpec): String = {
+      fold: FoldSpec, target: Long): String = {
     val src0 = Canonical.withKeyBytes(scanMeta(m), m.keyCols)
     val src = t.rowFilter.map(src0.where).getOrElse(src0)
     val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
@@ -869,7 +1023,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     Canonical.materialize(spark, store,
       castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
         valueCols),
-      t.outKeyCols, m.chunkTargetRows,
+      t.outKeyCols, target,
       // generator transforms can exceed the source row count — size
       // gating must treat their output as unknown
       rowBound = if (t.generator) None
@@ -899,15 +1053,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * the minis through the region-memoized merge. Partial-fold-then-fold
     * equals direct fold exactly because the fold is combinable. */
   private def transformRekeyIncremental(m: TableMeta, t: ColTransform,
-      fold: FoldSpec, prev: Option[TableRef] = None): String = {
+      fold: FoldSpec, prev: Option[TableRef], target: Long): String = {
     def miniOp(chunkHash: String): String = Hashing.opHash(Seq(
       "graft-op-rekey-chunk-v1", t.key, fold.key,
-      m.chunkTargetRows.toString, chunkHash))
+      target.toString, chunkHash))
     // the reverse memo (result → source) lets the NEXT refresh find this
     // source version from the catalog's previous result and take the
     // O(delta) patch path
     def finish(resultHash: String): String = {
-      store.memoPut(rekeyRevOp(t, fold, m.chunkTargetRows, resultHash),
+      store.memoPut(rekeyRevOp(t, fold, target, resultHash),
         m.tableHash)
       resultHash
     }
@@ -915,7 +1069,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     //    computed on demand inside patchAgainstPrevious — minis of
     //    unchanged chunks are never materialized at all.
     if (t.uniqueKeys) prev.foreach { p =>
-      patchAgainstPrevious(m, t, fold, p, miniOp)
+      patchAgainstPrevious(m, t, fold, p, miniOp, target)
         .foreach(h => return finish(h))
     }
     // 2. uniqueKeys build/rebuild: ONE direct materialization, no mini
@@ -932,12 +1086,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     //    refresh runs through the piece/region-memoized merge, which
     //    NEEDS the full mini set.)
     if (t.uniqueKeys)
-      return finish(transformDirect(m, t, fold))
+      return finish(transformDirect(m, t, fold, target))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
     // 3. per-chunk minis (one batched compute of the missing ones)
     //    feeding the region-memoized merge.
-    val computed = computeMinis(m.schema, t, fold, m.chunkTargetRows,
+    val computed = computeMinis(m.schema, t, fold, target,
       m.chunks, miniOp)
     val miniRefs: Seq[TableRef] = m.chunks.map { c =>
       TableRef(memoized(c.hash)
@@ -1003,7 +1157,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val metas = Canonical.materializeGrouped(spark, store, casted, grp,
           t.outKeyCols, target,
           rowBound = if (t.generator) None
-            else Some(missing.map(_.rows).sum))
+            else Some(missing.map(_.rows).sum),
+          // generator output size is unknown, but a tiny INPUT makes
+          // the optimistic driver probe the right bet (delta minis of
+          // a point ingest)
+          rowProbe = if (t.generator) Some(missing.map(_.rows).sum)
+            else None)
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(miniOp(srcHash), sub.tableHash)
         }
@@ -1038,19 +1197,19 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * (same rows; content-defined chunking makes the chunk decomposition
     * a pure function of the key set). */
   private def patchAgainstPrevious(m: TableMeta, t: ColTransform,
-      fold: FoldSpec, prev: TableRef, miniOp: String => String)
-      : Option[String] = {
+      fold: FoldSpec, prev: TableRef, miniOp: String => String,
+      target: Long): Option[String] = {
     import scala.util.control.NonFatal
     def tryLoad(h: String): Option[TableMeta] =
       try Some(store.loadTableMeta(h)) catch { case NonFatal(_) => None }
     for {
       s1Hash <- store.memoGet(
-        rekeyRevOp(t, fold, m.chunkTargetRows, prev.hash))
+        rekeyRevOp(t, fold, target, prev.hash))
       m1 <- tryLoad(s1Hash)
       if m1.schemaJson == m.schemaJson && m1.keyCols == m.keyCols &&
         m1.chunkTargetRows == m.chunkTargetRows
       pm <- tryLoad(prev.hash)
-      if pm.chunkTargetRows == m.chunkTargetRows
+      if pm.chunkTargetRows == target
       result <- {
         val c2 = m.chunks.iterator.map(_.hash).toSet
         val c1 = m1.chunks.iterator.map(_.hash).toSet
@@ -1078,44 +1237,100 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             // job (REPLACED old chunks' objects are still in the
             // content-addressed store; if GC swept them, fall back)
             _ <- (try {
-              computeMinis(m.schema, t, fold, m.chunkTargetRows,
+              computeMinis(m.schema, t, fold, target,
                 removed ++ added, miniOp)
               Some(())
             } catch { case NonFatal(_) => None })
             remM <- minis(removed)
             addM <- minis(added)
             h <- {
-              def readAll(ms: Seq[TableMeta]): DataFrame = {
-                val paths = ms.flatMap(_.chunks).map(c => store.chunkPath(c.hash))
-                if (paths.isEmpty) spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pm.schema)
-                else spark.read.schema(Canonical.withFieldIds(pm.schema))
-                  .parquet(paths: _*)
-                  .select(pm.schema.fieldNames.map(n => col(n)
-                    .as(n, org.apache.spark.sql.types.Metadata.empty)): _*)
+              // width-adaptive delta cap: these rows are collected to
+              // the driver, so the budget is bytes, not rows
+              val cap = Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows)
+                .toInt
+              def applyDelta(ins: Seq[org.apache.spark.sql.Row],
+                  delRows: Seq[org.apache.spark.sql.Row])
+                  : Option[String] = {
+                val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
+                def keyOf(row: org.apache.spark.sql.Row): Seq[Any] =
+                  kIdx.map(row.get)
+                val insKeys = ins.iterator.map(keyOf).toSet
+                val delKeys = delRows.iterator.map(keyOf)
+                  .filterNot(insKeys).toSeq.distinct
+                // scattered-delta guard: bail to the rebuild when the
+                // delta's keys touch more than half the chunks
+                patchTableBounded(prev, ins, delKeys,
+                  Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
               }
-              val cap = Ops.PatchMaxDeltaRows
-              val a = readAll(addM); val r = readAll(remM)
-              // row-level diff: rows identical in the old and new minis
-              // (the vast majority — only the source delta's rows differ)
-              // drop out, so the collected delta is O(source delta rows)
-              val ins = a.exceptAll(r).limit(cap + 1).collect()
-              if (ins.length > cap) None
-              else {
-                val del = r.exceptAll(a).limit(cap + 1).collect()
-                if (del.length > cap) None
-                else {
-                  val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
-                  def keyOf(row: org.apache.spark.sql.Row): Seq[Any] =
-                    kIdx.map(row.get)
-                  val insKeys = ins.iterator.map(keyOf).toSet
-                  val delKeys = del.iterator.map(keyOf)
-                    .filterNot(insKeys).toSeq.distinct
-                  // scattered-delta guard: bail to the rebuild when the
-                  // delta's keys touch more than half the chunks
-                  patchTableBounded(prev, ins.toSeq, delKeys,
-                    Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
-                }
+              // DRIVER diff first: the delta minis of a point ingest
+              // are a few hundred rows — reading them through
+              // DriverChunks and diffing in memory runs ZERO Spark
+              // jobs where the exceptAll pair launched four. Structural
+              // row equality needs comparable field types (no binary
+              // array-equals trap, no fp NaN/-0.0 hashing divergence);
+              // anything else — or any read surprise — takes the Spark
+              // diff below, bit-identical either way.
+              val miniRows =
+                (addM.iterator ++ remM.iterator).map(_.rows).sum
+              val driverDiffed: Option[(Seq[org.apache.spark.sql.Row],
+                  Seq[org.apache.spark.sql.Row])] =
+                if (miniRows <= cap && Ops.driverDiffable(pm.schema))
+                  try {
+                    def rowsOf(ms: Seq[TableMeta])
+                        : Seq[org.apache.spark.sql.Row] =
+                      Canonical.parIo(ms.flatMap(_.chunks))(c =>
+                        DriverChunks.readRows(java.nio.file.Paths.get(
+                          store.chunkPath(c.hash)), pm.schema)).flatten
+                    // multiset difference on structural row equality
+                    def diff(xs: Seq[org.apache.spark.sql.Row],
+                        ys: Seq[org.apache.spark.sql.Row])
+                        : Seq[org.apache.spark.sql.Row] = {
+                      val counts =
+                        scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+                      ys.foreach { y =>
+                        val k = y.toSeq
+                        counts.update(k, counts.getOrElse(k, 0) + 1)
+                      }
+                      xs.filter { x =>
+                        val k = x.toSeq
+                        counts.get(k) match {
+                          case Some(n) if n > 0 =>
+                            counts.update(k, n - 1); false
+                          case _ => true
+                        }
+                      }
+                    }
+                    val aR = rowsOf(addM); val rR = rowsOf(remM)
+                    Some((diff(aR, rR), diff(rR, aR)))
+                  } catch { case NonFatal(e) =>
+                    Ops.warnDriverPatchFallback(e); None }
+                else None
+              driverDiffed match {
+                case Some((ins, del)) => applyDelta(ins, del)
+                case None =>
+                  def readAll(ms: Seq[TableMeta]): DataFrame = {
+                    val paths =
+                      ms.flatMap(_.chunks).map(c => store.chunkPath(c.hash))
+                    if (paths.isEmpty) spark.createDataFrame(
+                      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                      pm.schema)
+                    else spark.read.schema(Canonical.withFieldIds(pm.schema))
+                      .parquet(paths: _*)
+                      .select(pm.schema.fieldNames.map(n => col(n)
+                        .as(n, org.apache.spark.sql.types.Metadata.empty)): _*)
+                  }
+                  val a = readAll(addM); val r = readAll(remM)
+                  // row-level diff: rows identical in the old and new
+                  // minis (the vast majority — only the source delta's
+                  // rows differ) drop out, so the collected delta is
+                  // O(source delta rows)
+                  val ins = a.exceptAll(r).limit(cap + 1).collect()
+                  if (ins.length > cap) None
+                  else {
+                    val del = r.exceptAll(a).limit(cap + 1).collect()
+                    if (del.length > cap) None
+                    else applyDelta(ins.toSeq, del.toSeq)
+                  }
               }
             }
           } yield h
@@ -1623,6 +1838,66 @@ object Ops {
     * the driver (~milliseconds); above it, the Spark job path runs the
     * identical algorithm distributed. */
   val DriverPatchMaxRows: Long = 1L << 17
+
+  /** Compressed-byte budget for driver-side chunk splicing/reading —
+    * the cap that actually bounds driver memory; the row caps bound
+    * per-row object overhead. 64 MB compressed is a few hundred MB of
+    * row objects at typical codecs — comfortably inside any driver.
+    * `@volatile var` as a test seam (specs shrink it to pin the
+    * byte-gated fallback); production never writes it. */
+  @volatile var DriverPatchMaxBytes: Long = 64L << 20
+
+  /** Row ceiling independent of width (driver Row-object overhead
+    * dominates below ~100 B/row; 1M rows ≈ low hundreds of MB). */
+  val DriverPatchHardRowCap: Long = 1L << 20
+
+  /** Schemas whose Rows the driver can diff by STRUCTURAL equality:
+    * driver-readable, and no field type with equality/hashing pitfalls
+    * (binary arrays compare by reference; fp NaN/-0.0 hash unlike SQL
+    * semantics). */
+  private[core] def driverDiffable(
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType}
+    DriverChunks.supported(schema) && schema.fields.forall(_.dataType match {
+      case BinaryType | FloatType | DoubleType => false
+      case _ => true
+    })
+  }
+
+  /** Width-adaptive row cap for sites that know only a row count (no
+    * chunk files to stat yet): scales `base` — calibrated for ~64 B
+    * rows — by the schema's estimated row width, clamped to
+    * [4096, [[DriverPatchHardRowCap]]]. Narrow schemas get a wider
+    * zero-job window; wide schemas never blow the driver. */
+  def adaptiveRowCap(schema: org.apache.spark.sql.types.StructType,
+      base: Long): Long = {
+    val width = math.max(16, schema.defaultSize)
+    math.max(4096L, math.min(DriverPatchHardRowCap, base * 64L / width))
+  }
+
+  /** One input of [[Ops.mergeAligned]]: a source table plus the
+    * projection that aligns its rows into the joint output schema
+    * (evaluated at chunk-read time, never materialized) and the FuncKey
+    * fingerprint of that projection. */
+  final case class AlignedInput(ref: TableRef, alignSig: String,
+      projection: Seq[org.apache.spark.sql.Column])
+
+  /** Driver-patch fallbacks must be OBSERVABLE: a persistent driver-path
+    * failure (an exotic codec, an unsupported physical type in an old
+    * file) silently degrading every point DML to the job path would be
+    * an invisible latency regression. Warn ONCE per cause signature
+    * (class + message) so production logs show the degradation without
+    * flooding; `GRAFT_DEBUG_DRIVER_PATCH` logs every occurrence. */
+  private val warnedPatchCauses =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def warnDriverPatchFallback(e: Throwable): Unit = {
+    val sig = e.getClass.getName + ":" + String.valueOf(e.getMessage)
+    if (warnedPatchCauses.add(sig))
+      System.err.println(
+        s"[graft] WARN driver-patch fell back to the Spark job path: $e")
+    else if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
+      System.err.println(s"[driver-patch fallback] $e")
+  }
 }
 
 /** Projection-style transform: named output columns (aliased), a subset of
@@ -1669,6 +1944,15 @@ trait ColTransform extends Serializable {
     * this only keeps task sizing honest. Generators re-key by nature
     * (`keyPreserving` must stay false). */
   def generator: Boolean = false
+  /** Output chunk granularity override for RE-KEYING transforms. By
+    * default a transform result inherits its source's granularity; a
+    * re-key whose output cardinality differs wildly from the source
+    * (a generator index fanning 1→50, an aggregate collapsing 50→1)
+    * can declare its own. Part of the operation identity (the op
+    * hashes embed the effective target). Key-preserving transforms
+    * must leave this unset — their output shares the source's chunk
+    * decomposition by construction. */
+  def outTargetRows: Option[Long] = None
 }
 
 object ColTransform {
@@ -1677,9 +1961,12 @@ object ColTransform {
       filter: Option[Column] = None,
       passUnless: Option[Column] = None,
       uniqueOutKeys: Boolean = false,
-      generates: Boolean = false): ColTransform = {
+      generates: Boolean = false,
+      outTarget: Option[Long] = None): ColTransform = {
     require(!(generates && preservesKeys),
       "a generator transform cannot be key-preserving")
+    require(outTarget.isEmpty || !preservesKeys,
+      "a key-preserving transform inherits its source's chunk granularity")
     new ColTransform {
       val key = k
       val outKeyCols = keys
@@ -1689,6 +1976,7 @@ object ColTransform {
       override val identityUnless = passUnless
       override val uniqueKeys = uniqueOutKeys
       override val generator = generates
+      override val outTargetRows = outTarget
     }
   }
 }

@@ -60,15 +60,15 @@ final class Views(ops: Ops, catalog: Catalog) {
 
   /** Register a keyed JOIN view: the full-outer equi-join of two tables
     * on their (identical) primary key, maintained incrementally. The
-    * join is expressed entirely in the memoized algebra — each side is
-    * WIDENED to the joint schema (a key-preserving per-chunk-memoized
-    * transform adding the other side's columns as typed nulls), and the
-    * widened tables meet in the region-memoized merge under
-    * [[FoldSpec.FoldCoalesce]]. A delta to either side therefore
-    * refreshes in O(delta): only touched chunk minis re-transform, only
-    * dirty key regions re-merge, and the result hash-equals the
-    * from-scratch build (content-defined chunking). Inner-join
-    * consumers filter the absent-side nulls downstream. */
+    * join is ONE aligned merge ([[Ops.mergeAligned]]): each side is
+    * projected into the joint schema (the other side's columns as typed
+    * nulls) AT READ TIME inside the region-memoized merge under
+    * [[FoldSpec.FoldCoalesce]] — no widened copy is ever materialized.
+    * A first build is a single read+shuffle+write pass; a delta to
+    * either side refreshes in O(delta): only dirty key regions
+    * re-merge, and the result hash-equals the from-scratch build
+    * (content-defined chunking). Inner-join consumers filter the
+    * absent-side nulls downstream. */
   def defineJoin(view: String, left: String, right: String): TableRef = {
     declareJoin(view, left, right)
     refresh(view)
@@ -131,12 +131,12 @@ final class Views(ops: Ops, catalog: Catalog) {
         s"join view $view: column names ${Views.PresentLeft}/" +
           s"${Views.PresentRight} are reserved for presence markers")
     }
-    // the transform key IS the cache identity: fingerprint the joint
+    // the alignment key IS the cache identity: fingerprint the joint
     // schema so a source schema change is a different operation
     val sig = Hashing.opHash(Seq("graft-join-schema-v1") ++ keys ++
       (aVals ++ bVals).map(f => f.name + ":" + f.dataType.json) ++
       (if (j.presence) Seq("presence") else Nil))
-    // presence markers: the contributing side writes 1, the widened-in
+    // presence markers: the contributing side writes 1, the aligned-in
     // side NULL; FoldCoalesce (max) merges them, so after the join a
     // marker is non-NULL iff that side had the key — NULL-safe side
     // detection that value columns cannot provide
@@ -147,18 +147,32 @@ final class Views(ops: Ops, catalog: Catalog) {
           .as(Views.PresentLeft),
         (if (leftSide) lit(null).cast("tinyint") else lit(1).cast("tinyint"))
           .as(Views.PresentRight))
-    val widenA = ColTransform(s"graft-join-widen-left-v1:$sig", keys,
-      keys.map(col) ++ aVals.map(f => col(f.name)) ++
-        bVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        markers(leftSide = true),
-      preservesKeys = true)
-    val widenB = ColTransform(s"graft-join-widen-right-v1:$sig", keys,
-      keys.map(col) ++ aVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        bVals.map(f => col(f.name)) ++ markers(leftSide = false),
-      preservesKeys = true)
-    val a2 = ops.transform(aRef, widenA, FoldSpec.FoldLast)
-    val b2 = ops.transform(bRef, widenB, FoldSpec.FoldLast)
-    ops.merge(Seq(a2, b2), FoldSpec.FoldCoalesce)
+    // FUSED build: no widened copies are ever materialized — each side's
+    // alignment into the joint schema is a read-time projection inside
+    // the region-memoized aligned merge, so a first build is ONE
+    // read+shuffle+write pass over the original chunk files and a delta
+    // to either side recomputes only the touched key regions
+    // (Ops.mergeAligned). Row content is identical to the former
+    // widen-then-merge chain, so the resulting table hash is unchanged.
+    val projA = keys.map(col) ++ aVals.map(f => col(f.name)) ++
+      bVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+      markers(leftSide = true)
+    val projB = keys.map(col) ++
+      aVals.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+      bVals.map(f => col(f.name)) ++ markers(leftSide = false)
+    val markerFields =
+      if (!j.presence) Nil
+      else Seq(
+        org.apache.spark.sql.types.StructField(Views.PresentLeft,
+          org.apache.spark.sql.types.ByteType),
+        org.apache.spark.sql.types.StructField(Views.PresentRight,
+          org.apache.spark.sql.types.ByteType))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => am.schema(k)) ++ aVals ++ bVals ++ markerFields)
+    ops.mergeAligned(Seq(
+      Ops.AlignedInput(aRef, s"graft-join-align-left-v1:$sig", projA),
+      Ops.AlignedInput(bRef, s"graft-join-align-right-v1:$sig", projB)),
+      outSchema, FoldSpec.FoldCoalesce)
   }
 
   /** Refresh every view in DEPENDENCY order (a view whose source is

@@ -19,19 +19,17 @@ object Dedup {
     * the source dir is immutable (content-addressed-store discipline);
     * call [[invalidateCache]] after rewriting data in place. */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.core.Lru[(SparkSession, String), DataFrame](8, _.unpersist())
   private val sizedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.core.Lru[(SparkSession, String), DataFrame](8, _.unpersist())
 
   def invalidateCache(): Unit = {
-    shingleCache.values.foreach(_.unpersist())
-    shingleCache.clear()
-    sizedCache.values.foreach(_.unpersist())
-    sizedCache.clear()
+    shingleCache.invalidateAll()
+    sizedCache.invalidateAll()
   }
 
   def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), {
+    shingleCache.getOrElseUpdate((s, dir)) {
       Tables(s, dir, "documents")
         .withColumn("ts", split(col("text"), " "))
         .where(size(col("ts")) >= 3)
@@ -39,7 +37,7 @@ object Dedup {
           "transform(sequence(0, size(ts)-3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")))
           .as("s"))
         .cache()
-    })
+    }
 
   /** [[shingles]] with the doc's shingle-set size attached to every row
     * — the Jaccard-threshold join then needs NO doc-size side joins
@@ -47,12 +45,12 @@ object Dedup {
     * the dedup_shingle plan from three joins to one. Cached like the
     * index itself; one doc-size aggregation amortized across queries. */
   def shinglesSized(s: SparkSession, dir: String): DataFrame =
-    sizedCache.getOrElseUpdate((s, dir), {
+    sizedCache.getOrElseUpdate((s, dir)) {
       import s.implicits._
       val sh = shingles(s, dir)
       val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       sh.join(sz, "doc_id").cache()
-    })
+    }
 
   /** The shingle CTE shared with [[IncrementalDedup]]'s oracles. */
   def shinglesSqlPublic: String = shinglesSql

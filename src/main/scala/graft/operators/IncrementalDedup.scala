@@ -37,14 +37,20 @@ object IncrementalDedup {
       |  i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],
       |              ' ', split(text, ' ')[i+2])))""".stripMargin
 
-  /** Declare the shingle-index view over catalog table `docs`. */
-  def declareIndex(views: Views, name: String, docsTable: String): Unit =
+  /** Declare the shingle-index view over catalog table `docs`.
+    * `indexTarget` decouples the INDEX's chunk granularity from the
+    * docs table's ([[ColTransform.outTargetRows]]): a generator index
+    * fans ~50 postings per doc, so inheriting the docs granularity
+    * makes index chunks 50× too small. */
+  def declareIndex(views: Views, name: String, docsTable: String,
+      indexTarget: Option[Long] = None): Unit =
     views.declare(name, docsTable,
       ColTransform("graft-shingle-idx-v1", Seq("s", "doc_id"),
         Seq(explode(expr(shingleArray)).as("s"), col("doc_id"),
           lit(1).cast("tinyint").as("_present")),
         filter = Some(size(split(col("text"), " ")) >= 3),
-        uniqueOutKeys = true, generates = true),
+        uniqueOutKeys = true, generates = true,
+        outTarget = indexTarget),
       FoldSpec.FoldMin)
 
   /** End-to-end driver query: ingest most of the corpus, build the
@@ -86,6 +92,81 @@ object IncrementalDedup {
     cat.put("docs", ops.upsert(base, ops.fromDataFrame(
       docs.where(col("doc_id") > cutoff), Seq("doc_id"))))
     views.refresh("shingle_idx")
+
+    val idx = ops.scan(TableRef(cat.root("shingle_idx").tableHash))
+      .select($"s", $"doc_id")
+    val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sized = idx.join(sz, "doc_id")
+    sized.as("a").join(sized.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("c"),
+        max($"a.n").as("n_i"), max($"b.n").as("n_j"))
+      .where(lit(10) * $"c" >= lit(5) * ($"n_i" + $"n_j" - $"c"))
+      .select($"i", $"j", $"c".as("n_common"), $"n_i", $"n_j")
+      .orderBy($"i", $"j")
+  }
+
+  /** The PATCH branch of the incremental index, demonstrated end-to-end
+    * (VERDICT r6 #2): [[dedupIncremental]]'s tenth-of-the-corpus batch
+    * correctly takes the rebuild fallback (its postings scatter over
+    * the whole keyspace), so this variant ingests the true append shape
+    * — ONE new document, the point-crawl case — whose ~50 distinct
+    * shingles touch a small fraction of the index chunks. The
+    * profitability guards then choose the patch: the refresh
+    * re-shingles only the touched docs chunks, diffs the minis, and
+    * splices ~50 runs into the previous index version (driver-side
+    * when the delta fits [[graft.core.Ops.DriverPatchMaxRows]] — zero
+    * Spark jobs). The query ASSERTS the branch via StoreStats: chunk
+    * writes during the refresh must be a small fraction of the index
+    * (a rebuild writes every index chunk). The chunk target scales
+    * with the corpus so the chunks-touched ratio — the thing that
+    * decides patch-vs-rebuild at ANY scale — is representative even at
+    * test SF; below ~256 index chunks the scatter ratio genuinely
+    * favors rebuild and the assertion stands down (the guard choosing
+    * rebuild there is correct, not a failure).
+    *
+    * Final state covers the same even-ids corpus slice as
+    * [[dedupIncremental]], so it shares that oracle. */
+  def dedupIncrementalPatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-incdedup-p-").toString)
+    val docs = Tables(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    // corpus-proportional DOCS granularity (a 1-doc delta must be a
+    // small fraction of the docs table even at test SF) and a FIXED
+    // index granularity (the index's own keyspace density decides its
+    // chunk sizing, not the docs table's — ColTransform.outTargetRows)
+    val target = math.max(16L, nDocs / 24L)
+    val ops = new Ops(s, store, target)
+    val cat = new Catalog(store)
+    val views = new Views(ops, cat)
+
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // everything but the single largest doc_id, then the append
+    cat.put("docs", ops.fromDataFrame(
+      docs.where(col("doc_id") < maxId), Seq("doc_id")))
+    declareIndex(views, "shingle_idx", "docs", indexTarget = Some(256L))
+    views.refresh("shingle_idx")
+    val idxChunksBefore =
+      ops.meta(TableRef(cat.root("shingle_idx").tableHash)).chunks.length
+
+    cat.put("docs", ops.upsert(TableRef(cat.root("docs").tableHash),
+      ops.fromDataFrame(docs.where(col("doc_id") === maxId), Seq("doc_id"))))
+    store.stats.reset()
+    views.refresh("shingle_idx")
+    val saves = store.stats.snapshot("chunkSaves")
+    // patch ≈ touched-run splices + the touched docs chunks' minis
+    // (computed on demand for the diff) — well under half the index;
+    // a rebuild writes EVERY index chunk (≈ idxChunksBefore)
+    if (idxChunksBefore >= 256)
+      require(saves > 0 && saves < idxChunksBefore / 2,
+        s"one-doc ingest should PATCH the index (a fraction of its " +
+          s"$idxChunksBefore chunks), but wrote $saves chunks — the " +
+          "rebuild branch ran")
 
     val idx = ops.scan(TableRef(cat.root("shingle_idx").tableHash))
       .select($"s", $"doc_id")
@@ -178,8 +259,11 @@ object IncrementalDedup {
 
   val queries: Map[String, graft.queries.Q.QFn] = Map(
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_patch" -> (dedupIncrementalPatch _),
     "text_search" -> (textSearch _))
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> dedupIncrementalSql,
+    // same final corpus slice ⇒ same pair algebra as dedup_incremental
+    "dedup_incremental_patch" -> dedupIncrementalSql,
     "text_search" -> textSearchSql)
 }

@@ -22,29 +22,24 @@ object Vectors {
   /** Quantized vector + squared norm (norm = dot_long(q,q), the native
     * codegen'd expression); cached once per (session, dir) — the shared
     * vector index of the whole sim_* family, like the dedup family's
-    * shingle index. */
+    * shingle index. LRU-bounded: overflow unpersists only the coldest
+    * entry, never the hot working set. */
   private val quantizedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.core.Lru[(SparkSession, String), DataFrame](8, _.unpersist())
 
   /** The cache assumes the source dir is immutable; call after
     * rewriting data in place. */
-  def invalidateCache(): Unit = {
-    quantizedCache.values.foreach(_.unpersist())
-    quantizedCache.clear()
-  }
+  def invalidateCache(): Unit = quantizedCache.invalidateAll()
 
   def quantized(s: SparkSession, dir: String): DataFrame = {
-    // bounded registry: overflow unpersists and clears wholesale (the
-    // entries rebuild cheaply; sessions/dirs churn only in test fleets)
-    if (quantizedCache.size > 8) invalidateCache()
-    quantizedCache.getOrElseUpdate((s, dir), {
+    quantizedCache.getOrElseUpdate((s, dir)) {
       Tables(s, dir, "embeddings")
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
         .withColumn("nq", dot_long(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("nq"))
         .cache()
-    })
+    }
   }
 
   /** The quantized vector index as a CANONICAL GRAFT TABLE keyed by
@@ -420,8 +415,7 @@ object Vectors {
     * construction (same centroids, same assignment, same re-rank), so
     * the same oracle covers both. */
   def simAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    if (indexedStores.size > 8) indexedStores.clear()
-    val (ops, ref) = indexedStores.getOrElseUpdate((s, dir), {
+    val (ops, ref) = indexedStores.getOrElseUpdate((s, dir)) {
       // DETERMINISTIC store path per source dir (not a fresh temp dir):
       // a re-run — same JVM or a new one — reopens the same store, the
       // fingerprinted op is a memo hit, and nothing rebuilds or leaks.
@@ -436,7 +430,7 @@ object Vectors {
       val ops = new graft.core.Ops(s, new graft.core.FsStore(path.toString),
         IvfIndexChunkRows)
       (ops, ivfIndexTable(ops, s, dir))
-    })
+    }
     val probes = ivfProbes(quantized(s, dir))
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -535,8 +529,12 @@ object Vectors {
     """FROM n WHERE vec_id >= 10 AND vec_id % 10 = 5
       |    AND vec_id <= (SELECT 9*MAX(vec_id)//10 FROM embeddings)),""".stripMargin)
 
-  private val indexedStores = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (graft.core.Ops, graft.core.TableRef)]
+  /** Open side-store handles, LRU-bounded. Eviction drops only the
+    * handle — the store stays on disk at its deterministic path, so a
+    * later access reopens it and the fingerprinted index op is a memo
+    * hit: nothing rebuilds. */
+  private val indexedStores = new graft.core.Lru[(SparkSession, String),
+    (graft.core.Ops, graft.core.TableRef)](8)
 
   /** Distributed Lloyd k-means over the quantized vectors — the
     * production centroid source for IVF (the deterministic-pick variant

@@ -289,6 +289,12 @@ object GraftSql {
     * paths). */
   private[graft] var pointDmlViaPatch = true
 
+  /** Cap on the PRODUCT of per-position IN-list candidates an index
+    * probe may carry — above it the candidate space is combinatorial
+    * and the probe is skipped at plan time (the scan path is the better
+    * bet before any index read happens). */
+  val MaxProbeFanout: Long = 4096L
+
   /** Dev-only per-statement wall profiling (SPARK_GRAFT_PROFILE=1) —
     * the driver never sets it. */
   private val profileStatements = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
@@ -419,16 +425,27 @@ object GraftSql {
           throw new SqlException(s"no such table: $name"))
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val ref = graft.core.TableRef(entry.tableHash)
-        val out = (if (GraftSql.pointDmlViaPatch)
+        // POINT deletes (full-PK equality, or a PK IN-list): literal
+        // keys need no expression evaluation, so they splice through
+        // the zero-job driver patch — millisecond point-DML latency.
+        // Hash-converges with the range/rebuild paths (patch
+        // convergence is pinned in PatchTableSpec). A SCATTERED
+        // IN-list (keys spraying over more than half the chunks) is
+        // cheaper as one range/transform pass than run-by-run
+        // splicing, so the patch is profitability-bounded — the same
+        // guard the view-refresh path uses; on decline we fall through
+        // to the range/transform/rebuild chain below.
+        val pointPatched: Option[graft.core.TableRef] =
+          (if (GraftSql.pointDmlViaPatch)
             parseKeyPoints(spark, schema, entry.keyCols, cond) else None) match {
-          // POINT deletes (full-PK equality, or a PK IN-list): literal
-          // keys need no expression evaluation, so they splice through
-          // the zero-job driver patch — millisecond point-DML latency.
-          // Hash-converges with the range/rebuild paths (patch
-          // convergence is pinned in PatchTableSpec).
-          case Some(keys) if keys.nonEmpty && keys.length <= 10000 =>
-            ops.patchTable(ref, Nil, keys)
-          case _ => parseKeyRange(spark, schema, entry.keyCols, cond) match {
+            case Some(keys) if keys.nonEmpty && keys.length <= 10000 =>
+              val bound = math.max(8, ops.meta(ref).chunks.length / 2)
+              ops.patchTableBounded(ref, Nil, keys, Some(bound))
+            case _ => None
+          }
+        val out = pointPatched match {
+          case Some(patched) => patched
+          case None => parseKeyRange(spark, schema, entry.keyCols, cond) match {
           case Some((lo, hi)) => ops.deleteRange(ref, lo, hi)
           case None =>
             // row-local predicate → key-preserving per-chunk transform:
@@ -992,7 +1009,10 @@ object GraftSql {
       }
     // longest satisfied equality/IN prefix wins; a range on the next
     // index column extends the probe; smaller IN fanout, then name,
-    // break ties (multi-index choice)
+    // break ties (multi-index choice). The PRODUCT of per-position IN
+    // candidates is capped: a combinatorial candidate space means the
+    // probe is a bad selectivity bet (and its row cap would only
+    // discover that after the scan) — such an index is not considered.
     val best = indexes
       .map { case (n, cols) =>
         val p = cols.takeWhile(valsOf.contains)
@@ -1000,7 +1020,8 @@ object GraftSql {
         val fanout = p.map(c => valsOf(c).length.toLong).product
         (n, cols, p, r, fanout)
       }
-      .filter { case (_, _, p, r, _) => p.nonEmpty || r.isDefined }
+      .filter { case (_, _, p, r, fanout) =>
+        (p.nonEmpty || r.isDefined) && fanout <= GraftSql.MaxProbeFanout }
       .sortBy { case (n, _, p, r, fanout) => (-p.length, r.isEmpty, fanout, n) }
       .headOption.getOrElse(return sqlText)
     val views = SqlViews.fromCatalog(ops, catalog)
@@ -1247,7 +1268,8 @@ object GraftSql {
       }.toIndexedSeq: _*)
       val rows = guardNotNull(updated, entry, name).collect().toSeq
       Some(ops.patchTable(ref, rows, Nil))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.core.Ops.warnDriverPatchFallback(e); None }
 
   /** Recognize `cond` as literal POINT key(s): an equality on EVERY key
     * column (one key tuple), or — for single-column keys — one IN-list

@@ -24,4 +24,18 @@ object GraftBridge {
     classic.Dataset.ofRows(cs,
       execution.datasources.LogicalRelation(rel))
   }
+
+  /** Run `body` with conf overrides visible to planning done on the
+    * calling thread (`SQLConf.withExistingConf`). CAVEAT (measured,
+    * tools/WriteProbe): write commands execute on Spark's async
+    * command thread pool (`SQLExecution.withThreadLocalCaptured`),
+    * which does NOT carry this thread-local — so this scopes READ-side
+    * planning only; engine write jobs use the session-conf flip in
+    * `Canonical.withEngineConf` instead. */
+  def withConfOverrides[T](spark: SparkSession,
+      overrides: Map[String, String])(body: => T): T = {
+    val conf = spark.sessionState.conf.clone()
+    overrides.foreach { case (k, v) => conf.setConfString(k, v) }
+    internal.SQLConf.withExistingConf(conf)(body)
+  }
 }

@@ -177,4 +177,59 @@ class PatchTableSpec extends AnyFunSuite {
     assert(ops3.fromDataFrame(wdf, Seq("k")).hash == driverRes.hash)
   }
 
+  test("adaptive driver cap: width decides — narrow rows widen the zero-job window, the byte budget guards wide ones") {
+    def jobsDuring[T](tag: String)(body: => T): (T, Int) = {
+      val group = tag + System.nanoTime()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          if (g.contains(group)) jobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(group, tag)
+      val out = try body finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      (out, jobs.get)
+    }
+
+    // NARROW schema, touched run ABOVE the old static 2^17 row cap but
+    // only a few compressed MB: the byte-aware gate admits it and the
+    // patch runs with zero Spark jobs
+    val wideRun = 200000
+    val bigOps = new Ops(spark, new FsStore(
+      Files.createTempDirectory("graft-patch-wide-").toString), wideRun)
+    val base = bigOps.fromDataFrame(
+      df((0 until 260000).map(i => (f"k$i%07d", i.toLong))), Seq("k"))
+    assert(bigOps.meta(base).chunks.map(_.rows).max > Ops.DriverPatchMaxRows)
+    val (patched, nJobs) = jobsDuring("pt-adaptive-narrow-") {
+      bigOps.patchTable(base, Seq(Row("k0000003", -3L)), Seq(Seq("k0000007")))
+    }
+    assert(nJobs == 0,
+      s"narrow-row patch above the static row cap should stay driver-side, ran $nJobs jobs")
+    val want = (0 until 260000).filterNot(_ == 7)
+      .map(i => (f"k$i%07d", if (i == 3) -3L else i.toLong))
+    assert(patched.hash == bigOps.fromDataFrame(df(want), Seq("k")).hash)
+
+    // WIDE rows: shrink the byte budget so the same patch shape is
+    // byte-rejected — the job path runs (jobs > 0) and converges
+    val prev = Ops.DriverPatchMaxBytes
+    val ops2 = newOps()
+    val base2 = ops2.fromDataFrame(
+      df((0 until 300).map(i => (f"k$i%05d", i.toLong))), Seq("k"))
+    try {
+      Ops.DriverPatchMaxBytes = 16
+      val (p2, n2) = jobsDuring("pt-adaptive-wide-") {
+        ops2.patchTable(base2, Seq(Row("k00009", 99L)), Nil)
+      }
+      assert(n2 > 0, "byte-rejected patch must fall back to the job path")
+      val want2 = (0 until 300).map(i => (f"k$i%05d", if (i == 9) 99L else i.toLong))
+      assert(p2.hash == ops2.fromDataFrame(df(want2), Seq("k")).hash)
+    } finally Ops.DriverPatchMaxBytes = prev
+  }
+
 }

@@ -199,6 +199,45 @@ class IndexSpec extends AnyFunSuite {
     assert(df2.collect().map(_.getLong(0)).toSeq == Seq(111L))
   }
 
+  test("multi-index choice counts IN-bound positions; combinatorial fanout is capped out") {
+    val (sess, _, _) = newSession()
+    seed(sess)
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    sess.execute("CREATE INDEX t_gv ON t (grp, v)")
+    def served(index: String): Boolean =
+      spark.catalog.tableExists(s"t__ix_$index")
+    def reset(): Unit =
+      Seq("t__ix_t_grp", "t__ix_t_gv").foreach(v =>
+        if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v))
+
+    // IN-lists on BOTH positions: (grp, v) satisfies a 2-position
+    // prefix (both IN-bound, fanout 2×2=4) and must beat the 1-position
+    // (grp) index — the non-trivial choice the ranking exists for
+    reset()
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp IN (13, 14) AND v IN ('v110', 'v111') " +
+        "ORDER BY id"): @unchecked
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(110L, 111L))
+    assert(served("t_gv") && !served("t_grp"),
+      "the 2-position IN-bound prefix must serve the probe")
+
+    // combinatorial candidate product: above MaxProbeFanout the
+    // 2-position index is out of the running — the walk falls back to
+    // the 1-position index (fanout 80), never the combinatorial bet
+    reset()
+    val manyG = (0 until 80).map(_.toString).mkString(", ")
+    val manyV = (0 until 80).map(i => s"'v$i'").mkString(", ")
+    val Left(df2) = sess.execute(
+      s"SELECT id FROM t WHERE grp IN ($manyG) AND v IN ($manyV) " +
+        "ORDER BY id"): @unchecked
+    val want2 = (0L until 2000L)
+      .filter(i => i % 97 < 80 && i < 80).sorted
+    assert(df2.collect().map(_.getLong(0)).toSeq == want2)
+    assert(!served("t_gv"),
+      s"fanout 6400 > ${GraftSql.MaxProbeFanout} must skip the 2-position probe")
+  }
+
   test("multi-column index serves a two-column equality prefix") {
     val (sess, _, _) = newSession()
     seed(sess)
