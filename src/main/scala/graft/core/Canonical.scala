@@ -487,7 +487,8 @@ object Canonical {
     * identical either way. */
   def materialize(spark: SparkSession, store: GraftStore, df0: DataFrame,
       keyCols: Seq[String], chunkTargetRows: Long,
-      rowBound: Option[Long] = None): TableMeta = {
+      rowBound: Option[Long] = None,
+      byteBound: Option[Long] = None): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
     val cols = canonicalColumns(df0.schema, keyCols)
     // strip inherited column metadata: projections built over chunk
@@ -498,10 +499,14 @@ object Canonical {
     val schemaJson = normalizeSchema(df.schema, keyCols).json
 
     val small = smallJob(rowBound, chunkTargetRows)
+    // observed-bytes admission — see materializeGrouped
+    val bytesOk = byteBound.exists(_ <= Ops.DriverPatchMaxBytes) &&
+      rowBound.exists(_ <= Ops.DriverPatchHardRowCap) &&
+      driverMaterializeEnabled && DriverChunks.supported(df.schema)
     val kbDf0 = withKeyBytes(df, keyCols)
-    val kbDf = if (small) kbDf0
+    val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
+    if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
       val got = withEngineConf(spark)(
         driverMaterialize(spark, store, kbDf, df.schema, schemaJson,
           keyCols, chunkTargetRows, rowBound.get))
@@ -693,7 +698,8 @@ object Canonical {
       df0: DataFrame, groupCol: String, keyCols: Seq[String],
       chunkTargetRows: Long,
       rowBound: Option[Long] = None,
-      rowProbe: Option[Long] = None): Map[String, TableMeta] = {
+      rowProbe: Option[Long] = None,
+      byteBound: Option[Long] = None): Map[String, TableMeta] = {
     val cols = canonicalColumns(
       StructType(df0.schema.filterNot(_.name == groupCol)), keyCols)
     // strip inherited metadata (stale field ids) — see materialize
@@ -703,10 +709,20 @@ object Canonical {
     val schemaJson = normalizeSchema(dataSchema, keyCols).json
 
     val small = smallJob(rowBound, chunkTargetRows)
+    // OBSERVED-bytes admission: when the caller knows the input's
+    // compressed size (it read known chunk files), a metadata-sized
+    // materialization takes the ONE-collect-job driver route even when
+    // the row count is above the one-task smallJob rule — at scale the
+    // same statement exceeds the byte budget and runs the job path.
+    val bytesOk = byteBound.exists(_ <= Ops.DriverPatchMaxBytes) &&
+      rowBound.exists(_ <= Ops.DriverPatchHardRowCap) &&
+      driverMaterializeEnabled && DriverChunks.supported(dataSchema)
     val kbDf0 = withKeyBytesKeeping(df, keyCols, groupCol)
-    val kbDf = if (small) kbDf0
+    // no persist when a driver route will be attempted: its one collect
+    // is the only read (a rare fallback recomputes — the cheap branch)
+    val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
+    if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
       val got = withEngineConf(spark)(
         driverMaterializeGrouped(spark, store, kbDf, dataSchema, schemaJson,
           groupCol, keyCols, chunkTargetRows, rowBound.get))

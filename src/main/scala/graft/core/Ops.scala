@@ -221,7 +221,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
       return Canonical.materialize(spark, store,
         castValues(folded, schema, valueCols), keyCols, target,
-        rowBound = Some(flatRows))
+        rowBound = Some(flatRows),
+        byteBound = chunkBytes(refs.flatMap(r =>
+          store.chunkStream(r.hash)().toSeq)))
     }
 
     // ---- split spanning chunks into per-region pieces (memoized) ----
@@ -368,7 +370,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
         val subMetas = Canonical.materializeGrouped(spark, store,
           castValues(folded, schema, valueCols), grp, keyCols, target,
-          rowBound = Some(miss.flatMap(_._1).map(_._2.rows).sum))
+          rowBound = Some(miss.flatMap(_._1).map(_._2.rows).sum),
+          byteBound = chunkBytes(miss.flatMap(_._1).map(_._2)))
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
         subMetas
       }
@@ -539,7 +542,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
       val subMetas = Canonical.materializeGrouped(spark, store,
         castValues(folded, schema, valueCols), grp, keyCols, target,
-        rowBound = Some(readRows))
+        rowBound = Some(readRows),
+        byteBound = chunkBytes(bySrc.valuesIterator.flatten.toSeq))
       // a region whose participants have no rows inside it (a spanning
       // chunk whose keys skip the region) memoizes the empty table
       lazy val emptyMeta: TableMeta = {
@@ -695,7 +699,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val runMetas: Map[String, TableMeta] = Canonical.materializeGrouped(
       spark, store, patched, grp, m.keyCols, m.chunkTargetRows,
       rowBound = Some(touched.iterator.map(i => m.chunks(i).rows).sum +
-        upserts.length))
+        upserts.length),
+      byteBound = chunkBytes(touched.iterator.map(m.chunks(_)).toSeq))
     // splice: untouched chunks verbatim; each run's chunks at the
     // position of its first member (a run may vanish entirely)
     val out = Vector.newBuilder[ChunkMeta]
@@ -714,6 +719,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     store.saveTableMeta(outMeta)
     Some(TableRef(outMeta.tableHash))
   }
+
+  /** Observed compressed size of `chunks` (file stats, no read) — the
+    * byte bound callers hand to [[Canonical.materialize]]/
+    * [[Canonical.materializeGrouped]] when the input is known chunk
+    * files. None on any stat surprise (callers then skip the
+    * byte-admitted driver route). */
+  private def chunkBytes(chunks: Seq[ChunkMeta]): Option[Long] =
+    try Some(chunks.iterator.map(c => java.nio.file.Files.size(
+      java.nio.file.Paths.get(store.chunkPath(c.hash)))).sum)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Byte-aware admission for driver-side chunk work (the ADAPTIVE cap,
     * VERDICT r6 #5): a static row cap assumes an average row width — a
@@ -1162,7 +1177,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           // the optimistic driver probe the right bet (delta minis of
           // a point ingest)
           rowProbe = if (t.generator) Some(missing.map(_.rows).sum)
-            else None)
+            else None,
+          byteBound = if (t.generator) None else chunkBytes(missing))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(miniOp(srcHash), sub.tableHash)
         }
@@ -1409,7 +1425,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val projected = df.select(t.columns :+ col(grp): _*)
         val metas = Canonical.materializeGrouped(spark, store, projected, grp,
           t.outKeyCols, m.chunkTargetRows,
-          rowBound = Some(missing.map(_.rows).sum))
+          rowBound = Some(missing.map(_.rows).sum),
+          byteBound = chunkBytes(missing))
         metas.foreach { case (srcHash, sub) =>
           store.memoPut(Hashing.opHash(Seq(
             "graft-op-transform-chunk-v2", t.key,
