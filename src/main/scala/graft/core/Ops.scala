@@ -49,14 +49,33 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * ingest of shuffled data should carry its own ordering column and
     * fold with max_by over it. */
   def fromDataFrame(df: DataFrame, keyCols: Seq[String],
-      fold: FoldSpec = FoldSpec.FoldLast): TableRef = {
+      fold: FoldSpec = FoldSpec.FoldLast): TableRef =
+    fromDataFrameBounded(df, keyCols, fold, None, None)
+
+  /** [[fromDataFrame]] with caller-known size bounds: a row-local
+    * projection over a chunk-backed scan (the range-UPDATE delta) knows
+    * its row/byte upper bounds from the source chunk metadata, which
+    * admits the one-collect-job driver materialization when the input
+    * is metadata-sized (see [[Canonical.materialize]]). */
+  def fromDataFrameBounded(df: DataFrame, keyCols: Seq[String],
+      fold: FoldSpec, rowBound: Option[Long],
+      byteBound: Option[Long]): TableRef = {
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
     val folded = df.withColumn(SRC, monotonically_increasing_id())
       .groupBy(keyCols.map(col): _*)
       .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
     val meta = Canonical.materialize(spark, store,
-      castValues(folded, df.schema, valueCols), keyCols, chunkTargetRows)
+      castValues(folded, df.schema, valueCols), keyCols, chunkTargetRows,
+      rowBound = rowBound, byteBound = byteBound)
     TableRef(meta.tableHash)
+  }
+
+  /** Caller-facing size hints of a chunk-backed table: exact row count
+    * from chunk metadata, compressed bytes from file stats (None on any
+    * stat surprise). The inputs to the byte-admitted driver routes. */
+  def sizeHints(ref: TableRef): (Option[Long], Option[Long]) = {
+    val m = meta(ref)
+    (Some(m.chunks.map(_.rows).sum), chunkBytes(m.chunks))
   }
 
   /** Folds widen types (sum(int)=long, sum(decimal(p,s))=decimal(p+10,s));

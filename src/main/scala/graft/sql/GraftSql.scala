@@ -533,15 +533,24 @@ object GraftSql {
             .getOrElse(parseKeyRange(spark, schema, entry.keyCols, cond) match {
             case Some((lo, hi)) =>
               try {
-                val rows = ops.scan(ops.rangeFilter(ref, lo, hi))
+                val rf = ops.rangeFilter(ref, lo, hi)
+                val rows = ops.scan(rf)
                 val updated = rows.selectExpr(schema.fieldNames.map { f =>
                   sets.get(f)
                     .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS ${qid(f)}")
                     .getOrElse(qid(f))
                 }.toIndexedSeq: _*)
                 if (updated.isEmpty) ref
-                else ops.upsert(ref,
-                  ops.fromDataFrame(guardNotNull(updated, entry, name), entry.keyCols))
+                else {
+                  // the delta is a row-local projection of the range's
+                  // chunks — its size bounds are chunk metadata, which
+                  // admits the one-job driver materialization when the
+                  // range is metadata-sized
+                  val (rb, bb) = ops.sizeHints(rf)
+                  ops.upsert(ref, ops.fromDataFrameBounded(
+                    guardNotNull(updated, entry, name), entry.keyCols,
+                    graft.core.FoldSpec.FoldLast, rb, bb))
+                }
               } catch {
                 // SET expression needs more than row-local columns
                 // (subquery, other table): the rebuild path registers
