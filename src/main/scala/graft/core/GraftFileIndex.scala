@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.StructType
 final class GraftFileIndex(spark: SparkSession, store: GraftStore,
     m: TableMeta) extends FileIndex {
 
+  /** Size upper bounds of this scan (all chunks, pre-pruning) — the
+    * inputs of the byte-admitted driver routes for row-local plans
+    * over this relation. */
+  def totalRows: Long = m.chunks.iterator.map(_.rows).sum
+  def totalBytes: Long = chunkFiles.iterator.map(_._2.getLen).sum
+
   private val chunkFiles: Seq[(ChunkMeta, FileStatus)] = m.chunks.map { c =>
     val f = new java.io.File(store.chunkPath(c.hash))
     c -> new FileStatus(f.length(), false, 1, 128L * 1024 * 1024,

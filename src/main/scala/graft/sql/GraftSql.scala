@@ -409,7 +409,14 @@ object GraftSql {
               ops.upsert(graft.core.TableRef(entry.tableHash), delta)
             }
           } else {
-            val delta = ops.fromDataFrame(guarded, entry.keyCols)
+            // a row-local SELECT over one graft scan (the common
+            // `INSERT INTO t SELECT ... FROM t WHERE ...` delta shape)
+            // has known size bounds — metadata-sized deltas then build
+            // in one driver collect instead of the job chain
+            val (rb, bb) = org.apache.spark.sql.GraftBridge
+              .rowLocalScanBounds(guarded)
+            val delta = ops.fromDataFrameBounded(guarded, entry.keyCols,
+              graft.core.FoldSpec.FoldLast, rb, bb)
             ops.upsert(graft.core.TableRef(entry.tableHash), delta)
           }
         Right(catalog.put(name, merged))

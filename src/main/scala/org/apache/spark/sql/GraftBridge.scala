@@ -25,6 +25,36 @@ object GraftBridge {
       execution.datasources.LogicalRelation(rel))
   }
 
+  /** Upper-bound (rows, bytes) of a ROW-LOCAL plan over ONE graft
+    * scan: Project/Filter/alias chains above a single
+    * LogicalRelation(HadoopFsRelation(GraftFileIndex)). Projections
+    * are 1→1 in Catalyst (generators become a Generate node, never a
+    * Project expression), so the scan's totals bound the plan's
+    * output. (None, None) when the plan can change cardinality
+    * upward (join, generator, union) or reads anything else — callers
+    * then skip the byte-admitted driver route. */
+  def rowLocalScanBounds(df: DataFrame)
+      : (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Option[graft.core.GraftFileIndex] = p match {
+      case Project(_, child) => walk(child)
+      case Filter(_, child) => walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case lr: execution.datasources.LogicalRelation => lr.relation match {
+        case fs: execution.datasources.HadoopFsRelation => fs.location match {
+          case g: graft.core.GraftFileIndex => Some(g)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.optimizedPlan) match {
+      case Some(g) => (Some(g.totalRows), Some(g.totalBytes))
+      case None => (None, None)
+    }
+  }
+
   /** Run `body` with conf overrides visible to planning done on the
     * calling thread (`SQLConf.withExistingConf`). CAVEAT (measured,
     * tools/WriteProbe): write commands execute on Spark's async

@@ -445,4 +445,44 @@ class GraftScanSpec extends AnyFunSuite {
       .where(col("ub").between(16, 23) && col("tb").between(32, 39))
       .count() == 64L)
   }
+
+  test("rowLocalScanBounds: row-local plans over one graft scan are bounded, cardinality-raising plans are not") {
+    val (ops, ref) = fixture()
+    val m = ops.meta(ref)
+    val scan = ops.scan(ref)
+    val bridge = org.apache.spark.sql.GraftBridge
+
+    // bare scan / projection / filter chains: bounded by the table
+    val (r1, b1) = bridge.rowLocalScanBounds(scan)
+    assert(r1.contains(1000L) && b1.exists(_ > 0))
+    val (r2, b2) = bridge.rowLocalScanBounds(
+      scan.where(col("k") % 7 === 0).select((col("v") * 2).as("w"), col("k")))
+    assert(r2.contains(1000L) && b2 == b1)
+
+    // cardinality-raising or multi-source plans: unbounded
+    assert(bridge.rowLocalScanBounds(
+      scan.as("a").join(scan.as("b"), "k"))._1.isEmpty)
+    assert(bridge.rowLocalScanBounds(scan.unionAll(scan))._1.isEmpty)
+    assert(bridge.rowLocalScanBounds(
+      scan.groupBy(col("k") % 10).count())._1.isEmpty)
+    assert(bridge.rowLocalScanBounds(scan.select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("k"), col("v")))))._1.isEmpty)
+    // a non-graft source (local relation) is unbounded too
+    import spark.implicits._
+    assert(bridge.rowLocalScanBounds(
+      Seq((1L, 2L)).toDF("k", "v"))._1.isEmpty)
+
+    // the bound admits the driver route end-to-end: an INSERT..SELECT
+    // delta shape built with these bounds hash-equals the job path
+    val delta = scan.where(col("k") < 10)
+      .select((col("k") + 5000).as("k"), col("v"))
+    val (rb, bb) = bridge.rowLocalScanBounds(delta)
+    assert(rb.contains(1000L) && bb.isDefined)
+    val viaBounded = ops.fromDataFrameBounded(delta, Seq("k"),
+      FoldSpec.FoldLast, rb, bb)
+    val viaPlain = ops.fromDataFrame(delta, Seq("k"))
+    assert(viaBounded.hash == viaPlain.hash)
+    assert(m.chunks.nonEmpty)
+  }
 }
