@@ -329,7 +329,12 @@ object GraftSql {
           if (!df.columns.contains(k))
             throw new SqlException(s"PRIMARY KEY column $k not in query output")
         }
-        Right(catalog.put(name, ops.fromDataFrame(df, keyCols),
+        // a row-local CTAS over one bounded leaf (graft scan, cached
+        // relation, small parquet) is metadata-sized → one-job driver
+        // materialization; anything unbounded takes the job chain
+        val (rb, bb) = org.apache.spark.sql.GraftBridge.rowLocalScanBounds(df)
+        Right(catalog.put(name, ops.fromDataFrameBounded(df, keyCols,
+          graft.core.FoldSpec.FoldLast, rb, bb),
           declared = Some(df.columns.toSeq)))
       case insertRe(rawName, colList, query) =>
         registerViews()

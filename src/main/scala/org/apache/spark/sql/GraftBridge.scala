@@ -25,35 +25,73 @@ object GraftBridge {
       execution.datasources.LogicalRelation(rel))
   }
 
-  /** Upper-bound (rows, bytes) of a ROW-LOCAL plan over ONE graft
-    * scan: Project/Filter/alias chains above a single
-    * LogicalRelation(HadoopFsRelation(GraftFileIndex)). Projections
-    * are 1→1 in Catalyst (generators become a Generate node, never a
-    * Project expression), so the scan's totals bound the plan's
-    * output. (None, None) when the plan can change cardinality
-    * upward (join, generator, union) or reads anything else — callers
-    * then skip the byte-admitted driver route. */
+  /** Upper-bound (rows, bytes) of a ROW-LOCAL plan over ONE leaf
+    * relation: Project/Filter/alias chains above a single scan.
+    * Projections are 1→1 in Catalyst (generators become a Generate
+    * node, never a Project expression), so the leaf's totals bound the
+    * plan's output. Bounded leaves:
+    *  - a graft scan (GraftFileIndex): exact rows + compressed bytes
+    *    from chunk metadata/stats;
+    *  - a MATERIALIZED cached relation (InMemoryRelation): exact rows
+    *    and in-memory bytes from its computed statistics;
+    *  - a raw parquet relation small enough to stat: bytes from the
+    *    file index, exact rows from the parquet footers (read only
+    *    when the relation is already inside the driver byte budget —
+    *    at scale the byte check rejects before any footer opens).
+    * (None, None) when the plan can raise cardinality (join,
+    * generator, union) or the leaf is anything else — callers then
+    * skip the byte-admitted driver route. */
   def rowLocalScanBounds(df: DataFrame)
       : (Option[Long], Option[Long]) = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    def walk(p: LogicalPlan): Option[graft.core.GraftFileIndex] = p match {
-      case Project(_, child) => walk(child)
-      case Filter(_, child) => walk(child)
-      case SubqueryAlias(_, child) => walk(child)
+    def leaf(p: LogicalPlan): (Option[Long], Option[Long]) = p match {
+      case Project(_, child) => leaf(child)
+      case Filter(_, child) => leaf(child)
+      case SubqueryAlias(_, child) => leaf(child)
+      case imr: execution.columnar.InMemoryRelation =>
+        val st = imr.computeStats()
+        // rowCount is present only once the cache is materialized —
+        // exactly when reading it costs nothing
+        (st.rowCount.map(_.toLong), Some(st.sizeInBytes.toLong))
       case lr: execution.datasources.LogicalRelation => lr.relation match {
         case fs: execution.datasources.HadoopFsRelation => fs.location match {
-          case g: graft.core.GraftFileIndex => Some(g)
-          case _ => None
+          case g: graft.core.GraftFileIndex =>
+            (Some(g.totalRows), Some(g.totalBytes))
+          case loc if fs.fileFormat.isInstanceOf[
+              execution.datasources.parquet.ParquetFileFormat] =>
+            val bytes = loc.sizeInBytes
+            val files = loc.inputFiles
+            val rows =
+              if (bytes > graft.core.Ops.DriverPatchMaxBytes ||
+                  files.length > 64) None
+              else parquetRowCount(files)
+            (rows, Some(bytes))
+          case _ => (None, None)
         }
-        case _ => None
+        case _ => (None, None)
       }
-      case _ => None
+      case _ => (None, None)
     }
-    walk(df.queryExecution.optimizedPlan) match {
-      case Some(g) => (Some(g.totalRows), Some(g.totalBytes))
-      case None => (None, None)
+    leaf(df.queryExecution.optimizedPlan) match {
+      case (Some(r), Some(b)) => (Some(r), Some(b))
+      case _ => (None, None)
     }
   }
+
+  /** Exact row count of small parquet files from their footers (driver
+    * metadata reads, no data pages). None on any surprise. */
+  private def parquetRowCount(files: Array[String]): Option[Long] =
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      var total = 0L
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try total += r.getRecordCount finally r.close()
+      }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Run `body` with conf overrides visible to planning done on the
     * calling thread (`SQLConf.withExistingConf`). CAVEAT (measured,
