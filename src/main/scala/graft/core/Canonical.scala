@@ -488,7 +488,8 @@ object Canonical {
   def materialize(spark: SparkSession, store: GraftStore, df0: DataFrame,
       keyCols: Seq[String], chunkTargetRows: Long,
       rowBound: Option[Long] = None,
-      byteBound: Option[Long] = None): TableMeta = {
+      byteBound: Option[Long] = None,
+      rowProbe: Option[Long] = None): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
     val cols = canonicalColumns(df0.schema, keyCols)
     // strip inherited column metadata: projections built over chunk
@@ -511,6 +512,37 @@ object Canonical {
         driverMaterialize(spark, store, kbDf, df.schema, schemaJson,
           keyCols, chunkTargetRows, rowBound.get))
       got.foreach(return _)
+    } else if (rowBound.isEmpty && driverMaterializeEnabled &&
+        smallJob(rowProbe, chunkTargetRows) &&
+        DriverChunks.supported(df.schema)) {
+      // OPTIMISTIC probe (generator size gating) — same bet as the
+      // grouped variant: the output size is unknown (a generator fans
+      // 1→N) but the INPUT is tiny, so try ONE limit-guarded collect
+      // job; over the cap, the bet is off and the job path below
+      // recomputes. This is what lets a small-corpus generator INDEX
+      // BUILD (the full shingle index, not just its minis) run as one
+      // collect + driver-side chunk writes instead of a sample +
+      // multi-file write job pair.
+      val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
+      val probed: Option[Array[Row]] =
+        try Some(withJobDesc(spark, "graft:probe")(withEngineConf(spark) {
+          val key = "spark.sql.limit.initialNumPartitions"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "1000000")
+          try kbDf.limit(cap.toInt + 1).collect()
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }))
+        catch { case scala.util.control.NonFatal(e) =>
+          Ops.warnDriverPatchFallback(e); None }
+      probed.filter(_.length <= cap).foreach { rs =>
+        val got = withEngineConf(spark)(
+          driverMaterializeRows(store, rs, kbDf.schema, df.schema,
+            schemaJson, keyCols, chunkTargetRows))
+        got.foreach(return _)
+      }
     }
     try withEngineConf(spark) {
       // 1. range SPLITS: an intrinsic subsample of the boundary keys.
@@ -960,13 +992,24 @@ object Canonical {
       keyCols: Seq[String], target: Long,
       rowBound: Long): Option[TableMeta] =
     try {
-      val schema = normalizeSchema(dataSchema0, keyCols)
-      val kbIdx = kbDf.schema.fieldIndex(KB)
-      val n = schema.length
       // a row bound of 0 asserts the input is empty — no job at all
       val rows: Array[Row] =
         if (rowBound == 0L) Array.empty
         else withJobDesc(spark, "graft:collect")(kbDf.collect())
+      driverMaterializeRows(store, rows, kbDf.schema, dataSchema0,
+        schemaJson, keyCols, target)
+    } catch { case scala.util.control.NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
+
+  /** [[driverMaterialize]] over already-collected (data ++ kb) rows —
+    * shared by the known-bound route and the optimistic probe route. */
+  private def driverMaterializeRows(store: GraftStore, rows: Array[Row],
+      kbSchema: StructType, dataSchema0: StructType, schemaJson: String,
+      keyCols: Seq[String], target: Long): Option[TableMeta] =
+    try {
+      val schema = normalizeSchema(dataSchema0, keyCols)
+      val kbIdx = kbSchema.fieldIndex(KB)
+      val n = schema.length
       val pairs = rows.map(r =>
           (Row.fromSeq(r.toSeq.take(n)), r.getAs[Array[Byte]](kbIdx)))
       java.util.Arrays.sort(pairs,

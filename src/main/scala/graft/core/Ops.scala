@@ -1052,16 +1052,31 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val projected = src.select(t.columns :+ col(Canonical.KB).as(SRC): _*)
     val valueCols = projected.columns.filterNot(t.outKeyCols.contains)
       .filterNot(_ == SRC).toSeq
-    val folded = projected.groupBy(t.outKeyCols.map(col): _*)
-      .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
-    Canonical.materialize(spark, store,
-      castValues(folded, StructType(projected.schema.filterNot(_.name == SRC)),
-        valueCols),
+    // uniqueKeys contract: every output key occurs once, so collision
+    // folding is a semantic no-op — skip the groupBy ENTIRELY and save
+    // its full-output exchange (the build becomes scan→project→
+    // materialize; the same uniqueness assumption the patch path
+    // already splices on). Fold outputs never widen here, so no
+    // cast-back either. Non-unique re-keys keep the deterministic fold.
+    val out =
+      if (t.uniqueKeys) projected.drop(SRC)
+      else {
+        val folded = projected.groupBy(t.outKeyCols.map(col): _*)
+          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        castValues(folded,
+          StructType(projected.schema.filterNot(_.name == SRC)), valueCols)
+      }
+    Canonical.materialize(spark, store, out,
       t.outKeyCols, target,
       // generator transforms can exceed the source row count — size
-      // gating must treat their output as unknown
+      // gating must treat their output as unknown; a TINY source still
+      // admits the optimistic probe (bet the fanned output fits the
+      // driver cap, limit-guarded — at scale the source-rows gate
+      // rejects before any bet is placed)
       rowBound = if (t.generator) None
-        else Some(m.chunks.map(_.rows).sum)).tableHash
+        else Some(m.chunks.map(_.rows).sum),
+      rowProbe = if (t.generator) Some(m.chunks.map(_.rows).sum)
+        else None).tableHash
   }
 
   /** The incremental re-key path splits one fold into per-chunk partial

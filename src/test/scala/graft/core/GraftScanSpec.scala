@@ -485,4 +485,35 @@ class GraftScanSpec extends AnyFunSuite {
     assert(viaBounded.hash == viaPlain.hash)
     assert(m.chunks.nonEmpty)
   }
+
+  test("rowLocalScanBounds: materialized cache and small parquet leaves are bounded") {
+    val bridge = org.apache.spark.sql.GraftBridge
+
+    // a MATERIALIZED InMemoryRelation: exact rows + in-memory bytes
+    val cached = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS v").cache()
+    try {
+      assert(bridge.rowLocalScanBounds(cached)._1.isEmpty,
+        "an unmaterialized cache has no row count yet")
+      cached.count() // materialize
+      val (cr, cb) = bridge.rowLocalScanBounds(
+        cached.where(col("k") % 2 === 0).select(col("k")))
+      assert(cr.contains(500L) && cb.exists(_ > 0))
+    } finally cached.unpersist()
+
+    // a small raw parquet relation: bytes from file stats, rows from footers
+    val dir = Files.createTempDirectory("graft-bounds-pq-").toString
+    spark.range(0, 700).selectExpr("id AS k", "id * 5 AS v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val (pr, pb) = bridge.rowLocalScanBounds(pq.where(col("k") < 10))
+    assert(pr.contains(700L), s"parquet footer rows: $pr")
+    assert(pb.exists(_ > 0))
+    // cardinality-raising plans over the same leaves stay unbounded
+    assert(bridge.rowLocalScanBounds(pq.unionAll(pq))._1.isEmpty)
+    // and a bounded-leaf CTAS hash-equals the plain build
+    val ops = newOps()
+    val viaBounded = ops.fromDataFrameBounded(pq, Seq("k"),
+      FoldSpec.FoldLast, pr, pb)
+    assert(viaBounded.hash == ops.fromDataFrame(pq, Seq("k")).hash)
+  }
 }
