@@ -321,8 +321,26 @@ object Canonical {
     * DictMaxValues dictionary), so fused and standalone digests are
     * byte-identical. */
   private[core] final class DigestState(statCols: Seq[String],
-      statPos: Array[Int]) {
+      statPos: Array[Int],
+      statDts: Array[org.apache.spark.sql.types.DataType] = Array.empty) {
     private val nStats = statPos.length
+    // exact per-chunk sums for integral/decimal stat columns: decode the
+    // already-encoded slice (same marker-prefixed KeyCodec layout the
+    // min/max compares use) and accumulate a BigInteger — overflow-free,
+    // order-independent, and free of any fp non-associativity (fp
+    // columns are excluded by construction). null = not summable.
+    // per-type decoders: reuse fieldDecoder for the exact dt so the
+    // value arithmetic cannot drift from the encoding
+    private val sumTypeDecs: Array[KeyCodec.FieldDec] =
+      if (statDts.isEmpty) new Array(nStats)
+      else statDts.map {
+        case dt @ (LongType | IntegerType | ShortType | ByteType) =>
+          KeyCodec.fieldDecoder(dt).orNull
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          KeyCodec.fieldDecoder(dt).orNull
+        case _ => null
+      }
+    private val sums = new Array[java.math.BigInteger](nStats)
     private val md = java.security.MessageDigest.getInstance("SHA-256")
     private var minKb: Array[Byte] = _
     private var maxKb: Array[Byte] = _
@@ -340,7 +358,7 @@ object Canonical {
       var i = 0
       while (i < nStats) {
         mins(i) = null; maxs(i) = null; nulls(i) = 0L; dead(i) = false
-        dicts(i).clear(); dictDead(i) = false
+        dicts(i).clear(); dictDead(i) = false; sums(i) = null
         i += 1
       }
     }
@@ -375,6 +393,20 @@ object Canonical {
               mins(i) = java.util.Arrays.copyOfRange(rb, from, to)
             if (maxs(i) == null || cmpRange(rb, from, to, maxs(i)) > 0)
               maxs(i) = java.util.Arrays.copyOfRange(rb, from, to)
+            if (sumTypeDecs.length > i && sumTypeDecs(i) != null) {
+              val unscaled: java.math.BigInteger =
+                sumTypeDecs(i)(rb, from)._1 match {
+                  case l: Long => java.math.BigInteger.valueOf(l)
+                  case x: Int => java.math.BigInteger.valueOf(x.toLong)
+                  case x: Short => java.math.BigInteger.valueOf(x.toLong)
+                  case x: Byte => java.math.BigInteger.valueOf(x.toLong)
+                  case d: org.apache.spark.sql.types.Decimal =>
+                    d.toJavaBigDecimal.unscaledValue()
+                  case _ => java.math.BigInteger.ZERO
+                }
+              sums(i) =
+                if (sums(i) == null) unscaled else sums(i).add(unscaled)
+            }
             if (!dictDead(i)) {
               val buf = dicts(i)
               var j = 0
@@ -400,7 +432,14 @@ object Canonical {
           nulls(i),
           if (dictDead(i)) None
           else Some(dicts(i).sortWith(Hashing.compareBytes(_, _) < 0)
-            .toSeq.map(Hashing.hex))))
+            .toSeq.map(Hashing.hex)),
+          sumDec =
+            if (sumTypeDecs.length > i && sumTypeDecs(i) != null)
+              // all-null chunk sums to 0; MetaAgg derives NULL-vs-0
+              // from the null counts, so 0 is the right identity here
+              Some(Option(sums(i))
+                .getOrElse(java.math.BigInteger.ZERO).toString)
+            else None))
       }.toMap
       FusedDigest(group, tag, Hashing.hex(minKb), Hashing.hex(maxKb), n,
         Hashing.hex(md.digest()), stats)
@@ -595,13 +634,14 @@ object Canonical {
       val rbEnc = KeyCodec.rowEncoderSliced(StructType(df.schema.fields), cols)
       val statCols = statColumns(df.schema, keyCols)
       val statPos = statCols.map(cols.indexOf).toArray
+      val statDts = statCols.map(df.schema(_).dataType).toArray
       val dataIdx = cols.map(inSchema.fieldIndex)
       val acc = spark.sparkContext
         .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))
       val tagged = parted.mapPartitions { base =>
-        val st = new DigestState(statCols, statPos)
+        val st = new DigestState(statCols, statPos, statDts)
         var curP = -1; var ord = -1; var tag = ""; var open = false
         def flush(): Unit = if (open) { acc.add(st.result("", tag)); open = false }
         new Iterator[Row] {
@@ -843,13 +883,14 @@ object Canonical {
       val rbEnc = KeyCodec.rowEncoderSliced(dataSchema, cols)
       val statCols = statColumns(dataSchema, keyCols)
       val statPos = statCols.map(cols.indexOf).toArray
+      val statDts = statCols.map(dataSchema(_).dataType).toArray
       val dataIdx = cols.map(inSchema.fieldIndex)
       val acc = spark.sparkContext
         .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))
       val tagged = parted.mapPartitions { base =>
-        val st = new DigestState(statCols, statPos)
+        val st = new DigestState(statCols, statPos, statDts)
         var curG: String = null; var curP = -1; var ord = -1
         var tag = ""; var open = false
         def flush(): Unit =
@@ -926,6 +967,7 @@ object Canonical {
     private val rbEnc = KeyCodec.rowEncoderSliced(schema, cols)
     private val statCols = statColumns(schema, keyCols)
     private val statPos = statCols.map(cols.indexOf).toArray
+    private val statDts = statCols.map(schema(_).dataType).toArray
     private val fileN = new java.util.concurrent.atomic.AtomicInteger
     /** Thread-safe: concurrent writeRun calls (and the parallel chunk
       * writes within one call) contend only on the file counter and the
@@ -947,7 +989,7 @@ object Canonical {
       }
       if (curN > 0) segs += cur.result()
       parIo(segs.result()) { chunkRows =>
-        val st = new DigestState(statCols, statPos)
+        val st = new DigestState(statCols, statPos, statDts)
         chunkRows.foreach { case (row, kb) =>
           val (rb, ends) = rbEnc(row)
           st.update(kb, rb, ends)

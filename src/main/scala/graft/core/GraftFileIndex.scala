@@ -34,6 +34,11 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
   def totalRows: Long = m.chunks.iterator.map(_.rows).sum
   def totalBytes: Long = chunkFiles.iterator.map(_._2.getLen).sum
 
+  /** The scanned table's metadata — chunk row counts, key bounds, and
+    * zone-map stats. What the metadata-only aggregate rewrite
+    * ([[MetaAgg]]) answers COUNT/MIN/MAX from without opening files. */
+  def tableMeta: TableMeta = m
+
   private val chunkFiles: Seq[(ChunkMeta, FileStatus)] = m.chunks.map { c =>
     val f = new java.io.File(store.chunkPath(c.hash))
     c -> new FileStatus(f.length(), false, 1, 128L * 1024 * 1024,

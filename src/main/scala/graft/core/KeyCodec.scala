@@ -101,6 +101,84 @@ object KeyCodec {
     }
   }
 
+  // ---- field decoding (metadata-only aggregates) ----------------------
+
+  /** Inverse of [[fieldEncoder]] for SCALAR types, as a parser over a
+    * marker-prefixed encoding: returns (CATALYST-internal value, next
+    * offset), or None when the type has no decoder (array/struct — their
+    * stats are never collected anyway). Decoding exists so chunk
+    * metadata (zone-map min/max, key bounds) can answer MIN/MAX
+    * aggregates without opening a single chunk file; the encoding
+    * remains the only hashed artifact, so a decoder bug can never
+    * corrupt a table — only a wrong (caught-by-oracle) aggregate. */
+  type FieldDec = (Array[Byte], Int) => (Any, Int)
+  def fieldDecoder(dt: DataType): Option[FieldDec] = {
+    def beLong(a: Array[Byte], o: Int): Long = {
+      var x = 0L; var i = 0
+      while (i < 8) { x = (x << 8) | (a(o + i) & 0xffL); i += 1 }
+      x
+    }
+    def beInt(a: Array[Byte], o: Int): Int = {
+      var x = 0; var i = 0
+      while (i < 4) { x = (x << 8) | (a(o + i) & 0xff); i += 1 }
+      x
+    }
+    // escaped bytes: 0x00,0xFF → 0x00; 0x00,0x00 terminates
+    def decBytes(a: Array[Byte], o: Int): (Array[Byte], Int) = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = o
+      while (true) {
+        val b = a(i)
+        if (b == 0) {
+          if (a(i + 1) == 0) return (out.toByteArray, i + 2)
+          out.write(0); i += 2
+        } else { out.write(b); i += 1 }
+      }
+      sys.error("unreachable")
+    }
+    val base: Option[(Array[Byte], Int) => (Any, Int)] = dt match {
+      case LongType => Some((a, o) => (beLong(a, o) ^ Long.MinValue, o + 8))
+      case IntegerType => Some((a, o) => (beInt(a, o) ^ Int.MinValue, o + 4))
+      case ShortType => Some((a, o) =>
+        ((((a(o) & 0xff) << 8 | (a(o + 1) & 0xff)) ^ 0x8000).toShort, o + 2))
+      case ByteType => Some((a, o) => ((a(o) ^ 0x80).toByte, o + 1))
+      case DoubleType => Some { (a, o) =>
+        val x = beLong(a, o)
+        val bits = if (x < 0) x ^ Long.MinValue else ~x
+        (java.lang.Double.longBitsToDouble(bits), o + 8)
+      }
+      case FloatType => Some { (a, o) =>
+        val x = beInt(a, o)
+        val bits = if (x < 0) x ^ Int.MinValue else ~x
+        (java.lang.Float.intBitsToFloat(bits), o + 4)
+      }
+      case BooleanType => Some((a, o) => (a(o) == 1, o + 1))
+      case StringType => Some { (a, o) =>
+        val (bs, n) = decBytes(a, o)
+        (org.apache.spark.unsafe.types.UTF8String.fromBytes(bs), n)
+      }
+      case BinaryType => Some((a, o) => decBytes(a, o))
+      case d: DecimalType => Some { (a, o) =>
+        val raw = java.util.Arrays.copyOfRange(a, o, o + 16)
+        raw(0) = (raw(0) ^ 0x80).toByte
+        val unscaled = new java.math.BigInteger(raw)
+        (org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale),
+          o + 16)
+      }
+      // timestamps/dates encode as their Catalyst-internal micros/days —
+      // decode IS the internal value
+      case TimestampType | TimestampNTZType =>
+        Some((a, o) => (beLong(a, o) ^ Long.MinValue, o + 8))
+      case DateType => Some((a, o) => (beInt(a, o) ^ Int.MinValue, o + 4))
+      case _ => None
+    }
+    base.map { dec => (a: Array[Byte], o: Int) =>
+      if (a(o) == 0) (null, o + 1)
+      else { val (v, n) = dec(a, o + 1); (v, n) }
+    }
+  }
+
   // ---- row-level encoding ---------------------------------------------
 
   final class ByteBuf(initial: Int = 64) {

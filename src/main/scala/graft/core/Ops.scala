@@ -39,6 +39,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
+  // metadata-only COUNT/MIN/MAX over graft scans (MetaAgg): registered
+  // through the stock extension point for library optimizer rules;
+  // idempotent under repeated Ops construction on one session
+  if (!spark.experimental.extraOptimizations.contains(MetaAgg))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MetaAgg
+
   // ---- ingest ----------------------------------------------------------
 
   /** Bulk load (tableFromRows analogue, Table.hs:125-140): fold duplicate

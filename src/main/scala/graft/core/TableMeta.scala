@@ -24,7 +24,13 @@ import org.json4s.jackson.JsonMethods
   * any file opens). None = cardinality exceeded the cap or stats
   * predate dictionaries; pruning then falls back to the envelope. */
 final case class ColStats(minHex: Option[String], maxHex: Option[String],
-    nulls: Long, dictHex: Option[Seq[String]] = None)
+    nulls: Long, dictHex: Option[Seq[String]] = None,
+    /** EXACT sum of the chunk's non-null values for integral/decimal
+      * columns, as a decimal string of the (unscaled, for decimals)
+      * BigInteger — overflow-free at any chunk size, and the input of
+      * metadata-only SUM ([[MetaAgg]]). None for non-summable types
+      * and metas predating sums. */
+    sumDec: Option[String] = None)
 
 /** One immutable chunk: a PK-sorted parquet file named by the SHA-256 of
   * its canonical row bytes; min/max key kept for pruning (the analogue of
@@ -100,20 +106,26 @@ object TableMeta {
     * are the wrong driver cost for 1e5+-chunk tables). */
   val InlineChunkLimit = 10000
 
-  /** stats ⇄ JSON: {"col": [minHexOrNull, maxHexOrNull, nulls]} with an
-    * optional 4th element — the sorted dictionary ([[ColStats.dictHex]])
-    * — shared by the inline meta and the ChunkIndex sidecar. 3-element
-    * arrays (pre-dictionary metas) read back with dictHex = None. */
+  /** stats ⇄ JSON: {"col": [minHexOrNull, maxHexOrNull, nulls]} with
+    * optional positional tails — 4th the sorted dictionary
+    * ([[ColStats.dictHex]]; JNull when absent but a later field is
+    * present), 5th the exact sum ([[ColStats.sumDec]]) — shared by the
+    * inline meta and the ChunkIndex sidecar. Shorter arrays (older
+    * metas) read back with the absent fields as None. */
   def statsToJson(stats: Map[String, ColStats]): JObject =
     JObject(stats.toList.sortBy(_._1).map { case (c, s) =>
       val base = List(
         s.minHex.map(JString(_)).getOrElse(JNull),
         s.maxHex.map(JString(_)).getOrElse(JNull),
         JInt(s.nulls))
-      c -> (JArray(s.dictHex match {
-        case Some(ds) => base :+ JArray(ds.toList.map(JString(_)))
-        case None => base
-      }): JValue)
+      val dictJ = s.dictHex.map(ds => JArray(ds.toList.map(JString(_))))
+      val tail: List[JValue] = (dictJ, s.sumDec) match {
+        case (None, None) => Nil
+        case (Some(d), None) => List(d)
+        case (d, Some(sum)) =>
+          List(d.getOrElse(JNull), JString(sum))
+      }
+      c -> (JArray(base ++ tail): JValue)
     })
 
   def statsFromJson(j: JValue): Map[String, ColStats] = j match {
@@ -121,11 +133,12 @@ object TableMeta {
       case (c, JArray(mn :: mx :: JInt(n) :: rest)) =>
         def str(v: JValue): Option[String] =
           v match { case JString(s) => Some(s); case _ => None }
-        val dict = rest match {
-          case List(JArray(ds)) => Some(ds.collect { case JString(s) => s })
+        val dict = rest.headOption match {
+          case Some(JArray(ds)) => Some(ds.collect { case JString(s) => s })
           case _ => None
         }
-        c -> ColStats(str(mn), str(mx), n.toLong, dict)
+        val sum = rest.drop(1).headOption.flatMap(str)
+        c -> ColStats(str(mn), str(mx), n.toLong, dict, sum)
       case (c, other) => sys.error(s"bad stats for $c: $other")
     }.toMap
     case _ => Map.empty

@@ -740,7 +740,59 @@ object MatView {
        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
        |FROM fin GROUP BY o_custkey % 5 ORDER BY g""".stripMargin
 
+  /** Metadata-only aggregates end-to-end (core.MetaAgg): CTAS binds
+    * orders to a graft table, then one global COUNT/MIN/MAX statement
+    * over it COLLAPSES AT PLAN TIME to the chunk-metadata answer — the
+    * query asserts the collapse (LocalRelation, zero chunk files
+    * opened), so what BENCH measures is the metadata read path. At
+    * 100 TB this is the difference between a million-file footer crawl
+    * and a driver-side fold over the chunk list. The DuckDB oracle
+    * computes the same aggregates by scanning. */
+  def sqlMetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-metaagg-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"),
+        nullif(col("o_custkey") % 7, lit(0)).as("nc"))
+      .createOrReplaceTempView("orders_ma_src")
+    run("CREATE TABLE orders_ma PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_ma_src")
+    val Left(out) = run(
+      "SELECT COUNT(*) AS n_rows, COUNT(nc) AS n_nc, " +
+        "MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c, " +
+        "MIN(price_c) AS min_p, MAX(price_c) AS max_p, " +
+        "SUM(price_c) AS sum_p, SUM(nc) AS sum_nc, " +
+        "MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s, " +
+        "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
+        "FROM orders_ma"): @unchecked
+    require(out.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "metadata-only aggregate did not collapse — the scan path ran instead")
+    out
+  }
+
+  val sqlMetaAggSql: String =
+    s"""WITH src AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |         ${centsSql("o_totalprice")} AS price_c,
+       |         NULLIF(o_custkey % 7, 0) AS nc
+       |  FROM orders)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(COUNT(nc) AS BIGINT) AS n_nc,
+       |       MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+       |       MIN(price_c) AS min_p, MAX(price_c) AS max_p,
+       |       CAST(SUM(price_c) AS BIGINT) AS sum_p,
+       |       CAST(SUM(nc) AS BIGINT) AS sum_nc,
+       |       MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s,
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |FROM src""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "sql_meta_agg" -> (sqlMetaAgg _),
     "sql_point_dml" -> (sqlPointDml _),
     "sql_matview" -> (sqlMatview _),
     "sql_matview_where" -> (sqlMatviewWhere _),
@@ -755,6 +807,7 @@ object MatView {
     "sql_txn" -> (sqlTxn _),
     "sql_index" -> (sqlIndex _))
   val oracles: Map[String, String] = Map(
+    "sql_meta_agg" -> sqlMetaAggSql,
     "sql_point_dml" -> sqlPointDmlSql,
     "sql_matview" -> sqlMatviewSql,
     "sql_matview_where" -> sqlMatviewWhereSql,
