@@ -39,6 +39,11 @@ final class GraftFileIndex(spark: SparkSession, store: GraftStore,
     * ([[MetaAgg]]) answers COUNT/MIN/MAX from without opening files. */
   def tableMeta: TableMeta = m
 
+  /** The same table restricted to a chunk subset — the edge-chunk scan
+    * of the metadata range-count rewrite. */
+  def withChunks(cs: Seq[ChunkMeta]): GraftFileIndex =
+    new GraftFileIndex(spark, store, m.copy(chunks = cs))
+
   private val chunkFiles: Seq[(ChunkMeta, FileStatus)] = m.chunks.map { c =>
     val f = new java.io.File(store.chunkPath(c.hash))
     c -> new FileStatus(f.length(), false, 1, 128L * 1024 * 1024,

@@ -49,6 +49,7 @@ object MetaAgg extends Rule[LogicalPlan] {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       graftScanOf(agg.child)
         .flatMap(meta => rewrite(agg, meta))
+        .orElse(rangeCountRewrite(agg))
         .getOrElse(agg)
   }
 
@@ -70,6 +71,163 @@ object MetaAgg extends Rule[LogicalPlan] {
       case _ => None
     }
     case _ => None
+  }
+
+  /** Range COUNT from metadata: `count(*) … WHERE <leading-key range>`
+    * counts every chunk PROVABLY CONTAINED in the range from its
+    * metadata row count and scans only the (≤2, for a contiguous
+    * range) edge chunks that straddle a bound — at 100 TB a
+    * half-the-table range count reads two files instead of half a
+    * million. The rewrite keeps the original Filter over a scan
+    * relation REDUCED to the edge chunks and adds the interior total
+    * to each count:
+    *
+    *   Aggregate[count(1) + INTERIOR](Filter(cond, scan(edges)))
+    *
+    * Sound because chunk key ranges are disjoint and sorted: a chunk
+    * whose min AND max keys pass both bounds has EVERY key inside the
+    * range ([[RangeBounds.chunkContained]] — the same arithmetic
+    * rangeFilter splices with). Only fires when the WHOLE filter is
+    * one leading-key range (≤1 lower + ≤1 upper comparison or one
+    * equality, plus IsNotNull on key columns, which are non-null by
+    * the table contract); any residual conjunct, non-count aggregate,
+    * or empty interior leaves the plan untouched. */
+  private def rangeCountRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // unwrap column-pruning Projects/aliases around the Filter
+    def stripToFilter(p: LogicalPlan): Option[(Expression, LogicalPlan)] =
+      p match {
+        case Project(exprs, child) if exprs.forall {
+          case _: AttributeReference => true
+          case _ => false
+        } => stripToFilter(child)
+        case SubqueryAlias(_, child) => stripToFilter(child)
+        case Filter(cond, child) => Some((cond, child))
+        case _ => None
+      }
+    def stripToRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(exprs, child) if exprs.forall {
+        case _: AttributeReference => true
+        case _ => false
+      } => stripToRelation(child)
+      case SubqueryAlias(_, child) => stripToRelation(child)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+    for {
+      (cond, below) <- stripToFilter(agg.child)
+      lr <- stripToRelation(below)
+      fs <- lr.relation match {
+        case f: HadoopFsRelation => Some(f)
+        case _ => None
+      }
+      g <- fs.location match {
+        case g: GraftFileIndex => Some(g)
+        case _ => None
+      }
+      m = g.tableMeta
+      (lo, hi) <- leadingKeyRange(cond, m)
+      // every output must be a count of non-null literals or of a key
+      // column (keys are non-null, so both equal the row count)
+      if agg.aggregateExpressions.forall {
+        case Alias(AggregateExpression(f, Complete, false, None, _), _) =>
+          f match {
+            case Count(children) => children.forall {
+              case l: Literal => l.value != null
+              case a: AttributeReference => m.keyCols.contains(a.name)
+              case _ => false
+            }
+            case _ => false
+          }
+        case _ => false
+      }
+      contained = m.chunks.filter(RangeBounds.chunkContained(_, lo, hi))
+      if contained.nonEmpty // nothing to save otherwise
+    } yield {
+      val interior = contained.iterator.map(_.rows).sum
+      val containedSet = contained.iterator.map(_.hash).toSet
+      val edges = m.chunks.filter(c =>
+        RangeBounds.chunkIntersects(c, lo, hi) && !containedSet(c.hash))
+      if (edges.isEmpty) {
+        LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => interior))))
+      } else {
+        val reduced = lr.copy(relation =
+          fs.copy(location = g.withChunks(edges))(fs.sparkSession))
+        val exprs = agg.aggregateExpressions.map {
+          case a @ Alias(ae: AggregateExpression, name) =>
+            Alias(Add(ae, Literal(interior)), name)(
+              a.exprId, a.qualifier, a.explicitMetadata,
+              a.nonInheritableMetadataKeys)
+          case other => other // unreachable (guarded above)
+        }
+        agg.copy(aggregateExpressions = exprs,
+          child = Filter(cond, reduced))
+      }
+    }
+  }
+
+  /** cond as EXACTLY one leading-key range: conjuncts are comparisons
+    * of the LEADING key column with non-null literals — at most one
+    * lower and one upper, or one equality — plus IsNotNull over key
+    * columns (non-null by contract). Any other conjunct → None. */
+  private def leadingKeyRange(cond: Expression, m: TableMeta)
+      : Option[(Option[RangeBounds.Bnd], Option[RangeBounds.Bnd])] = {
+    val lead = m.keyCols.head
+    val dt = m.schema(lead).dataType
+    def isLead(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == lead
+      case _ => false
+    }
+    def enc(v: Any, inclusive: Boolean): Option[RangeBounds.Bnd] =
+      try {
+        val ext = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(dt)(v)
+        if (ext == null) None
+        else {
+          val buf = new KeyCodec.ByteBuf(24)
+          KeyCodec.fieldEncoder(dt)(buf, ext)
+          Some((buf.toBytes, inclusive))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    var lo: Option[RangeBounds.Bnd] = None
+    var hi: Option[RangeBounds.Bnd] = None
+    def setLo(b: Option[RangeBounds.Bnd]): Boolean =
+      b.isDefined && lo.isEmpty && { lo = b; true }
+    def setHi(b: Option[RangeBounds.Bnd]): Boolean =
+      b.isDefined && hi.isEmpty && { hi = b; true }
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case x => Seq(x)
+      }
+      split(cond)
+    }
+    val allUsed = conjuncts.forall {
+      case IsNotNull(a: AttributeReference) if m.keyCols.contains(a.name) =>
+        true // keys are non-null by the table contract
+      case EqualTo(a, Literal(v, _)) if isLead(a) =>
+        setLo(enc(v, inclusive = true)) && setHi(enc(v, inclusive = true))
+      case EqualTo(Literal(v, _), a) if isLead(a) =>
+        setLo(enc(v, inclusive = true)) && setHi(enc(v, inclusive = true))
+      case GreaterThanOrEqual(a, Literal(v, _)) if isLead(a) =>
+        setLo(enc(v, inclusive = true))
+      case GreaterThan(a, Literal(v, _)) if isLead(a) =>
+        setLo(enc(v, inclusive = false))
+      case LessThanOrEqual(a, Literal(v, _)) if isLead(a) =>
+        setHi(enc(v, inclusive = true))
+      case LessThan(a, Literal(v, _)) if isLead(a) =>
+        setHi(enc(v, inclusive = false))
+      case GreaterThanOrEqual(Literal(v, _), a) if isLead(a) =>
+        setHi(enc(v, inclusive = true))
+      case GreaterThan(Literal(v, _), a) if isLead(a) =>
+        setHi(enc(v, inclusive = false))
+      case LessThanOrEqual(Literal(v, _), a) if isLead(a) =>
+        setLo(enc(v, inclusive = true))
+      case LessThan(Literal(v, _), a) if isLead(a) =>
+        setLo(enc(v, inclusive = false))
+      case _ => false
+    }
+    if (allUsed && (lo.isDefined || hi.isDefined)) Some((lo, hi)) else None
   }
 
   private def rewrite(agg: Aggregate, m: TableMeta): Option[LogicalPlan] = {

@@ -762,16 +762,34 @@ object MatView {
       .createOrReplaceTempView("orders_ma_src")
     run("CREATE TABLE orders_ma PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_ma_src")
     val Left(out) = run(
-      "SELECT COUNT(*) AS n_rows, COUNT(nc) AS n_nc, " +
+      "SELECT g.*, r.n_range FROM (" +
+        "SELECT COUNT(*) AS n_rows, COUNT(nc) AS n_nc, " +
         "MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c, " +
         "MIN(price_c) AS min_p, MAX(price_c) AS max_p, " +
         "SUM(price_c) AS sum_p, SUM(nc) AS sum_nc, " +
         "MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s, " +
         "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
-        "FROM orders_ma"): @unchecked
-    require(out.queryExecution.optimizedPlan
-      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
-      "metadata-only aggregate did not collapse — the scan path ran instead")
+        "FROM orders_ma) g CROSS JOIN (" +
+        "SELECT COUNT(*) AS n_range FROM orders_ma " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey <= 40000) r"): @unchecked
+    // the global block must have collapsed to metadata and the range
+    // count must scan only EDGE chunks — no graft relation in the final
+    // plan may hold more than a handful of chunk files
+    out.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location match {
+              case g: graft.core.GraftFileIndex =>
+                require(g.tableMeta.chunks.length <= 4,
+                  s"metadata aggregate left a ${g.tableMeta.chunks.length}" +
+                    "-chunk scan in the plan — the rewrite did not fire")
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
     out
   }
 
@@ -788,7 +806,9 @@ object MatView {
        |       CAST(SUM(price_c) AS BIGINT) AS sum_p,
        |       CAST(SUM(nc) AS BIGINT) AS sum_nc,
        |       MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s,
-       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+       |        WHERE o_orderkey >= 1000 AND o_orderkey <= 40000) AS n_range
        |FROM src""".stripMargin
 
   val queries: Map[String, QFn] = Map(

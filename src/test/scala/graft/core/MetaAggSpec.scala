@@ -225,6 +225,67 @@ class MetaAggSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("range count: interior chunks counted from metadata, only edges scanned") {
+    val ops = newOps(32)
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 2000L).map(k => Row(k, k % 17)), 8), schema)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+    val total = ops.meta(ref).chunks.length
+    assert(total >= 20, s"fixture should span many chunks, got $total")
+    val scan = ops.scan(ref)
+
+    def edgeFiles(q: org.apache.spark.sql.DataFrame): Option[Int] = {
+      var n: Option[Int] = None
+      q.queryExecution.optimizedPlan.foreach {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location match {
+                case g: GraftFileIndex => n = Some(g.tableMeta.chunks.length)
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      n
+    }
+
+    // wide inclusive range: interior counted, few edge chunks scanned
+    val q1 = scan.where(col("k") >= 100L && col("k") <= 1800L)
+      .agg(count(lit(1)).as("n"))
+    val e1 = edgeFiles(q1)
+    assert(e1.exists(_ <= 4), s"range count should scan only edges, got $e1 of $total")
+    assert(q1.collect()(0).getLong(0) == 1701L)
+
+    // exclusive + open-ended + literal-first + equality forms
+    assert(scan.where(col("k") > 99L && col("k") < 1800L)
+      .agg(count(lit(1))).collect()(0).getLong(0) == 1700L)
+    assert(scan.where(col("k") >= 1500L)
+      .agg(count(lit(1))).collect()(0).getLong(0) == 500L)
+    assert(scan.where(lit(100L) <= col("k"))
+      .agg(count(lit(1))).collect()(0).getLong(0) == 1900L)
+    assert(scan.where(col("k") === 777L)
+      .agg(count(col("k"))).collect()(0).getLong(0) == 1L)
+
+    // a residual non-key conjunct must NOT take the metadata shortcut —
+    // and must stay correct
+    val q2 = scan.where(col("k") >= 100L && col("v") === 3L)
+      .agg(count(lit(1)).as("n"))
+    assert(edgeFiles(q2).forall(_ == total),
+      "a non-key conjunct must scan the full pruned range")
+    assert(q2.collect()(0).getLong(0) ==
+      (100L until 2000L).count(_ % 17 == 3))
+    // a count of a VALUE column needs null knowledge — not rewritten
+    val q3 = scan.where(col("k") >= 100L).agg(count(col("v")))
+    assert(edgeFiles(q3).forall(_ == total))
+    assert(q3.collect()(0).getLong(0) == 1900L)
+  }
+
   test("SQL over a catalog table collapses too (the engine read path)") {
     val ops = newOps()
     val cat = new Catalog(ops.store)
