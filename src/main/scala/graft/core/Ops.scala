@@ -39,12 +39,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-  // metadata-only COUNT/MIN/MAX over graft scans (MetaAgg): registered
-  // through the stock extension point for library optimizer rules;
-  // idempotent under repeated Ops construction on one session
-  if (!spark.experimental.extraOptimizations.contains(MetaAgg))
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ MetaAgg
+  // metadata-only COUNT/MIN/MAX/SUM (MetaAgg) and ordered-limit chunk
+  // pruning (LimitPrune) over graft scans: registered through the stock
+  // extension point for library optimizer rules; idempotent under
+  // repeated Ops construction on one session
+  Seq(MetaAgg, LimitPrune).foreach { r =>
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+  }
 
   // ---- ingest ----------------------------------------------------------
 
