@@ -547,9 +547,9 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
-      val got = withEngineConf(spark)(
-        driverMaterialize(spark, store, kbDf, df.schema, schemaJson,
-          keyCols, chunkTargetRows, rowBound.get))
+      val (es, ekb) = onEngine(spark, kbDf)
+      val got = driverMaterialize(es, store, ekb, df.schema, schemaJson,
+        keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
     } else if (rowBound.isEmpty && driverMaterializeEnabled &&
         smallJob(rowProbe, chunkTargetRows) &&
@@ -561,29 +561,24 @@ object Canonical {
       // recomputes. This is what lets a small-corpus generator INDEX
       // BUILD (the full shingle index, not just its minis) run as one
       // collect + driver-side chunk writes instead of a sample +
-      // multi-file write job pair.
+      // multi-file write job pair. (The one-job limit conf lives on
+      // the engine clone — see GraftBridge.engineSession.)
       val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
-        try Some(withJobDesc(spark, "graft:probe")(withEngineConf(spark) {
-          val key = "spark.sql.limit.initialNumPartitions"
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "1000000")
-          try kbDf.limit(cap.toInt + 1).collect()
-          finally prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }))
+        try Some(withJobDesc(spark, "graft:probe") {
+          val (_, ekb) = onEngine(spark, kbDf)
+          ekb.limit(cap.toInt + 1).collect()
+        })
         catch { case scala.util.control.NonFatal(e) =>
           Ops.warnDriverPatchFallback(e); None }
       probed.filter(_.length <= cap).foreach { rs =>
-        val got = withEngineConf(spark)(
-          driverMaterializeRows(store, rs, kbDf.schema, df.schema,
-            schemaJson, keyCols, chunkTargetRows))
+        val got = driverMaterializeRows(store, rs, kbDf.schema, df.schema,
+          schemaJson, keyCols, chunkTargetRows)
         got.foreach(return _)
       }
     }
-    try withEngineConf(spark) {
+    try {
+      val (es, ekb) = onEngine(spark, kbDf)
       // 1. range SPLITS: an intrinsic subsample of the boundary keys.
       //    hash(kb) % (target·sub) == 0 implies hash(kb) % target == 0,
       //    so every split is a boundary key and chunk intervals nest
@@ -593,16 +588,16 @@ object Canonical {
       //    Small jobs skip the pass: no splits, one write task.
       val target = chunkTargetRows
       val nPart =
-        if (small) 1 else spark.sessionState.conf.numShufflePartitions
+        if (small) 1 else es.sessionState.conf.numShufflePartitions
       // one fused pass: row count + subsampled split keys (also
       // materializes the persisted frame for the write pass below)
       val sampled =
         if (small) Array.empty[(String, Array[Byte])]
         else withJobDesc(spark, "graft:sample")(
-          sampleSplits(kbDf, None, target, nPart)._2)
+          sampleSplits(ekb, None, target, nPart)._2)
       val splits: Array[Array[Byte]] = sampled.map(_._2)
         .sortWith(Hashing.compareBytes(_, _) < 0)
-      val bcS = spark.sparkContext.broadcast(splits)
+      val bcS = es.sparkContext.broadcast(splits)
 
       // 2. partition id = split interval of the key. Hash-shuffling on it
       //    sends each interval to exactly one task; a split key is a
@@ -613,7 +608,7 @@ object Canonical {
       val partIdUdf = udf { (kb: Array[Byte]) => boundaryIndex(bcS.value, kb) }
 
       val tmpDir = Files.createTempDirectory("graft-canon-").toString
-      val parted0 = kbDf.withColumn(PART, partIdUdf(col(KB)))
+      val parted0 = ekb.withColumn(PART, partIdUdf(col(KB)))
       val parted = (if (small) parted0.coalesce(1)
         else parted0.repartition(nPart, col(PART)))
         .sortWithinPartitions(col(PART), col(KB))
@@ -636,7 +631,7 @@ object Canonical {
       val statPos = statCols.map(cols.indexOf).toArray
       val statDts = statCols.map(df.schema(_).dataType).toArray
       val dataIdx = cols.map(inSchema.fieldIndex)
-      val acc = spark.sparkContext
+      val acc = es.sparkContext
         .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))
@@ -710,27 +705,21 @@ object Canonical {
     * Scale-safe: AQE never coalesces an explicit repartition(n) and no
     * joins run inside these plans.
     *
-    * Why the SESSION conf and not a thread-scoped
-    * `SQLConf.withExistingConf` override: Spark executes write commands
-    * asynchronously (`SQLExecution.withThreadLocalCaptured` hops to a
-    * command-execution thread pool) and that hop does NOT carry the
-    * thread-local SQLConf — measured directly (tools/WriteProbe): the
-    * thread-local override still writes in 2 jobs, the session flip in
-    * 1. The flip is restored even on failure. LIMITATION: a concurrent
-    * query on the SAME SparkSession from another thread during an
-    * engine materialization would briefly observe AQE off (plans stay
-    * correct, possibly less adaptive); engine statement flows are
-    * single-threaded per session — concurrent multi-session use should
-    * give each thread its own `SparkSession.newSession()`. */
-  private[core] def withEngineConf[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    * Engine conf lives on a THROWAWAY SESSION CLONE
+    * ([[GraftBridge.engineSession]]), never on the user's session: a
+    * thread-scoped `SQLConf.withExistingConf` override does not survive
+    * the hop to Spark's async command-execution thread pool (measured,
+    * tools/WriteProbe), and the former session-global flip let a
+    * concurrent query on another thread observe AQE off — or restore a
+    * stale value under interleaving (round-7 verdict #1). The frame is
+    * rebound to the clone ([[GraftBridge.transplant]]), so its write
+    * commands read the clone's conf wherever they execute; the user
+    * session's conf is never touched (pinned two-threaded in
+    * EngineConfIsolationSpec). */
+  private[core] def onEngine(spark: SparkSession, df: DataFrame)
+      : (SparkSession, DataFrame) = {
+    val es = org.apache.spark.sql.GraftBridge.engineSession(spark)
+    (es, org.apache.spark.sql.GraftBridge.transplant(es, df))
   }
 
   /** Label the Spark jobs an engine phase launches (shows up in the UI
@@ -795,9 +784,9 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
-      val got = withEngineConf(spark)(
-        driverMaterializeGrouped(spark, store, kbDf, dataSchema, schemaJson,
-          groupCol, keyCols, chunkTargetRows, rowBound.get))
+      val (es, ekb) = onEngine(spark, kbDf)
+      val got = driverMaterializeGrouped(es, store, ekb, dataSchema,
+        schemaJson, groupCol, keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
     } else if (rowBound.isEmpty && driverMaterializeEnabled &&
         smallJob(rowProbe, chunkTargetRows) &&
@@ -807,34 +796,26 @@ object Canonical {
       // tiny (`rowProbe` = source rows, under the small-job rule), so
       // bet the output fits the driver cap: ONE limit-guarded collect
       // job; over the cap, the bet is off and the standard path below
-      // recomputes (bounded waste, rare by construction).
+      // recomputes (bounded waste, rare by construction). The one-job
+      // limit conf (all partitions in the first pass, not
+      // incremental-limit's partition doubling) lives on the engine
+      // clone — see GraftBridge.engineSession.
       val cap = Ops.adaptiveRowCap(dataSchema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
-        try Some(withJobDesc(spark, "graft:probe-g")(withEngineConf(spark) {
-          // one job, not incremental-limit's partition doubling: the
-          // probe wants ALL partitions in the first pass. Session-conf
-          // flip, not a thread-local override — execution re-installs
-          // the session conf (withSQLConfPropagated), same mechanics
-          // as the AQE flip in withEngineConf.
-          val key = "spark.sql.limit.initialNumPartitions"
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "1000000")
-          try kbDf.limit(cap.toInt + 1).collect()
-          finally prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }))
+        try Some(withJobDesc(spark, "graft:probe-g") {
+          val (_, ekb) = onEngine(spark, kbDf)
+          ekb.limit(cap.toInt + 1).collect()
+        })
         catch { case scala.util.control.NonFatal(e) =>
           Ops.warnDriverPatchFallback(e); None }
       probed.filter(_.length <= cap).foreach { rs =>
-        val got = withEngineConf(spark)(
-          driverMaterializeGroupedRows(spark, store, rs, kbDf.schema,
-            dataSchema, schemaJson, groupCol, keyCols, chunkTargetRows))
+        val got = driverMaterializeGroupedRows(spark, store, rs, kbDf.schema,
+          dataSchema, schemaJson, groupCol, keyCols, chunkTargetRows)
         got.foreach(return _)
       }
     }
-    try withEngineConf(spark) {
+    try {
+      val (es, ekb) = onEngine(spark, kbDf)
       // same fused one-pass sampled-split scheme as [[materialize]],
       // compounded with the group: the driver holds an
       // O(shuffle-partitions) subsample of (group, boundary-key) pairs,
@@ -843,23 +824,23 @@ object Canonical {
       // materialize).
       val target = chunkTargetRows
       val nPart =
-        if (small) 1 else spark.sessionState.conf.numShufflePartitions
+        if (small) 1 else es.sessionState.conf.numShufflePartitions
       val sampled =
         if (small) Array.empty[(String, Array[Byte])]
         else withJobDesc(spark, "graft:sample-g")(
-          sampleSplits(kbDf, Some(groupCol), target, nPart)._2)
+          sampleSplits(ekb, Some(groupCol), target, nPart)._2)
       val splits: Map[String, Array[Array[Byte]]] = sampled
         .groupBy(_._1)
         .map { case (g, pairs) =>
           g -> pairs.map(_._2).sortWith(Hashing.compareBytes(_, _) < 0)
         }
-      val bcS = spark.sparkContext.broadcast(splits)
+      val bcS = es.sparkContext.broadcast(splits)
       val partIdUdf = udf { (g: String, kb: Array[Byte]) =>
         boundaryIndex(bcS.value.getOrElse(g, Array.empty[Array[Byte]]), kb)
       }
 
       val tmpDir = Files.createTempDirectory("graft-canon-g-").toString
-      val parted0 = kbDf.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
+      val parted0 = ekb.withColumn(PART, partIdUdf(col(groupCol), col(KB)))
       // small GROUPED jobs still parallelize across groups: hashing on
       // the group column alone keeps every group inside one task (the
       // 1-file-per-chunk invariant) while spreading the encode+write
@@ -869,7 +850,7 @@ object Canonical {
       // parquet writer setup, not data parallelism.
       val parted = (if (small)
           parted0.repartition(
-            math.min(spark.sessionState.conf.numShufflePartitions,
+            math.min(es.sessionState.conf.numShufflePartitions,
               SmallGroupedWidth), col(groupCol))
         else parted0.repartition(nPart, col(groupCol), col(PART)))
         .sortWithinPartitions(col(groupCol), col(PART), col(KB))
@@ -885,7 +866,7 @@ object Canonical {
       val statPos = statCols.map(cols.indexOf).toArray
       val statDts = statCols.map(dataSchema(_).dataType).toArray
       val dataIdx = cols.map(inSchema.fieldIndex)
-      val acc = spark.sparkContext
+      val acc = es.sparkContext
         .collectionAccumulator[FusedDigest]("graft-chunk-digests")
       val tagEnc = RowEncoder.encoderFor(
         inSchema.add(StructField(CHUNK, StringType, nullable = false)))

@@ -93,13 +93,43 @@ object GraftBridge {
       Some(total)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A THROWAWAY engine-session clone: same SparkContext, shared cache
+    * manager / external catalog / store of cached data, but an ISOLATED
+    * SQLConf snapshot — engine-internal conf (AQE off for the fixed
+    * scan→repartition(n)→sort→write materialization shapes, the
+    * single-pass limit probe) is set HERE and never on the user's
+    * session, so a concurrent query on another thread can never observe
+    * engine conf (a session-global flip could also restore a STALE
+    * value under interleaving — impossible now, nothing is restored).
+    * Cloning snapshots the user conf at call time, so session time
+    * zone, ANSI mode, and shuffle partitions all carry into the engine
+    * plan. Cost: one lazy SessionState clone per materialization —
+    * microseconds against a multi-job statement flow. */
+  def engineSession(spark: SparkSession): SparkSession = {
+    val es = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    es.conf.set("spark.sql.adaptive.enabled", "false")
+    // engine limit probes want ALL partitions in the first pass (one
+    // job), not incremental-limit's partition doubling
+    es.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+    es
+  }
+
+  /** Rebind `df`'s ANALYZED plan to `target`: same rows, but planning
+    * and execution — including write commands, which hop to Spark's
+    * async command thread pool and re-install their session's conf —
+    * read the TARGET session's conf. The cache manager lives in shared
+    * state, so a persisted source still substitutes its
+    * InMemoryRelation after the transplant. */
+  def transplant(target: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Run `body` with conf overrides visible to planning done on the
     * calling thread (`SQLConf.withExistingConf`). CAVEAT (measured,
     * tools/WriteProbe): write commands execute on Spark's async
     * command thread pool (`SQLExecution.withThreadLocalCaptured`),
-    * which does NOT carry this thread-local — so this scopes READ-side
-    * planning only; engine write jobs use the session-conf flip in
-    * `Canonical.withEngineConf` instead. */
+    * which does NOT carry this thread-local — engine write jobs run on
+    * a [[engineSession]] clone instead. */
   def withConfOverrides[T](spark: SparkSession,
       overrides: Map[String, String])(body: => T): T = {
     val conf = spark.sessionState.conf.clone()
