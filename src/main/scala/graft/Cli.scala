@@ -15,6 +15,7 @@ import graft.core._
   *   graft.Cli <storeDir> import-parquet <table> <path> <keyCols,>
   *   graft.Cli <storeDir> import-csv <table> <path> <keyCols,>
   *   graft.Cli <storeDir> import-json <table> <path> <keyCols,>
+  *   graft.Cli <storeDir> sql (<script> | -c <script> | -f <file>)...
   *   graft.Cli <storeDir> range <table> <lo> <hi>
   *   graft.Cli <storeDir> lookup <table> <key>
   *   graft.Cli <storeDir> export-json <table>
@@ -67,17 +68,37 @@ object Cli {
             case None => spark.read.json(path)
           }
           importDf(ops, cat, table, df, keys.split(",").toSeq)
-        case "sql" :: stmt :: Nil =>
+        case "sql" :: rest if rest.nonEmpty =>
           // O34: run N ;-separated SQL statements in order; DDL/writes
-          // mutate the catalog, queries print JSON lines
-          // (messdb-tool.hs:164-196 runs statement lists the same way).
-          // A session carries BEGIN/COMMIT/ROLLBACK state across the
-          // statements, so a script can be one atomic transaction.
+          // mutate the catalog, queries print JSON lines. Reference
+          // parity (messdb-tool.hs:164-196): any mix of `-c <script>`
+          // and `-f <scriptFile>` arguments concatenates IN ORDER; a
+          // single bare argument is a script. ONE SqlSession carries
+          // BEGIN/COMMIT/ROLLBACK state across every statement of every
+          // argument, so a replayed DDL+DML script file is one atomic
+          // transaction if it says so.
+          def scriptsOf(a: List[String]): List[String] = a match {
+            case "-c" :: s :: t => s :: scriptsOf(t)
+            case "-f" :: p :: t =>
+              new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(p)),
+                java.nio.charset.StandardCharsets.UTF_8) :: scriptsOf(t)
+            case Nil => Nil
+            case other =>
+              sys.error(s"sql: expected -c <script> / -f <file>, " +
+                s"got: ${other.mkString(" ")}")
+          }
+          val scripts = rest match {
+            case s :: Nil if s != "-c" && s != "-f" => List(s)
+            case _ => scriptsOf(rest)
+          }
           val session = new graft.sql.SqlSession(spark, ops, cat)
-          graft.sql.GraftSql.splitStatements(stmt).foreach { s =>
-            session.execute(s) match {
-              case Right(root) => println(s"root=$root")
-              case Left(df) => printJson(df)
+          scripts.foreach { script =>
+            graft.sql.GraftSql.splitStatements(script).foreach { s =>
+              session.execute(s) match {
+                case Right(root) => println(s"root=$root")
+                case Left(df) => printJson(df)
+              }
             }
           }
         case "range" :: table :: lo :: hi :: Nil =>

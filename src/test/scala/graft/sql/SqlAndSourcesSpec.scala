@@ -1093,6 +1093,37 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       .rowCount(cat.get("s").get) == 2L)
   }
 
+  test("CLI sql replays -f script files and -c scripts through ONE session") {
+    // reference parity (messdb-tool.hs:164-196): a DDL+DML+SELECT
+    // script FILE replays end-to-end; -c and -f mix in order; the
+    // transaction opened in the file COMMITs in a later -c argument
+    // (one SqlSession spans every statement); queries print JSON lines
+    val storeDir = Files.createTempDirectory("graft-clisql-").toString
+    val script = Files.createTempFile("graft-script-", ".sql")
+    Files.writeString(script,
+      """-- a replayed DDL+DML script
+        |CREATE TABLE t (k bigint PRIMARY KEY, v text NOT NULL);
+        |INSERT INTO t VALUES (2, 'b'), (1, 'a');
+        |BEGIN;
+        |UPDATE t SET v = 'z' WHERE k = 1;
+        |""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.run(TestSpark.spark, List(storeDir, "sql",
+        "-f", script.toString,
+        "-c", "COMMIT; SELECT k, v FROM t ORDER BY k;"))
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    val json = lines.filter(_.startsWith("{"))
+    assert(json == Seq("""{"k":1,"v":"z"}""", """{"k":2,"v":"b"}"""))
+    // the committed state persisted to the store (a fresh catalog sees it)
+    val (ops2, cat2) = (new Ops(TestSpark.spark, new FsStore(storeDir), 64),
+      new Catalog(new FsStore(storeDir)))
+    assert(ops2.scanOrdered(cat2.get("t").get).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (2L, "b")))
+  }
+
   test("CSV import matches columns by name under shuffled header (Row.hs:117-124)") {
     val (ops, _) = newOps()
     val schema = StructType(Seq(
