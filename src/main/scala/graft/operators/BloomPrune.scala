@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter pre-shuffle pruning for selective joins.
   *
@@ -14,6 +17,12 @@ import org.apache.spark.sql.functions._
   * broadcast joins, available here for shuffle joins and for reuse
   * across multiple consumers.
   *
+  * Built from Catalyst's NATIVE bloom expressions — the same
+  * `BloomFilterAggregate` / `BloomFilterMightContain` pair Spark's
+  * runtime row-level filtering injects — so the probe participates in
+  * whole-stage codegen (no ScalaUDF boxing in the hot fact-side path;
+  * pinned in NorthStarSpec).
+  *
   * False positives only (never drops a MATCHING row), so INNER and
   * LEFT SEMI joins downstream are unaffected; fpp trades filter size
   * for residual shuffle volume. Do NOT prefilter the preserved side of
@@ -22,8 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** Fact rows whose `factKey` might be present among `dimKeys`.
-    * `expectedDim` sizes the filter; fpp defaults to 1%. */
   private def family(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
@@ -34,30 +41,31 @@ object BloomPrune {
     }
   }
 
+  /** Fact rows whose `factKey` might be present among `dimKeys`.
+    * `expectedDim` sizes the filter; fpp defaults to 1%. */
   def prefilter(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedDim: Long, fpp: Double = 0.01): DataFrame = {
-    // insert and probe must use the SAME representation: a filter built
-    // from string keys probed with longs silently drops every match
+    // insert and probe must use the SAME representation: both sides
+    // widen integrals to long (XxHash64 hashes int and long bytes
+    // differently) and a filter built from string keys probed with
+    // longs would silently drop every match
     val fam = family(fact.schema(factKey).dataType)
     require(fam == family(dim.schema(dimKey).dataType),
       s"fact key and dim key must share a type family, " +
         s"got ${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType}")
-    if (fam == "integral") {
-      val bloom = dim.select(col(dimKey).cast("long").as(dimKey))
-        .stat.bloomFilter(dimKey, expectedDim, fpp)
-      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-      val might = udf { (k: java.lang.Long) =>
-        k != null && bc.value.mightContainLong(k)
-      }
-      fact.where(might(col(factKey).cast("long")))
-    } else {
-      val bloom = dim.stat.bloomFilter(dimKey, expectedDim, fpp)
-      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-      val might = udf { (k: String) =>
-        k != null && bc.value.mightContainString(k)
-      }
-      fact.where(might(col(factKey)))
-    }
+    def keyed(c: org.apache.spark.sql.Column) =
+      if (fam == "integral") c.cast("long") else c
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedDim, fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(keyed(col(dimKey))))),
+      Literal(expectedDim), Literal(numBits)).toAggregateExpression()
+    val bytes = dim.select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bytes == null) fact.where(lit(false)) // empty dim: nothing joins
+    else fact.where(GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      new XxHash64(Seq(GraftBridge.expression(keyed(col(factKey))))))))
   }
 
   /** Convenience: prefiltered equi-join (inner). The join itself is left

@@ -291,6 +291,18 @@ class NorthStarSpec extends AnyFunSuite {
     // 100/10000 keys survive exactly; 1% fpp keeps ~1% extra
     assert(kept >= exact && kept < fact.count() / 20,
       s"pruned to $kept of 100000 — bloom should cut ~99%")
+    // the probe is Catalyst's native might_contain, not a ScalaUDF —
+    // the fact-side filter stays inside whole-stage codegen
+    val physical = pruned.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !physical.contains("BatchEval"),
+      s"bloom probe fell out of codegen:\n$physical")
+    assert(physical.contains("might_contain"),
+      "expected the native bloom probe expression in the plan")
+    // string keys ride the same native path
+    val factS = fact.select(concat(lit("k"), $"k").as("k"), $"v")
+    val dimS = dim.select(concat(lit("k"), $"dk").as("dk"))
+    val keptS = graft.operators.BloomPrune.prefilter(factS, "k", dimS, "dk", 100).count()
+    assert(keptS >= exact && keptS < 100000 / 20)
   }
 
   test("salted join equals the plain join and spreads hot keys") {
