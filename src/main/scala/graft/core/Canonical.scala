@@ -547,7 +547,7 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
-      val (es, ekb) = onEngine(spark, kbDf)
+      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true)
       val got = driverMaterialize(es, store, ekb, df.schema, schemaJson,
         keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
@@ -561,12 +561,12 @@ object Canonical {
       // recomputes. This is what lets a small-corpus generator INDEX
       // BUILD (the full shingle index, not just its minis) run as one
       // collect + driver-side chunk writes instead of a sample +
-      // multi-file write job pair. (The one-job limit conf lives on
-      // the engine clone — see GraftBridge.engineSession.)
+      // multi-file write job pair. (Probe conf — one-job limit — rides
+      // the thread-local driver-route override.)
       val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe") {
-          val (_, ekb) = onEngine(spark, kbDf)
+          val (_, ekb) = onEngine(spark, kbDf, smallShuffle = true)
           ekb.limit(cap.toInt + 1).collect()
         })
         catch { case scala.util.control.NonFatal(e) =>
@@ -716,9 +716,22 @@ object Canonical {
     * commands read the clone's conf wherever they execute; the user
     * session's conf is never touched (pinned two-threaded in
     * EngineConfIsolationSpec). */
-  private[core] def onEngine(spark: SparkSession, df: DataFrame)
-      : (SparkSession, DataFrame) = {
+  private[core] def onEngine(spark: SparkSession, df: DataFrame,
+      smallShuffle: Boolean = false): (SparkSession, DataFrame) = {
     val es = org.apache.spark.sql.GraftBridge.engineSession(spark)
+    // byte-admitted driver routes collect a PROVABLY small frame; any
+    // fold exchange inside it needs a handful of partitions, not the
+    // session's full width — 30+ near-empty shuffle tasks were most of
+    // those jobs' wall time. Plan shape only: partial aggregates
+    // combine identically at any partition count, and the driver
+    // writer re-sorts collected rows by key bytes. (A thread-local
+    // override instead of the clone was tried and measured WORSE: the
+    // conf does not survive into job execution — AQE re-enabled and
+    // split every driver-route collect into 2-4 jobs.)
+    if (smallShuffle) {
+      val cur = es.sessionState.conf.numShufflePartitions
+      es.conf.set("spark.sql.shuffle.partitions", math.min(cur, 8).toString)
+    }
     (es, org.apache.spark.sql.GraftBridge.transplant(es, df))
   }
 
@@ -784,7 +797,7 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
-      val (es, ekb) = onEngine(spark, kbDf)
+      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true)
       val got = driverMaterializeGrouped(es, store, ekb, dataSchema,
         schemaJson, groupCol, keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
@@ -796,14 +809,14 @@ object Canonical {
       // tiny (`rowProbe` = source rows, under the small-job rule), so
       // bet the output fits the driver cap: ONE limit-guarded collect
       // job; over the cap, the bet is off and the standard path below
-      // recomputes (bounded waste, rare by construction). The one-job
-      // limit conf (all partitions in the first pass, not
-      // incremental-limit's partition doubling) lives on the engine
-      // clone — see GraftBridge.engineSession.
+      // recomputes (bounded waste, rare by construction). Probe conf
+      // (one-job limit: all partitions in the first pass, not
+      // incremental-limit's partition doubling) rides the thread-local
+      // driver-route override.
       val cap = Ops.adaptiveRowCap(dataSchema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe-g") {
-          val (_, ekb) = onEngine(spark, kbDf)
+          val (_, ekb) = onEngine(spark, kbDf, smallShuffle = true)
           ekb.limit(cap.toInt + 1).collect()
         })
         catch { case scala.util.control.NonFatal(e) =>

@@ -48,6 +48,17 @@ object GraftBridge {
       case Project(_, child) => leaf(child)
       case Filter(_, child) => leaf(child)
       case SubqueryAlias(_, child) => leaf(child)
+      case agg: Aggregate =>
+        // grouped output cannot EXCEED its input rows (at most one row
+        // per distinct group, groups ⊆ input rows) and a GLOBAL
+        // aggregate is exactly one row — so the common
+        // `CREATE TABLE ... AS SELECT k, agg(...) FROM small GROUP BY k`
+        // is as bounded as a plain projection. Bytes keep the leaf's
+        // figure as the admission heuristic, the same approximation a
+        // widening Project already gets.
+        if (agg.groupingExpressions.isEmpty) (Some(1L), Some(4096L))
+        else leaf(agg.child)
+      case w: Window => leaf(w.child) // window functions are 1→1
       case imr: execution.columnar.InMemoryRelation =>
         val st = imr.computeStats()
         // rowCount is present only once the cache is materialized —
