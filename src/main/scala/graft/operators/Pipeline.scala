@@ -239,9 +239,59 @@ object Pipeline {
       |FROM d JOIN ln USING (lang) CROSS JOIN mn
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** EXACT group-wise top-k selection — "keep the best k documents per
+    * language" (by quality proxy; here n_chars with doc_id as the
+    * deterministic tiebreak), the per-domain/per-language cap every
+    * curation pipeline applies.
+    *
+    * Scale shape: the naive `row_number() OVER (PARTITION BY lang ...)`
+    * puts EVERY row of a group in one task — the zipfian-language
+    * corpus (half the crawl is English) kills it at 100 TB. Two phases
+    * instead, both exact: (1) rank within (lang, salt) — salt =
+    * doc_id % 64, deterministic, so the hot language spreads over 64
+    * tasks — and keep k per salted cell (any global top-k member is
+    * top-k within its own cell, so no candidate is lost); (2) rank the
+    * ≤ 64·k survivors per language. Phase 2 touches ≤ 64·k rows per
+    * group REGARDLESS of corpus size; k and the salt width are the only
+    * constants. The oracle computes the naive single-phase ranking —
+    * exactness of the two-phase reduction is what hash-equality
+    * proves. */
+  def pipelineTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val phase1 = Window.partitionBy($"lang", $"doc_id" % 64)
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    val cand = docs.withColumn("crn", row_number().over(phase1))
+      .where($"crn" <= k).drop("crn")
+    val phase2 = Window.partitionBy($"lang")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    cand.withColumn("rank", row_number().over(phase2).cast("long"))
+      .where($"rank" <= k)
+      .select($"lang", $"rank", $"doc_id", $"n_chars", $"n_tokens")
+      .orderBy($"lang", $"rank")
+  }
+
+  val pipelineTopkPerGroupSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM d)
+      |SELECT lang, rank, doc_id, n_chars, n_tokens
+      |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "decontaminate" -> (decontaminate _),
     "pipeline_curation" -> (pipelineCuration _),
+    "pipeline_topk_per_group" -> (pipelineTopkPerGroup _),
     "sample_split" -> (sampleSplit _),
     "pack_sequences" -> (packSequences _),
     "sample_rebalance" -> (sampleRebalance _))
@@ -249,6 +299,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
     "pipeline_curation" -> pipelineCurationSql,
+    "pipeline_topk_per_group" -> pipelineTopkPerGroupSql,
     "sample_split" -> sampleSplitSql,
     "pack_sequences" -> packSequencesSql,
     "sample_rebalance" -> sampleRebalanceSql)

@@ -305,6 +305,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(keptS >= exact && keptS < 100000 / 20)
   }
 
+  test("two-phase group top-k equals the naive single-phase ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.operators.Pipeline.pipelineTopkPerGroup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive single-phase reference (the oracle shape): every group in
+    // one window
+    val naive = graft.Tables(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc))
+        .cast("long"))
+      .where($"rank" <= 3)
+      .orderBy($"lang", $"rank")
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(0))).toSeq
+    assert(got == naive,
+      "salted two-phase top-k must select exactly the naive top-k")
+  }
+
   test("salted join equals the plain join and spreads hot keys") {
     import spark.implicits._
     // heavy skew: 50k rows of one key + a uniform tail
