@@ -31,13 +31,18 @@ import org.apache.spark.sql.types._
   * with a name fallback for id-less files. */
 private[core] object DriverChunks {
 
+  private def supportedScalar(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+         DoubleType | FloatType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   def supported(schema: StructType): Boolean =
     schema.fields.forall(f => f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType | BooleanType |
-           DoubleType | FloatType | StringType | BinaryType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false
+      case ArrayType(et, _) => supportedScalar(et) // vector/posting columns
+      case dt => supportedScalar(dt)
     })
 
   // ---- read -------------------------------------------------------------
@@ -66,8 +71,7 @@ private[core] object DriverChunks {
     val extract: Array[Group => Any] = schema.fields.zipWithIndex.map {
       case (f, i) =>
         val j = fieldIdx(i)
-        val fileType = fileSchema.getType(j).asPrimitiveType()
-        valueReader(f.dataType, j, fileType)
+        valueReader(f.dataType, j, fileSchema.getType(j))
     }
     val reader = ParquetReader.builder(new GroupReadSupport(), hp)
       .withConf(conf).build()
@@ -83,23 +87,50 @@ private[core] object DriverChunks {
   }
 
   private def valueReader(dt: DataType, j: Int,
-      fileType: PrimitiveType): Group => Any = {
-    val phys = fileType.getPrimitiveTypeName
+      fileType: Type): Group => Any = {
     def nullable(f: Group => Any): Group => Any =
       g => if (g.getFieldRepetitionCount(j) == 0) null else f(g)
     dt match {
-      case LongType => nullable(_.getLong(j, 0))
-      case IntegerType => nullable(_.getInteger(j, 0))
-      case ShortType => nullable(_.getInteger(j, 0).toShort)
-      case ByteType => nullable(_.getInteger(j, 0).toByte)
-      case BooleanType => nullable(_.getBoolean(j, 0))
-      case DoubleType => nullable(_.getDouble(j, 0))
-      case FloatType => nullable(_.getFloat(j, 0))
-      case StringType => nullable(_.getString(j, 0))
-      case BinaryType => nullable(_.getBinary(j, 0).getBytes)
-      case DateType => nullable(g =>
+      case ArrayType(et, _) =>
+        // standard 3-level LIST (what Spark and this module's writer
+        // produce): optional group f (LIST) {
+        //   repeated group list { <element> } }
+        val entryType = fileType.asGroupType().getType(0).asGroupType()
+        val elem = scalarReader(et, 0, entryType.getType(0).asPrimitiveType())
+        nullable { g =>
+          val lst = g.getGroup(j, 0)
+          val n = lst.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val entry = lst.getGroup(0, i)
+            out(i) =
+              if (entry.getFieldRepetitionCount(0) == 0) null else elem(entry)
+            i += 1
+          }
+          out.toSeq
+        }
+      case _ => nullable(scalarReader(dt, j, fileType.asPrimitiveType()))
+    }
+  }
+
+  /** Non-null scalar read of field `j` (repetition index 0). */
+  private def scalarReader(dt: DataType, j: Int,
+      fileType: PrimitiveType): Group => Any = {
+    val phys = fileType.getPrimitiveTypeName
+    dt match {
+      case LongType => _.getLong(j, 0)
+      case IntegerType => _.getInteger(j, 0)
+      case ShortType => _.getInteger(j, 0).toShort
+      case ByteType => _.getInteger(j, 0).toByte
+      case BooleanType => _.getBoolean(j, 0)
+      case DoubleType => _.getDouble(j, 0)
+      case FloatType => _.getFloat(j, 0)
+      case StringType => _.getString(j, 0)
+      case BinaryType => _.getBinary(j, 0).getBytes
+      case DateType => g =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-          g.getInteger(j, 0).toLong)))
+          g.getInteger(j, 0).toLong))
       case TimestampType | TimestampNTZType =>
         // INT64 micros (this module's writer) or INT96 (Spark's default
         // writer: 8 LE bytes nanos-of-day + 4 LE bytes Julian day)
@@ -115,14 +146,12 @@ private[core] object DriverChunks {
           }
           case other => sys.error(s"unsupported timestamp physical $other")
         }
-        if (dt == TimestampType)
-          nullable { g =>
-            val us = micros(g)
-            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-            ts
-          }
-        else nullable { g =>
+        if (dt == TimestampType) { g =>
+          val us = micros(g)
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        } else { g =>
           val us = micros(g)
           java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(us, 1000000L),
@@ -130,12 +159,11 @@ private[core] object DriverChunks {
             java.time.ZoneOffset.UTC)
         }
       case d: DecimalType => phys match {
-        case INT32 => nullable(g =>
-          JBigDecimal.valueOf(g.getInteger(j, 0).toLong, d.scale))
-        case INT64 => nullable(g =>
-          JBigDecimal.valueOf(g.getLong(j, 0), d.scale))
-        case FIXED_LEN_BYTE_ARRAY | BINARY => nullable(g =>
-          new JBigDecimal(new BigInteger(g.getBinary(j, 0).getBytes), d.scale))
+        case INT32 => g =>
+          JBigDecimal.valueOf(g.getInteger(j, 0).toLong, d.scale)
+        case INT64 => g => JBigDecimal.valueOf(g.getLong(j, 0), d.scale)
+        case FIXED_LEN_BYTE_ARRAY | BINARY => g =>
+          new JBigDecimal(new BigInteger(g.getBinary(j, 0).getBytes), d.scale)
         case other => sys.error(s"unsupported decimal physical $other")
       }
       case other => sys.error(s"unsupported driver-read type $other")
@@ -153,18 +181,20 @@ private[core] object DriverChunks {
     n
   }
 
-  private def parquetField(f: StructField, id: Int): Type = {
+  /** Parquet type of one scalar `dt` under `rep`, named `name`, with an
+    * optional field id (ids go on TOP-LEVEL fields only — the
+    * positional column identity; list inner fields carry none). */
+  private def scalarType(dt: DataType, rep: Type.Repetition, name: String,
+      id: Option[Int]): Type = {
     def prim(tn: PrimitiveType.PrimitiveTypeName,
         ann: LogicalTypeAnnotation = null, length: Int = 0) = {
-      val rep = if (f.nullable) Type.Repetition.OPTIONAL
-        else Type.Repetition.REQUIRED
       val b = Types.primitive(tn, rep)
       val b2 = if (ann != null) b.as(ann) else b
       val b3 = if (length > 0) b2.length(length) else b2
-      b3.id(id).named(f.name)
+      id.fold(b3)(b3.id).named(name)
     }
     import LogicalTypeAnnotation._
-    f.dataType match {
+    dt match {
       case LongType => prim(INT64)
       case IntegerType => prim(INT32)
       case ShortType => prim(INT32, intType(16, true))
@@ -189,6 +219,24 @@ private[core] object DriverChunks {
     }
   }
 
+  private def parquetField(f: StructField, id: Int): Type = {
+    val rep = if (f.nullable) Type.Repetition.OPTIONAL
+      else Type.Repetition.REQUIRED
+    f.dataType match {
+      case ArrayType(et, containsNull) =>
+        // the standard 3-level LIST shape Spark writes, built manually
+        // so the inner names are exactly "list"/"element"
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(scalarType(et,
+              if (containsNull) Type.Repetition.OPTIONAL
+              else Type.Repetition.REQUIRED, "element", None))
+            .named("list"))
+          .id(id).named(f.name)
+      case dt => scalarType(dt, rep, f.name, Some(id))
+    }
+  }
+
   def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -207,6 +255,31 @@ private[core] object DriverChunks {
     out
   }
 
+  /** Append one non-null scalar value at field `i` of `g`. */
+  private def appendScalar(g: Group, i: Int, dt: DataType, v: Any): Unit =
+    dt match {
+      case LongType => g.add(i, v.asInstanceOf[Long])
+      case IntegerType => g.add(i, v.asInstanceOf[Int])
+      case ShortType => g.add(i, v.asInstanceOf[Short].toInt)
+      case ByteType => g.add(i, v.asInstanceOf[Byte].toInt)
+      case BooleanType => g.add(i, v.asInstanceOf[Boolean])
+      case DoubleType => g.add(i, v.asInstanceOf[Double])
+      case FloatType => g.add(i, v.asInstanceOf[Float])
+      case StringType => g.add(i, Binary.fromString(v.asInstanceOf[String]))
+      case BinaryType =>
+        g.add(i, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+      case DateType => g.add(i, DateTimeUtil.dateDays(v))
+      case TimestampType => g.add(i, DateTimeUtil.timestampMicros(v))
+      case TimestampNTZType => g.add(i, DateTimeUtil.localMicros(v))
+      case d: DecimalType =>
+        val bd = v.asInstanceOf[JBigDecimal].setScale(d.scale)
+        if (d.precision <= 9) g.add(i, bd.unscaledValue().intValueExact())
+        else if (d.precision <= 18) g.add(i, bd.unscaledValue().longValueExact())
+        else g.add(i, Binary.fromConstantByteArray(fixedBytes(
+          bd.unscaledValue(), minBytesForPrecision(d.precision))))
+      case other => sys.error(s"unsupported driver-write type $other")
+    }
+
   /** Append one row's values to a Group (skipping nulls — optional
     * fields with repetition count 0). */
   private def appendRow(g: Group, schema: StructType, row: Row): Unit = {
@@ -215,26 +288,15 @@ private[core] object DriverChunks {
       val f = schema.fields(i)
       val v = row.get(i)
       if (v != null) f.dataType match {
-        case LongType => g.add(i, v.asInstanceOf[Long])
-        case IntegerType => g.add(i, v.asInstanceOf[Int])
-        case ShortType => g.add(i, v.asInstanceOf[Short].toInt)
-        case ByteType => g.add(i, v.asInstanceOf[Byte].toInt)
-        case BooleanType => g.add(i, v.asInstanceOf[Boolean])
-        case DoubleType => g.add(i, v.asInstanceOf[Double])
-        case FloatType => g.add(i, v.asInstanceOf[Float])
-        case StringType => g.add(i, Binary.fromString(v.asInstanceOf[String]))
-        case BinaryType =>
-          g.add(i, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
-        case DateType => g.add(i, DateTimeUtil.dateDays(v))
-        case TimestampType => g.add(i, DateTimeUtil.timestampMicros(v))
-        case TimestampNTZType => g.add(i, DateTimeUtil.localMicros(v))
-        case d: DecimalType =>
-          val bd = v.asInstanceOf[JBigDecimal].setScale(d.scale)
-          if (d.precision <= 9) g.add(i, bd.unscaledValue().intValueExact())
-          else if (d.precision <= 18) g.add(i, bd.unscaledValue().longValueExact())
-          else g.add(i, Binary.fromConstantByteArray(fixedBytes(
-            bd.unscaledValue(), minBytesForPrecision(d.precision))))
-        case other => sys.error(s"unsupported driver-write type $other")
+        case ArrayType(et, _) =>
+          // empty list = the outer group present with zero entries —
+          // distinct from a NULL column (outer repetition count 0)
+          val lst = g.addGroup(i)
+          v.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+            val entry = lst.addGroup(0)
+            if (e != null) appendScalar(entry, 0, et, e)
+          }
+        case dt => appendScalar(g, i, dt, v)
       }
       i += 1
     }

@@ -70,13 +70,22 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   def fromDataFrameBounded(df: DataFrame, keyCols: Seq[String],
       fold: FoldSpec, rowBound: Option[Long],
       byteBound: Option[Long]): TableRef = {
+    // callers that don't know their input's size may still have a
+    // BOUNDED plan (row-local over a graft scan / materialized cache /
+    // small parquet — e.g. an ingest slicing a cached source): derive
+    // the bounds from the plan so metadata-sized ingests ride the
+    // one-collect driver route. The fold below never raises row count.
+    val (rb, bb) =
+      if (rowBound.isEmpty && byteBound.isEmpty)
+        org.apache.spark.sql.GraftBridge.rowLocalScanBounds(df)
+      else (rowBound, byteBound)
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
     val folded = df.withColumn(SRC, monotonically_increasing_id())
       .groupBy(keyCols.map(col): _*)
       .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
     val meta = Canonical.materialize(spark, store,
       castValues(folded, df.schema, valueCols), keyCols, chunkTargetRows,
-      rowBound = rowBound, byteBound = byteBound)
+      rowBound = rb, byteBound = bb)
     TableRef(meta.tableHash)
   }
 

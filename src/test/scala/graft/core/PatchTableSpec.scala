@@ -177,6 +177,63 @@ class PatchTableSpec extends AnyFunSuite {
     assert(ops3.fromDataFrame(wdf, Seq("k")).hash == driverRes.hash)
   }
 
+  test("array columns ride the driver routes: patch + materialization hash == job path") {
+    // vector-table shape (ANN index rows): ARRAY<long> value columns,
+    // incl. NULL array, EMPTY array, and a null element — the driver
+    // chunk reader/writer must round-trip all three bit-exactly
+    // against Spark-written chunk files
+    val vecSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("q", ArrayType(LongType), nullable = true),
+      StructField("tag", StringType)))
+    def row(i: Int): Row = Row(i.toLong,
+      if (i % 97 == 5) null
+      else if (i % 41 == 7) Seq.empty[Any]
+      else if (i % 31 == 3) Seq[Any](i.toLong, null, i.toLong * 3)
+      else Seq[Any](i.toLong, i.toLong * 2, i.toLong * 3),
+      s"t$i")
+    def build(ops: Ops, n: Int): TableRef =
+      ops.fromDataFrame(spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(row), 4), vecSchema),
+        Seq("k"))
+    val ups = (0 until 5).map(i => row(i * 53 + 900))
+    val dels = Seq(Seq(2L), Seq(77L))
+
+    val ops1 = newOps()
+    val base1 = build(ops1, 300)
+    val driverRes = ops1.patchTable(base1, ups, dels)
+
+    val ops2 = newOps()
+    val base2 = build(ops2, 300)
+    assert(base1.hash == base2.hash)
+    Ops.driverPatchEnabled = false
+    Canonical.driverMaterializeEnabled = false
+    val sparkRes =
+      try ops2.patchTable(base2, ups, dels)
+      finally { Ops.driverPatchEnabled = true
+        Canonical.driverMaterializeEnabled = true }
+    assert(driverRes.hash == sparkRes.hash,
+      "driver and Spark routes must converge on array schemas")
+
+    val ops3 = newOps()
+    val want = (0 until 300).filterNot(i => i == 2 || i == 77).map(row) ++ ups
+    assert(ops3.fromDataFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(want, 4), vecSchema), Seq("k")).hash
+      == driverRes.hash)
+
+    // read-back correctness through the Spark scan (values, not just
+    // hash): upserted row, null array (5 % 97 == 5), empty array
+    // (48 % 41 == 7), null element (34 % 31 == 3)
+    val got = ops1.scan(driverRes)
+      .where(org.apache.spark.sql.functions.col("k").isin(900L, 5L, 48L, 34L))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Any](1)).map(_.toList)).toMap
+    assert(got(900L) == Some(List(900L, 1800L, 2700L)))
+    assert(got(5L).isEmpty, "null array must stay null")
+    assert(got(48L) == Some(Nil), "empty array must stay empty, not null")
+    assert(got(34L) == Some(List(34L, null, 102L)))
+  }
+
   test("adaptive driver cap: width decides — narrow rows widen the zero-job window, the byte budget guards wide ones") {
     def jobsDuring[T](tag: String)(body: => T): (T, Int) = {
       val group = tag + System.nanoTime()
