@@ -340,6 +340,38 @@ object MetaAgg extends Rule[LogicalPlan] {
             }
           }
         }
+      case a: Average =>
+        // avg(integral) = exact BigInteger total / non-null count,
+        // evaluated in DOUBLE exactly as Spark does (sum accumulates
+        // as Long, result = sum.toDouble / count). All-null ⇒ NULL.
+        // Long-overflowed totals answer only under LEGACY (wrapping
+        // accumulation ⇒ the low 64 bits ARE the Spark sum); decimal
+        // averages bail — their division/rounding semantics belong to
+        // the real scan.
+        colName(a.child).flatMap { name =>
+          if (m.keyCols.contains(name)) None
+          else statsOf(name).flatMap { ss =>
+            val nonNull = totalRows - ss.map(_.nulls).sum
+            if (nonNull == 0) Some(None)
+            else {
+              val sums = ss.flatMap(_.sumDec)
+              if (sums.length != ss.length) None // a chunk without sums
+              else {
+                val total = sums.map(new java.math.BigInteger(_))
+                  .foldLeft(java.math.BigInteger.ZERO)(_ add _)
+                val legacy = a.evalMode == EvalMode.LEGACY
+                ae.dataType match {
+                  case org.apache.spark.sql.types.DoubleType =>
+                    val fits = total.bitLength() <= 63
+                    if (fits || legacy)
+                      Some(Some(total.longValue().toDouble / nonNull))
+                    else None
+                  case _ => None
+                }
+              }
+            }
+          }
+        }
       case _ => None
     }
   }

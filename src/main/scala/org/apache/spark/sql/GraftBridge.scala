@@ -59,6 +59,11 @@ object GraftBridge {
         if (agg.groupingExpressions.isEmpty) (Some(1L), Some(4096L))
         else leaf(agg.child)
       case w: Window => leaf(w.child) // window functions are 1→1
+      case lr: LocalRelation =>
+        // already-driver-resident rows (VALUES inserts, a MetaAgg
+        // collapse): trivially bounded
+        (Some(lr.data.length.toLong),
+          Some(lr.schema.defaultSize.toLong * math.max(1L, lr.data.length)))
       case imr: execution.columnar.InMemoryRelation =>
         val st = imr.computeStats()
         // rowCount is present only once the cache is materialized —

@@ -463,15 +463,20 @@ class GraftScanSpec extends AnyFunSuite {
     assert(bridge.rowLocalScanBounds(
       scan.as("a").join(scan.as("b"), "k"))._1.isEmpty)
     assert(bridge.rowLocalScanBounds(scan.unionAll(scan))._1.isEmpty)
+    // grouped aggregation cannot raise cardinality: bounded by its input
+    // (round 8 — admits agg-CTAS to the driver route)
     assert(bridge.rowLocalScanBounds(
-      scan.groupBy(col("k") % 10).count())._1.isEmpty)
+      scan.groupBy(col("k") % 10).count())._1.contains(1000L))
+    // ... and a GLOBAL aggregate is exactly one row
+    assert(bridge.rowLocalScanBounds(
+      scan.agg(org.apache.spark.sql.functions.sum(col("v"))))._1.contains(1L))
     assert(bridge.rowLocalScanBounds(scan.select(
       org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.array(col("k"), col("v")))))._1.isEmpty)
-    // a non-graft source (local relation) is unbounded too
+    // a driver-resident local relation is trivially bounded (round 8)
     import spark.implicits._
     assert(bridge.rowLocalScanBounds(
-      Seq((1L, 2L)).toDF("k", "v"))._1.isEmpty)
+      Seq((1L, 2L)).toDF("k", "v"))._1.contains(1L))
 
     // the bound admits the driver route end-to-end: an INSERT..SELECT
     // delta shape built with these bounds hash-equals the job path

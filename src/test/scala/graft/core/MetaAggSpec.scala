@@ -77,6 +77,46 @@ class MetaAggSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, s"\n got $got\nwant $want")
   }
 
+  test("avg over integral columns collapses to metadata; decimal/fp avg bails") {
+    val ops = newOps()
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("i", IntegerType),
+      StructField("v", LongType),
+      StructField("z", LongType), // all NULL
+      StructField("d", DoubleType),
+      StructField("dec", DecimalType(12, 2))))
+    val rows = (0L until 400L).map { k =>
+      Row(k, if (k % 5 == 0) null else (k % 89).toInt, k * 3, null,
+        k * 0.25, new java.math.BigDecimal(k).movePointLeft(1).setScale(2))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val ref = ops.fromDataFrame(df, Seq("k"))
+
+    val q = ops.scan(ref).agg(avg(col("i")).as("ai"), avg(col("v")).as("av"),
+      avg(col("z")).as("az"))
+    assert(q.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected metadata collapse, got:\n${q.queryExecution.optimizedPlan}")
+    val (got, jobs) = countJobs(q.collect()(0))
+    assert(jobs == 0, s"metadata avg ran $jobs jobs")
+    val want = df.agg(avg(col("i")), avg(col("v")), avg(col("z"))).collect()(0)
+    assert(got.toSeq == want.toSeq, s"\n got $got\nwant $want")
+
+    // fp and decimal averages must NOT collapse (fp sums unrecorded;
+    // decimal division semantics belong to the scan) — and must still
+    // be CORRECT through the real scan
+    for (c <- Seq("d", "dec")) {
+      val qb = ops.scan(ref).agg(avg(col(c)).as("a"))
+      assert(!qb.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"avg($c) must not collapse")
+      assert(qb.collect()(0).toSeq ==
+        df.agg(avg(col(c))).collect()(0).toSeq)
+    }
+  }
+
   test("all-null column aggregates to NULL; count excludes nulls") {
     val ops = newOps()
     val schema = StructType(Seq(
