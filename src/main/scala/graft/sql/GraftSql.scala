@@ -623,6 +623,7 @@ object GraftSql {
           case "json" =>
             graft.sources.Hex.encode(df).write.mode("overwrite").json(path)
           case "parquet" => df.write.mode("overwrite").parquet(path)
+          case "orc" => df.write.mode("overwrite").orc(path)
           case other => throw new SqlException(s"unsupported COPY format: $other")
         }
         Right(ops.store.currentRootHash.getOrElse(
@@ -642,11 +643,12 @@ object GraftSql {
         val df = copyFormat(path, fmtRaw) match {
           case "csv" => graft.sources.Csv.readNameMatched(spark, path, schema)
           case "json" => graft.sources.Json.readNameMatched(spark, path, schema)
-          case "parquet" =>
-            val raw = spark.read.parquet(path)
+          case fmt @ ("parquet" | "orc") =>
+            val raw = if (fmt == "orc") spark.read.orc(path)
+              else spark.read.parquet(path)
             val missing = schema.fieldNames.filterNot(raw.columns.contains)
             if (missing.nonEmpty) throw new SqlException(
-              s"parquet at $path is missing required columns: ${missing.mkString(", ")}")
+              s"$fmt at $path is missing required columns: ${missing.mkString(", ")}")
             raw.select(schema.fields.toSeq.map(f =>
               org.apache.spark.sql.functions.col(f.name)
                 .cast(f.dataType).as(f.name)): _*)
@@ -1070,6 +1072,7 @@ object GraftSql {
       val p = path.toLowerCase
       if (p.endsWith(".csv")) "csv"
       else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+      else if (p.endsWith(".orc")) "orc"
       else "parquet"
     }
 

@@ -1325,12 +1325,12 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(v.count() == 1, "history beyond the kept root must be gone")
   }
 
-  test("COPY TO / COPY FROM round-trips a table in all three formats") {
+  test("COPY TO / COPY FROM round-trips a table in all four formats") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
     run("CREATE TABLE src (id bigint PRIMARY KEY, name text NOT NULL, score bigint)")
     run("INSERT INTO src VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
-    for (fmt <- Seq("csv", "json", "parquet")) {
+    for (fmt <- Seq("csv", "json", "parquet", "orc")) {
       val dir = Files.createTempDirectory(s"graft-copy-$fmt-").toString + "/out"
       run(s"COPY src TO '$dir' (FORMAT $fmt)")
       run(s"CREATE TABLE dst_$fmt (id bigint PRIMARY KEY, name text NOT NULL, score bigint)")
