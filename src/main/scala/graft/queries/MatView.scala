@@ -767,6 +767,7 @@ object MatView {
         "MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c, " +
         "MIN(price_c) AS min_p, MAX(price_c) AS max_p, " +
         "SUM(price_c) AS sum_p, SUM(nc) AS sum_nc, " +
+        "AVG(price_c) AS avg_p, AVG(nc) AS avg_nc, " +
         "MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s, " +
         "MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k " +
         "FROM orders_ma) g CROSS JOIN (" +
@@ -805,6 +806,8 @@ object MatView {
        |       MIN(price_c) AS min_p, MAX(price_c) AS max_p,
        |       CAST(SUM(price_c) AS BIGINT) AS sum_p,
        |       CAST(SUM(nc) AS BIGINT) AS sum_nc,
+       |       CAST(SUM(price_c) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_p,
+       |       CAST(SUM(nc) AS BIGINT) / CAST(COUNT(nc) AS DOUBLE) AS avg_nc,
        |       MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s,
        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM src
