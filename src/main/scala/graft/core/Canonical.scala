@@ -561,8 +561,8 @@ object Canonical {
       // recomputes. This is what lets a small-corpus generator INDEX
       // BUILD (the full shingle index, not just its minis) run as one
       // collect + driver-side chunk writes instead of a sample +
-      // multi-file write job pair. (Probe conf — one-job limit — rides
-      // the thread-local driver-route override.)
+      // multi-file write job pair. (Probe conf — one-job limit — lives
+      // on the engine clone, see GraftBridge.engineSession.)
       val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe") {
