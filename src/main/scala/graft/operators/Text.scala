@@ -269,12 +269,43 @@ object Text {
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary statistics: per-token document frequency over
+    * the whole corpus — the input to stopword discovery, vocab pruning,
+    * and idf weighting in every text pipeline. Exact and integer-only:
+    * tokens DEDUPLICATED per document (df counts documents, not
+    * occurrences), then one count per token, top-25 by
+    * (df DESC, token ASC) for a deterministic result. Scale shape:
+    * explode + per-doc distinct + one aggregation — the distinct is
+    * per-document-local (array_distinct before the explode, no extra
+    * shuffle), the groupBy partial-aggregates map-side, and the top-25
+    * is a TakeOrdered, never a global sort. */
+  def textDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+      .orderBy($"df".desc, $"token".asc)
+      .limit(25)
+  }
+
+  val textDfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents)
+      |SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM tok WHERE len(token) > 0
+      |GROUP BY token ORDER BY df DESC, token ASC LIMIT 25""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
+    "text_df" -> (textDf _),
     "text_pii" -> (textPii _))
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +314,6 @@ object Text {
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
+    "text_df" -> textDfSql,
     "text_pii" -> textPiiSql)
 }
