@@ -169,6 +169,47 @@ class TxnSpec extends AnyFunSuite {
     assert(bals == Map(1L -> 57L, 2L -> 150L), s"got $bals")
   }
 
+  test("stress: concurrent withTransaction increments serialize under CAS retry") {
+    // N threads x K optimistic-retry transactions against ONE shared
+    // store — every increment must survive (no lost updates) and every
+    // commit mints exactly one root. Exercises the round-8 engine-
+    // session isolation under REAL cross-thread engine activity: each
+    // thread runs its own SqlSession over the shared catalog the way a
+    // multi-writer deployment would.
+    val store = new FsStore(
+      Files.createTempDirectory("graft-txn-stress-").toString)
+    val ops = new Ops(spark, store, 64)
+    val cat = new Catalog(store)
+    new SqlSession(spark, ops, cat)
+      .execute("CREATE TABLE ctr (id bigint PRIMARY KEY, n bigint NOT NULL)")
+    new SqlSession(spark, ops, cat)
+      .execute("INSERT INTO ctr VALUES (1, 0)")
+    val rootsBefore = cat.log(Int.MaxValue).length
+    val threads = 4; val perThread = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val pool = (0 until threads).map { _ =>
+      new Thread(() =>
+        try {
+          val sess = new SqlSession(spark, ops, cat)
+          (0 until perThread).foreach { _ =>
+            sess.withTransaction(maxRetries = 64) { s =>
+              val Left(df) =
+                s.execute("SELECT n FROM ctr WHERE id = 1"): @unchecked
+              val n = df.collect().head.getLong(0)
+              s.execute(s"UPDATE ctr SET n = ${n + 1} WHERE id = 1")
+            }
+          }
+        } catch { case t: Throwable => errs.add(t): Unit })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join(300000))
+    assert(errs.isEmpty, s"concurrent transactions failed: ${errs.peek()}")
+    val fin = ops.scan(cat.get("ctr").get).collect()
+    assert(fin.length == 1 && fin.head.getLong(1) == threads * perThread,
+      s"lost updates: ${fin.mkString(",")}")
+    // every committed transaction minted exactly one root
+    assert(cat.log(Int.MaxValue).length == rootsBefore + threads * perThread)
+  }
+
   test("materialized view defined inside a transaction survives the commit") {
     val (sess, ops, cat) = newSession()
     sess.execute("CREATE TABLE src (k bigint PRIMARY KEY, v bigint NOT NULL)")
