@@ -341,13 +341,17 @@ object MetaAgg extends Rule[LogicalPlan] {
           }
         }
       case a: Average =>
-        // avg(integral) = exact BigInteger total / non-null count,
-        // evaluated in DOUBLE exactly as Spark does (sum accumulates
-        // as Long, result = sum.toDouble / count). All-null ⇒ NULL.
-        // Long-overflowed totals answer only under LEGACY (wrapping
-        // accumulation ⇒ the low 64 bits ARE the Spark sum); decimal
-        // averages bail — their division/rounding semantics belong to
-        // the real scan.
+        // avg(integral): Spark accumulates the sum in DOUBLE
+        // (Average.sumDataType = DoubleType for integral children), so
+        // a partial-sum order can round — the exact BigInteger total
+        // only matches the scan when EVERY intermediate double sum is
+        // exact in any accumulation order. Provable from metadata when
+        // the column is single-signed (zone-map extremes) and |total|
+        // ≤ 2^53: all prefix sums then lie between 0 and total, each
+        // exactly representable. Anything else — mixed signs, large
+        // totals, all modes alike — bails to the real scan. All-null ⇒
+        // NULL. Decimal averages bail (division/rounding semantics
+        // belong to execution); fp sums are never recorded.
         colName(a.child).flatMap { name =>
           if (m.keyCols.contains(name)) None
           else statsOf(name).flatMap { ss =>
@@ -359,13 +363,19 @@ object MetaAgg extends Rule[LogicalPlan] {
               else {
                 val total = sums.map(new java.math.BigInteger(_))
                   .foldLeft(java.math.BigInteger.ZERO)(_ add _)
-                val legacy = a.evalMode == EvalMode.LEGACY
+                def signOf(isMin: Boolean): Option[Int] =
+                  extreme(name, isMin).flatMap {
+                    case Some(v: Number) =>
+                      Some(java.lang.Long.signum(v.longValue()))
+                    case _ => None
+                  }
+                val singleSigned =
+                  signOf(isMin = true).exists(_ >= 0) ||
+                    signOf(isMin = false).exists(_ <= 0)
                 ae.dataType match {
-                  case org.apache.spark.sql.types.DoubleType =>
-                    val fits = total.bitLength() <= 63
-                    if (fits || legacy)
-                      Some(Some(total.longValue().toDouble / nonNull))
-                    else None
+                  case org.apache.spark.sql.types.DoubleType
+                      if singleSigned && total.abs.bitLength() <= 53 =>
+                    Some(Some(total.doubleValue() / nonNull))
                   case _ => None
                 }
               }

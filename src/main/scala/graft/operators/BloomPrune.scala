@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.BinaryType
   * `BloomFilterAggregate` / `BloomFilterMightContain` pair Spark's
   * runtime row-level filtering injects — so the probe participates in
   * whole-stage codegen (no ScalaUDF boxing in the hot fact-side path;
-  * pinned in NorthStarSpec).
+  * pinned in NorthStarSpec). Above Spark's runtime-filter size caps
+  * (~4M items / 8 MB by default) the native aggregate would silently
+  * clamp and saturate, so larger dims build through the sketch
+  * library instead — correct pruning first, codegen where it's safe.
   *
   * False positives only (never drops a MATCHING row), so INNER and
   * LEFT SEMI joins downstream are unaffected; fpp trades filter size
@@ -57,15 +60,43 @@ object BloomPrune {
       if (fam == "integral") c.cast("long") else c
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedDim, fpp)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftBridge.expression(keyed(col(dimKey))))),
-      Literal(expectedDim), Literal(numBits)).toAggregateExpression()
-    val bytes = dim.select(GraftBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    if (bytes == null) fact.where(lit(false)) // empty dim: nothing joins
-    else fact.where(GraftBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      new XxHash64(Seq(GraftBridge.expression(keyed(col(factKey))))))))
+    // BloomFilterAggregate silently CLAMPS to the runtime-filter caps
+    // (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits)
+    // — above them the filter saturates and pruning quietly stops.
+    // There, build with the sketch library (honors the requested size)
+    // and probe through a broadcast, trading codegen for correct
+    // pruning economics at large dims.
+    val conf = fact.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    if (expectedDim <= maxItems && numBits <= maxBits) {
+      val agg = new BloomFilterAggregate(
+        new XxHash64(Seq(GraftBridge.expression(keyed(col(dimKey))))),
+        Literal(expectedDim), Literal(numBits)).toAggregateExpression()
+      val bytes = dim.select(GraftBridge.column(agg).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      if (bytes == null) fact.where(lit(false)) // empty dim: nothing joins
+      else fact.where(GraftBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        new XxHash64(Seq(GraftBridge.expression(keyed(col(factKey))))))))
+    } else if (fam == "integral") {
+      val bloom = dim.select(keyed(col(dimKey)).as(dimKey))
+        .stat.bloomFilter(dimKey, expectedDim, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+      val might = udf { (k: java.lang.Long) =>
+        k != null && bc.value.mightContainLong(k)
+      }
+      fact.where(might(col(factKey).cast("long")))
+    } else {
+      val bloom = dim.stat.bloomFilter(dimKey, expectedDim, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+      val might = udf { (k: String) =>
+        k != null && bc.value.mightContainString(k)
+      }
+      fact.where(might(col(factKey)))
+    }
   }
 
   /** Convenience: prefiltered equi-join (inner). The join itself is left

@@ -285,8 +285,11 @@ object Text {
       .select($"doc_id",
         explode(array_distinct(split($"text", " "))).as("token"))
       .where(length($"token") > 0)
+      // (doc_id, token) pairs are already unique after the per-doc
+      // array_distinct, so a plain count IS the document frequency —
+      // no second distinct-aggregation level over the exploded stream
       .groupBy($"token")
-      .agg(countDistinct($"doc_id").as("df"))
+      .agg(count($"doc_id").cast("long").as("df"))
       .orderBy($"df".desc, $"token".asc)
       .limit(25)
   }

@@ -49,15 +49,22 @@ object GraftBridge {
       case Filter(_, child) => leaf(child)
       case SubqueryAlias(_, child) => leaf(child)
       case agg: Aggregate =>
-        // grouped output cannot EXCEED its input rows (at most one row
-        // per distinct group, groups ⊆ input rows) and a GLOBAL
-        // aggregate is exactly one row — so the common
-        // `CREATE TABLE ... AS SELECT k, agg(...) FROM small GROUP BY k`
-        // is as bounded as a plain projection. Bytes keep the leaf's
-        // figure as the admission heuristic, the same approximation a
-        // widening Project already gets.
-        if (agg.groupingExpressions.isEmpty) (Some(1L), Some(4096L))
-        else leaf(agg.child)
+        // aggregation cannot RAISE cardinality: grouped output ≤ input
+        // rows (one row per distinct group), a GLOBAL aggregate is
+        // exactly one row — so the common `CREATE TABLE ... AS
+        // SELECT k, agg(...) FROM small GROUP BY k` is as bounded as a
+        // plain projection. Both cases still REQUIRE a bounded leaf,
+        // and bytes keep the LEAF's figure: buffer aggregates
+        // (collect_list/collect_set) can pack the whole input into few
+        // rows, so the input bytes — not the row count — are the
+        // honest admission heuristic (the same approximation a
+        // widening Project already gets).
+        leaf(agg.child) match {
+          case (Some(rows), Some(bytes)) =>
+            (Some(if (agg.groupingExpressions.isEmpty) 1L else rows),
+              Some(bytes))
+          case _ => (None, None)
+        }
       case w: Window => leaf(w.child) // window functions are 1→1
       case lr: LocalRelation =>
         // already-driver-resident rows (VALUES inserts, a MetaAgg

@@ -303,6 +303,21 @@ class NorthStarSpec extends AnyFunSuite {
     val dimS = dim.select(concat(lit("k"), $"dk").as("dk"))
     val keptS = graft.operators.BloomPrune.prefilter(factS, "k", dimS, "dk", 100).count()
     assert(keptS >= exact && keptS < 100000 / 20)
+    // above the runtime-filter caps the native aggregate would clamp
+    // and saturate — the sketch-library fallback must keep pruning
+    // (cap lowered to force the branch without a 100M-item build)
+    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "50")
+    try {
+      val keptBig = graft.operators.BloomPrune
+        .prefilter(fact, "k", dim, "dk", 100).count()
+      assert(keptBig >= exact && keptBig < 100000 / 20,
+        s"fallback path pruned to $keptBig")
+    } finally prev match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
   }
 
   test("two-phase group top-k equals the naive single-phase ranking") {
