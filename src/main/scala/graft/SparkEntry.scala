@@ -23,7 +23,7 @@ object SparkEntry {
       Sketches.queries ++ Subqueries.queries ++ Generators.queries ++
       MatView.queries ++ Cluster.queries ++
       operators.Text.queries ++ operators.Dedup.queries ++
-      operators.IncrementalDedup.queries ++
+      operators.IncrementalDedup.queries ++ operators.Search.queries ++
       operators.Vectors.queries ++ operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       Sketches.oracles ++ Subqueries.oracles ++ Generators.oracles ++
       MatView.oracles ++ Cluster.oracles ++
       operators.Text.oracles ++ operators.Dedup.oracles ++
-      operators.IncrementalDedup.oracles ++
+      operators.IncrementalDedup.oracles ++ operators.Search.oracles ++
       operators.Vectors.oracles ++ operators.Pipeline.oracles
 }
