@@ -987,6 +987,275 @@ object Vectors {
       |  MIN(eval_id) AS first_eval
       |FROM pos GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- Product quantization (the IVFADC billion-scale recipe) ----
+
+  /** PQ geometry: [[PqM]] subspaces of dim/M dims each, [[PqK]] codes
+    * per subspace, [[PqIters]] Lloyd iterations, ADC shortlist depth
+    * [[PqShort]] before the exact re-rank. Small k and iters keep the
+    * unrolled oracle tractable; the arithmetic is scale-free. */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 2
+  val PqShort = 8
+
+  /** One row per (vec_id, m): the m-th subvector and its squared norm.
+    * dim comes from the data (the testdata is 64-dim → 8×8). */
+  private def subFrame(v: DataFrame, dim: Int): DataFrame = {
+    val sub = dim / PqM
+    v.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice(q, m*$sub + 1, $sub))"))
+      .as(Seq("m", "sq")))
+      .withColumn("sn", dot_long(col("sq"), col("sq")))
+  }
+
+  /** Per-subspace codebooks trained by exact-integer Lloyd on the
+    * CORPUS subvectors (queries stay unseen): seeds are the [[PqK]]
+    * smallest corpus vec_ids' subvectors; assignment is strict-<
+    * argmin (ties to the lower code); the centroid update is the exact
+    * Long dimension sum with truncating division; an empty code keeps
+    * its centroid. Deterministic and order-independent, so the oracle
+    * UNROLLS it bit-exactly (the [[kmeansCentroids]] precedent, per
+    * subspace). Driver state: M×k×(dim/M) longs — the model only. */
+  def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val dim = v.select(size($"q")).head.getInt(0)
+    val sub = dim / PqM
+    val subs = subFrame(v, dim).where($"vec_id" >= 10)
+    val seedVecs = v.where($"vec_id" >= 10).orderBy($"vec_id").limit(PqK)
+      .select($"q").collect().map(_.getSeq[Long](0).toArray)
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(PqM)(m => seedVecs.map(_.slice(m * sub, m * sub + sub)))
+    for (_ <- 0 until PqIters) {
+      val bc = s.sparkContext.broadcast(books)
+      val assign = udf { (m: Int, sq: scala.collection.Seq[Long]) =>
+        val cs = bc.value(m)
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cq = cs(c); var d = 0L; var i = 0
+          while (i < cq.length) { val t = sq(i) - cq(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      // M·k·subdim partial-sum rows to the driver — the model update
+      val sums = subs.withColumn("code", assign($"m", $"sq"))
+        .select($"m", $"code", posexplode($"sq").as(Seq("pos", "x")))
+        .groupBy($"m", $"code", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (mb, m) =>
+        mb.zipWithIndex.map { case (old, code) =>
+          byCell.get((m, code)) match {
+            case Some(rows) =>
+              val arr = new Array[Long](old.length)
+              rows.foreach(r => arr(r.getInt(2)) = r.getLong(3) / r.getLong(4))
+              arr
+            case None => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** IVF + PQ asymmetric-distance search — the structure every
+    * billion-scale ANN deployment uses (coarse cells prune the corpus;
+    * 1-byte-per-subspace codes replace vectors in the scan; a small
+    * exact re-rank fixes the quantization error):
+    *
+    *  1. candidates = corpus members of each query's nprobe IVF cells
+    *     (the [[simAnnIvf]] cells — at scale this is the chunk-pruned
+    *     index read, not a corpus scan);
+    *  2. ADC: approx dot(q, x) = Σ_m dot(q_m, codebook[m][code_m(x)])
+    *     and approx |x|² = Σ_m |codebook[m][code_m(x)]|², both read
+    *     from a per-query distance TABLE of M×k integer partials
+    *     (queries×M×k rows — broadcast, metadata-sized) joined to the
+    *     candidates' codes: the candidate scan never touches a raw
+    *     vector;
+    *  3. exact cosine re-rank of the top-[[PqShort]] ADC shortlist →
+    *     top-3. All integer until the final divisions, so the oracle
+    *     reproduces the whole pipeline including the trained codebooks
+    *     ([[simAnnPqSql]]). Recall vs brute force pinned in ScalaTest. */
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir)
+    val dim = v.select(size($"q")).head.getInt(0)
+    val books = pqCodebooks(s, dir)
+    val cbRows = for {
+      (mb, m) <- books.zipWithIndex.toSeq
+      (cq, code) <- mb.zipWithIndex
+    } yield (m, code.toLong, cq.toSeq, cq.map(x => x * x).sum)
+    val cb = broadcast(cbRows.toDF("m", "code", "cq", "cn"))
+    val subsAll = subFrame(v, dim)
+
+    // corpus codes: exact argmin per (vec_id, m) over the m-th codebook
+    val wSub = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"code")
+    val codes = subsAll.where($"vec_id" >= 10).join(cb, "m")
+      .withColumn("d2", $"sn" + $"cn" - lit(2L) * dot($"sq", $"cq"))
+      .withColumn("rn", row_number().over(wSub)).where($"rn" === 1)
+      .select($"vec_id", $"m", $"code")
+
+    // IVF pruning: each query sees only its nprobe cells' members
+    val probes = ivfProbes(v)
+    val assigned = nearestCellsTo(ivfCents(v), v.where($"vec_id" >= 10), 1)
+      .select($"vec_id", $"c_id".as("cell"))
+    val cand = assigned
+      .join(broadcast(probes.select($"query_id", $"qn", $"cell")), "cell")
+      .select($"query_id", $"qn", $"vec_id")
+
+    // ADC distance table: (query, m, code) → integer partial dot + norm
+    val qdot = broadcast(subsAll.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"m", $"sq")
+      .join(cb, "m")
+      .select($"query_id", $"m", $"code",
+        dot($"sq", $"cq").as("pdot"), $"cn"))
+    val adc = cand.join(codes, "vec_id")
+      .join(qdot, Seq("query_id", "m", "code"))
+      .groupBy($"query_id", $"vec_id", $"qn")
+      .agg(sum($"pdot").as("adot"), sum($"cn").as("an"))
+      .withColumn("adc_cos",
+        $"adot" / sqrt($"qn".cast("double") * $"an"))
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc_cos".desc, $"vec_id")
+    val short = adc.withColumn("srn", row_number().over(wAdc))
+      .where($"srn" <= PqShort).select($"query_id", $"vec_id")
+
+    // exact re-rank of the shortlist (reads PqShort raw vectors/query)
+    val qside = broadcast(probes.select($"query_id", $"qq", $"qn")
+      .dropDuplicates("query_id"))
+    val exact = short
+      .join(v.select($"vec_id", $"q", $"nq"), "vec_id")
+      .join(qside, "query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qq", $"q") / sqrt($"qn".cast("double") * $"nq")).as("cos"))
+    val wR = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    exact.withColumn("rank", row_number().over(wR)).where($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[simAnnPq]]: the per-subspace Lloyd training
+    * unrolls into [[PqIters]] CTE stages VECTORIZED over the subspace
+    * (m joins like a key, so one stage trains all 8 codebooks), then
+    * encode / IVF-prune / ADC / exact re-rank replay in the same exact
+    * integer arithmetic (truncating division emulated over `//`). */
+  val simAnnPqSql: String = {
+    val sub = 8 // 64-dim testdata / PqM
+    def d2sub(t: String, c: String): String =
+      s"""CAST(list_sum(list_transform(range(1, ${sub + 1}),
+         |      k -> ($t.sq[k]-$c.cq[k])*($t.sq[k]-$c.cq[k]))) AS BIGINT)""".stripMargin
+    def stage(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, m, sq, code FROM (
+         |    SELECT t.vec_id, t.m, t.sq, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m ORDER BY
+         |        ${d2sub("t", "c")}, c.code) AS rn
+         |    FROM subn t JOIN $prev c ON t.m = c.m WHERE t.vec_id >= 10)
+         |  WHERE rn = 1),
+         |s$i AS (
+         |  SELECT m, code, pos, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS cnt FROM (
+         |    SELECT m, code, unnest(range(1, ${sub + 1})) AS pos, unnest(sq) AS x
+         |    FROM a$i) GROUP BY 1, 2, 3),
+         |u$i AS (
+         |  SELECT m, code, list(CASE WHEN sx >= 0 THEN sx // cnt
+         |    ELSE -((-sx) // cnt) END ORDER BY pos) AS cq
+         |  FROM s$i GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT p.m, p.code, COALESCE(u.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN u$i u ON p.m = u.m AND p.code = u.code)""".stripMargin
+    val stages = (1 to PqIters).map(i =>
+      stage(i, if (i == 1) "seed" else s"c${i - 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq, q
+       |  FROM qv),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |subn AS (
+       |  SELECT vec_id, m,
+       |    list_transform(range(1, ${sub + 1}), j -> q[m*$sub + j]) AS sq,
+       |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
+       |      j -> q[m*$sub + j] * q[m*$sub + j])) AS BIGINT) AS sn
+       |  FROM n, ms),
+       |seed AS (
+       |  SELECT m, CAST(rn - 1 AS BIGINT) AS code, sq AS cq FROM (
+       |    SELECT m, sq, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+       |    FROM subn WHERE vec_id >= 10) WHERE rn <= $PqK),
+       |$stages,
+       |cb AS (
+       |  SELECT m, code, cq,
+       |    CAST(list_sum(list_transform(cq, x -> x*x)) AS BIGINT) AS cn
+       |  FROM c$PqIters),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT t.vec_id, t.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m ORDER BY
+       |        t.sn + c.cn - 2*CAST(list_sum(list_transform(range(1, ${sub + 1}),
+       |          k -> t.sq[k]*c.cq[k])) AS BIGINT), c.code) AS rn
+       |    FROM subn t JOIN cb c ON t.m = c.m WHERE t.vec_id >= 10)
+       |  WHERE rn = 1),
+       |cents AS (
+       |  SELECT vec_id AS c_id, q AS cq, nq AS cn
+       |  FROM n WHERE vec_id >= 10 AND vec_id % 10 = 5),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+       |    FROM n a, cents c WHERE a.vec_id >= 10) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, q AS qq, nq AS qn, c_id AS cell FROM (
+       |    SELECT a.vec_id, a.q, a.nq, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nq + c.cn - 2*CAST(list_sum(list_transform(range(1, len(a.q)+1),
+       |          k -> a.q[k]*c.cq[k])) AS BIGINT), c.c_id) AS rn
+       |    FROM n a, cents c WHERE a.vec_id < 10) WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.query_id, p.qn, a.vec_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell),
+       |qdot AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.code,
+       |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
+       |      k -> s.sq[k]*c.cq[k])) AS BIGINT) AS pdot, c.cn
+       |  FROM subn s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id, cand.qn,
+       |    CAST(SUM(d.pdot) AS BIGINT) AS adot, CAST(SUM(d.cn) AS BIGINT) AS an
+       |  FROM cand
+       |  JOIN codes co ON co.vec_id = cand.vec_id
+       |  JOIN qdot d ON d.query_id = cand.query_id
+       |             AND d.m = co.m AND d.code = co.code
+       |  GROUP BY 1, 2, 3),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+       |        adot / sqrt(CAST(qn AS DOUBLE) * an) DESC, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $PqShort),
+       |scored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(p.qq)+1),
+       |      k -> p.qq[k]*b.q[k])) AS BIGINT)
+       |      / sqrt(CAST(p.qn AS DOUBLE) * b.nq) AS cos
+       |  FROM short s
+       |  JOIN n b ON b.vec_id = s.vec_id
+       |  JOIN (SELECT DISTINCT query_id, qq, qn FROM probes) p
+       |    ON p.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> (simTopk _),
     "sim_clusters" -> (simClusters _),
@@ -1001,6 +1270,7 @@ object Vectors {
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_incremental" -> (simAnnIncremental _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
+    "sim_ann_pq" -> (simAnnPq _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _))
@@ -1017,6 +1287,7 @@ object Vectors {
     "sim_ann_ivf_indexed" -> simAnnIvfSql,
     "sim_ann_incremental" -> simAnnIncrementalSql,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeansSql,
+    "sim_ann_pq" -> simAnnPqSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

