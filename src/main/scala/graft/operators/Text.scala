@@ -302,6 +302,57 @@ object Text {
       |FROM tok WHERE len(token) > 0
       |GROUP BY token ORDER BY df DESC, token ASC LIMIT 25""".stripMargin
 
+  /** Out-of-vocabulary quality gate (the CCNet/C4 "common token"
+    * filter): the vocabulary is the corpus's top-16 tokens by document
+    * frequency — DERIVED from the data (the [[textDf]] statistic put to
+    * work), not a fixed list — and each document scores the fraction of
+    * its token occurrences outside it. The vocab is metadata-sized
+    * (the stopword-list shape: one tiny aggregate collected to the
+    * driver, broadcast as a literal into the scoring projection), so
+    * the scoring pass is a pure column expression over the corpus —
+    * no join, no shuffle beyond the vocab aggregate. Exact integers +
+    * one final division. */
+  def textOov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab: Seq[String] = Tables(s, dir, "documents")
+      .select(explode(array_distinct(split($"text", " "))).as("t"))
+      .where(length($"t") > 0)
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"t".asc).limit(16)
+      .collect().map(_.getString(0)).toSeq
+    val ts = filter(split($"text", " "), t => length(t) > 0)
+    Tables(s, dir, "documents")
+      .withColumn("ts", ts)
+      .select(
+        $"doc_id",
+        size($"ts").as("n_tokens"),
+        size(filter($"ts",
+          t => !t.isin(vocab.map(x => x: Any): _*))).as("n_oov"),
+        (size(filter($"ts", t => !t.isin(vocab.map(x => x: Any): _*)))
+          .cast("double") / size($"ts")).as("oov_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textOovSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT list(t ORDER BY t) AS vs FROM (
+      |    SELECT t FROM (
+      |      SELECT t, COUNT(*) AS df FROM tok WHERE len(t) > 0 GROUP BY t)
+      |    ORDER BY df DESC, t LIMIT 16)),
+      |per AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> len(x) > 0 AND NOT list_contains(v.vs, x))) AS n_oov
+      |  FROM documents CROSS JOIN vocab v)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  CAST(n_oov AS INT) AS n_oov,
+      |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+      |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -309,6 +360,7 @@ object Text {
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
     "text_df" -> (textDf _),
+    "text_oov" -> (textOov _),
     "text_pii" -> (textPii _))
 
   val oracles: Map[String, String] = Map(
@@ -318,5 +370,6 @@ object Text {
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
     "text_df" -> textDfSql,
+    "text_oov" -> textOovSql,
     "text_pii" -> textPiiSql)
 }

@@ -82,6 +82,34 @@ class SearchSpec extends AnyFunSuite {
     assert(cat.root("tf_idx").tableHash == cat2.root("tf_idx").tableHash)
   }
 
+  test("ranked-search probe prunes tf-index chunk files on the token key") {
+    val (_, ops, cat, views) = newEngine(target = 24)
+    val docs = corpus(1200)
+    cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
+    Search.declareTfIndex(views, "tf_idx", "docs")
+    views.refresh("tf_idx")
+    val ref = TableRef(cat.root("tf_idx").tableHash)
+    val m = ops.meta(ref)
+    assert(m.chunks.length > 10, s"need many chunks: ${m.chunks.length}")
+    // the index is keyed by (token, doc_id): a term IN-probe prunes to
+    // the chunk files whose key range can contain those tokens — the
+    // serving read path of textRankedSearch
+    val probed = ops.scan(ref).where(col("token").isin("w1", "w3"))
+    val scanned = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(scanned > 0 && scanned < m.chunks.length,
+      s"probe must prune: $scanned of ${m.chunks.length} files")
+    val got = probed.groupBy(col("token")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = expectedTf(
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      .filter(t => t._1 == "w1" || t._1 == "w3")
+      .groupBy(_._1).map { case (t, rows) => (t, rows.size.toLong) }
+    assert(got == want)
+  }
+
   test("pipeline_mix: quotas are largest-remainder exact and selection " +
       "equals the naive per-source rank") {
     import spark.implicits._
