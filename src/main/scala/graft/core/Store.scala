@@ -508,6 +508,23 @@ object FsUtil {
     try s.toArray.map(_.asInstanceOf[Path]).toSeq
     finally s.close()
   }
+
+  /** Spark's own staleness rule (name + size + mtime per source file)
+    * as a memo-key fingerprint for a source parquet under `dir` —
+    * shared by every build-once index (vector, shingle, tf) so the
+    * discipline has ONE definition. The strings feed Hashing.opHash
+    * verbatim; changing this format invalidates (= safely rebuilds)
+    * existing memo entries. */
+  def parquetFingerprint(dir: String, table: String): Seq[String] = {
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val files: Seq[Path] =
+      if (Files.isDirectory(src)) listDir(src).sortBy(_.getFileName.toString)
+      else Seq(src)
+    files.map { p =>
+      s"${p.getFileName}:${Files.size(p)}:" +
+        Files.getLastModifiedTime(p).toMillis
+    }
+  }
 }
 
 object Hashing {

@@ -197,20 +197,11 @@ object IncrementalDedup {
     * phrases — at corpus scale a phrase lookup opens a handful of
     * chunks, never the index (the search-engine read path; pruning
     * pinned in GraftScanSpec / IncrementalDedupSpec). */
-  /** Spark's staleness rule (name+size+mtime per source file) as a
-    * memo-key fingerprint for the documents parquet — the same
-    * discipline as the vector-index builds. */
-  private def docsFingerprint(dir: String): Seq[String] = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src))
-        graft.core.FsUtil.listDir(src).sortBy(_.getFileName.toString)
-      else Seq(src)
-    files.map { p =>
-      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
-    }
-  }
+  /** Build-once memo key for the documents parquet
+    * ([[graft.core.FsUtil.parquetFingerprint]], Spark's own staleness
+    * rule — the same discipline as the vector-index builds). */
+  private def docsFingerprint(dir: String): Seq[String] =
+    graft.core.FsUtil.parquetFingerprint(dir, "documents")
 
   def textSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

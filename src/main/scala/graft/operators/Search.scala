@@ -43,20 +43,11 @@ object Search {
         generates = true, outTarget = indexTarget),
       FoldSpec.FoldSum)
 
-  /** Spark's staleness fingerprint (name+size+mtime per source file) as
-    * the build-once memo key — same discipline as the shingle/vector
-    * index builds. */
-  private def docsFingerprint(dir: String): Seq[String] = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src))
-        graft.core.FsUtil.listDir(src).sortBy(_.getFileName.toString)
-      else Seq(src)
-    files.map { p =>
-      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
-    }
-  }
+  /** Build-once memo key for the docs parquet
+    * ([[graft.core.FsUtil.parquetFingerprint]] — same discipline as
+    * the shingle/vector index builds). */
+  private def docsFingerprint(dir: String): Seq[String] =
+    graft.core.FsUtil.parquetFingerprint(dir, "documents")
 
   /** Ranked search served FROM the tf index: pick three mid-frequency
     * terms (document-frequency ranks 11–13 — selective enough that the
@@ -88,7 +79,11 @@ object Search {
       declareTfIndex(views, "tf_idx", "docs")
       views.refresh("tf_idx").hash
     })
-    val n = ops.meta(TableRef(cat.root("docs").tableHash)).rows
+    // N from the in-hand corpus frame (cached), NOT the side store's
+    // catalog: the catalog entry can lag the fingerprint-memoized index
+    // under in-place corpus rewrites, and the on-disk count is what the
+    // oracle sees
+    val n = docs.count()
     // deterministic query workload: df ranks 11-13 (total order:
     // df DESC, token ASC — token is unique within the aggregate)
     // top-13 collected, ranks 11-13 kept on the driver (13 rows — the
@@ -177,10 +172,10 @@ object Search {
     val budget = total / 2
     val quota: Map[String, Long] = largestRemainder(
       perSrc.map { case (src, _) => (src, srcWeight(src)) }, budget)
+    val bySrc = perSrc.toMap
     quota.foreach { case (src, q) =>
-      val n = perSrc.toMap.apply(src)
-      require(q <= n, s"quota $q exceeds $src's $n docs — weights too " +
-        "skewed for a budget of half the corpus")
+      require(q <= bySrc(src), s"quota $q exceeds $src's ${bySrc(src)} " +
+        "docs — weights too skewed for a budget of half the corpus")
     }
     // pass 1: (source, bucket) histogram; driver finds each source's
     // boundary bucket and how many keys to take inside it

@@ -327,9 +327,11 @@ object Text {
         $"doc_id",
         size($"ts").as("n_tokens"),
         size(filter($"ts",
-          t => !t.isin(vocab.map(x => x: Any): _*))).as("n_oov"),
-        (size(filter($"ts", t => !t.isin(vocab.map(x => x: Any): _*)))
-          .cast("double") / size($"ts")).as("oov_ratio"))
+          t => !t.isin(vocab.map(x => x: Any): _*))).as("n_oov"))
+      // guarded ratio: a token-free document is NULL in both engines
+      // (unguarded, Spark's Divide gives NULL but DuckDB gives NaN)
+      .withColumn("oov_ratio",
+        when($"n_tokens" > 0, $"n_oov".cast("double") / $"n_tokens"))
       .orderBy($"doc_id")
   }
 
@@ -350,7 +352,8 @@ object Text {
       |  FROM documents CROSS JOIN vocab v)
       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
       |  CAST(n_oov AS INT) AS n_oov,
-      |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+      |  CASE WHEN n_tokens > 0
+      |    THEN CAST(n_oov AS DOUBLE) / n_tokens END AS oov_ratio
       |FROM per ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, QFn] = Map(

@@ -29,7 +29,10 @@ object Vectors {
 
   /** The cache assumes the source dir is immutable; call after
     * rewriting data in place. */
-  def invalidateCache(): Unit = quantizedCache.invalidateAll()
+  def invalidateCache(): Unit = {
+    quantizedCache.invalidateAll()
+    pqCache.invalidateAll()
+  }
 
   def quantized(s: SparkSession, dir: String): DataFrame = {
     quantizedCache.getOrElseUpdate((s, dir)) {
@@ -61,20 +64,11 @@ object Vectors {
     })
   }
 
-  /** Spark's own staleness rule (name + size + mtime per source file) as
-    * a memo-key fingerprint for operations derived from the embeddings
-    * parquet. */
-  private def sourceFingerprint(dir: String): Seq[String] = {
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src))
-        graft.core.FsUtil.listDir(src).sortBy(_.getFileName.toString)
-      else Seq(src)
-    files.map { p =>
-      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
-    }
-  }
+  /** Memo-key fingerprint for operations derived from the embeddings
+    * parquet ([[graft.core.FsUtil.parquetFingerprint]], Spark's own
+    * staleness rule). */
+  private def sourceFingerprint(dir: String): Seq[String] =
+    graft.core.FsUtil.parquetFingerprint(dir, "embeddings")
 
   /** Native codegen'd dot product (graft.functions.DotProductLong) —
     * stays inside whole-stage codegen with primitive ArrayData access. */
@@ -1016,7 +1010,18 @@ object Vectors {
     * its centroid. Deterministic and order-independent, so the oracle
     * UNROLLS it bit-exactly (the [[kmeansCentroids]] precedent, per
     * subspace). Driver state: M×k×(dim/M) longs — the model only. */
-  def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+  /** Train-once cache for the PQ model (driver-held, M×k×subdim longs
+    * — metadata-sized), keyed like [[quantizedCache]]: serving calls
+    * must not re-run Lloyd. */
+  private val pqCache =
+    new graft.core.Lru[(SparkSession, String), Array[Array[Array[Long]]]](
+      8, _ => ())
+
+  def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqCache.getOrElseUpdate((s, dir))(trainPqCodebooks(s, dir))
+
+  private def trainPqCodebooks(s: SparkSession,
+      dir: String): Array[Array[Array[Long]]] = {
     import s.implicits._
     val v = quantized(s, dir)
     val dim = v.select(size($"q")).head.getInt(0)
@@ -1082,8 +1087,8 @@ object Vectors {
   def simAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = quantized(s, dir)
-    val dim = v.select(size($"q")).head.getInt(0)
     val books = pqCodebooks(s, dir)
+    val dim = books.head.head.length * PqM
     val cbRows = for {
       (mb, m) <- books.zipWithIndex.toSeq
       (cq, code) <- mb.zipWithIndex

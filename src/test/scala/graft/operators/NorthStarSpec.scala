@@ -98,10 +98,17 @@ class NorthStarSpec extends AnyFunSuite {
     assert(r1 == r2, "sim_ann_pq not deterministic")
     // the exact re-rank reports TRUE cosines: every returned cos must
     // match the brute-force score for that (query, neighbor) pair
-    val bfAll = Vectors.simTopk(spark, sf)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = r1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfScores = Vectors.simTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val annScores = r1.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val mismatched = annScores.filter { case (pair, c) =>
+      bfScores.get(pair).exists(_ != c)
+    }
+    assert(mismatched.isEmpty,
+      s"re-ranked cos diverges from brute force: $mismatched")
+    val bfAll = bfScores.keySet
+    val ann = annScores.map(_._1).toSet
     assert(ann.nonEmpty)
     val recall = (ann & bfAll).size.toDouble / bfAll.size
     info(f"IVF+PQ recall vs brute force: $recall%.2f")
