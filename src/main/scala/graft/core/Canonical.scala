@@ -731,6 +731,12 @@ object Canonical {
     if (smallShuffle) {
       val cur = es.sessionState.conf.numShufflePartitions
       es.conf.set("spark.sql.shuffle.partitions", math.min(cur, 8).toString)
+      // a byte-admitted plan touches at most the driver budget of
+      // data: interpreted expressions beat paying janino compilation
+      // per plan (semantics identical — interpreted mode IS Spark's
+      // codegen fallback path)
+      es.conf.set("spark.sql.codegen.wholeStage", "false")
+      es.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     }
     (es, org.apache.spark.sql.GraftBridge.transplant(es, df))
   }
