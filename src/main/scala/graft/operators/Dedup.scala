@@ -556,6 +556,73 @@ object Dedup {
       dedupShingle(s, dir).select($"i", $"j"), "i", "j", "doc_id", "n_docs")
   }
 
+  /** Cluster-representative selection — the curation step AFTER
+    * clustering: from every near-dup cluster keep exactly one document
+    * (the longest; ties to the smallest doc_id), and pass singletons
+    * (docs in no near-dup pair) through unchanged, so the output IS the
+    * deduplicated keep-list a corpus build feeds downstream.
+    *
+    * Scale shape: the cluster table is tiny relative to the corpus
+    * (only near-dup members appear in it), so the representative argmax
+    * is one small shuffle over cluster_id, and the singleton pass-through
+    * is a broadcast anti-join of the corpus against the cluster
+    * member list — the corpus-sized side never shuffles. The argmax is
+    * an exact struct-max (no max_by tie nondeterminism): lexicographic
+    * (n_chars, -doc_id) makes ties deterministic. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestFrom(s, dedupClusters(s, dir),
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
+
+  /** The selection itself, over any `(doc_id, cluster_id, n_docs)`
+    * cluster table and `(doc_id, n_chars)` corpus — factored so the
+    * tie-break contract is pinnable on a synthetic fixture. */
+  private[operators] def keepBestFrom(s: SparkSession, clusters: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val kept = clusters.join(docs, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("m"),
+        max($"n_docs").as("n_docs"))
+      .select((-$"m.neg_id").as("keep_id"), $"cluster_id", $"n_docs",
+        $"m.n_chars".as("n_chars"))
+    val singles = docs
+      .join(broadcast(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id".as("keep_id"), $"doc_id".as("cluster_id"),
+        lit(1L).as("n_docs"), $"n_chars")
+    kept.unionByName(singles).orderBy($"keep_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |  WHERE 10*c >= 5*(sa.n + sb.n - c)),
+       |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+       |csz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1),
+       |ranked AS (
+       |  SELECT comp.cluster_id, comp.doc_id, d.n_chars, csz.n_docs,
+       |    row_number() OVER (PARTITION BY comp.cluster_id
+       |      ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rn
+       |  FROM comp JOIN csz USING (cluster_id)
+       |  JOIN documents d ON d.doc_id = comp.doc_id)
+       |SELECT doc_id AS keep_id, cluster_id, n_docs, n_chars
+       |FROM ranked WHERE rn = 1
+       |UNION ALL
+       |SELECT d.doc_id, d.doc_id, CAST(1 AS BIGINT), d.n_chars
+       |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+       |ORDER BY keep_id""".stripMargin
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE sh AS ($shinglesSql),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -585,7 +652,8 @@ object Dedup {
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -595,5 +663,6 @@ object Dedup {
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }

@@ -356,6 +356,55 @@ object Text {
       |    THEN CAST(n_oov AS DOUBLE) / n_tokens END AS oov_ratio
       |FROM per ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM fluency score (the CCNet-style LM quality filter with a
+    * corpus-trained model): score each document by the mean corpus
+    * frequency of its token TRANSITIONS — fluent text reuses common
+    * transitions, keyboard-mash and boilerplate-noise text does not.
+    *
+    * The model is the corpus bigram table pruned by a min-count
+    * threshold (cnt >= 3); transitions outside it floor to 1 (the
+    * unseen/rare smoothing). Pruning is what makes the shape scale: at
+    * most total_bigrams/threshold entries survive — a BOUNDED,
+    * broadcastable model at any corpus size (raise the threshold with
+    * the corpus, exactly how production LM filters prune their vocab) —
+    * so scoring is a broadcast LEFT join: the corpus-sized side never
+    * shuffles on the zipfian bigram key (a hash-partitioned join there
+    * would send every "of the" to one task), and the only exchange is
+    * the per-doc aggregation on the uniform doc_id. Exact integers
+    * end-to-end; the mean is a scaled integer division. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables(s, dir, "documents")
+      .withColumn("ts", split($"text", " "))
+      .where(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
+        .as("bg"))
+    val model = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= 3)
+    bg.join(broadcast(model), Seq("bg"), "left")
+      .select($"doc_id", coalesce($"cnt", lit(1L)).as("c"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"c").as("freq_total"))
+      .withColumn("fluency_x100", expr("freq_total * 100 div n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  val textLmScoreSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2),
+      |model AS (
+      |  SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(coalesce(m.cnt, 1)) AS BIGINT) AS freq_total,
+      |  (CAST(SUM(coalesce(m.cnt, 1)) AS BIGINT) * 100) // COUNT(*)
+      |    AS fluency_x100
+      |FROM bg b LEFT JOIN model m USING (bg)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -363,6 +412,7 @@ object Text {
     "text_tokens" -> (textTokens _),
     "text_repetition" -> (textRepetition _),
     "text_df" -> (textDf _),
+    "text_lm_score" -> (textLmScore _),
     "text_oov" -> (textOov _),
     "text_pii" -> (textPii _))
 
@@ -373,6 +423,7 @@ object Text {
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
     "text_df" -> textDfSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_oov" -> textOovSql,
     "text_pii" -> textPiiSql)
 }
