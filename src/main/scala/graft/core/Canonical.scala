@@ -566,7 +566,8 @@ object Canonical {
       val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe") {
-          val (_, ekb) = onEngine(spark, kbDf, smallShuffle = true)
+          val (_, ekb) =
+            onEngine(spark, kbDf, smallShuffle = true, interpretedOk = false)
           ekb.limit(cap.toInt + 1).collect()
         })
         catch { case scala.util.control.NonFatal(e) =>
@@ -717,7 +718,8 @@ object Canonical {
     * session's conf is never touched (pinned two-threaded in
     * EngineConfIsolationSpec). */
   private[core] def onEngine(spark: SparkSession, df: DataFrame,
-      smallShuffle: Boolean = false): (SparkSession, DataFrame) = {
+      smallShuffle: Boolean = false, interpretedOk: Boolean = true)
+      : (SparkSession, DataFrame) = {
     val es = org.apache.spark.sql.GraftBridge.engineSession(spark)
     // byte-admitted driver routes collect a PROVABLY small frame; any
     // fold exchange inside it needs a handful of partitions, not the
@@ -734,9 +736,15 @@ object Canonical {
       // a byte-admitted plan touches at most the driver budget of
       // data: interpreted expressions beat paying janino compilation
       // per plan (semantics identical — interpreted mode IS Spark's
-      // codegen fallback path)
-      es.conf.set("spark.sql.codegen.wholeStage", "false")
-      es.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      // codegen fallback path). NOT for optimistic PROBES
+      // (interpretedOk = false): a probe's OUTPUT size is unknown —
+      // that is why it probes — and generator fan-out runs real
+      // expression work per output row (measured: the shingle-index
+      // probe doubled interpreted), so probes keep codegen.
+      if (interpretedOk) {
+        es.conf.set("spark.sql.codegen.wholeStage", "false")
+        es.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
     }
     (es, org.apache.spark.sql.GraftBridge.transplant(es, df))
   }
@@ -822,7 +830,8 @@ object Canonical {
       val cap = Ops.adaptiveRowCap(dataSchema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe-g") {
-          val (_, ekb) = onEngine(spark, kbDf, smallShuffle = true)
+          val (_, ekb) =
+            onEngine(spark, kbDf, smallShuffle = true, interpretedOk = false)
           ekb.limit(cap.toInt + 1).collect()
         })
         catch { case scala.util.control.NonFatal(e) =>
