@@ -54,6 +54,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(indexRows(ops, cat) == want)
   }
 
+  test("shingle expression edge lengths: 1-5 tokens, repeats, empties") {
+    import spark.implicits._
+    // the zip_with slice construction has its edges at tiny token
+    // counts (exactly-3 = one shingle; under-3 = filtered) and at
+    // repeated tokens (array_distinct); empty-string tokens from a
+    // double space must shingle literally, same as the split semantics
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e"), (6L, "x x x x"), (7L, "a  b c"))
+      .toDF("doc_id", "text")
+    val (_, ops, cat, views) = newEngine()
+    cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
+    IncrementalDedup.declareIndex(views, "shingle_idx", "docs")
+    views.refresh("shingle_idx")
+    val want = expected(Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e"), (6L, "x x x x"), (7L, "a  b c")))
+    assert(indexRows(ops, cat) == want)
+  }
+
   test("ingest batch refreshes O(delta): bounded chunk writes, no full rewrite") {
     val (store, ops, cat, views) = newEngine()
     val docs = corpus(2000)
