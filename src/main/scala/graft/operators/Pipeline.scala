@@ -288,7 +288,95 @@ object Pipeline {
       |SELECT lang, rank, doc_id, n_chars, n_tokens
       |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
 
+  /** The whole corpus build as ONE declarative plan — quality gates →
+    * exact dedup → eval-set removal + n-gram decontamination → split
+    * assignment → per-(split, lang) audit. This is the end-to-end
+    * composition a pretraining data team actually ships; every stage is
+    * one of the registered operators, literally composed (the
+    * contaminated set IS [[decontaminate]]'s output).
+    *
+    * Scale shape, stage by stage: the n_chars window pushes to the
+    * parquet scan; the token gates are codegen'd column filters; exact
+    * dedup is one hash-shuffle on text (swap in the fingerprint column
+    * at 100 TB — same plan); the contaminated list is eval-sized and
+    * broadcast for the anti-join; split assignment is a pure md5
+    * expression (reproducible, growth-stable); the audit aggregate is
+    * partial-agg'd below its exchange. Three shuffles total, none over
+    * a skewed key. */
+  def pipelineCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enStops = Text.langStopwords.toMap.apply("en")
+    val ts = split($"text", " ")
+    val gated = Tables(s, dir, "documents")
+      .where($"n_chars".between(100, 450))
+      .withColumn("n_tokens", size(ts))
+      .withColumn("n_stop",
+        size(filter(ts, t => t.isin(enStops.map(x => x: Any): _*))))
+      .where($"n_stop" * 10 >= $"n_tokens")
+    // exact dedup keeping the min-id row: struct-min is deterministic
+    // (doc_id unique and leading)
+    val deduped = gated.groupBy($"text")
+      .agg(min(struct($"doc_id", $"lang", $"source", $"n_tokens")).as("m"))
+      .select($"m.doc_id", $"m.lang", $"m.source", $"m.n_tokens")
+    val contaminated = decontaminate(s, dir).select($"doc_id")
+    val clean = deduped
+      .where($"source" =!= "src19") // the eval split itself never trains
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val bucket =
+      conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    clean
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val pipelineCorpusBuildSql: String = {
+    val stops = Text.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH sh AS (${Dedup.shinglesSqlPublic}),
+       |src AS (SELECT doc_id, source FROM documents),
+       |ev AS (SELECT DISTINCT s FROM sh JOIN src USING (doc_id)
+       |       WHERE source = 'src19'),
+       |tr AS (SELECT sh.doc_id, sh.s FROM sh JOIN src USING (doc_id)
+       |       WHERE source <> 'src19'),
+       |contaminated AS (
+       |  SELECT doc_id FROM (
+       |    SELECT tr.doc_id, COUNT(*) AS c FROM tr JOIN ev USING (s)
+       |    GROUP BY 1)
+       |  WHERE c >= 5),
+       |gated AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stops, t))) AS INT) AS n_stop
+       |  FROM documents
+       |  WHERE n_chars BETWEEN 100 AND 450),
+       |deduped AS (
+       |  SELECT doc_id, lang, source, n_tokens FROM (
+       |    SELECT doc_id, lang, source, n_tokens,
+       |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM gated WHERE n_stop * 10 >= n_tokens)
+       |  WHERE rn = 1),
+       |clean AS (
+       |  SELECT * FROM deduped
+       |  WHERE source <> 'src19'
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |b AS (SELECT lang, n_tokens,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100
+       |      AS bucket
+       |  FROM clean)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "pipeline_corpus_build" -> (pipelineCorpusBuild _),
     "decontaminate" -> (decontaminate _),
     "pipeline_curation" -> (pipelineCuration _),
     "pipeline_topk_per_group" -> (pipelineTopkPerGroup _),
@@ -297,6 +385,7 @@ object Pipeline {
     "sample_rebalance" -> (sampleRebalance _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus_build" -> pipelineCorpusBuildSql,
     "decontaminate" -> decontaminateSql,
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_topk_per_group" -> pipelineTopkPerGroupSql,
