@@ -562,13 +562,15 @@ object Dedup {
     * (docs in no near-dup pair) through unchanged, so the output IS the
     * deduplicated keep-list a corpus build feeds downstream.
     *
-    * Scale shape: the cluster table is tiny relative to the corpus
-    * (only near-dup members appear in it), so the representative argmax
-    * is one small shuffle over cluster_id, and the singleton pass-through
-    * is a broadcast anti-join of the corpus against the cluster
-    * member list — the corpus-sized side never shuffles. The argmax is
-    * an exact struct-max (no max_by tie nondeterminism): lexicographic
-    * (n_chars, -doc_id) makes ties deterministic. */
+    * Scale shape: the representative argmax shuffles only the cluster
+    * table (near-dup members, well under corpus size). The singleton
+    * pass-through is a plain anti-join on the unique, uniform doc_id —
+    * deliberately NOT hint-broadcast: near-dup membership is
+    * corpus-PROPORTIONAL on real crawls (30-50% of docs), so forcing a
+    * broadcast is exactly the 100 TB driver-OOM anti-pattern; AQE still
+    * broadcasts it when the measured size is actually small. The argmax
+    * is an exact struct-max (no max_by tie nondeterminism):
+    * lexicographic (n_chars, -doc_id) makes ties deterministic. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
     keepBestFrom(s, dedupClusters(s, dir),
       Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
@@ -586,7 +588,7 @@ object Dedup {
       .select((-$"m.neg_id").as("keep_id"), $"cluster_id", $"n_docs",
         $"m.n_chars".as("n_chars"))
     val singles = docs
-      .join(broadcast(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id".as("keep_id"), $"doc_id".as("cluster_id"),
         lit(1L).as("n_docs"), $"n_chars")
     kept.unionByName(singles).orderBy($"keep_id")

@@ -298,8 +298,10 @@ object Pipeline {
     * Scale shape, stage by stage: the n_chars window pushes to the
     * parquet scan; the token gates are codegen'd column filters; exact
     * dedup is one hash-shuffle on text (swap in the fingerprint column
-    * at 100 TB — same plan); the contaminated list is eval-sized and
-    * broadcast for the anti-join; split assignment is a pure md5
+    * at 100 TB — same plan); the contamination anti-join keys on the
+    * unique uniform doc_id and is NOT hint-broadcast (hot shingles can
+    * inflate the contaminated set on a pathological corpus; AQE
+    * broadcasts it when actually small); split assignment is a pure md5
     * expression (reproducible, growth-stable); the audit aggregate is
     * partial-agg'd below its exchange. Three shuffles total, none over
     * a skewed key. */
@@ -321,7 +323,7 @@ object Pipeline {
     val contaminated = decontaminate(s, dir).select($"doc_id")
     val clean = deduped
       .where($"source" =!= "src19") // the eval split itself never trains
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val bucket =
       conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
