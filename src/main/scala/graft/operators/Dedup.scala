@@ -594,8 +594,13 @@ object Dedup {
     kept.unionByName(singles).orderBy($"keep_id")
   }
 
-  val dedupKeepBestSql: String =
-    s"""WITH RECURSIVE sh AS ($shinglesSql),
+  /** The cluster algebra (shingle pairs → connected components →
+    * component sizes) shared verbatim by the [[dedupClustersSql]] and
+    * [[dedupKeepBestSql]] oracles — one definition of what "a cluster"
+    * means, same sharing discipline as `$shinglesSql`. Emits CTEs
+    * `comp(doc_id, cluster_id)` and `csz(cluster_id, n_docs)`. */
+  private val clustersCoreSql: String =
+    s"""sh AS ($shinglesSql),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
@@ -611,7 +616,10 @@ object Dedup {
        |  UNION
        |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
        |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
-       |csz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1),
+       |csz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1)""".stripMargin
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $clustersCoreSql,
        |ranked AS (
        |  SELECT comp.cluster_id, comp.doc_id, d.n_chars, csz.n_docs,
        |    row_number() OVER (PARTITION BY comp.cluster_id
@@ -626,23 +634,7 @@ object Dedup {
        |ORDER BY keep_id""".stripMargin
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE sh AS ($shinglesSql),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT i, j FROM inter
-       |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-       |  WHERE 10*c >= 5*(sa.n + sb.n - c)),
-       |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-       |reach AS (
-       |  SELECT a AS id, a AS r FROM edges
-       |  UNION
-       |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
-       |csz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1)
+    s"""WITH RECURSIVE $clustersCoreSql
        |SELECT doc_id, cluster_id, n_docs FROM comp JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 

@@ -24,43 +24,57 @@ object Pipeline {
     * one broadcast semi-ish join over the training shingle index — the
     * fact table shuffles only for the per-doc overlap count. Reuses the
     * shared shingle cache with the dedup family. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** The contamination core shared by [[decontaminate]] and
+    * [[pipelineCorpusBuild]]: training docs (source, per-doc eval
+    * overlap count) with >= 5 distinct shingles shared with the
+    * held-out split — one broadcast join over the shingle index plus
+    * one per-doc aggregation, nothing else. */
+  private def contaminatedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = Tables(s, dir, "documents").select($"doc_id", $"source")
     val sh = Dedup.shingles(s, dir).join(src, "doc_id")
     val evalShingles = sh.where($"source" === "src19")
       .select($"s").distinct()
-    val train = sh.where($"source" =!= "src19")
-    val nPerDoc = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    train
+    sh.where($"source" =!= "src19")
       .join(broadcast(evalShingles), "s")
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_overlap"))
       .where($"n_overlap" >= 5)
+  }
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val train = Dedup.shingles(s, dir).join(src, "doc_id")
+      .where($"source" =!= "src19")
+    val nPerDoc = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    contaminatedDocs(s, dir)
       .join(nPerDoc, "doc_id")
       .select($"doc_id", $"source", $"n_overlap", $"n_shingles")
       .orderBy($"doc_id")
   }
 
+  /** CTE chain matching [[contaminatedDocs]] exactly — interpolated
+    * into both oracles (`sh`/`src`/`ev`/`tr`/`contaminated`), the same
+    * sharing discipline as `$shinglesSql`. */
+  private val contaminationSqlCtes: String =
+    s"""sh AS (${Dedup.shinglesSqlPublic}),
+       |src AS (SELECT doc_id, source FROM documents),
+       |ev AS (SELECT DISTINCT s FROM sh JOIN src USING (doc_id)
+       |       WHERE source = 'src19'),
+       |tr AS (SELECT sh.doc_id, src.source, sh.s FROM sh JOIN src USING (doc_id)
+       |       WHERE source <> 'src19'),
+       |contaminated AS (
+       |  SELECT tr.doc_id, tr.source, COUNT(*) AS n_overlap
+       |  FROM tr JOIN ev USING (s) GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 5)""".stripMargin
+
   val decontaminateSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, greatest(len(ts)-1, 1)),
-      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
-      |  WHERE len(ts) >= 3),
-      |src AS (SELECT doc_id, source FROM documents),
-      |ev AS (SELECT DISTINCT s FROM sh JOIN src USING (doc_id)
-      |       WHERE source = 'src19'),
-      |tr AS (SELECT sh.doc_id, src.source, sh.s FROM sh JOIN src USING (doc_id)
-      |       WHERE source <> 'src19'),
-      |n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1)
-      |SELECT doc_id, source, c AS n_overlap, n_shingles
-      |FROM (SELECT tr.doc_id, tr.source, COUNT(*) AS c
-      |      FROM tr JOIN ev USING (s) GROUP BY 1, 2)
-      |JOIN n USING (doc_id)
-      |WHERE c >= 5
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $contaminationSqlCtes,
+       |n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1)
+       |SELECT doc_id, source, n_overlap, n_shingles
+       |FROM contaminated JOIN n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Corpus curation: length window -> stopword-ratio quality gate (exact
     * integers: 10·n_stop >= n_tokens) -> language-ID gate (guessed 'en')
@@ -68,7 +82,12 @@ object Pipeline {
     * plan: the n_chars window pushes to the parquet scan, every gate is a
     * codegen'd column filter, and the only shuffle is the final dedup
     * groupBy — exactly what a 100 TB curation run needs. */
-  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+  /** The length-window + stopword-ratio gate stage shared by
+    * [[pipelineCuration]] and [[pipelineCorpusBuild]] — ONE definition
+    * of what "passes the quality gates" means, in Scala and (below,
+    * [[gatedSqlCtes]]) in oracle SQL, so the two pipelines cannot
+    * silently diverge. */
+  private def gatedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val enStops = Text.langStopwords.toMap.apply("en")
     val ts = split($"text", " ")
@@ -78,6 +97,25 @@ object Pipeline {
       .withColumn("n_stop",
         size(filter(ts, t => t.isin(enStops.map(x => x: Any): _*))))
       .where($"n_stop" * 10 >= $"n_tokens")
+  }
+
+  /** `gated` CTE pair matching [[gatedDocs]] exactly. */
+  private def gatedSqlCtes: String = {
+    val stops = Text.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""gated0 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stops, t))) AS INT) AS n_stop
+       |  FROM documents
+       |  WHERE n_chars BETWEEN 100 AND 450),
+       |gated AS (SELECT * FROM gated0 WHERE n_stop * 10 >= n_tokens)""".stripMargin
+  }
+
+  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gatedDocs(s, dir)
       .where(Text.langScores($"text").getField("lang") === "en")
       .groupBy($"text")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
@@ -86,24 +124,14 @@ object Pipeline {
       .orderBy($"keep_id")
   }
 
-  val pipelineCurationSql: String = {
-    val stops = Text.langStopwords.toMap.apply("en")
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH gated AS (
-       |  SELECT doc_id, text,
-       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      t -> list_contains($stops, t))) AS INT) AS n_stop
-       |  FROM documents
-       |  WHERE n_chars BETWEEN 100 AND 450)
+  val pipelineCurationSql: String =
+    s"""WITH $gatedSqlCtes
        |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
        |  MIN(n_tokens) AS n_tokens
        |FROM gated
-       |WHERE n_stop * 10 >= n_tokens
-       |  AND (${Text.langGuessSql("text")}) = 'en'
+       |WHERE (${Text.langGuessSql("text")}) = 'en'
        |GROUP BY text
        |ORDER BY keep_id""".stripMargin
-  }
 
   /** Deterministic train/valid/test assignment by content-free key hash
     * — the split every training-data pipeline needs, done so it is (a)
@@ -113,28 +141,36 @@ object Pipeline {
     * expression, no shuffle until the audit aggregation). 80/10/10 via
     * md5 bucket mod 100; the query returns the per-(lang, split) audit
     * counts a pipeline would assert on before training. */
+  /** md5 split bucket in [0, 100) and the 80/10/10 split name — ONE
+    * definition shared by [[sampleSplit]] and [[pipelineCorpusBuild]]
+    * (Scala here, [[splitSqlExprs]] for the oracles). */
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+  private def splitName(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  /** (bucket expression over doc_id, split CASE over `bucket`). */
+  private val splitSqlExprs: (String, String) = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100",
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END")
+
   def sampleSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket =
-      conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
     Tables(s, dir, "documents")
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .withColumn("split", splitName(splitBucket))
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       .orderBy($"lang", $"split")
   }
 
   val sampleSplitSql: String =
-    """WITH b AS (SELECT lang, n_chars,
-      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS bucket
-      |  FROM documents)
-      |SELECT lang,
-      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
-      |       ELSE 'test' END AS split,
-      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    s"""WITH b AS (SELECT lang, n_chars,
+       |    ${splitSqlExprs._1} AS bucket
+       |  FROM documents)
+       |SELECT lang,
+       |  ${splitSqlExprs._2} AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   /** Concat-and-chunk sequence packing (the GPT pretraining shape):
     * documents are concatenated in deterministic doc_id order and cut
@@ -298,84 +334,55 @@ object Pipeline {
     * Scale shape, stage by stage: the n_chars window pushes to the
     * parquet scan; the token gates are codegen'd column filters; exact
     * dedup is one hash-shuffle on text (swap in the fingerprint column
-    * at 100 TB — same plan); the contamination anti-join keys on the
-    * unique uniform doc_id and is NOT hint-broadcast (hot shingles can
-    * inflate the contaminated set on a pathological corpus; AQE
-    * broadcasts it when actually small); split assignment is a pure md5
-    * expression (reproducible, growth-stable); the audit aggregate is
-    * partial-agg'd below its exchange. Three shuffles total, none over
-    * a skewed key. */
+    * at 100 TB — same plan); the contaminated set comes from the
+    * factored [[contaminatedDocs]] core (one broadcast eval-shingle
+    * join + one per-doc aggregation — NOT the full decontaminate
+    * report, which adds a corpus-wide shingle-count join this pipeline
+    * would discard); its anti-join keys on the unique uniform doc_id
+    * and is NOT hint-broadcast (hot shingles can inflate the
+    * contaminated set on a pathological corpus; AQE broadcasts it when
+    * actually small); split assignment is a pure md5 expression
+    * (reproducible, growth-stable); the audit aggregate is
+    * partial-agg'd below its exchange. No shuffle keys on anything
+    * skewed, no forced broadcast of anything corpus-proportional. */
   def pipelineCorpusBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enStops = Text.langStopwords.toMap.apply("en")
-    val ts = split($"text", " ")
-    val gated = Tables(s, dir, "documents")
-      .where($"n_chars".between(100, 450))
-      .withColumn("n_tokens", size(ts))
-      .withColumn("n_stop",
-        size(filter(ts, t => t.isin(enStops.map(x => x: Any): _*))))
-      .where($"n_stop" * 10 >= $"n_tokens")
     // exact dedup keeping the min-id row: struct-min is deterministic
     // (doc_id unique and leading)
-    val deduped = gated.groupBy($"text")
+    val deduped = gatedDocs(s, dir).groupBy($"text")
       .agg(min(struct($"doc_id", $"lang", $"source", $"n_tokens")).as("m"))
       .select($"m.doc_id", $"m.lang", $"m.source", $"m.n_tokens")
-    val contaminated = decontaminate(s, dir).select($"doc_id")
     val clean = deduped
       .where($"source" =!= "src19") // the eval split itself never trains
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    val bucket =
-      conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+      .join(contaminatedDocs(s, dir).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
     clean
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .withColumn("split", splitName(splitBucket))
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
       .orderBy($"split", $"lang")
   }
 
-  val pipelineCorpusBuildSql: String = {
-    val stops = Text.langStopwords.toMap.apply("en")
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH sh AS (${Dedup.shinglesSqlPublic}),
-       |src AS (SELECT doc_id, source FROM documents),
-       |ev AS (SELECT DISTINCT s FROM sh JOIN src USING (doc_id)
-       |       WHERE source = 'src19'),
-       |tr AS (SELECT sh.doc_id, sh.s FROM sh JOIN src USING (doc_id)
-       |       WHERE source <> 'src19'),
-       |contaminated AS (
-       |  SELECT doc_id FROM (
-       |    SELECT tr.doc_id, COUNT(*) AS c FROM tr JOIN ev USING (s)
-       |    GROUP BY 1)
-       |  WHERE c >= 5),
-       |gated AS (
-       |  SELECT doc_id, text, lang, source,
-       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      t -> list_contains($stops, t))) AS INT) AS n_stop
-       |  FROM documents
-       |  WHERE n_chars BETWEEN 100 AND 450),
+  val pipelineCorpusBuildSql: String =
+    s"""WITH $contaminationSqlCtes,
+       |$gatedSqlCtes,
        |deduped AS (
        |  SELECT doc_id, lang, source, n_tokens FROM (
        |    SELECT doc_id, lang, source, n_tokens,
        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-       |    FROM gated WHERE n_stop * 10 >= n_tokens)
+       |    FROM gated)
        |  WHERE rn = 1),
        |clean AS (
        |  SELECT * FROM deduped
        |  WHERE source <> 'src19'
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |b AS (SELECT lang, n_tokens,
-       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100
-       |      AS bucket
+       |    ${splitSqlExprs._1} AS bucket
        |  FROM clean)
-       |SELECT CASE WHEN bucket < 80 THEN 'train'
-       |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       |SELECT ${splitSqlExprs._2} AS split,
        |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
-  }
 
   val queries: Map[String, QFn] = Map(
     "pipeline_corpus_build" -> (pipelineCorpusBuild _),

@@ -361,17 +361,20 @@ object Text {
     * frequency of its token TRANSITIONS — fluent text reuses common
     * transitions, keyboard-mash and boilerplate-noise text does not.
     *
-    * The model is the corpus bigram table pruned by a min-count
-    * threshold (cnt >= 3); transitions outside it floor to 1 (the
-    * unseen/rare smoothing). Pruning is what makes the shape scale: at
-    * most total_bigrams/threshold entries survive — a BOUNDED,
-    * broadcastable model at any corpus size (raise the threshold with
-    * the corpus, exactly how production LM filters prune their vocab) —
-    * so scoring is a broadcast LEFT join: the corpus-sized side never
-    * shuffles on the zipfian bigram key (a hash-partitioned join there
-    * would send every "of the" to one task), and the only exchange is
-    * the per-doc aggregation on the uniform doc_id. Exact integers
-    * end-to-end; the mean is a scaled integer division. */
+    * The model is the corpus bigram table pruned to the TOP
+    * [[LmModelCap]] bigrams by count (min count 3; ties broken
+    * lexicographically, so the cut is deterministic in both engines);
+    * transitions outside it floor to 1 (the unseen/rare smoothing).
+    * The rank cap — not a count threshold — is what makes the model
+    * BOUNDED BY CONSTRUCTION at any corpus size (a fixed threshold
+    * admits ~linearly many bigram types as the corpus grows), so the
+    * broadcast is always driver-safe and scoring is a broadcast LEFT
+    * join: the corpus-sized side never shuffles on the zipfian bigram
+    * key (a hash-partitioned join there would send every "of the" to
+    * one task), and the only exchange is the per-doc aggregation on
+    * the uniform doc_id. Exact integers end-to-end; the mean is a
+    * scaled integer division. */
+  val LmModelCap = 65536
   def textLmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bg = Tables(s, dir, "documents")
@@ -382,6 +385,7 @@ object Text {
         .as("bg"))
     val model = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
       .where($"cnt" >= 3)
+      .orderBy($"cnt".desc, $"bg".asc).limit(LmModelCap)
     bg.join(broadcast(model), Seq("bg"), "left")
       .select($"doc_id", coalesce($"cnt", lit(1L)).as("c"))
       .groupBy($"doc_id")
@@ -391,13 +395,15 @@ object Text {
   }
 
   val textLmScoreSql: String =
-    """WITH bg AS (
+    s"""WITH bg AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
       |    i -> ts[i] || ' ' || ts[i+1])) AS bg
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
       |  WHERE len(ts) >= 2),
       |model AS (
-      |  SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY 1 HAVING COUNT(*) >= 3)
+      |  SELECT bg, cnt FROM (
+      |    SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY 1 HAVING COUNT(*) >= 3)
+      |  ORDER BY cnt DESC, bg ASC LIMIT $LmModelCap)
       |SELECT b.doc_id, COUNT(*) AS n_bigrams,
       |  CAST(SUM(coalesce(m.cnt, 1)) AS BIGINT) AS freq_total,
       |  (CAST(SUM(coalesce(m.cnt, 1)) AS BIGINT) * 100) // COUNT(*)

@@ -6,7 +6,11 @@ import graft.Tables
 import graft.core._
 import graft.operators.IncrementalDedup
 
-/** Step profile of the dedup_incremental flow. */
+/** Step profile of the dedup_incremental flow over the SAME even-ids
+  * corpus slice and chunk targets as the bench query, with a per-JOB
+  * wall breakdown — how much of each step is Spark jobs vs driver-side
+  * work (planning, minis, chunk IO). Run:
+  * SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.IncdProfile" */
 object IncdProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,52 +21,60 @@ object IncdProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobWall = new java.util.concurrent.atomic.AtomicLong
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet(): Unit
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          val desc = Option(s.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("?")
+          jobStart.put(s.jobId, (System.nanoTime(),
+            s"tasks=${s.stageInfos.map(_.numTasks).sum} [$desc]"))
+        }
+        override def onJobEnd(
+            s: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(s.jobId)).foreach { case (t0, desc) =>
+            val ms = (System.nanoTime() - t0) / 1e6
+            jobWall.addAndGet(ms.toLong)
+            println(f"[incd-job] ${ms}%7.0f ms  $desc")
+          }
+        }
       })
     for (round <- 1 to 2) {
-      def step[T](label: String)(body: => T): T = {
-        jobs.set(0)
-        val t0 = System.nanoTime()
-        val r = body
-        println(f"[incd] r$round $label%-22s ${(System.nanoTime()-t0)/1e9}%6.2f s jobs=${jobs.get}")
-        r
-      }
       val store = new FsStore(
         java.nio.file.Files.createTempDirectory("graft-incdp-").toString)
       val ops = new Ops(spark, store, 512)
       val cat = new Catalog(store)
       val views = new Views(ops, cat)
-      val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      def step[T](label: String)(body: => T): T = {
+        jobs.set(0); jobWall.set(0); store.stats.reset()
+        val t0 = System.nanoTime()
+        val r = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[incd] r$round $label%-16s ${sec}%6.2f s jobs=${jobs.get} " +
+          f"jobWall=${jobWall.get / 1000.0}%5.2f s " +
+          f"saves=${store.stats.chunkSaves.get} " +
+          f"memoMiss=${store.stats.memoMisses.get}")
+        r
+      }
+      val docs = Tables(spark, sfDir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val cutoff = 9L * maxId / 10L
       step("load initial")(cat.put("docs", ops.fromDataFrame(
         docs.where(col("doc_id") <= cutoff), Seq("doc_id"))))
-      IncrementalDedup.declareIndex(views, "shingle_idx", "docs")
+      IncrementalDedup.declareIndex(views, "shingle_idx", "docs",
+        indexTarget = Some(8192L))
       step("build index")(views.refresh("shingle_idx"))
       step("ingest tail")(cat.put("docs", ops.upsert(
         TableRef(cat.root("docs").tableHash),
         ops.fromDataFrame(docs.where(col("doc_id") > cutoff), Seq("doc_id")))))
       step("refresh index")(views.refresh("shingle_idx"))
-      val n = step("pairs join") {
-        import spark.implicits._
-        val idx = ops.scan(TableRef(cat.root("shingle_idx").tableHash))
-          .select($"s", $"doc_id")
-        val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val sized = idx.join(sz, "doc_id")
-        sized.as("a").join(sized.as("b"),
-            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg(count(lit(1)).as("c"),
-            max($"a.n").as("n_i"), max($"b.n").as("n_j"))
-          .where(lit(10) * $"c" >= lit(5) * ($"n_i" + $"n_j" - $"c"))
-          .count()
-      }
-      println(s"[incd] pairs=$n")
     }
     spark.stop()
   }
