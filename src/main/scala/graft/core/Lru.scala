@@ -12,7 +12,7 @@ final class Lru[K, V](cap: Int, onEvict: V => Unit = (_: V) => ()) {
   require(cap > 0, "Lru capacity must be positive")
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-      if (size > cap) { onEvict(e.getValue); true } else false
+      if (this.size > cap) { onEvict(e.getValue); true } else false
   }
   def getOrElseUpdate(k: K)(mk: => V): V = synchronized {
     val got = m.get(k)

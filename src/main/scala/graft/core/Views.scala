@@ -19,18 +19,7 @@ package graft.core
   */
 final class Views(ops: Ops, catalog: Catalog) {
   import org.apache.spark.sql.functions.{col, lit}
-
-  final case class ViewDef(source: String, transform: ColTransform,
-      fold: FoldSpec)
-
-  /** Keyed full-outer join view over two catalog tables with IDENTICAL
-    * key columns and disjoint value columns. `presence` appends per-side
-    * marker columns ([[Views.PresentLeft]]/[[Views.PresentRight]]: 1
-    * from the contributing side, NULL otherwise) so a downstream stage
-    * can distinguish "side absent" from "side present with NULL values"
-    * — the lowering substrate for INNER/LEFT join views. */
-  final case class JoinDef(left: String, right: String,
-      presence: Boolean = false)
+  import Views.{ViewDef, JoinDef}
 
   private val defs =
     scala.collection.concurrent.TrieMap.empty[String, ViewDef]
@@ -203,6 +192,18 @@ final class Views(ops: Ops, catalog: Catalog) {
 }
 
 object Views {
+  final case class ViewDef(source: String, transform: ColTransform,
+      fold: FoldSpec)
+
+  /** Keyed full-outer join view over two catalog tables with IDENTICAL
+    * key columns and disjoint value columns. `presence` appends per-side
+    * marker columns ([[Views.PresentLeft]]/[[Views.PresentRight]]: 1
+    * from the contributing side, NULL otherwise) so a downstream stage
+    * can distinguish "side absent" from "side present with NULL values"
+    * — the lowering substrate for INNER/LEFT join views. */
+  final case class JoinDef(left: String, right: String,
+      presence: Boolean = false)
+
   /** Presence-marker column names of a `presence = true` join view. */
   val PresentLeft = "__left_present"
   val PresentRight = "__right_present"
