@@ -375,9 +375,17 @@ object Text {
     * the uniform doc_id. Exact integers end-to-end; the mean is a
     * scaled integer division. */
   val LmModelCap = 65536
-  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreFrom(s, Tables(s, dir, "documents"), LmModelCap)
+
+  /** The scorer over any `(doc_id, text)` frame with the cap as a
+    * parameter — factored so the floor/cap/tie contracts are pinnable
+    * on a synthetic fixture (TextLmSpec). */
+  private[operators] def lmScoreFrom(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, cap: Int)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val bg = Tables(s, dir, "documents")
+    val bg = docs
       .withColumn("ts", split($"text", " "))
       .where(size($"ts") >= 2)
       .select($"doc_id", explode(expr(
@@ -385,7 +393,7 @@ object Text {
         .as("bg"))
     val model = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
       .where($"cnt" >= 3)
-      .orderBy($"cnt".desc, $"bg".asc).limit(LmModelCap)
+      .orderBy($"cnt".desc, $"bg".asc).limit(cap)
     bg.join(broadcast(model), Seq("bg"), "left")
       .select($"doc_id", coalesce($"cnt", lit(1L)).as("c"))
       .groupBy($"doc_id")
