@@ -1625,7 +1625,24 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val above = upper.map(b =>
       rangeFilter(ref, Some(Bound(b.prefix, !b.inclusive)), None))
     (below, above) match {
-      case (Some(a), Some(b)) => merge(Seq(a, b), FoldSpec.FoldLast)
+      case (Some(a), Some(b)) =>
+        // the two keep-sides are DISJOINT and ORDERED (everything below
+        // the deleted range, then everything above it), and boundary-ness
+        // is a per-key property independent of the surrounding set — so
+        // the union's canonical decomposition is the chunk-list CONCAT,
+        // repaired only at the seam: the above-side's first chunk starts
+        // at the first key past the range, which may not be a boundary
+        // key, and then fuses into the below-side's last chunk
+        // (canonicalizeSplice — metadata check, driver-side rewrite of
+        // at most one run). The former region merge spent a full grouped
+        // job re-deriving exactly this. Hash equality with a
+        // from-scratch rebuild of the remaining rows is pinned
+        // (IncrementalTransformSpec boundary-delete cases).
+        val (ma, mb) = (meta(a), meta(b))
+        val chunks = canonicalizeSplice(ma.schemaJson, ma.keyCols,
+          ma.chunkTargetRows, ma.chunks ++ mb.chunks)
+        TableRef(store.saveTableMeta(
+          TableMeta(ma.schemaJson, ma.keyCols, ma.chunkTargetRows, chunks)))
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) => // unbounded delete: the empty table

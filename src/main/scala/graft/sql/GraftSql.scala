@@ -416,13 +416,20 @@ object GraftSql {
           } else {
             // a row-local SELECT over one graft scan (the common
             // `INSERT INTO t SELECT ... FROM t WHERE ...` delta shape)
-            // has known size bounds — metadata-sized deltas then build
-            // in one driver collect instead of the job chain
+            // has known size bounds — a byte-admitted delta collects
+            // ONCE and splices through the driver patch (one job total:
+            // delta build + merge fused); above the budget, or when the
+            // delta's keys scatter over more than half the chunks, the
+            // delta materializes and merges through the job chain
             val (rb, bb) = org.apache.spark.sql.GraftBridge
               .rowLocalScanBounds(guarded)
-            val delta = ops.fromDataFrameBounded(guarded, entry.keyCols,
-              graft.core.FoldSpec.FoldLast, rb, bb)
-            ops.upsert(graft.core.TableRef(entry.tableHash), delta)
+            val ref = graft.core.TableRef(entry.tableHash)
+            deltaViaPatch(ops, schema, entry, ref, guarded, rb, bb)
+              .getOrElse {
+                val delta = ops.fromDataFrameBounded(guarded, entry.keyCols,
+                  graft.core.FoldSpec.FoldLast, rb, bb)
+                ops.upsert(ref, delta)
+              }
           }
         Right(catalog.put(name, merged))
       case deleteRe(rawName, cond) =>
@@ -552,16 +559,25 @@ object GraftSql {
                     .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS ${qid(f)}")
                     .getOrElse(qid(f))
                 }.toIndexedSeq: _*)
-                if (updated.isEmpty) ref
+                // the range-filter result is EXACT (not a chunk-pruned
+                // approximation), so emptiness is its metadata — the
+                // former `updated.isEmpty` ran a whole Spark job (plan
+                // compile included) to learn a row count the chunk list
+                // already holds
+                if (ops.meta(rf).chunks.isEmpty) ref
                 else {
                   // the delta is a row-local projection of the range's
-                  // chunks — its size bounds are chunk metadata, which
-                  // admits the one-job driver materialization when the
-                  // range is metadata-sized
+                  // chunks — its size bounds are chunk metadata. A
+                  // byte-admitted range collects once and splices
+                  // through the driver patch (keys unchanged by
+                  // contract, so the touched runs ARE the range's);
+                  // otherwise the one-job driver materialization + merge
                   val (rb, bb) = ops.sizeHints(rf)
-                  ops.upsert(ref, ops.fromDataFrameBounded(
-                    guardNotNull(updated, entry, name), entry.keyCols,
-                    graft.core.FoldSpec.FoldLast, rb, bb))
+                  val g = guardNotNull(updated, entry, name)
+                  deltaViaPatch(ops, schema, entry, ref, g, rb, bb)
+                    .getOrElse(ops.upsert(ref, ops.fromDataFrameBounded(
+                      g, entry.keyCols,
+                      graft.core.FoldSpec.FoldLast, rb, bb)))
                 }
               } catch {
                 // SET expression needs more than row-local columns
@@ -1268,6 +1284,41 @@ object GraftSql {
           passUnless = Some(expr(cond))), graft.core.FoldSpec.FoldLast))
       }
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Byte-admitted DRIVER route for a DML delta frame (the INSERT…SELECT
+    * and range-UPDATE delta builds): when the frame's plan-derived size
+    * bounds fit the driver budget, collect it ONCE and splice the rows
+    * through [[graft.core.Ops.patchTableBounded]] — the delta build and
+    * the upsert merge fuse into one bounded collect plus a driver-side
+    * (or single grouped-job) run splice. Collision rule is last-wins in
+    * frame row order, the same order [[graft.core.Ops.fromDataFrame]]'s
+    * FoldLast carries, so the result hash-converges with the legacy
+    * delta+merge chain (pinned in SqlAndSourcesSpec). None — caller
+    * takes the job chain — when bounds are unknown/over-budget, the keys
+    * scatter over more than half the chunks (run-by-run splicing then
+    * writes more than one merge pass), or on any driver surprise. At
+    * 100 TB the byte bound rejects before any collect. */
+  private def deltaViaPatch(ops: Ops, schema: StructType,
+      entry: graft.core.CatalogEntry, ref: graft.core.TableRef,
+      frame: DataFrame, rowBound: Option[Long],
+      byteBound: Option[Long]): Option[graft.core.TableRef] = {
+    if (!GraftSql.pointDmlViaPatch) return None
+    val cap = graft.core.Ops.adaptiveRowCap(
+      schema, graft.core.Ops.PatchMaxDeltaRows)
+    if (!rowBound.exists(_ <= cap) ||
+        !byteBound.exists(_ <= graft.core.Ops.DriverPatchMaxBytes)) return None
+    try {
+      val rows = frame.collect().toSeq
+      if (rows.isEmpty) return Some(ref)
+      val kEnc = graft.core.KeyCodec.rowEncoder(schema, entry.keyCols)
+      val lastWins = rows.zipWithIndex
+        .groupBy { case (r, _) => graft.core.Hashing.hex(kEnc(r)) }
+        .values.map(_.maxBy(_._2)._1).toSeq
+      ops.patchTableBounded(ref, lastWins, Nil,
+        Some(math.max(8, ops.meta(ref).chunks.length / 2)))
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.core.Ops.warnDriverPatchFallback(e); None }
+  }
 
   /** ZERO-JOB point UPDATE: read the addressed rows driver-side
     * ([[graft.core.Ops.readKeysDriver]]), evaluate the SET projection
