@@ -528,19 +528,17 @@ object FsUtil {
 }
 
 object Hashing {
-  def sha256Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  // hex via a char table, not the f"" interpolator — the interpolator
+  // compiles to java.util.Formatter (a regex parse of the format string
+  // PER BYTE); hex runs per row key in the driver patch routes and per
+  // digest everywhere, and showed up in bench JFR profiles
+  private val hexChars = "0123456789abcdef".toCharArray
+  def sha256Hex(bytes: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
   def sha256Hex(parts: Seq[Array[Byte]]): String = {
     val md = MessageDigest.getInstance("SHA-256")
     parts.foreach(md.update)
-    val d = md.digest()
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    hex(md.digest())
   }
   /** Operation-hash builder: each part is length-prefixed so distinct
     * part splits can never concatenate to the same byte stream (e.g.
@@ -553,16 +551,19 @@ object Hashing {
       md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
       md.update(b)
     }
-    val d = md.digest()
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    hex(md.digest())
   }
 
   def hex(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = hexChars(v >>> 4)
+      out(i * 2 + 1) = hexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
   def unhex(s: String): Array[Byte] =
     s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
