@@ -993,8 +993,15 @@ object Vectors {
   val PqShort = 8
 
   /** One row per (vec_id, m): the m-th subvector and its squared norm.
-    * dim comes from the data (the testdata is 64-dim → 8×8). */
-  private def subFrame(v: DataFrame, dim: Int): DataFrame = {
+    * dim comes from the data (the testdata is 64-dim → 8×8). A width
+    * the subspaces don't divide would silently quantize a truncated
+    * prefix (slice drops the tail) and desync the oracle's unrolled
+    * geometry — fail loudly instead. */
+  private[operators] def subFrame(v: DataFrame, dim: Int): DataFrame = {
+    require(dim % PqM == 0,
+      s"PQ needs embedding dim divisible by PqM=$PqM subspaces, got $dim " +
+        "(and simAnnPqSql, the DuckDB oracle, unrolls sub = dim/PqM from " +
+        "the corpus width — regenerate it together with any width change)")
     val sub = dim / PqM
     v.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqM - 1}), m -> slice(q, m*$sub + 1, $sub))"))
@@ -1020,6 +1027,29 @@ object Vectors {
   def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
     pqCache.getOrElseUpdate((s, dir))(trainPqCodebooks(s, dir))
 
+  /** Training-iteration assignment as the same struct-min expression
+    * kernel the IVF path uses ([[declareIvfIndex]]): the codebook is ONE
+    * literal indexed by subspace, d² = sn + cn − 2·dot (exact Long,
+    * equal to Σ(sq−cq)²), strict `<` over ascending codes ⇒ ties to the
+    * lower code — so the training scan stays in whole-stage codegen (the
+    * former per-row ScalaUDF boxed every subvector, iterations × corpus
+    * rows). Plan UDF-freeness and driver-argmin equality pinned in
+    * PqTrainSpec. */
+  private[operators] def pqAssignment(subs: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val booksLit = typedlit(books.map(mb => mb.zipWithIndex.map {
+      case (cq, code) => (code.toLong, cq.toSeq, cq.map(x => x * x).sum)
+    }.toSeq).toSeq)
+    val cells = element_at(booksLit, (col("m") + 1).cast("int"))
+    def d2(c: Column): Column =
+      col("sn") + c.getField("_3") - lit(2L) * dot(col("sq"), c.getField("_2"))
+    val best = aggregate(cells,
+      struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("code")),
+      (acc, c) => when(d2(c) < acc.getField("d2"),
+        struct(d2(c).as("d2"), c.getField("_1").as("code"))).otherwise(acc))
+    subs.withColumn("code", best.getField("code").cast("int"))
+  }
+
   private def trainPqCodebooks(s: SparkSession,
       dir: String): Array[Array[Array[Long]]] = {
     import s.implicits._
@@ -1032,20 +1062,8 @@ object Vectors {
     var books: Array[Array[Array[Long]]] =
       Array.tabulate(PqM)(m => seedVecs.map(_.slice(m * sub, m * sub + sub)))
     for (_ <- 0 until PqIters) {
-      val bc = s.sparkContext.broadcast(books)
-      val assign = udf { (m: Int, sq: scala.collection.Seq[Long]) =>
-        val cs = bc.value(m)
-        var best = 0; var bestD = Long.MaxValue; var c = 0
-        while (c < cs.length) {
-          val cq = cs(c); var d = 0L; var i = 0
-          while (i < cq.length) { val t = sq(i) - cq(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
       // M·k·subdim partial-sum rows to the driver — the model update
-      val sums = subs.withColumn("code", assign($"m", $"sq"))
+      val sums = pqAssignment(subs, books)
         .select($"m", $"code", posexplode($"sq").as(Seq("pos", "x")))
         .groupBy($"m", $"code", $"pos")
         .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
