@@ -25,7 +25,18 @@ object Components {
     * every node of the graph labeled with its component's minimum id,
     * plus the component size; ordered by id. */
   def connectedComponents(s: SparkSession, pairs: DataFrame,
-      iCol: String, jCol: String, idName: String, sizeName: String): DataFrame = {
+      iCol: String, jCol: String, idName: String, sizeName: String): DataFrame =
+    connectedComponentsCounted(s, pairs, iCol, jCol, idName, sizeName)._1
+
+  /** [[connectedComponents]] plus the ROUND COUNT it converged in — the
+    * loop runs eagerly (per-round checksum actions), so the count is
+    * exact at return. Exposed for the chain-graph scale pin
+    * (ComponentsSpec): a 10k-node path must converge in O(log n) rounds
+    * under path halving, where plain min-label propagation needs O(n)
+    * and would hit the 50-round cap. */
+  def connectedComponentsCounted(s: SparkSession, pairs: DataFrame,
+      iCol: String, jCol: String, idName: String,
+      sizeName: String): (DataFrame, Int) = {
     import s.implicits._
     // localCheckpoint (not cache): each round's state is REFERENCED
     // TWICE next round (propagate join + the path-halving self-join), so
@@ -74,8 +85,8 @@ object Components {
     // no unpersist here: the returned plan reads the final checkpoint's
     // blocks lazily; intermediate round blocks are reclaimed by the
     // context cleaner once their RDDs go out of scope
-    comp.join(csz, "cluster_id")
+    (comp.join(csz, "cluster_id")
       .select(col(idName), $"cluster_id", col(sizeName))
-      .orderBy(col(idName))
+      .orderBy(col(idName)), rounds)
   }
 }
