@@ -89,6 +89,12 @@ trait GraftStore {
   // ---- memo store ------------------------------------------------------
   def memoGet(opHash: String): Option[String]
   def memoPut(opHash: String, resultHash: String): Unit
+  /** Drop a memo entry so a fresh [[memoPut]] can replace it — needed
+    * only by side stores in shared tmp, where a cleaner can sweep the
+    * chunks a surviving memo points at ([[FsUtil.memoizedLiveTable]]).
+    * Backends where a delete has no meaning may leave the no-op: the
+    * caller then rebuilds each time, which is correct, just uncached. */
+  def memoDel(opHash: String): Unit = ()
   /** Memoized computation: the reference's `memoize`
     * (/root/reference/messdb-base/src/MessDB/Trie.hs:280-295). */
   def memoized(opHash: String)(compute: => String): String =
@@ -233,6 +239,10 @@ final class FsStore(val rootDir: String,
   def memoPut(opHash: String, resultHash: String): Unit = {
     val p = root.resolve("memo").resolve(opHash)
     if (!Files.exists(p)) writeAtomic(p, resultHash)
+  }
+
+  override def memoDel(opHash: String): Unit = {
+    Files.deleteIfExists(root.resolve("memo").resolve(opHash)); ()
   }
 
   def putRootObject(json: String): String = {
@@ -523,6 +533,45 @@ object FsUtil {
     files.map { p =>
       s"${p.getFileName}:${Files.size(p)}:" +
         Files.getLastModifiedTime(p).toMillis
+    }
+  }
+
+  /** Root for a standalone side-index store (the served vector / shingle
+    * / tf indexes): `SPARK_GRAFT_INDEX_DIR` when set, else the JVM tmp
+    * dir — and always USER-QUALIFIED, because the tmp dir is
+    * world-shared: on a multi-user host another user's identically-named
+    * directory is a permission failure, not a cache hit. */
+  def sideStoreDir(kind: String, sourceDir: String): Path = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir"))
+    val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+      .replaceAll("[^\\w.-]", "_")
+    val p = java.nio.file.Paths.get(root,
+      s"graft-$user-$kind-" + Hashing.sha256Hex(sourceDir.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)).take(16))
+    Files.createDirectories(p)
+    p
+  }
+
+  /** Build-once memo with LIVENESS validation for side stores: tmp
+    * cleaners can sweep chunk files out from under a store whose memo
+    * entry survives — a memo hit whose table meta or chunk files are
+    * gone REBUILDS (and overwrites the memo) instead of serving a
+    * dangling hash. Main catalog stores don't need this (GC owns their
+    * lifecycle); side stores live in tmp by construction. */
+  def memoizedLiveTable(store: GraftStore, opHash: String)
+      (build: => String): String = {
+    def live(tableHash: String): Boolean =
+      try store.loadTableMeta(tableHash).chunks.forall(c =>
+        Files.exists(java.nio.file.Paths.get(store.chunkPath(c.hash))))
+      catch { case scala.util.control.NonFatal(_) => false }
+    store.memoGet(opHash).filter(live) match {
+      case Some(h) => h
+      case None =>
+        val h = build
+        store.memoDel(opHash) // a stale (swept-chunks) entry may linger
+        store.memoPut(opHash, h)
+        h
     }
   }
 }

@@ -66,11 +66,11 @@ object BloomPrune {
     // There, build with the sketch library (honors the requested size)
     // and probe through a broadcast, trading codegen for correct
     // pruning economics at large dims.
-    val conf = fact.sparkSession.conf
-    val maxItems = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // caps from SQLConf's registered entries (session value or Spark's
+    // own default) — a hardcoded fallback literal could diverge from
+    // BloomFilterAggregate's internal clamp across Spark upgrades and
+    // silently saturate large filters again
+    val (maxItems, maxBits) = GraftBridge.bloomFilterCaps(fact.sparkSession)
     if (expectedDim <= maxItems && numBits <= maxBits) {
       val agg = new BloomFilterAggregate(
         new XxHash64(Seq(GraftBridge.expression(keyed(col(dimKey))))),

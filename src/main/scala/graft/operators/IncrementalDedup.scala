@@ -222,18 +222,14 @@ object IncrementalDedup {
     // index is built ONCE per corpus version and probed many times —
     // a re-run over an unchanged corpus is a pure memo hit, and what
     // this query then measures is the probe path.
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-text-index-" + graft.core.Hashing.sha256Hex(
-        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(16))
-    java.nio.file.Files.createDirectories(base)
+    val base = graft.core.FsUtil.sideStoreDir("text-index", dir)
     val store = new FsStore(base.toString)
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val op = graft.core.Hashing.opHash(
       "graft-text-index-v1" +: docsFingerprint(dir))
-    val idxRef = TableRef(store.memoized(op) {
+    val idxRef = TableRef(graft.core.FsUtil.memoizedLiveTable(store, op) {
       val views = new Views(ops, cat)
       cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
       declareIndex(views, "shingle_idx", "docs")

@@ -62,18 +62,16 @@ object Search {
     * only the chunk files whose key range can contain the query terms. */
   def textRankedSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-rank-index-" + graft.core.Hashing.sha256Hex(
-        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(16))
-    java.nio.file.Files.createDirectories(base)
+    val base = graft.core.FsUtil.sideStoreDir("rank-index", dir)
     val store = new FsStore(base.toString)
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val op = graft.core.Hashing.opHash(
       "graft-rank-index-v1" +: docsFingerprint(dir))
-    val idxRef = TableRef(store.memoized(op) {
+    // liveness-validated memo: a tmp cleaner sweeping chunk files while
+    // the memo entry survives triggers a rebuild, not a dangling hash
+    val idxRef = TableRef(graft.core.FsUtil.memoizedLiveTable(store, op) {
       val views = new Views(ops, cat)
       cat.put("docs", ops.fromDataFrame(docs, Seq("doc_id")))
       declareTfIndex(views, "tf_idx", "docs")

@@ -390,7 +390,7 @@ object Vectors {
       dir: String): graft.core.TableRef = {
     val op = graft.core.Hashing.opHash(
       "graft-ann-ivf-index-v1" +: sourceFingerprint(dir))
-    graft.core.TableRef(ops.store.memoized(op) {
+    graft.core.TableRef(graft.core.FsUtil.memoizedLiveTable(ops.store, op) {
       val v = quantized(s, dir)
       val assigned = nearestCellsTo(ivfCents(v), v.where(col("vec_id") >= 10), 1)
         .select(col("c_id").as("cell"), col("vec_id"), col("q"), col("nq"))
@@ -416,11 +416,7 @@ object Vectors {
       // In production the index lives in the main catalog store; this
       // standalone entry point keeps a stable side store with the same
       // content-addressed semantics.
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft-ivf-index-" + graft.core.Hashing.sha256Hex(
-          dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(16))
-      java.nio.file.Files.createDirectories(path)
+      val path = graft.core.FsUtil.sideStoreDir("ivf-index", dir)
       val ops = new graft.core.Ops(s, new graft.core.FsStore(path.toString),
         IvfIndexChunkRows)
       (ops, ivfIndexTable(ops, s, dir))

@@ -10,6 +10,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The runtime bloom-filter clamp caps from SQLConf's REGISTERED
+    * entries (session value or Spark's own default) — duplicated literal
+    * defaults would silently diverge from BloomFilterAggregate's
+    * internal clamp across Spark upgrades. */
+  def bloomFilterCaps(spark: SparkSession): (Long, Long) = {
+    val c = spark.sessionState.conf
+    (c.getConf(internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS),
+      c.getConf(internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS))
+  }
+
   /** DataFrame over a custom [[execution.datasources.FileIndex]] — the
     * pruned chunk scan. LogicalRelation/HadoopFsRelation/Dataset.ofRows
     * are private[sql] / classic-session-typed in Spark 4, hence bridged

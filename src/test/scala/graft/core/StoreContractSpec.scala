@@ -251,4 +251,30 @@ class StoreContractSpec extends AnyFunSuite {
     assert(lines.drop(before).exists(_.contains("memoGet")) &&
       lines.drop(before).exists(_.contains("memoPut")))
   }
+
+  test("memoizedLiveTable: swept chunk files trigger a rebuild, live ones memo-hit") {
+    val store = new FsStore(Files.createTempDirectory("graft-cs-live-").toString)
+    val ops = new Ops(spark, store, 16)
+    val rows = (0 until 80).map(i => f"k$i%04d" -> i.toLong)
+    val op = Hashing.opHash(Seq("live-test"))
+    var builds = 0
+    def build(): String = {
+      builds += 1
+      ops.fromDataFrame(df(rows), Seq("k")).hash
+    }
+    val h1 = FsUtil.memoizedLiveTable(store, op)(build())
+    val h2 = FsUtil.memoizedLiveTable(store, op)(build())
+    assert(h1 == h2 && builds == 1, "live memo must hit, not rebuild")
+    // a tmp cleaner sweeps one chunk file; the memo entry survives —
+    // the next call must REBUILD (same content ⇒ same hash) and the
+    // repaired store must serve the full table again
+    val victim = store.loadTableMeta(h1).chunks.head.hash
+    Files.delete(java.nio.file.Paths.get(store.chunkPath(victim)))
+    val h3 = FsUtil.memoizedLiveTable(store, op)(build())
+    assert(h3 == h1 && builds == 2, "swept chunks must force a rebuild")
+    assert(ops.scanOrdered(TableRef(h3)).count() == 80)
+    // and the rebuilt entry is live again
+    FsUtil.memoizedLiveTable(store, op)(build())
+    assert(builds == 2)
+  }
 }
