@@ -67,6 +67,19 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * its row/byte upper bounds from the source chunk metadata, which
     * admits the one-collect-job driver materialization when the input
     * is metadata-sized (see [[Canonical.materialize]]). */
+  /** Collect a BYTE-ADMITTED frame under the engine's driver-route
+    * discipline: AQE off, narrow shuffle, interpreted expressions (a
+    * provably tiny frame's data work is dwarfed by janino compilation
+    * per distinct plan shape) — on the throwaway engine clone, never
+    * touching the user session's conf. For callers like the DML
+    * delta-patch route whose collect would otherwise pay full adaptive
+    * codegen planning per statement. */
+  def collectDriverBounded(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val (es, bound) = Canonical.onEngine(spark, df,
+      smallShuffle = true, interpretedOk = true)
+    Canonical.withJobDesc(es, "graft:collect")(bound.collect())
+  }
+
   def fromDataFrameBounded(df: DataFrame, keyCols: Seq[String],
       fold: FoldSpec, rowBound: Option[Long],
       byteBound: Option[Long]): TableRef = {
@@ -1114,11 +1127,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   private def rekeyCombinable(m: TableMeta, t: ColTransform,
       fold: FoldSpec): Boolean = {
     if (!fold.combinable) return false
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    val out = empty.select(t.columns: _*).schema
-    fold.combinableFor(
-      out.filterNot(f => t.outKeyCols.contains(f.name)).map(_.dataType).toSeq)
+    // pure function of (input schema, transform identity, fold) — the
+    // empty-frame analysis costs a Catalyst pass per call, and refresh
+    // flows dispatch the same transform every statement
+    Ops.combinableCache.getOrElseUpdate((m.schemaJson, t.key, fold.key)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      val out = empty.select(t.columns: _*).schema
+      fold.combinableFor(
+        out.filterNot(f => t.outKeyCols.contains(f.name)).map(_.dataType).toSeq)
+    }
   }
 
   /** Incremental re-keying transform (combinable folds): per source
@@ -1920,6 +1938,12 @@ object Ops {
     * is the right plan for bulk deltas anyway. */
   val PatchMaxChangedChunks: Int = 1024
   val PatchMaxDeltaRows: Int = 65536
+
+  /** [[Ops.rekeyCombinable]] probe results keyed by
+    * (schemaJson, transform key, fold key) — pure semantics, safe to
+    * share across sessions and stores. */
+  private[core] val combinableCache =
+    new Lru[(String, String, String), Boolean](512)
 
   /** Test seam: lets specs force the Spark patch path to pin
     * driver-path == job-path hash equality. Always true in production. */

@@ -578,9 +578,16 @@ object Dedup {
   /** The selection itself, over any `(doc_id, cluster_id, n_docs)`
     * cluster table and `(doc_id, n_chars)` corpus — factored so the
     * tie-break contract is pinnable on a synthetic fixture. */
-  private[operators] def keepBestFrom(s: SparkSession, clusters: DataFrame,
+  private[operators] def keepBestFrom(s: SparkSession, clusters0: DataFrame,
       docs: DataFrame): DataFrame = {
     import s.implicits._
+    // the cluster table feeds TWO consumers (the per-cluster max join
+    // and the singleton anti-join); materialize it once — without this
+    // the whole upstream clustering plan (pair graph + CC label joins)
+    // executes twice. Row count is cluster membership (corpus-
+    // proportional but 3 narrow columns), the same storage class as the
+    // CC iteration's own per-round checkpoints.
+    val clusters = clusters0.localCheckpoint()
     val kept = clusters.join(docs, "doc_id")
       .groupBy($"cluster_id")
       .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("m"),

@@ -1308,7 +1308,7 @@ object GraftSql {
     if (!rowBound.exists(_ <= cap) ||
         !byteBound.exists(_ <= graft.core.Ops.DriverPatchMaxBytes)) return None
     try {
-      val rows = frame.collect().toSeq
+      val rows = ops.collectDriverBounded(frame).toSeq
       if (rows.isEmpty) return Some(ref)
       val kEnc = graft.core.KeyCodec.rowEncoder(schema, entry.keyCols)
       val lastWins = rows.zipWithIndex

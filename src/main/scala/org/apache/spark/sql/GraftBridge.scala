@@ -58,6 +58,7 @@ object GraftBridge {
       case Project(_, child) => leaf(child)
       case Filter(_, child) => leaf(child)
       case SubqueryAlias(_, child) => leaf(child)
+      case v: View => leaf(v.child) // temp-view reads in ANALYZED plans
       case agg: Aggregate =>
         // aggregation cannot RAISE cardinality: grouped output ≤ input
         // rows (one row per distinct group), a GLOBAL aggregate is
@@ -105,9 +106,21 @@ object GraftBridge {
       }
       case _ => (None, None)
     }
-    leaf(df.queryExecution.optimizedPlan) match {
+    // the ANALYZED plan usually already has the recognizable
+    // project/filter-over-leaf shape, and walking it skips a full
+    // optimizer pass per statement (the collect that follows runs on a
+    // transplanted clone with its own QueryExecution, so the user
+    // session's optimized plan would be computed ONLY for this walk).
+    // Shapes that normalize under optimization — cached-relation
+    // substitution (InMemoryRelation appears only post-analysis),
+    // collapsed nested selects — fall back to the optimized walk, so no
+    // route is ever lost.
+    leaf(df.queryExecution.analyzed) match {
       case (Some(r), Some(b)) => (Some(r), Some(b))
-      case _ => (None, None)
+      case _ => leaf(df.queryExecution.optimizedPlan) match {
+        case (Some(r), Some(b)) => (Some(r), Some(b))
+        case _ => (None, None)
+      }
     }
   }
 
