@@ -1314,8 +1314,14 @@ object GraftSql {
       val lastWins = rows.zipWithIndex
         .groupBy { case (r, _) => graft.core.Hashing.hex(kEnc(r)) }
         .values.map(_.maxBy(_._2)._1).toSeq
-      ops.patchTableBounded(ref, lastWins, Nil,
-        Some(math.max(8, ops.meta(ref).chunks.length / 2)))
+      // no scatter guard here (unlike the point-DML IN-list path): this
+      // route is already BYTE-admitted — even a delta touching every
+      // run (the deliberate full-table rewrite inside a transaction)
+      // splices cheaper on the driver's parallel pool than a collect +
+      // region-merge job pair, and patchTableBounded's internal byte
+      // check still falls back to ONE grouped job when the touched
+      // chunks outgrow the driver budget
+      ops.patchTableBounded(ref, lastWins, Nil, None)
     } catch { case scala.util.control.NonFatal(e) =>
       graft.core.Ops.warnDriverPatchFallback(e); None }
   }

@@ -335,6 +335,10 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "DELETE FROM t WHERE k = 700",
       "DELETE FROM t WHERE k IN (10, 11, 2000)",
       "UPDATE t SET v = v + 5 WHERE k >= 300 AND k < 400",
+      // full-range rewrite: the round-9 delta-patch route takes even an
+      // every-run delta when byte-admitted — must hash-converge with
+      // the legacy collect+merge chain
+      "UPDATE t SET v = v - 1 WHERE k >= 0",
       "DELETE FROM t WHERE g = 7 AND v % 2 = 1",
       "INSERT INTO t VALUES (2100, 3, 99)",
       "UPDATE t SET v = v * 2 + g WHERE k = 500",
