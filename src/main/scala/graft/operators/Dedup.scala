@@ -645,7 +645,83 @@ object Dedup {
        |SELECT doc_id, cluster_id, n_docs FROM comp JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact duplicated-SUBSTRING scrubbing (the "ExactSubstr" dedup of
+    * the dedup-training-data literature, re-expressed as k-gram
+    * coverage): a token of doc d is removed iff some [[SpanK]]-gram of
+    * d covering it also occurs in a LOWER-id document — the first
+    * occurrence keeps its text, later docs lose exactly the duplicated
+    * spans (within-doc repeats are not duplicates). Unlike doc-level
+    * dedup this scrubs boilerplate shared across otherwise-distinct
+    * pages (headers, licenses, templates).
+    *
+    * Shape at 100 TB: one generator explode (n_tokens rows/doc — the
+    * shingle-family cost), a combinable min-agg per gram (map-side
+    * collapse kills gram skew before the exchange), one fact join back
+    * on gram, and per-DOC covered-position sets (bounded by document
+    * length, never corpus) — three shuffles, no driver data. Output
+    * pins the reconstruction byte-exactly via md5(clean_text). */
+  val SpanK = 8
+
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    spansFrom(s, Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** The scrub itself over any `(doc_id, text)` frame — factored so the
+    * coverage contract is pinnable on a synthetic fixture (SpanSpec). */
+  private[operators] def spansFrom(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val toks = docs.select($"doc_id", split($"text", " ").as("ts"))
+    val grams = toks
+      .where(size($"ts") >= SpanK)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${SpanK - 1}), " +
+          s"i -> concat_ws(' ', slice(ts, i, $SpanK)))"))
+        .as(Seq("pos0", "gram")))
+    val first = grams.groupBy($"gram").agg(min($"doc_id").as("fd"))
+    val covered = grams.join(first, "gram")
+      .where($"fd" < $"doc_id")
+      .select($"doc_id",
+        explode(expr(s"sequence(pos0, pos0 + ${SpanK - 1})")).as("cv"))
+      .distinct()
+      .groupBy($"doc_id").agg(sort_array(collect_set($"cv")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"ts").cast("long").as("n_tokens"),
+        expr("filter(ts, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))")
+          .as("kept"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos0, array_to_string(ts[i:i+${SpanK - 1}], ' ') AS gram
+       |  FROM t, unnest(range(1, len(ts) - ${SpanK - 2})) AS r(i)),
+       |first AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, g.pos0 + o.o AS cv
+       |  FROM g JOIN first USING (gram), unnest(range($SpanK)) AS o(o)
+       |  WHERE first.fd < g.doc_id),
+       |tok AS (
+       |  SELECT doc_id, ts[i] AS tok, i - 1 AS idx
+       |  FROM t, unnest(range(1, len(ts) + 1)) AS r(i)),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.tok, tok.idx FROM tok
+       |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.cv = tok.idx
+       |  WHERE cov.cv IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY idx) AS clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.ts) AS n_tokens,
+       |  len(t.ts) - coalesce(a.n_kept, 0) AS n_removed,
+       |  md5(coalesce(a.clean, '')) AS clean_md5
+       |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_shingle" -> (dedupShingle _),
@@ -657,6 +733,7 @@ object Dedup {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_shingle" -> dedupShingleSql,
