@@ -192,6 +192,10 @@ object Dedup {
       .select($"doc_id", explode(array_distinct(expr(
         "transform(sequence(1, size(grams)-3), i -> array_min(slice(grams, i, 4)))")))
         .as("fp"))
+      // three consumers (size agg + both self-join sides): materialize
+      // the fingerprints once — the md5-per-gram projection is the
+      // expensive part and would otherwise run 3x
+      .localCheckpoint()
     val sz = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = fps.as("a").join(fps.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
