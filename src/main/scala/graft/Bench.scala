@@ -55,6 +55,30 @@ object Bench {
       graft.operators.Vectors.quantized(spark, sfDir).count()
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(_(spark, sfDir).count())
+      // statement-flow warm-up: the engine's SQL/DML/txn classes (hand
+      // parser, delta-patch route, driver materialization, txn CAS) are
+      // exercised by ~10 queries whose FIRST timed run otherwise pays
+      // their JIT (measured ~2x: sql_txn run-1 ≈ 5.3 s vs 2.6 s steady,
+      // which the min2med3 median then leaks into the artifact). One
+      // tiny synthetic flow on a temp store warms them all.
+      locally {
+        val store = new graft.core.FsStore(
+          java.nio.file.Files.createTempDirectory("graft-bench-warm-").toString)
+        val ops = new graft.core.Ops(spark, store, 64)
+        val cat = new graft.core.Catalog(store)
+        val sess = new graft.sql.SqlSession(spark, ops, cat)
+        spark.range(0, 512).selectExpr("id AS k", "id % 7 AS g", "id * 3 AS v")
+          .createOrReplaceTempView("bench_warm_src")
+        Seq(
+          "CREATE TABLE warm_t PRIMARY KEY (k) AS SELECT * FROM bench_warm_src",
+          "BEGIN",
+          "UPDATE warm_t SET v = v + 1 WHERE k >= 100 AND k < 200",
+          "DELETE FROM warm_t WHERE k % 5 = 1",
+          "INSERT INTO warm_t SELECT k + 1000, g, v FROM warm_t WHERE k % 16 = 0",
+          "COMMIT",
+          "SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM warm_t GROUP BY g ORDER BY g"
+        ).foreach(sess.execute)
+      }
     } catch {
       // a broken warm-up would silently shift every timing by
       // first-touch costs — make it loud (queries still run below)
