@@ -118,7 +118,7 @@ object IncrementalDedup {
     val idx = ops.scan(TableRef(cat.root("shingle_idx").tableHash))
       .select($"s", $"doc_id")
     val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val sized = idx.join(sz, "doc_id").localCheckpoint() // 2 self-join consumers
+    val sized = idx.join(sz, "doc_id")
     sized.as("a").join(sized.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
@@ -193,7 +193,7 @@ object IncrementalDedup {
     val idx = ops.scan(TableRef(cat.root("shingle_idx").tableHash))
       .select($"s", $"doc_id")
     val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val sized = idx.join(sz, "doc_id").localCheckpoint() // 2 self-join consumers
+    val sized = idx.join(sz, "doc_id")
     sized.as("a").join(sized.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
