@@ -167,6 +167,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"minhash lost its bucket join:\n$p")
   }
 
+  test("dedup_spans: gram equi-join with map-side partial min-agg, no all-pairs") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span dedup degenerated to all-pairs:\n$p")
+    // the first-occurrence rule is a combinable min per gram: the
+    // partial phase must sit below the exchange (hot boilerplate grams
+    // collapse map-side before they can skew the shuffle)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+    assert(p.contains("Join"), s"spans lost the gram join:\n$p")
+  }
+
   test("decontaminate: eval shingles broadcast against the training index, no all-pairs") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"),
