@@ -92,16 +92,23 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     // a query that throws records -1.0 (never a plausible wall time) and
     // lands in "errors" — a regression can't hide as a fast timing
-    val results: Seq[(String, Double, Seq[Double])] =
+    // per-query start offsets (seconds since the first timed query) go
+    // into the full artifact: an ambient load spike hits TIME-ADJACENT
+    // queries, so a slow outlier whose neighbors-in-time are also
+    // elevated reads as environment, not code — the adjudication the
+    // round-8 sql_changes verdict item needed
+    val bench0 = System.nanoTime()
+    val results: Seq[(String, Double, Seq[Double], Double)] =
       selected.toSeq.map { case (name, fn) =>
+        val t0 = (System.nanoTime() - bench0) / 1e9
         val (v, runs) =
           try timeQuery(() => { fn(spark, sfDir).count(); () })
           catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
-        (name, v, runs)
+        (name, v, runs, t0)
       }
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
 
     // The COMPLETE artifact — every registered query with its recorded
     // value AND the raw per-run timings behind it — goes to a file the
@@ -111,12 +118,15 @@ object Bench {
     // env-overridable; default lands in the repo working directory so
     // the round's closing commit carries it.
     val fullJson = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val runs = results
-        .map { case (k, _, rs) => "\"" + k + "\":[" + rs.mkString(",") + "]" }
+        .map { case (k, _, rs, _) => "\"" + k + "\":[" + rs.mkString(",") + "]" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2med3","queries":$qs,"runs":$runs,"errors":$errors,"sf":"$sfDir"}"""
+      val starts = results
+        .map { case (k, _, _, t0) => "\"" + k + "\":" + fmt(t0) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2med3","queries":$qs,"runs":$runs,"start":$starts,"errors":$errors,"sf":"$sfDir"}"""
     }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json")
     try java.nio.file.Files.write(
