@@ -805,6 +805,36 @@ object Canonical {
     val bytesOk = byteBound.exists(_ <= Ops.DriverPatchMaxBytes) &&
       rowBound.exists(_ <= Ops.DriverPatchHardRowCap) &&
       driverMaterializeEnabled && DriverChunks.supported(dataSchema)
+    // ZERO-JOB route: a driver-admitted input whose plan FOLDED to a
+    // LocalRelation (ConvertToLocalRelation consumes deterministic
+    // Project/Filter over driver-resident rows — the per-chunk
+    // transform's driver-read source takes exactly this shape) collects
+    // without any job, and the key bytes encode on the driver with the
+    // same KeyCodec arithmetic the mapPartitions encoder applies — the
+    // kbDf plan below can never fold (typed mapPartitions), so going
+    // through it costs a parallelize-and-scan job for rows we already
+    // hold. Any surprise (incl. the null-key guard, raised cleanly by
+    // the standard path) falls through.
+    if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema))
+      if (df.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+        try {
+          val enc = KeyCodec.rowEncoder(normalizeSchema(dataSchema, keyCols), keyCols)
+          val gIdx = df.schema.fieldIndex(groupCol)
+          val dIdx = dataSchema.fieldNames.map(df.schema.fieldIndex)
+          val kbSchema = normalizeSchema(dataSchema, keyCols)
+            .add(StructField(groupCol, StringType))
+            .add(StructField(KB, BinaryType, nullable = false))
+          val rows: Array[Row] = df.collect().map { r =>
+            val data = Row.fromSeq(dIdx.map(i => r.get(i)).toSeq)
+            Row.fromSeq(data.toSeq :+ r.getString(gIdx) :+ enc(data))
+          }
+          val got = driverMaterializeGroupedRows(spark, store, rows, kbSchema,
+            dataSchema, schemaJson, groupCol, keyCols, chunkTargetRows)
+          got.foreach(return _)
+        } catch { case scala.util.control.NonFatal(e) =>
+          Ops.warnDriverPatchFallback(e) }
+      }
     val kbDf0 = withKeyBytesKeeping(df, keyCols, groupCol)
     // no persist when a driver route will be attempted: its one collect
     // is the only read (a rare fallback recomputes — the cheap branch)

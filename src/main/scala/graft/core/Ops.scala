@@ -1493,11 +1493,42 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (missing.isEmpty) Map.empty
       else {
         val grp = "_graft_grp"
-        val fileToHash = Canonical.fileTagUdf(spark,
-          missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df0 = spark.read.schema(Canonical.withFieldIds(m.schema))
-          .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
-          .withColumn(grp, fileToHash(input_file_name()))
+        // ZERO-JOB route for byte-admitted per-chunk transforms (the
+        // zone-map DML shape): read the missing chunks driver-side and
+        // present them as a LocalRelation — Catalyst's
+        // ConvertToLocalRelation then folds the filter + projection +
+        // key-byte encode INTO the relation at optimization time, so
+        // the grouped materialization's collect never launches a job
+        // (the pointUpdate mechanism, generalized). Row content is
+        // byte-identical to the parquet scan (DriverChunks round-trip
+        // pinned in PatchTableSpec), so sub-result hashes are unchanged.
+        // Any surprise falls back to the scan; at scale the byte budget
+        // rejects first.
+        val driverDf: Option[DataFrame] =
+          if (!Ops.driverPatchEnabled || !DriverChunks.supported(m.schema) ||
+              missing.iterator.map(_.rows).sum >
+                Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
+              !chunkBytes(missing).exists(_ <= Ops.DriverPatchMaxBytes))
+            None
+          else try {
+            import scala.jdk.CollectionConverters._
+            val rows = Canonical.parIo(missing) { c =>
+              DriverChunks.readRows(java.nio.file.Paths.get(
+                store.chunkPath(c.hash)), m.schema)
+                .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c.hash))
+            }.flatten
+            val schemaG = m.schema.add(org.apache.spark.sql.types.StructField(
+              grp, org.apache.spark.sql.types.StringType, nullable = false))
+            Some(spark.createDataFrame(rows.asJava, schemaG))
+          } catch { case scala.util.control.NonFatal(e) =>
+            Ops.warnDriverPatchFallback(e); None }
+        val df0 = driverDf.getOrElse {
+          val fileToHash = Canonical.fileTagUdf(spark,
+            missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
+          spark.read.schema(Canonical.withFieldIds(m.schema))
+            .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
+            .withColumn(grp, fileToHash(input_file_name()))
+        }
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
         val projected = df.select(t.columns :+ col(grp): _*)
         val metas = Canonical.materializeGrouped(spark, store, projected, grp,
