@@ -816,7 +816,12 @@ object Canonical {
     // hold. Any surprise (incl. the null-key guard, raised cleanly by
     // the standard path) falls through.
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema))
-      if (df.queryExecution.optimizedPlan
+      // leaf pre-check on the ANALYZED plan (computed anyway for the
+      // transplant) keeps the extra optimizer pass off non-local
+      // driver-route inputs — only all-local-leaf plans can fold
+      if (df.queryExecution.analyzed.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) &&
+          df.queryExecution.optimizedPlan
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
         try {
           val enc = KeyCodec.rowEncoder(normalizeSchema(dataSchema, keyCols), keyCols)
