@@ -1275,7 +1275,63 @@ object Vectors {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Deterministic INT8 scalar quantization of the corpus embeddings —
+    * the storage form serving stores ship vectors in (4× smaller than
+    * float32; PQ's 1-byte-per-subspace codes trade more recall for more
+    * compression, SQ keeps per-dimension fidelity). Per-dimension
+    * corpus extremes (one explode + combinable min/max agg — map-side
+    * collapse, D rows collected: the k-means-model shape), then codes
+    * and the exact reconstruction-error sum as pure per-row
+    * expressions over the extremes LITERAL — the coding pass itself
+    * shuffles nothing at any corpus size. All integer arithmetic
+    * (floor division on non-negative operands ⇒ Java truncation and
+    * DuckDB `//` agree), so the oracle reproduces codes and error
+    * bit-exactly; codes pinned via md5 of the joined code string. */
+  def simQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = quantized(s, dir).where($"vec_id" >= 10)
+    val ext = v.select(posexplode($"q").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .orderBy($"d").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val lo = ext.map(_._1).mkString("array(", ",", ")")
+    val hi = ext.map(_._2).mkString("array(", ",", ")")
+    def lov = s"element_at($lo, i+1)"
+    def span = s"greatest(element_at($hi, i+1) - $lov, 1)"
+    def codeOf = s"(((x - $lov) * 255) div $span)"
+    val pair =
+      s"""transform(q, (x, i) -> named_struct(
+         |  'c', $codeOf,
+         |  'e', abs(x - ($lov + ($codeOf * ($span)) div 255))))""".stripMargin
+    v.select($"vec_id", expr(pair).as("p"))
+      .select($"vec_id",
+        expr("aggregate(p, cast(0 as bigint), (a, s) -> a + s.e)").as("err"),
+        md5(concat_ws(",", expr("transform(p, s -> cast(s.c as string))")))
+          .as("codes_md5"))
+      .orderBy($"vec_id")
+  }
+
+  val simQuantizeInt8Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id >= 10),
+      |dims AS (
+      |  SELECT vec_id, i-1 AS d, q[i] AS x
+      |  FROM qv, unnest(range(1, len(q)+1)) r(i)),
+      |ext AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY 1),
+      |coded AS (
+      |  SELECT dims.vec_id, dims.d, dims.x, ext.lo,
+      |    greatest(ext.hi - ext.lo, 1) AS span,
+      |    ((dims.x - ext.lo) * 255) // greatest(ext.hi - ext.lo, 1) AS c
+      |  FROM dims JOIN ext USING (d))
+      |SELECT vec_id,
+      |  CAST(sum(abs(x - (lo + (c * span) // 255))) AS BIGINT) AS err,
+      |  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY d)) AS codes_md5
+      |FROM coded GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_topk" -> (simTopk _),
     "sim_clusters" -> (simClusters _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
@@ -1295,6 +1351,7 @@ object Vectors {
     "multimodal_audio" -> (multimodalAudio _))
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" -> simQuantizeInt8Sql,
     "sim_topk" -> simTopkSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "sim_clusters" -> simClustersSql,
