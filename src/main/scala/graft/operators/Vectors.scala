@@ -1289,7 +1289,15 @@ object Vectors {
     * bit-exactly; codes pinned via md5 of the joined code string. */
   def simQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = quantized(s, dir).where($"vec_id" >= 10)
+    quantizeInt8From(s, quantized(s, dir).where($"vec_id" >= 10))
+  }
+
+  /** The quantizer over any `(vec_id, q: array<bigint>)` frame —
+    * factored so the degenerate cases (constant dimension, extremes)
+    * are pinnable on a synthetic fixture (QuantizeSpec). */
+  private[operators] def quantizeInt8From(s: SparkSession,
+      v: DataFrame): DataFrame = {
+    import s.implicits._
     val ext = v.select(posexplode($"q").as(Seq("d", "x")))
       .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
       .orderBy($"d").collect()
