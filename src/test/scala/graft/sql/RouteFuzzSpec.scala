@@ -1,0 +1,106 @@
+package graft.sql
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core._
+
+/** Seeded-random DML programs replayed under every internal route
+  * configuration — the generative extension of the fixed route-matrix
+  * capstone in SqlAndSourcesSpec. Round 9 added three new route forks
+  * (INSERT…SELECT / range-UPDATE delta patches, the zero-job local
+  * per-chunk transform), and a route divergence shows up as a hash or
+  * row mismatch here long before a driver query would catch it. The
+  * generator is DETERMINISTIC (fixed seed), so a failure reproduces. */
+class RouteFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def newOps(): (Ops, Catalog) = {
+    val store = new FsStore(Files.createTempDirectory("graft-fuzz-").toString)
+    (new Ops(spark, store, 64), new Catalog(store))
+  }
+
+  /** ~40 statements over t(k PK, g NOT NULL, v nullable): point and
+    * range and non-key DML, self-referencing inserts with collisions,
+    * IN-lists, NULL values through every route. */
+  private def program(seed: Long): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    def k() = rng.nextInt(3000)
+    val out = Seq.newBuilder[String]
+    out += "INSERT INTO t SELECT id AS k, id % 11 AS g, CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END AS v FROM range(0, 1200)"
+    (1 to 36).foreach { _ =>
+      out += (rng.nextInt(8) match {
+        case 0 =>
+          val rows = (0 to rng.nextInt(2)).map(_ =>
+            s"(${k()}, ${rng.nextInt(11)}, ${rng.nextInt(100)})")
+          s"INSERT INTO t VALUES ${rows.mkString(", ")}"
+        case 1 =>
+          val (m, r, off) = (2 + rng.nextInt(30), rng.nextInt(2), 3000 + rng.nextInt(5000))
+          s"INSERT INTO t SELECT k + $off, g, v FROM t WHERE k % $m = $r"
+        case 2 =>
+          val a = k(); val b = a + 1 + rng.nextInt(400)
+          s"UPDATE t SET v = coalesce(v, 0) + ${rng.nextInt(9)} WHERE k >= $a AND k < $b"
+        case 3 =>
+          s"UPDATE t SET v = ${rng.nextInt(50)} WHERE k = ${k()}"
+        case 4 =>
+          val ks = (0 to rng.nextInt(4)).map(_ => k()).distinct
+          s"UPDATE t SET v = v * 2 WHERE k IN (${ks.mkString(", ")})"
+        case 5 =>
+          s"UPDATE t SET v = coalesce(v, -1) WHERE g = ${rng.nextInt(11)} AND v IS NULL"
+        case 6 =>
+          val a = k(); val b = a + 1 + rng.nextInt(200)
+          s"DELETE FROM t WHERE k >= $a AND k < $b"
+        case 7 =>
+          if (rng.nextBoolean()) s"DELETE FROM t WHERE k = ${k()}"
+          else s"DELETE FROM t WHERE g = ${rng.nextInt(11)} AND v % 5 = ${rng.nextInt(5)}"
+      })
+    }
+    out.result()
+  }
+
+  private def runProgram(stmts: Seq[String]): (String, Seq[(Long, Long, Any)]) = {
+    val (ops, cat) = newOps()
+    GraftSql.execute(spark, ops, cat,
+      "CREATE TABLE t (k bigint PRIMARY KEY, g bigint NOT NULL, v bigint)")
+    stmts.foreach(GraftSql.execute(spark, ops, cat, _))
+    val rows = ops.scan(TableRef(cat.root("t").tableHash)).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    (cat.root("t").tableHash, rows)
+  }
+
+  test("seeded DML programs hash-converge across every route config") {
+    Seq(11L, 23L).foreach { seed =>
+      val stmts = program(seed)
+      val configs = Seq(
+        (true, true, true), (true, false, true),
+        (false, true, true), (true, true, false))
+      val results = configs.map { case (viaPatch, driverPatch, driverMat) =>
+        GraftSql.pointDmlViaPatch = viaPatch
+        Ops.driverPatchEnabled = driverPatch
+        Canonical.driverMaterializeEnabled = driverMat
+        try runProgram(stmts)
+        finally {
+          GraftSql.pointDmlViaPatch = true
+          Ops.driverPatchEnabled = true
+          Canonical.driverMaterializeEnabled = true
+        }
+      }
+      assert(results.map(_._2).distinct.length == 1,
+        s"seed $seed: routes disagree on rows")
+      assert(results.map(_._1).distinct.length == 1,
+        s"seed $seed: routes disagree on hash: ${results.map(_._1.take(12))}")
+      // and the canonical rebuild of the final rows
+      val (ops2, cat2) = newOps()
+      import spark.implicits._
+      results.head._2.map { case (a, b, c) =>
+        (a, b, Option(c).map(_.asInstanceOf[Long])) }
+        .toDF("k", "g", "v").createOrReplaceTempView("fuzz_final")
+      GraftSql.execute(spark, ops2, cat2,
+        "CREATE TABLE t PRIMARY KEY (k) AS SELECT * FROM fuzz_final")
+      assert(cat2.root("t").tableHash == results.head._1,
+        s"seed $seed: final state is not canonical")
+    }
+  }
+}
