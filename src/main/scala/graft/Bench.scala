@@ -62,8 +62,9 @@ object Bench {
       // which the min2med3 median then leaks into the artifact). One
       // tiny synthetic flow on a temp store warms them all.
       locally {
-        val store = new graft.core.FsStore(
-          java.nio.file.Files.createTempDirectory("graft-bench-warm-").toString)
+        val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm-")
+        graft.core.FsUtil.deleteAtExit(warmDir) // never leak into tmp
+        val store = new graft.core.FsStore(warmDir.toString)
         val ops = new graft.core.Ops(spark, store, 64)
         val cat = new graft.core.Catalog(store)
         val sess = new graft.sql.SqlSession(spark, ops, cat)

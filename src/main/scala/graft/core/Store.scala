@@ -553,6 +553,34 @@ object FsUtil {
     p
   }
 
+  /** Best-effort recursive delete (depth-first; symlinks not followed —
+    * the store trees contain only plain files/dirs and hardlinks).
+    * Swallows IO errors: cleanup must never fail the query that
+    * produced the data. */
+  def deleteRecursively(dir: Path): Unit =
+    try {
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach { p: Path => Files.deleteIfExists(p); () }
+        finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Register a throwaway directory (per-run store clones, bench warm
+    * stores) for deletion at JVM exit — one shared shutdown hook, so a
+    * bench sweep that creates many clones does not leak them into tmp. */
+  def deleteAtExit(dir: Path): Unit = exitDeletions.synchronized {
+    exitDeletions += dir
+    ()
+  }
+  private lazy val exitDeletions: scala.collection.mutable.ArrayBuffer[Path] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      buf.synchronized(buf.toSeq).foreach(deleteRecursively)))
+    buf
+  }
+
   /** Build-once memo with LIVENESS validation for side stores: tmp
     * cleaners can sweep chunk files out from under a store whose memo
     * entry survives — a memo hit whose table meta or chunk files are

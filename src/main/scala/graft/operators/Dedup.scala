@@ -194,8 +194,9 @@ object Dedup {
         .as("fp"))
       // three consumers (size agg + both self-join sides): materialize
       // the fingerprints once — the md5-per-gram projection is the
-      // expensive part and would otherwise run 3x
-      .localCheckpoint()
+      // expensive part and would otherwise run 3x. Lazy: building the
+      // frame (plan inspection) must not run the projection as jobs.
+      .localCheckpoint(eager = false)
     val sz = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = fps.as("a").join(fps.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
@@ -590,8 +591,11 @@ object Dedup {
     // the whole upstream clustering plan (pair graph + CC label joins)
     // executes twice. Row count is cluster membership (corpus-
     // proportional but 3 narrow columns), the same storage class as the
-    // CC iteration's own per-round checkpoints.
-    val clusters = clusters0.localCheckpoint()
+    // CC iteration's own per-round checkpoints. LAZY checkpoint: the
+    // persisted RDD is shared by both consumers at first execution, but
+    // merely BUILDING this frame (plan inspection, a caller that never
+    // runs it) must not run the whole upstream clustering as Spark jobs.
+    val clusters = clusters0.localCheckpoint(eager = false)
     val kept = clusters.join(docs, "doc_id")
       .groupBy($"cluster_id")
       .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("m"),
@@ -687,10 +691,15 @@ object Dedup {
         explode(expr(s"sequence(pos0, pos0 + ${SpanK - 1})")).as("cv"))
       .distinct()
       .groupBy($"doc_id").agg(sort_array(collect_set($"cv")).as("cov"))
+    // kept = tokens at positions NOT in cov. array_except builds one
+    // hash set over cov and scans the position range once — linear in
+    // doc length (the per-token array_contains scan it replaces was
+    // O(|cov|) per token, quadratic for heavily-duplicated long docs)
     toks.join(covered, Seq("doc_id"), "left")
       .select($"doc_id",
         size($"ts").cast("long").as("n_tokens"),
-        expr("filter(ts, (t, i) -> cov IS NULL OR NOT array_contains(cov, i))")
+        expr("CASE WHEN cov IS NULL THEN ts ELSE " +
+          "transform(array_except(sequence(0, size(ts) - 1), cov), i -> ts[i]) END")
           .as("kept"))
       .select($"doc_id", $"n_tokens",
         ($"n_tokens" - size($"kept")).as("n_removed"),

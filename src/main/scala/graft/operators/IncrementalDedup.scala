@@ -318,18 +318,25 @@ object IncrementalDedup {
     * measured refresh must never memo-hit a previous run's result)
     * without copying data. Chunk saves are tmp+rename, so writes in the
     * clone can never mutate the base's inodes. Falls back to file copy
-    * on filesystems without hardlinks. */
+    * when the link fails — UnsupportedOperationException on
+    * no-hardlink filesystems, but also FileSystemException (EXDEV) when
+    * base (SPARK_GRAFT_INDEX_DIR) and tmp sit on different mounts.
+    * Clones are registered for JVM-exit deletion — a min2med3 bench
+    * sweep creates several per query and must not leak them into tmp. */
   private def cloneStore(base: java.nio.file.Path): String = {
     import java.nio.file.{Files, Path}
     val dst = Files.createTempDirectory("graft-xl-clone-")
+    graft.core.FsUtil.deleteAtExit(dst)
     val stream = Files.walk(base)
     try stream.forEach { p: Path =>
       if (Files.isRegularFile(p)) {
         val to = dst.resolve(base.relativize(p))
         Files.createDirectories(to.getParent)
         try { Files.createLink(to, p); () }
-        catch { case _: UnsupportedOperationException =>
-          Files.copy(p, to); () }
+        catch {
+          case _: UnsupportedOperationException => Files.copy(p, to); ()
+          case _: java.io.IOException => Files.copy(p, to); ()
+        }
       }
     } finally stream.close()
     dst.toString

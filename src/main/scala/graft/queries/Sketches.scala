@@ -84,6 +84,10 @@ object Sketches {
     * BIGINT, so the estimator is exact integer division in both engines. */
   private val KmvNum: Long = (KmvK - 1).toLong * (1L << 52)
 
+  /** Salt width for the two-phase k-minimum reduction: the hot group's
+    * distinct hashes spread over this many tasks in phase 1. */
+  private val KmvSalts = 64
+
   /** Deterministic KMV (k-minimum-values) distinct sketch — the
     * oracle-able stand-in for HLL: per group keep the k smallest
     * DISTINCT md5-derived 52-bit hashes; if fewer than k distinct
@@ -92,8 +96,16 @@ object Sketches {
     * across engines and the arithmetic is integer-only — so DuckDB
     * reproduces it bit-for-bit.
     *
-    * Scale: the shuffle is on (group, hash) for the distinct, then one
-    * per-group sorted window (spill-safe) over already-distinct hashes.
+    * Scale: the distinct count is a pure combinable two-phase
+    * aggregation (never a window), and the k-th-smallest hash is found
+    * with the same salted two-phase min-k reduction as
+    * `pipeline_topk_per_group`: phase 1 ranks within (group, h mod
+    * [[KmvSalts]]) — a running-frame window the hot group spreads over
+    * [[KmvSalts]] tasks, exact because any global k-smallest hash is
+    * k-smallest within its own cell — and phase 2 sorts the ≤ salts·k
+    * survivors per group in one tiny array aggregate. No task ever
+    * holds a group's full distinct set (the defect the old
+    * `row_number`+`count(*)` unbounded-window plan had).
     * HLL ([[aggApproxDistinctHll]]) remains the strictly-constant-memory
     * path; KMV is the cross-engine-verifiable one. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
@@ -104,14 +116,21 @@ object Sketches {
       val h = li.select($"l_returnflag",
         conv(substring(md5(col(in).cast("string")), 1, 13), 16, 10)
           .cast("long").as("h")).distinct()
-      val byH = Window.partitionBy("l_returnflag").orderBy("h")
-      val all = Window.partitionBy("l_returnflag")
-      h.withColumn("rn", row_number().over(byH))
-        .withColumn("nd", count(lit(1)).over(all))
-        .where($"rn" === least($"nd", lit(KmvK)))
+      val nd = h.groupBy($"l_returnflag").agg(count(lit(1)).as("nd"))
+      val bySalt = Window
+        .partitionBy($"l_returnflag", pmod($"h", lit(KmvSalts)))
+        .orderBy($"h")
+      val cand = h.withColumn("rn", row_number().over(bySalt))
+        .where($"rn" <= KmvK)
+      // ≤ KmvSalts·KmvK longs per group regardless of corpus size;
+      // get() (0-based, null out of bounds) instead of ANSI element_at —
+      // a group with < k distinct hashes takes the exact-count branch
+      val hk = cand.groupBy($"l_returnflag")
+        .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
+      nd.join(hk, Seq("l_returnflag"))
         .select($"l_returnflag",
           when($"nd" < KmvK, $"nd")
-            .otherwise(expr(s"${KmvNum}L div h")).as(out))
+            .otherwise(expr(s"${KmvNum}L div hk")).as(out))
     }
     kmv("l_partkey", "approx_parts")
       .join(kmv("l_orderkey", "approx_orders"), Seq("l_returnflag"))

@@ -1294,10 +1294,14 @@ object GraftSql {
     * frame row order, the same order [[graft.core.Ops.fromDataFrame]]'s
     * FoldLast carries, so the result hash-converges with the legacy
     * delta+merge chain (pinned in SqlAndSourcesSpec). None — caller
-    * takes the job chain — when bounds are unknown/over-budget, the keys
-    * scatter over more than half the chunks (run-by-run splicing then
-    * writes more than one merge pass), or on any driver surprise. At
-    * 100 TB the byte bound rejects before any collect. */
+    * takes the job chain — when bounds are unknown/over-budget or on
+    * any driver surprise. Deliberately NO scatter guard (unlike the
+    * point-DML IN-list path): the route is byte-admitted, and even a
+    * delta touching every run splices cheaper driver-side than the
+    * collect + region-merge job pair; patchTableBounded's internal
+    * byte check still falls back to one grouped job when the touched
+    * chunks outgrow the driver budget. At 100 TB the byte bound
+    * rejects before any collect. */
   private def deltaViaPatch(ops: Ops, schema: StructType,
       entry: graft.core.CatalogEntry, ref: graft.core.TableRef,
       frame: DataFrame, rowBound: Option[Long],

@@ -222,6 +222,28 @@ class PlanSpec extends AnyFunSuite {
       s"bucket offsets must broadcast, not shuffle:\n$p")
   }
 
+  test("agg_approx_distinct: KMV is a salted two-phase min-k — no unbounded window") {
+    val p = plan("agg_approx_distinct")
+    // the distinct count must be a combinable aggregation and the k-th
+    // hash a salted row_number + bounded array agg: nothing in the plan
+    // may put a group's full distinct-hash set through one window frame
+    assert(!p.contains("unboundedfollowing"),
+      s"per-group unbounded window frame crept back:\n$p")
+    // the salt expression is projected as _w0 below the window — the
+    // spec must carry it as a SECOND partition key next to the group
+    assert("windowspecdefinition\\(l_returnflag#\\d+, _w0#\\d+".r.findFirstIn(p).isDefined,
+      s"phase-1 ranking window lost its salt:\n$p")
+  }
+
+  test("dedup_spans: coverage filter is the linear positional mask, not per-token array_contains") {
+    val p = SparkEntry.queries("dedup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("array_contains"),
+      s"per-token O(|cov|) membership scan crept back:\n$p")
+    assert(p.contains("array_except"),
+      s"positional mask (array_except) missing:\n$p")
+  }
+
   test("sample_rebalance: per-language counts and the global min join broadcast") {
     val p = plan("sample_rebalance")
     assert(p.contains("BroadcastHashJoin"),
