@@ -2,6 +2,60 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Listener accumulating executor-side metrics fleet-wide: job/task
+    * counts, task run/CPU/GC time, spill bytes. Bench samples the
+    * counters before/after each query's runs, so BENCH_FULL.json can
+    * attribute a slow query to GC pressure / spill / CPU starvation
+    * from the artifact alone (the round-9 driver-vs-local divergence
+    * was unadjudicable without environment capture). */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong; val tasks = new AtomicLong
+    val runMs = new AtomicLong; val cpuNs = new AtomicLong
+    val gcMs = new AtomicLong; val spillBytes = new AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+      ()
+    }
+    def snapshot: Map[String, Long] = Map(
+      "jobs" -> jobs.get(), "tasks" -> tasks.get(), "run_ms" -> runMs.get(),
+      "cpu_ns" -> cpuNs.get(), "gc_ms" -> gcMs.get(),
+      "spill" -> spillBytes.get())
+  }
+
+  /** Driver-process environment counters (whole-JVM, not per-task):
+    * cumulative GC time, process CPU time, and the machine's 1-minute
+    * load average — the "was the MACHINE busy" signal. */
+  private def driverGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+  private def procCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+  private def load1: Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage }
+
   /** Noise-robust per-query timing: two runs always; when they disagree
     * by more than 15% a third run adjudicates and the MEDIAN is
     * recorded (two agreeing runs record their min — the best unbiased
@@ -98,18 +152,59 @@ object Bench {
     // queries, so a slow outlier whose neighbors-in-time are also
     // elevated reads as environment, not code — the adjudication the
     // round-8 sql_changes verdict item needed
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def drain(): Unit =
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+    // per-STATEMENT capture for the SQL statement-flow queries: the
+    // probe records (statement, wall, jobs-since-last-statement); the
+    // buffer is cleared at the start of every run, so what survives is
+    // the LAST run's statement trace — the adjudication granularity the
+    // round-9 sql_dml verdict item asked for
+    val stmtBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    var stmtJobsMark = 0L
+    graft.sql.GraftSql.stmtProbe = Some { (sql, sec) =>
+      val j = listener.jobs.get()
+      stmtBuf.synchronized { stmtBuf += ((sql, sec, j - stmtJobsMark)); () }
+      stmtJobsMark = j
+    }
+    final case class QR(name: String, v: Double, runs: Seq[Double], t0: Double,
+      env: Seq[(String, String)], stmts: Seq[(String, Double, Long)])
     val bench0 = System.nanoTime()
-    val results: Seq[(String, Double, Seq[Double], Double)] =
+    val results: Seq[QR] =
       selected.toSeq.map { case (name, fn) =>
         val t0 = (System.nanoTime() - bench0) / 1e9
+        drain()
+        val l0 = listener.snapshot
+        val gc0 = driverGcMs; val cpu0 = procCpuNs
+        val loadStart = load1
         val (v, runs) =
-          try timeQuery(() => { fn(spark, sfDir).count(); () })
+          try timeQuery(() => {
+            stmtBuf.synchronized { stmtBuf.clear() }
+            stmtJobsMark = listener.jobs.get()
+            fn(spark, sfDir).count(); ()
+          })
           catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
-        (name, v, runs, t0)
+        drain()
+        val l1 = listener.snapshot
+        def d(k: String): Long = l1(k) - l0(k)
+        val env = Seq(
+          "jobs" -> d("jobs").toString,
+          "tasks" -> d("tasks").toString,
+          "task_run_s" -> fmt(d("run_ms") / 1e3),
+          "task_cpu_s" -> fmt(d("cpu_ns") / 1e9),
+          "task_gc_ms" -> d("gc_ms").toString,
+          "spill_mb" -> fmt(d("spill") / 1048576.0),
+          "gc_driver_ms" -> (driverGcMs - gc0).toString,
+          "proc_cpu_s" -> fmt((procCpuNs - cpu0) / 1e9),
+          "load1" -> fmt(loadStart),
+          "load1_end" -> fmt(load1))
+        QR(name, v, runs, t0, env, stmtBuf.synchronized(stmtBuf.toList))
       }
-    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    graft.sql.GraftSql.stmtProbe = None
+    val errors = results.collect { case r if r.v < 0 => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case r if r.v >= 0 => r.v }.sum
 
     // The COMPLETE artifact — every registered query with its recorded
     // value AND the raw per-run timings behind it — goes to a file the
@@ -119,15 +214,37 @@ object Bench {
     // env-overridable; default lands in the repo working directory so
     // the round's closing commit carries it.
     val fullJson = {
-      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      def jstr(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+      val qs = results.map(r => "\"" + r.name + "\":" + r.v)
         .mkString("{", ",", "}")
       val runs = results
-        .map { case (k, _, rs, _) => "\"" + k + "\":[" + rs.mkString(",") + "]" }
+        .map(r => "\"" + r.name + "\":[" + r.runs.mkString(",") + "]")
         .mkString("{", ",", "}")
       val starts = results
-        .map { case (k, _, _, t0) => "\"" + k + "\":" + fmt(t0) }
+        .map(r => "\"" + r.name + "\":" + fmt(r.t0))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2med3","queries":$qs,"runs":$runs,"start":$starts,"errors":$errors,"sf":"$sfDir"}"""
+      // per-query environment deltas (task metrics fleet-wide, driver
+      // GC/CPU, machine load at start+end) — the driver-vs-local
+      // divergence is attributable from the artifact alone
+      val env = results.map { r =>
+        "\"" + r.name + "\":" +
+          r.env.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      // per-statement trace (LAST timed run) for the statement-flow
+      // queries: wall seconds + Spark jobs per statement
+      val stmts = results.filter(_.stmts.nonEmpty).map { r =>
+        "\"" + r.name + "\":[" + r.stmts.map { case (sql, sec, jobs) =>
+          s"""{"s":${fmt(sec)},"jobs":$jobs,"sql":${jstr(
+            sql.trim.replaceAll("\\s+", " ").take(88))}}"""
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2med3","queries":$qs,"runs":$runs,"start":$starts,"env":$env,"stmts":$stmts,"errors":$errors,"sf":"$sfDir"}"""
     }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json")
     try java.nio.file.Files.write(
@@ -142,7 +259,7 @@ object Bench {
     // intact — slowest queries first (the ones a judge audits), greedily
     // packed under the byte budget, the fast remainder summarized, and a
     // pointer to the complete file. Values at millisecond precision.
-    val ok = results.filter(_._2 >= 0).sortBy(-_._2)
+    val ok = results.filter(_.v >= 0).map(r => (r.name, r.v)).sortBy(-_._2)
     val budget = 1500 // chars for the queries map; leaves headroom in 2000
     val included = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2

@@ -77,7 +77,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   def collectDriverBounded(df: DataFrame): Array[org.apache.spark.sql.Row] = {
     val (es, bound) = Canonical.onEngine(spark, df,
       smallShuffle = true, interpretedOk = true)
-    Canonical.withJobDesc(es, "graft:collect")(bound.collect())
+    val t0 = System.nanoTime()
+    val rows = Canonical.withJobDesc(es, "graft:collect")(bound.collect())
+    // the interpreted collect is part of the driver-route cost model:
+    // under driver starvation its per-row cost rises with the rest of
+    // the single-threaded work, and admission should see that
+    Ops.recordDriverRoute(rows.length.toLong, System.nanoTime() - t0)
+    rows
   }
 
   def fromDataFrameBounded(df: DataFrame, keyCols: Seq[String],
@@ -721,9 +727,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       touched.iterator.map(i => m.chunks(i).rows).sum + upserts.length
     if (Ops.driverPatchEnabled && DriverChunks.supported(m.schema) &&
         patchRows <= Ops.DriverPatchHardRowCap &&
-        driverBytesOk(m, touched)) {
-      try return Some(driverPatch(m, runList, upserts, upsertKbs,
-        deadHex, owner))
+        driverBytesOk(m, touched) && Ops.driverRouteAdmit(patchRows)) {
+      try return Some(Ops.timedDriverRoute(patchRows)(
+        driverPatch(m, runList, upserts, upsertKbs, deadHex, owner)))
       catch { case scala.util.control.NonFatal(e) =>
         Ops.warnDriverPatchFallback(e)
       }
@@ -903,10 +909,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     }
     val rewritten0: Map[Int, Seq[ChunkMeta]] =
       if (runList.isEmpty) Map.empty
-      else if (DriverChunks.supported(schema) && runRows <= Ops.DriverPatchMaxRows) {
+      else if (DriverChunks.supported(schema) &&
+          runRows <= Ops.DriverPatchMaxRows && Ops.driverRouteAdmit(runRows)) {
         val kEnc = KeyCodec.rowEncoder(schema, keyCols)
         val tmp = java.nio.file.Files.createTempDirectory("graft-canon-fix-")
-        try {
+        try Ops.timedDriverRoute(runRows) {
           val batch = Vector.newBuilder[(String, java.nio.file.Path)]
           val w = new Canonical.DriverRunWriter(schema, keyCols, target,
             store.chunkCodec, tmp, batch)
@@ -1504,19 +1511,22 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // pinned in PatchTableSpec), so sub-result hashes are unchanged.
         // Any surprise falls back to the scan; at scale the byte budget
         // rejects first.
+        val missingRows = missing.iterator.map(_.rows).sum
         val driverDf: Option[DataFrame] =
           if (!Ops.driverPatchEnabled || !DriverChunks.supported(m.schema) ||
-              missing.iterator.map(_.rows).sum >
+              missingRows >
                 Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
-              !chunkBytes(missing).exists(_ <= Ops.DriverPatchMaxBytes))
+              !chunkBytes(missing).exists(_ <= Ops.DriverPatchMaxBytes) ||
+              !Ops.driverRouteAdmit(missingRows))
             None
           else try {
             import scala.jdk.CollectionConverters._
-            val rows = Canonical.parIo(missing) { c =>
-              DriverChunks.readRows(java.nio.file.Paths.get(
-                store.chunkPath(c.hash)), m.schema)
-                .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c.hash))
-            }.flatten
+            val rows = Ops.timedDriverRoute(missingRows)(
+              Canonical.parIo(missing) { c =>
+                DriverChunks.readRows(java.nio.file.Paths.get(
+                  store.chunkPath(c.hash)), m.schema)
+                  .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c.hash))
+              }.flatten)
             val schemaG = m.schema.add(org.apache.spark.sql.types.StructField(
               grp, org.apache.spark.sql.types.StringType, nullable = false))
             Some(spark.createDataFrame(rows.asJava, schemaG))
@@ -2029,6 +2039,77 @@ object Ops {
     * fingerprint of that projection. */
   final case class AlignedInput(ref: TableRef, alignSig: String,
       projection: Seq[org.apache.spark.sql.Column])
+
+  /** Measured driver-route cost governor (VERDICT r9 #2). The zero-job /
+    * fused driver routes are SINGLE-THREADED: on an idle machine they
+    * beat the distributed path by skipping plan compile + scheduling,
+    * but under driver CPU starvation the same byte-admitted work can
+    * cost 5x its idle-machine time while the distributed path still has
+    * every executor thread to average the load over. Every completed
+    * driver-route operation records (rows, nanos); admission projects a
+    * new operation's driver time from the EWMA nanos-per-row and DENIES
+    * the route when the projection exceeds [[DriverRouteBudgetNanos]] —
+    * the caller falls back to its distributed path, which is
+    * hash-identical by construction (RouteFuzzSpec pins the matrix;
+    * DriverRouteSpec pins the degradation itself). Unmeasured (cold)
+    * admits: the static row/byte caps bound the worst case and the
+    * first operations seed the model. */
+  @volatile var DriverRouteBudgetNanos: Long =
+    sys.env.get("SPARK_GRAFT_DRIVER_ROUTE_BUDGET_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(1500L) * 1000000L
+  // stores 16x ns/row so the EWMA keeps sub-ns resolution; 0 = unmeasured
+  private val driverRouteNprX16 = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Test seam: forces the observed per-row driver cost (ns/row). */
+  @volatile private[graft] var driverRouteNprOverride: Option[Long] = None
+  /** Test seam: back to the unmeasured (cold-admit) state. */
+  private[graft] def resetDriverRouteModel(): Unit = driverRouteNprX16.set(0L)
+  /** Observability: route denials since JVM start. */
+  val driverRouteDenials = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Below this row count, per-operation FIXED overhead (job submit,
+    * plan compile, file open) dominates per-row cost: samples would
+    * poison the ns/row model (a 5-row collect at ~100 ms reads as
+    * 20 ms/row and would deny everything), and denial would cost the
+    * point-DML zero-job latency for no memory/time safety gain — so
+    * tiny operations neither train nor consult the model. */
+  private val DriverRouteModelFloorRows = 1024L
+  private[graft] def recordDriverRoute(rows: Long, nanos: Long): Unit =
+    if (rows >= DriverRouteModelFloorRows && nanos > 0) {
+      val obs = math.max(1L, nanos * 16 / rows)
+      driverRouteNprX16.getAndUpdate { prev: Long =>
+        if (prev <= 0) obs else (prev * 3 + obs) / 4 // EWMA, alpha 1/4
+      }
+      ()
+    }
+  private[graft] def driverRouteAdmit(rows: Long): Boolean = {
+    if (rows <= DriverRouteModelFloorRows) return true
+    val nprX16 = driverRouteNprOverride.map(_ * 16)
+      .getOrElse(driverRouteNprX16.get())
+    // rows is capped at DriverPatchHardRowCap (2^20) by every caller,
+    // so the product stays far from Long overflow
+    val ok = nprX16 <= 0 || rows * nprX16 / 16 <= DriverRouteBudgetNanos
+    if (!ok) {
+      driverRouteDenials.incrementAndGet()
+      // denial must not be ABSORBING: a denied route produces no new
+      // samples, so a one-off slow burst (or a tiny-chunk store's high
+      // fixed costs) would pin the model slow forever. Each denial
+      // decays the estimate ~6%; after enough denials the route is
+      // retried and the next real sample re-trains the model — the
+      // standard probe-to-recover loop.
+      driverRouteNprX16.getAndUpdate { prev: Long =>
+        if (prev <= 0) prev else prev * 15 / 16
+      }
+      ()
+    }
+    ok
+  }
+  /** Time `body`, feed the measurement into the cost model. */
+  private[graft] def timedDriverRoute[T](rows: Long)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    recordDriverRoute(rows, System.nanoTime() - t0)
+    r
+  }
 
   /** Driver-patch fallbacks must be OBSERVABLE: a persistent driver-path
     * failure (an exotic codec, an unsupported physical type in an old

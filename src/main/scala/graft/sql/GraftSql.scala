@@ -299,18 +299,34 @@ object GraftSql {
     * the driver never sets it. */
   private val profileStatements = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
 
+  /** Tool-installable per-statement probe: called once per executed
+    * top-level statement with (statement text, wall seconds). Installed
+    * by [[graft.Bench]] while timing the statement-flow queries so the
+    * bench artifact carries per-STATEMENT wall + job counts — the
+    * sql_dml driver-vs-local adjudication needs to name the slow
+    * statement, not just the slow query. Also fires for the transaction
+    * control statements via [[SqlSession.execute]]. Never set in
+    * production use; a None check is the only cost. */
+  @volatile private[graft] var stmtProbe: Option[(String, Double) => Unit] = None
+
   def execute(spark: SparkSession, ops: Ops, catalog: Catalog,
-      sqlText: String): Either[DataFrame, String] =
-    if (!profileStatements) executeImpl(spark, ops, catalog, sqlText)
+      sqlText: String): Either[DataFrame, String] = {
+    val probe = stmtProbe
+    if (!profileStatements && probe.isEmpty)
+      executeImpl(spark, ops, catalog, sqlText)
     else {
       val t0 = System.nanoTime()
       try executeImpl(spark, ops, catalog, sqlText)
       finally {
         val sec = (System.nanoTime() - t0) / 1e9
-        val head = sqlText.trim.replaceAll("\\s+", " ").take(72)
-        println(f"[gsql] $sec%6.2f s  $head")
+        probe.foreach(_(sqlText, sec))
+        if (profileStatements) {
+          val head = sqlText.trim.replaceAll("\\s+", " ").take(72)
+          println(f"[gsql] $sec%6.2f s  $head")
+        }
       }
     }
+  }
 
   private def executeImpl(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
@@ -1310,7 +1326,8 @@ object GraftSql {
     val cap = graft.core.Ops.adaptiveRowCap(
       schema, graft.core.Ops.PatchMaxDeltaRows)
     if (!rowBound.exists(_ <= cap) ||
-        !byteBound.exists(_ <= graft.core.Ops.DriverPatchMaxBytes)) return None
+        !byteBound.exists(_ <= graft.core.Ops.DriverPatchMaxBytes) ||
+        !graft.core.Ops.driverRouteAdmit(rowBound.getOrElse(0L))) return None
     try {
       val rows = ops.collectDriverBounded(frame).toSeq
       if (rows.isEmpty) return Some(ref)

@@ -29,8 +29,18 @@ final class SqlSession(spark: SparkSession, baseOps: Ops, val catalog: Catalog) 
 
   def execute(sqlText: String): Either[DataFrame, String] = {
     val t = sqlText.trim.stripSuffix(";").trim
+    // transaction control runs here, not in GraftSql.execute — time it
+    // for the same per-statement probe (COMMIT does real work: squash +
+    // root CAS; the sql_txn floor analysis needs it visible)
+    def probed(body: => Either[DataFrame, String]): Either[DataFrame, String] =
+      GraftSql.stmtProbe match {
+        case None => body
+        case Some(p) =>
+          val t0 = System.nanoTime()
+          try body finally p(t, (System.nanoTime() - t0) / 1e9)
+      }
     t.toLowerCase match {
-      case "begin" | "begin transaction" | "start transaction" =>
+      case "begin" | "begin transaction" | "start transaction" => probed {
         if (txn.isDefined)
           throw new GraftSql.SqlException("transaction already open (no nesting)")
         val ts = Txn.begin(baseOps.store)
@@ -38,17 +48,20 @@ final class SqlSession(spark: SparkSession, baseOps: Ops, val catalog: Catalog) 
           new Ops(spark, ts, baseOps.chunkTargetRows, baseOps.registry),
           new Catalog(ts)))
         Right(ts.startPtr.getOrElse(""))
-      case "commit" =>
+      }
+      case "commit" => probed {
         val (ts, _, _) = txn.getOrElse(
           throw new GraftSql.SqlException("COMMIT without an open transaction"))
         txn = None // a failed CAS still closes the transaction (git: the
         // branch is dead, retry means replaying the statements)
         Right(Txn.commit(ts))
-      case "rollback" | "abort" =>
+      }
+      case "rollback" | "abort" => probed {
         if (txn.isEmpty)
           throw new GraftSql.SqlException("ROLLBACK without an open transaction")
         txn = None
         Right(baseOps.store.currentRootHash.getOrElse(""))
+      }
       case _ =>
         val (o, c) = txn match {
           case Some((_, ops, cat)) => (ops, cat)

@@ -10,6 +10,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus (private[spark]) so SparkListener
+    * counters sampled by graft.Bench are attributed to the query that
+    * produced the events, not the next one. Best-effort: a timeout just
+    * leaves a small attribution lag. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(2000L)
+    catch { case _: Throwable => () }
+
   /** The runtime bloom-filter clamp caps from SQLConf's REGISTERED
     * entries (session value or Spark's own default) — duplicated literal
     * defaults would silently diverge from BloomFilterAggregate's

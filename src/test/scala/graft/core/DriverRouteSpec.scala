@@ -1,0 +1,69 @@
+package graft.core
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sql.GraftSql
+
+/** The driver-route governor (VERDICT r9 #2): the single-threaded
+  * zero-job/fused driver routes must degrade GRACEFULLY when the
+  * measured driver throughput says they would blow the latency budget —
+  * route choice flips to the distributed path, results stay
+  * hash-identical. The forced-slow seam stands in for a starved driver
+  * (the round-9 driver-harness divergence this guards against). */
+class DriverRouteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A DML flow that exercises every governor-gated route: range UPDATE
+    * (per-chunk transform / delta patch), range DELETE (splice), point
+    * DML (driver patch), INSERT…SELECT (delta patch). */
+  private def runFlow(): String = {
+    val store = new FsStore(
+      Files.createTempDirectory("graft-route-gov-").toString)
+    val ops = new Ops(spark, store, 64)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE t (k bigint PRIMARY KEY, g bigint NOT NULL, v bigint)")
+    run("INSERT INTO t SELECT id AS k, id % 7 AS g, id * 3 AS v FROM range(0, 4000)")
+    run("UPDATE t SET v = v + 1 WHERE k >= 500 AND k < 2500")
+    run("DELETE FROM t WHERE k >= 1000 AND k < 1400")
+    run("UPDATE t SET v = v * 2 WHERE k IN (3, 77, 3999)")
+    run("INSERT INTO t SELECT k + 10000, g, v FROM t WHERE k % 16 = 0")
+    run("DELETE FROM t WHERE g = 5 AND v % 3 = 0")
+    cat.root("t").tableHash
+  }
+
+  test("a measured-slow driver flips to the distributed path, hashes unchanged") {
+    Ops.resetDriverRouteModel() // suite-order independence
+    val fast = runFlow() // cold/normal governor: driver routes admitted
+    val denials0 = Ops.driverRouteDenials.get()
+    // 10 ms/row: any patch beyond ~150 rows projects over the 1.5 s
+    // budget — every bulk driver route must fall back
+    Ops.driverRouteNprOverride = Some(10L * 1000L * 1000L)
+    val slow =
+      try runFlow()
+      finally Ops.driverRouteNprOverride = None
+    assert(slow == fast,
+      "governor-denied driver routes changed the result hash")
+    assert(Ops.driverRouteDenials.get() > denials0,
+      "the forced-slow governor never denied a driver route")
+  }
+
+  test("admission math: cold model admits; measured cost gates by projected time") {
+    Ops.driverRouteNprOverride = None
+    Ops.resetDriverRouteModel()
+    try {
+      // cold: no measurement => admit anything under the static caps
+      assert(Ops.driverRouteAdmit(Ops.DriverPatchHardRowCap))
+      // fast measured cost: 1 µs/row => 100k rows project 0.1 s, admit
+      Ops.driverRouteNprOverride = Some(1000L)
+      assert(Ops.driverRouteAdmit(100000L))
+      // slow measured cost: 1 ms/row => 100k rows project 100 s, deny;
+      // a genuinely tiny patch stays admitted (point DML keeps its
+      // zero-job latency even on a loaded machine)
+      Ops.driverRouteNprOverride = Some(1000L * 1000L)
+      assert(!Ops.driverRouteAdmit(100000L))
+      assert(Ops.driverRouteAdmit(64L))
+    } finally Ops.driverRouteNprOverride = None
+  }
+}

@@ -10,6 +10,9 @@ import graft.core._
   * FIXTURES.md §3. */
 class SqlAndSourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  // route-matrix pins below assert WHICH route runs — start from the
+  // unmeasured driver-route model regardless of suite order
+  graft.core.Ops.resetDriverRouteModel()
 
   private def newOps(): (Ops, Catalog) = {
     val store = new FsStore(Files.createTempDirectory("graft-sql-").toString)
