@@ -543,6 +543,28 @@ object Canonical {
     val bytesOk = byteBound.exists(_ <= Ops.DriverPatchMaxBytes) &&
       rowBound.exists(_ <= Ops.DriverPatchHardRowCap) &&
       driverMaterializeEnabled && DriverChunks.supported(df.schema)
+    // ZERO-JOB branch (mirrors materializeGrouped's): a driver-admitted
+    // input whose plan folded to a LocalRelation (the driver-read range
+    // edge rewrite, a small CTAS over driver-resident rows) collects
+    // without any job; key bytes encode on the driver with the same
+    // KeyCodec arithmetic the mapPartitions encoder applies.
+    if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, df.schema))
+      if (df.queryExecution.analyzed.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) &&
+          df.queryExecution.optimizedPlan
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+        try {
+          val norm = normalizeSchema(df.schema, keyCols)
+          val enc = KeyCodec.rowEncoder(norm, keyCols)
+          val kbSchema = norm.add(StructField(KB, BinaryType, nullable = false))
+          val rows: Array[Row] =
+            df.collect().map(r => Row.fromSeq(r.toSeq :+ enc(r)))
+          val got = driverMaterializeRows(store, rows, kbSchema, df.schema,
+            schemaJson, keyCols, chunkTargetRows)
+          got.foreach(return _)
+        } catch { case scala.util.control.NonFatal(e) =>
+          Ops.warnDriverPatchFallback(e) }
+      }
     val kbDf0 = withKeyBytes(df, keyCols)
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

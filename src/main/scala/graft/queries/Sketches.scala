@@ -111,29 +111,37 @@ object Sketches {
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val li = Tables(s, dir, "lineitem")
-    def kmv(in: String, out: String): DataFrame = {
-      val h = li.select($"l_returnflag",
-        conv(substring(md5(col(in).cast("string")), 1, 13), 16, 10)
-          .cast("long").as("h")).distinct()
-      val nd = h.groupBy($"l_returnflag").agg(count(lit(1)).as("nd"))
-      val bySalt = Window
-        .partitionBy($"l_returnflag", pmod($"h", lit(KmvSalts)))
-        .orderBy($"h")
-      val cand = h.withColumn("rn", row_number().over(bySalt))
-        .where($"rn" <= KmvK)
-      // ≤ KmvSalts·KmvK longs per group regardless of corpus size;
-      // get() (0-based, null out of bounds) instead of ANSI element_at —
-      // a group with < k distinct hashes takes the exact-count branch
-      val hk = cand.groupBy($"l_returnflag")
-        .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
-      nd.join(hk, Seq("l_returnflag"))
-        .select($"l_returnflag",
-          when($"nd" < KmvK, $"nd")
-            .otherwise(expr(s"${KmvNum}L div hk")).as(out))
-    }
-    kmv("l_partkey", "approx_parts")
-      .join(kmv("l_orderkey", "approx_orders"), Seq("l_returnflag"))
+    // BOTH sketches in ONE scan: each row contributes a ('p', hash) and
+    // an ('o', hash) pair; the sketch group key becomes (flag, which).
+    // One distinct shuffle, one salted ranking pass, one bounded
+    // phase-2 — half the jobs of the two-pipeline version.
+    def h(in: String): Column =
+      conv(substring(md5(col(in).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_returnflag", explode(array(
+        struct(lit("p").as("w"), h("l_partkey").as("h")),
+        struct(lit("o").as("w"), h("l_orderkey").as("h")))).as("e"))
+      .select($"l_returnflag", $"e.w".as("w"), $"e.h".as("h"))
+      .distinct()
+    val nd = pairs.groupBy($"l_returnflag", $"w").agg(count(lit(1)).as("nd"))
+    val bySalt = Window
+      .partitionBy($"l_returnflag", $"w", pmod($"h", lit(KmvSalts)))
+      .orderBy($"h")
+    val cand = pairs.withColumn("rn", row_number().over(bySalt))
+      .where($"rn" <= KmvK)
+    // ≤ KmvSalts·KmvK longs per (group, which) regardless of corpus
+    // size; get() (0-based, null out of bounds) instead of ANSI
+    // element_at — a group with < k distinct hashes takes the exact-
+    // count branch
+    val hk = cand.groupBy($"l_returnflag", $"w")
+      .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
+    nd.join(hk, Seq("l_returnflag", "w"))
+      .withColumn("est",
+        when($"nd" < KmvK, $"nd").otherwise(expr(s"${KmvNum}L div hk")))
+      .groupBy($"l_returnflag")
+      .agg(max(when($"w" === "p", $"est")).as("approx_parts"),
+        max(when($"w" === "o", $"est")).as("approx_orders"))
       .orderBy($"l_returnflag")
   }
 

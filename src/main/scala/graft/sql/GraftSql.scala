@@ -567,7 +567,17 @@ object GraftSql {
               pointUpdate(spark, ops, schema, entry, name, ref, ks, sets))
             .getOrElse(parseKeyRange(spark, schema, entry.keyCols, cond) match {
             case Some((lo, hi)) =>
-              try {
+              // ZERO-JOB range UPDATE first (pointUpdate generalized to
+              // key ranges): byte-admitted range rows read driver-side,
+              // SET evaluated on a LocalRelation, spliced through the
+              // patch — no rangeFilter materialization, no collect job.
+              // None (over-cap range, governor denial, non-row-local
+              // SET, any read surprise) falls through to the
+              // range-scan + delta-patch chain below.
+              (if (GraftSql.pointDmlViaPatch)
+                rangeUpdateDriver(spark, ops, schema, entry, name, ref,
+                  lo, hi, sets)
+              else None).getOrElse(try {
                 val rf = ops.rangeFilter(ref, lo, hi)
                 val rows = ops.scan(rf)
                 val updated = rows.selectExpr(schema.fieldNames.map { f =>
@@ -600,7 +610,7 @@ object GraftSql {
                 // (subquery, other table): the rebuild path registers
                 // every catalog view and handles it
                 case _: org.apache.spark.sql.AnalysisException => rebuild()
-              }
+              })
             case None =>
               // non-key predicate, row-local SETs → per-chunk transform
               // with zone-map passthrough of provably-unaffected chunks
@@ -1361,6 +1371,36 @@ object GraftSql {
     try {
       val current = ops.readKeysDriver(ref, keys).getOrElse(return None)
       if (current.isEmpty) return Some(ref) // nothing addressed: no-op
+      import scala.jdk.CollectionConverters._
+      val local = spark.createDataFrame(current.asJava, schema)
+      val updated = local.selectExpr(schema.fieldNames.map { f =>
+        sets.get(f)
+          .map(e => s"CAST(($e) AS ${schema(f).dataType.sql}) AS `$f`")
+          .getOrElse(s"`$f`")
+      }.toIndexedSeq: _*)
+      val rows = guardNotNull(updated, entry, name).collect().toSeq
+      Some(ops.patchTable(ref, rows, Nil))
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.core.Ops.warnDriverPatchFallback(e); None }
+
+  /** ZERO-JOB range UPDATE — [[pointUpdate]] generalized to leading-key
+    * ranges: read the range's rows driver-side
+    * ([[graft.core.Ops.readRangeDriver]] — chunk intersection + byte-
+    * encoded bound filter, no rangeFilter materialization), evaluate
+    * the SET projection over a LocalRelation (no job), splice through
+    * the patch. The sql_txn/sql_changes statement flows' range UPDATEs
+    * were paying one interpreted collect job each for exactly this row
+    * set. None — caller takes the range-scan + delta-patch chain — when
+    * the range is over the driver caps / governor, the SET needs more
+    * than row-local columns, or on any surprise. */
+  private def rangeUpdateDriver(spark: SparkSession, ops: Ops,
+      schema: StructType, entry: graft.core.CatalogEntry, name: String,
+      ref: graft.core.TableRef, lo: Option[graft.core.Bound],
+      hi: Option[graft.core.Bound],
+      sets: Map[String, String]): Option[graft.core.TableRef] =
+    try {
+      val current = ops.readRangeDriver(ref, lo, hi).getOrElse(return None)
+      if (current.isEmpty) return Some(ref) // empty range: no-op
       import scala.jdk.CollectionConverters._
       val local = spark.createDataFrame(current.asJava, schema)
       val updated = local.selectExpr(schema.fieldNames.map { f =>

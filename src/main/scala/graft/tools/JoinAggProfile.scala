@@ -52,13 +52,16 @@ object JoinAggProfile {
     def step(label: String)(body: => Unit): Unit = {
       store.stats.reset()
       jobs.set(0)
+      val w0 = java.time.LocalTime.now()
       val t0 = System.nanoTime()
       body
       val sec = (System.nanoTime() - t0) / 1e9
+      // wall-clock window so JFR samples can be attributed per step
       println(f"[japrof] $label%-34s ${sec}%6.2f s  jobs=${jobs.get}%-3d " +
         f"chunkSaves=${store.stats.chunkSaves.get}%-4d " +
         f"memoHits=${store.stats.memoHits.get}%-4d " +
-        f"memoMisses=${store.stats.memoMisses.get}%-4d")
+        f"memoMisses=${store.stats.memoMisses.get}%-4d " +
+        f"window=$w0..${java.time.LocalTime.now()}")
     }
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
 
