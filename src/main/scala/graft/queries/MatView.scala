@@ -342,19 +342,25 @@ object MatView {
     base.createOrReplaceTempView("orders_cdc_src")
     run("CREATE TABLE cdc_mirror PRIMARY KEY (o_orderkey) AS SELECT * FROM orders_cdc_src")
 
+    // ONE scan, not five: each base row explodes into the events its key
+    // qualifies for (the former 5-way unionAll re-scanned base per
+    // branch — a fifth of this query's task time for the same rows)
     val k = col("o_orderkey")
-    def ev(op: String, seq: Long, key: Column, price: Column) = Seq(
-      lit(op).as("op"), lit(seq).as("seq"), key.as("o_orderkey"),
-      col("o_custkey").as("o_custkey"), price.as("price_c"))
-    val changes =
-      base.where(k % 12 === 1).select(ev("U", 1L, k, col("price_c") + 7): _*)
-        .unionAll(base.where(k % 20 === 1).select(ev("D", 2L, k, lit(0L)): _*))
-        .unionAll(base.where(k % 16 === 1)
-          .select(ev("I", 1L, k + 70000000L, col("price_c") * 2): _*))
-        .unionAll(base.where(k % 32 === 1)
-          .select(ev("U", 2L, k + 70000000L, col("price_c") * 2 + 1): _*))
-        .unionAll(base.where(k % 40 === 1)
-          .select(ev("D", 1L, k + 80000000L, lit(0L)): _*))
+    def ev(cond: Column, op: String, seq: Long, key: Column, price: Column) =
+      struct(cond.as("keep"), lit(op).as("op"), lit(seq).as("seq"),
+        key.as("o_orderkey"), col("o_custkey").as("o_custkey"),
+        price.cast("long").as("price_c"))
+    val changes = base
+      .select(explode(filter(array(
+        ev(k % 12 === 1, "U", 1L, k, col("price_c") + 7),
+        ev(k % 20 === 1, "D", 2L, k, lit(0L)),
+        ev(k % 16 === 1, "I", 1L, k + 70000000L, col("price_c") * 2),
+        ev(k % 32 === 1, "U", 2L, k + 70000000L, col("price_c") * 2 + 1),
+        ev(k % 40 === 1, "D", 1L, k + 80000000L, lit(0L))),
+        e => e.getField("keep"))).as("e"))
+      .select(col("e.op").as("op"), col("e.seq").as("seq"),
+        col("e.o_orderkey").as("o_orderkey"),
+        col("e.o_custkey").as("o_custkey"), col("e.price_c").as("price_c"))
     graft.streaming.StreamCdc.applyBatch(s, ops, cat, changes, "cdc_mirror",
       "op", "seq",
       java.nio.file.Files.createTempDirectory("graft-cdc-q-ckpt-").toString,
