@@ -189,6 +189,7 @@ object Bench {
         val l1 = listener.snapshot
         def d(k: String): Long = l1(k) - l0(k)
         val env = Seq(
+          "route_denials" -> graft.core.Ops.driverRouteDenials.get().toString,
           "jobs" -> d("jobs").toString,
           "tasks" -> d("tasks").toString,
           "task_run_s" -> fmt(d("run_ms") / 1e3),

@@ -77,13 +77,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   def collectDriverBounded(df: DataFrame): Array[org.apache.spark.sql.Row] = {
     val (es, bound) = Canonical.onEngine(spark, df,
       smallShuffle = true, interpretedOk = true)
-    val t0 = System.nanoTime()
-    val rows = Canonical.withJobDesc(es, "graft:collect")(bound.collect())
-    // the interpreted collect is part of the driver-route cost model:
-    // under driver starvation its per-row cost rises with the rest of
-    // the single-threaded work, and admission should see that
-    Ops.recordDriverRoute(rows.length.toLong, System.nanoTime() - t0)
-    rows
+    // deliberately NOT a driver-route cost-model sample: a collect's
+    // wall time includes the plan's own compute (an md5-heavy delta
+    // build spends most of its time per row in expression evaluation),
+    // which says nothing about splice throughput — feeding it in would
+    // deny patches on an idle machine. The model trains on the pure
+    // driver-IO/encode routes (patch, splice, range/edge reads), which
+    // dominate the single-threaded work a starved driver slows down.
+    Canonical.withJobDesc(es, "graft:collect")(bound.collect())
   }
 
   def fromDataFrameBounded(df: DataFrame, keyCols: Seq[String],

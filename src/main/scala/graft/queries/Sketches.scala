@@ -111,37 +111,36 @@ object Sketches {
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // BOTH sketches in ONE scan: each row contributes a ('p', hash) and
-    // an ('o', hash) pair; the sketch group key becomes (flag, which).
-    // One distinct shuffle, one salted ranking pass, one bounded
-    // phase-2 — half the jobs of the two-pipeline version.
-    def h(in: String): Column =
-      conv(substring(md5(col(in).cast("string")), 1, 13), 16, 10)
-        .cast("long")
-    val pairs = Tables(s, dir, "lineitem")
-      .select($"l_returnflag", explode(array(
-        struct(lit("p").as("w"), h("l_partkey").as("h")),
-        struct(lit("o").as("w"), h("l_orderkey").as("h")))).as("e"))
-      .select($"l_returnflag", $"e.w".as("w"), $"e.h".as("h"))
-      .distinct()
-    val nd = pairs.groupBy($"l_returnflag", $"w").agg(count(lit(1)).as("nd"))
-    val bySalt = Window
-      .partitionBy($"l_returnflag", $"w", pmod($"h", lit(KmvSalts)))
-      .orderBy($"h")
-    val cand = pairs.withColumn("rn", row_number().over(bySalt))
-      .where($"rn" <= KmvK)
-    // ≤ KmvSalts·KmvK longs per (group, which) regardless of corpus
-    // size; get() (0-based, null out of bounds) instead of ANSI
-    // element_at — a group with < k distinct hashes takes the exact-
-    // count branch
-    val hk = cand.groupBy($"l_returnflag", $"w")
-      .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
-    nd.join(hk, Seq("l_returnflag", "w"))
-      .withColumn("est",
-        when($"nd" < KmvK, $"nd").otherwise(expr(s"${KmvNum}L div hk")))
-      .groupBy($"l_returnflag")
-      .agg(max(when($"w" === "p", $"est")).as("approx_parts"),
-        max(when($"w" === "o", $"est")).as("approx_orders"))
+    val li = Tables(s, dir, "lineitem")
+    def kmv(in: String, out: String): DataFrame = {
+      // distinct the raw VALUES first — a combinable two-phase distinct
+      // on narrow longs with map-side collapse — and md5 only the
+      // distinct survivors: the digest is the expensive per-row step
+      // and corpus rows >> distinct values (6M -> 600k for partkey at
+      // sf0.1). A second distinct collapses 52-bit hash collisions
+      // (the estimator contract counts distinct HASHES).
+      val h = li.select($"l_returnflag", col(in).as("v")).distinct()
+        .select($"l_returnflag",
+          conv(substring(md5($"v".cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h")).distinct()
+      val nd = h.groupBy($"l_returnflag").agg(count(lit(1)).as("nd"))
+      val bySalt = Window
+        .partitionBy($"l_returnflag", pmod($"h", lit(KmvSalts)))
+        .orderBy($"h")
+      val cand = h.withColumn("rn", row_number().over(bySalt))
+        .where($"rn" <= KmvK)
+      // ≤ KmvSalts·KmvK longs per group regardless of corpus size;
+      // get() (0-based, null out of bounds) instead of ANSI element_at —
+      // a group with < k distinct hashes takes the exact-count branch
+      val hk = cand.groupBy($"l_returnflag")
+        .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
+      nd.join(hk, Seq("l_returnflag"))
+        .select($"l_returnflag",
+          when($"nd" < KmvK, $"nd")
+            .otherwise(expr(s"${KmvNum}L div hk")).as(out))
+    }
+    kmv("l_partkey", "approx_parts")
+      .join(kmv("l_orderkey", "approx_orders"), Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
 
@@ -166,6 +165,82 @@ object Sketches {
        |SELECT p.l_returnflag, p.approx_parts, o.approx_orders
        |FROM e_approx_parts p JOIN e_approx_orders o USING (l_returnflag)
        |ORDER BY p.l_returnflag""".stripMargin
+
+  /** Deterministic KMV θ-sketch SET OPERATIONS — estimate the distinct
+    * l_partkey UNION and INTERSECTION between two corpus slices (return
+    * flags 'A' and 'R') WITHOUT joining the corpora: the θ-sketch trick
+    * (union the two per-slice hash sets, θ = the k-th smallest union
+    * hash, count how many of those k smallest appear in BOTH sides) —
+    * at 100 TB this is how you measure corpus overlap (two crawls, two
+    * dedup snapshots) from sketch-sized state instead of a
+    * corpus × corpus join. Deterministic md5 + integer arithmetic, so
+    * DuckDB reproduces every number bit-for-bit.
+    *
+    * Scale shape: per-slice distinct on raw values (combinable,
+    * map-side), md5 on distinct survivors only, ONE membership-flag
+    * aggregation on the hash (never a corpus join), then the salted
+    * two-phase min-k (no unbounded window; phase 2 sees ≤ salts·k
+    * rows). Estimates: |A∪B| ≈ (k−1)·2⁵² div h_k; |A∩B| ≈
+    * c·((k−1)·2⁵² div h_k) div k (c = common among the k smallest;
+    * exact when the union has < k hashes). */
+  def aggSketchIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    def side(flag: String): DataFrame =
+      li.where($"l_returnflag" === flag).select($"l_partkey".as("v"))
+    sketchIntersectFrom(s, side("A"), side("R"))
+  }
+
+  /** The θ-sketch union/intersection core over any two `(v)` frames —
+    * factored so the partial-overlap and exact-branch contracts are
+    * pinnable on synthetic fixtures (SketchSpec). */
+  private[queries] def sketchIntersectFrom(s: SparkSession,
+      a: DataFrame, b: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def hashes(df: DataFrame): DataFrame =
+      df.select(col(df.columns.head).as("v")).distinct()
+        .select(conv(substring(md5($"v".cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h")).distinct()
+    val flagged = hashes(a).select($"h", lit(1L).as("ina"), lit(0L).as("inr"))
+      .unionByName(
+        hashes(b).select($"h", lit(0L).as("ina"), lit(1L).as("inr")))
+      .groupBy($"h").agg(max($"ina").as("ina"), max($"inr").as("inr"))
+    val bySalt = Window.partitionBy(pmod($"h", lit(KmvSalts))).orderBy($"h")
+    val cand = flagged.withColumn("rn", row_number().over(bySalt))
+      .where($"rn" <= KmvK)
+    cand
+      .agg(slice(array_sort(collect_list(struct($"h", $"ina", $"inr"))),
+        1, KmvK).as("top"))
+      .select(size($"top").cast("long").as("nu"),
+        get($"top", lit(KmvK - 1)).getField("h").as("hk"),
+        size(filter($"top",
+          e => e.getField("ina") === 1 && e.getField("inr") === 1))
+          .cast("long").as("c"))
+      .select(
+        when($"nu" < KmvK, $"nu")
+          .otherwise(expr(s"${KmvNum}L div hk")).as("approx_union"),
+        when($"nu" < KmvK, $"c")
+          .otherwise(expr(s"c * (${KmvNum}L div hk) div $KmvK"))
+          .as("approx_common"))
+  }
+
+  val aggSketchIntersectSql: String =
+    s"""WITH ha AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))::BIGINT AS h
+       |  FROM (SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_returnflag = 'A')),
+       |hr AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))::BIGINT AS h
+       |  FROM (SELECT DISTINCT l_partkey AS v FROM lineitem WHERE l_returnflag = 'R')),
+       |u AS (SELECT h FROM ha UNION SELECT h FROM hr),
+       |top AS (SELECT h FROM u ORDER BY h LIMIT $KmvK),
+       |st AS (SELECT COUNT(*) AS nu, MAX(h) AS hk FROM top),
+       |cc AS (SELECT COUNT(*) AS c FROM top
+       |       JOIN ha USING (h) JOIN hr USING (h))
+       |SELECT
+       |  CAST(CASE WHEN nu < $KmvK THEN nu ELSE $KmvNum // hk END AS BIGINT) AS approx_union,
+       |  CAST(CASE WHEN nu < $KmvK THEN c ELSE (c * ($KmvNum // hk)) // $KmvK END AS BIGINT) AS approx_common
+       |FROM st, cc""".stripMargin
 
   /** Deterministic fixed-bin histogram quantiles — the oracle-able
     * stand-in for t-digest: bucket exact integer cents into fixed-width
@@ -226,11 +301,13 @@ object Sketches {
     "agg_quantiles" -> (aggQuantiles _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "agg_approx_quantiles" -> (aggApproxQuantiles _),
-    "agg_approx_distinct" -> (aggApproxDistinct _))
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_sketch_intersect" -> (aggSketchIntersect _))
 
   val oracles: Map[String, String] = Map(
     "agg_quantiles" -> aggQuantilesSql,
     "agg_heavy_hitters" -> aggHeavyHittersSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,
-    "agg_approx_distinct" -> aggApproxDistinctSql)
+    "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_sketch_intersect" -> aggSketchIntersectSql)
 }

@@ -230,9 +230,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("unboundedfollowing"),
       s"per-group unbounded window frame crept back:\n$p")
     // the salt expression is projected as _w0 below the window — the
-    // spec must carry it as an EXTRA partition key after the group
-    // keys (flag, which)
-    assert("windowspecdefinition\\(l_returnflag#\\d+, w#\\d+, _w0#\\d+".r
+    // spec must carry it as a SECOND partition key next to the group
+    assert("windowspecdefinition\\(l_returnflag#\\d+, _w0#\\d+".r
       .findFirstIn(p).isDefined,
       s"phase-1 ranking window lost its salt:\n$p")
   }

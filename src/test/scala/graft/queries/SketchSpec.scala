@@ -63,6 +63,29 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("theta-sketch intersection: exact below k, within rsd on a partial overlap") {
+    import spark.implicits._
+    // exact branch: tiny sets (union < k) => both numbers exact
+    val a1 = (0L until 100L).toDF("v")
+    val b1 = (60L until 160L).toDF("v")
+    val r1 = Sketches.sketchIntersectFrom(spark, a1, b1).collect()(0)
+    assert(r1.getLong(0) == 160L, s"exact union: ${r1.getLong(0)}")
+    assert(r1.getLong(1) == 40L, s"exact intersection: ${r1.getLong(1)}")
+    // estimate branch: 20k ∪ 20k with a 10k overlap (union 30k >> k)
+    val a2 = (0L until 20000L).toDF("v")
+    val b2 = (10000L until 30000L).toDF("v")
+    val r2 = Sketches.sketchIntersectFrom(spark, a2, b2).collect()(0)
+    assert(math.abs(r2.getLong(0) - 30000L) < 3000L,
+      s"union estimate off: ${r2.getLong(0)}")
+    // intersection rsd compounds (Jaccard + union): allow ~25%
+    assert(math.abs(r2.getLong(1) - 10000L) < 2500L,
+      s"intersection estimate off: ${r2.getLong(1)}")
+    // no unbounded window in the plan (same contract as the KMV pin)
+    val p = Sketches.sketchIntersectFrom(spark, a2, b2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("unboundedfollowing"), s"unbounded window:\n$p")
+  }
+
   private lazy val exactCounts: Map[String, (Long, Long)] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
