@@ -43,14 +43,20 @@ object Components {
     // an un-truncated lineage doubles every round — exponential plan
     // growth. Checkpointing cuts the plan at materialized blocks; the
     // per-round plan stays constant-size for any round count.
+    // LAZY checkpoints where the NEXT action has a single path to the
+    // frame (the checksum agg, which then materializes the checkpoint as
+    // a side effect — one job instead of two); EAGER only where the next
+    // job references the frame through TWO branches (lab1 feeds both
+    // sides of the path-halving join — lazy there would compute each
+    // partition twice, racing the cache).
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // round-0 state folds the init INTO the first propagation: a node's
     // starting label is min(self, direct neighbors)
     var labels = edges.groupBy($"a".as("id"))
       .agg(least(min($"b"), first($"a")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // checksum in DECIMAL(38,0): a LongType sum wraps at ~10^12 nodes
     // with 64-bit ids, and a wrapped collision could declare convergence
     // early; 38 digits hold any physical node count × id magnitude
@@ -73,8 +79,8 @@ object Components {
       val jump = lab1.select($"id".as("jid"), $"lbl".as("jlbl"))
       val next = lab1.join(jump, lab1("lbl") === jump("jid"), "left")
         .select(lab1("id"), coalesce($"jlbl", lab1("lbl")).as("lbl"))
-        .localCheckpoint()
-      val s2 = checksum(next)
+        .localCheckpoint(eager = false)
+      val s2 = checksum(next) // materializes next's checkpoint
       labels = next
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
