@@ -73,18 +73,27 @@ class RouteFuzzSpec extends AnyFunSuite {
   test("seeded DML programs hash-converge across every route config") {
     Seq(11L, 23L).foreach { seed =>
       val stmts = program(seed)
+      // (pointDmlViaPatch, driverPatchEnabled, driverMaterializeEnabled,
+      //  governor-forced-slow): the last config keeps every route flag ON
+      // but forces the measured-throughput governor to deny bulk driver
+      // routes — the degraded-driver mix of paths (round-10 governor)
+      // must hash-converge like any other config
       val configs = Seq(
-        (true, true, true), (true, false, true),
-        (false, true, true), (true, true, false))
-      val results = configs.map { case (viaPatch, driverPatch, driverMat) =>
+        (true, true, true, false), (true, false, true, false),
+        (false, true, true, false), (true, true, false, false),
+        (true, true, true, true))
+      val results = configs.map { case (viaPatch, driverPatch, driverMat, slow) =>
         GraftSql.pointDmlViaPatch = viaPatch
         Ops.driverPatchEnabled = driverPatch
         Canonical.driverMaterializeEnabled = driverMat
+        Ops.driverRouteNprOverride =
+          if (slow) Some(10L * 1000L * 1000L) else None
         try runProgram(stmts)
         finally {
           GraftSql.pointDmlViaPatch = true
           Ops.driverPatchEnabled = true
           Canonical.driverMaterializeEnabled = true
+          Ops.driverRouteNprOverride = None
         }
       }
       assert(results.map(_._2).distinct.length == 1,
