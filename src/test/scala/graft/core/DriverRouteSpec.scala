@@ -49,6 +49,39 @@ class DriverRouteSpec extends AnyFunSuite {
       "the forced-slow governor never denied a driver route")
   }
 
+  test("readRangeDriver row set equals the rangeFilter scan on composite keys and prefix bounds") {
+    import spark.implicits._
+    val store = new FsStore(
+      Files.createTempDirectory("graft-range-drv-").toString)
+    val ops = new Ops(spark, store, 64)
+    // composite (a, b) key; values span several chunks at target 64
+    val df = (0L until 500L).map(i => (i % 20, i / 20, i * 3))
+      .toDF("a", "b", "v")
+    val ref = ops.fromDataFrame(df, Seq("a", "b"))
+    val cases: Seq[(Option[Bound], Option[Bound])] = Seq(
+      (None, None),
+      (Some(Bound(Seq(5L), inclusive = true)), None),
+      (None, Some(Bound(Seq(12L), inclusive = false))),
+      (Some(Bound(Seq(3L), inclusive = false)),
+        Some(Bound(Seq(9L), inclusive = true))),
+      // full tuple bounds, mixed inclusivity
+      (Some(Bound(Seq(4L, 10L), inclusive = true)),
+        Some(Bound(Seq(4L, 20L), inclusive = false))),
+      // prefix lower + tuple upper
+      (Some(Bound(Seq(7L), inclusive = true)),
+        Some(Bound(Seq(8L, 3L), inclusive = true))),
+      // empty range
+      (Some(Bound(Seq(19L, 99L), inclusive = false)), None))
+    cases.foreach { case (lo, hi) =>
+      val scan = ops.scan(ops.rangeFilter(ref, lo, hi))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val drv = ops.readRangeDriver(ref, lo, hi)
+        .getOrElse(fail(s"driver range read declined for ($lo, $hi)"))
+        .map(_.toSeq).sortBy(_.toString)
+      assert(drv == scan, s"row sets differ for bounds ($lo, $hi)")
+    }
+  }
+
   test("admission math: cold model admits; measured cost gates by projected time") {
     Ops.driverRouteNprOverride = None
     Ops.resetDriverRouteModel()
