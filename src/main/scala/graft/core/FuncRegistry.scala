@@ -155,7 +155,18 @@ object FoldSpec {
     override val combinable: Boolean = members.forall(_._2.combinable)
     override def combinableFor(
         valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
-      combinable && members.forall(_._2.combinableFor(valueTypes))
+      combinable && {
+        // value types arrive in output-schema order == member order
+        // (the one construction site builds members from the projection
+        // list) — judge each member against ITS column's type, so an
+        // exact-types-only member (FoldSum) is not spooked by a sibling
+        // sketch-array column and vice versa. Length mismatch falls back
+        // to the conservative every-member-sees-every-type check.
+        if (valueTypes.length == members.length)
+          members.zip(valueTypes).forall {
+            case ((_, f), t) => f.combinableFor(Seq(t)) }
+        else members.forall(_._2.combinableFor(valueTypes))
+      }
   }
 
   /** General NON-commutative pairwise fold in source order — the full

@@ -639,6 +639,80 @@ object MatView {
        |       COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
        |FROM j GROUP BY g HAVING COUNT(*) >= 2 ORDER BY g""".stripMargin
 
+  /** Round-10 INCREMENTAL SKETCH MAINTENANCE end-to-end: a
+    * `KMV_DISTINCT` aggregate inside a materialized view — the
+    * aggregate stage materializes the MERGEABLE k-minimum-values sketch
+    * array per group (a combinable, idempotent, bit-exact fold:
+    * k smallest distinct hashes of the union), so the approximate
+    * distinct count refreshes O(delta) through the same rekey path as
+    * SUM/COUNT; the visible column is the integer estimate, derived in
+    * the post stage. At 100 TB this is "maintain approximate
+    * distinct-user counts per segment under streaming ingest without
+    * re-scanning the fact table" — the mergeable-sketch property
+    * sketch libraries ship, as an engine fold. The DuckDB oracle
+    * replays the final table state and computes the identical
+    * estimator arithmetic. */
+  def sqlMatviewSketch(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mvk-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 8 === 4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"))
+      .createOrReplaceTempView("li_sk_src")
+    run("CREATE TABLE li_sk PRIMARY KEY (l_orderkey, l_linenumber, l_partkey, l_suppkey) " +
+      "AS SELECT * FROM li_sk_src")
+
+    run("CREATE MATERIALIZED VIEW flag_parts AS " +
+      "SELECT l_returnflag AS g, KMV_DISTINCT(l_partkey) AS approx_parts, " +
+      "COUNT(*) AS n FROM li_sk GROUP BY g")
+
+    // the delta introduces NOVEL part keys (+1e6), so the sketch itself
+    // must move, not just the counts
+    run("INSERT INTO li_sk " +
+      "SELECT l_orderkey + 100000000, l_linenumber, l_partkey + 1000000, " +
+      "l_suppkey, l_returnflag FROM li_sk WHERE l_orderkey % 32 = 4")
+    run("REFRESH MATERIALIZED VIEW flag_parts")
+
+    val Left(out) = run(
+      "SELECT g, approx_parts, n FROM flag_parts ORDER BY g"): @unchecked
+    out
+  }
+
+  val sqlMatviewSketchSql: String = {
+    val k = 256
+    val num = (k - 1).toLong * (1L << 52)
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag
+       |  FROM lineitem WHERE l_orderkey % 8 = 4),
+       |fin AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT l_orderkey + 100000000, l_linenumber, l_partkey + 1000000,
+       |         l_suppkey, l_returnflag
+       |  FROM base WHERE l_orderkey % 32 = 4),
+       |h AS (
+       |  SELECT DISTINCT l_returnflag AS g,
+       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+       |  FROM fin),
+       |r AS (
+       |  SELECT g, h,
+       |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY g) AS nd
+       |  FROM h),
+       |e AS (
+       |  SELECT g,
+       |    CAST(CASE WHEN nd < $k THEN nd ELSE $num // h END AS BIGINT) AS approx_parts
+       |  FROM r WHERE rn = LEAST(nd, $k)),
+       |n AS (SELECT l_returnflag AS g, COUNT(*) AS n FROM fin GROUP BY 1)
+       |SELECT e.g, e.approx_parts, n.n
+       |FROM e JOIN n USING (g) ORDER BY g""".stripMargin
+  }
+
   /** Secondary index end-to-end (round-5 CREATE INDEX, SqlIndex): CTAS
     * binds orders to a pk-keyed table, CREATE INDEX re-keys it by
     * (o_custkey, o_orderkey) — a key-only index table maintained
@@ -828,6 +902,7 @@ object MatView {
     "sql_matview_avg" -> (sqlMatviewAvg _),
     "sql_matview_join" -> (sqlMatviewJoin _),
     "sql_matview_join_agg" -> (sqlMatviewJoinAgg _),
+    "sql_matview_sketch" -> (sqlMatviewSketch _),
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
@@ -843,6 +918,7 @@ object MatView {
     "sql_matview_avg" -> sqlMatviewAvgSql,
     "sql_matview_join" -> sqlMatviewJoinSql,
     "sql_matview_join_agg" -> sqlMatviewJoinAggSql,
+    "sql_matview_sketch" -> sqlMatviewSketchSql,
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,

@@ -53,7 +53,49 @@ object SqlViews {
       """join\s+("?[\w.]+"?)\s+using\s*\(([^)]*)\)""" +
       """(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+)$""").r
   private val bareColRe = """^"?([\w]+)"?$""".r
-  private val aggRe = """(?is)^(sum|count|min|max|avg)\s*\((.*)\)$""".r
+  private val aggRe =
+    """(?is)^(sum|count|min|max|avg|kmv_distinct)\s*\((.*)\)$""".r
+
+  /** KMV sketch constants for `KMV_DISTINCT` materialized-view
+    * aggregates — the SAME k/numerator as the ad-hoc
+    * `agg_approx_distinct` sketch (queries.Sketches), duplicated here
+    * because the sql layer must not depend on the query catalog. They
+    * are part of the fold's FuncKey contract: changing either requires
+    * a new fold key. */
+  private val KmvK = 256
+  private val KmvNum: Long = (KmvK - 1).toLong * (1L << 52)
+
+  /** Mergeable KMV sketch fold: each row contributes its (md5-derived,
+    * 52-bit) hash as a 1-element sorted array; collisions fold by
+    * "k smallest distinct hashes of the union" — commutative,
+    * associative, idempotent, and BIT-exact (sorted distinct long
+    * arrays normalize away collect_list order), so an approximate
+    * distinct count maintains O(delta) through the same combinable
+    * rekey path as SUM/COUNT/MIN/MAX. This is the mergeable-sketch
+    * property every serious sketch library ships, expressed as a graft
+    * fold. */
+  private def kmvFold: FoldSpec = FoldSpec.CombinableFold(
+    s"fold_kmv${KmvK}_v1",
+    c => slice(array_sort(array_distinct(flatten(collect_list(c)))),
+      1, KmvK),
+    idempotent = true)
+
+  /** Per-row KMV contribution: the value's 52-bit md5 hash as a
+    * 1-element array (NULLs contribute the empty sketch — distinct
+    * counting ignores NULL, like COUNT(col)). */
+  private def kmvContrib(inner: String, as: String): Column =
+    expr(s"""CASE WHEN ($inner) IS NOT NULL THEN
+            |  array(CAST(conv(substring(md5(CAST(($inner) AS STRING)), 1, 13), 16, 10) AS BIGINT))
+            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+      .as(as)
+
+  /** Post-stage estimate over the materialized sketch array: exact
+    * below k, else (k−1)·2⁵² div h_k — the same integer arithmetic as
+    * `agg_approx_distinct` (DuckDB-reproducible). */
+  private def kmvEstimate(stageCol: String, as: String): Column =
+    expr(s"""CAST(CASE WHEN size($stageCol) < $KmvK THEN size($stageCol)
+            |ELSE ${KmvNum}L div $stageCol[${KmvK - 1}] END AS BIGINT)""".stripMargin)
+      .as(as)
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -219,6 +261,14 @@ object SqlViews {
                     (expr(inner).as(s"${a}__sum"), s"${a}__sum", FoldSpec.FoldSum: FoldSpec),
                     (countContrib(inner, s"${a}__cnt"), s"${a}__cnt", FoldSpec.FoldSum: FoldSpec)),
                     (col(s"${a}__sum").cast("double") / col(s"${a}__cnt")).as(a))
+                case "kmv_distinct" =>
+                  // the aggregate stage materializes the MERGEABLE
+                  // sketch array (so refresh stays O(delta) through the
+                  // combinable fold); the visible column is the
+                  // integer estimate, derived in the post stage
+                  (Seq((kmvContrib(inner, s"${a}__kmv"), s"${a}__kmv",
+                    kmvFold: FoldSpec)),
+                    kmvEstimate(s"${a}__kmv", a))
               }
               case other => throw new SqlException(
                 s"unsupported aggregate in materialized view: $other")
@@ -245,6 +295,10 @@ object SqlViews {
         val cols: Seq[Column] = keyExprs ++ innerVals.map(_._1)
         val avgAliases = valItems.zip(lowered).collect {
           case ((_, a), (ic, _)) if ic.length == 2 => a }
+        // DERIVED aliases (AVG's division, KMV's estimate) exist only
+        // in the post stage — their presence forces the two-stage chain
+        val derivedAliases = valItems.zip(lowered).collect {
+          case ((_, a), (ic, _)) if ic.exists(_._2 != a) => a }
         having.foreach { h =>
           // the HAVING condition filters the AGGREGATE view's rows, so
           // it must speak that view's column names (the aliases)
@@ -261,7 +315,7 @@ object SqlViews {
               s"(CAST(${a}__sum AS DOUBLE) / ${a}__cnt)")
           })
         }
-        if (having.isEmpty && avgAliases.isEmpty) {
+        if (having.isEmpty && derivedAliases.isEmpty) {
           views.declare(name, source,
             ColTransform(s"sqlmv-agg-v1:$sig", groupCols, cols,
               filter = filter),

@@ -710,6 +710,69 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "mixed-fold incremental refresh must hash-equal from-scratch")
   }
 
+  test("KMV_DISTINCT materialized views: mergeable sketch stage, O(delta) refresh, exact estimator") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE ev (k bigint PRIMARY KEY, u bigint NOT NULL)")
+    run("INSERT INTO ev SELECT id AS k, (id * 13) % 700 AS u FROM range(0, 3000)")
+    run("CREATE MATERIALIZED VIEW seg AS " +
+      "SELECT k % 3 AS g, KMV_DISTINCT(u) AS du, COUNT(*) AS n FROM ev GROUP BY g")
+
+    // the estimator replicated driver-side: same md5-derived 52-bit
+    // hashes, same integer arithmetic
+    def hash52(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    def est(vals: Iterable[Long]): Long = {
+      val hs = vals.toSet[Long].map(hash52).toSeq.sorted
+      if (hs.size < 256) hs.size.toLong else (255L * (1L << 52)) / hs(255)
+    }
+    def model(rows: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      rows.groupBy(_._1 % 3).map { case (g, rs) =>
+        g -> ((est(rs.map(_._2)), rs.size.toLong)) }
+    def snapshot(): Map[Long, (Long, Long)] =
+      ops.scanOrdered(cat.get("seg").get).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = (0L until 3000L).map(i => (i, (i * 13) % 700))
+    // ~700 distinct per group >> k=256: the ESTIMATE branch is live
+    assert(snapshot() == model(base))
+
+    // 1-row delta with a NOVEL value: the sketch itself must move, and
+    // the refresh stays O(delta) (the sketch fold is combinable)
+    run("INSERT INTO ev VALUES (3000, 999983)")
+    ops.store.stats.reset()
+    run("REFRESH ALL")
+    val saves = ops.store.stats.chunkSaves.get
+    assert(saves > 0 && saves <= 8,
+      s"sketch-view 1-row delta refresh wrote $saves chunks (not O(delta))")
+    val afterDelta = base :+ (3000L, 999983L)
+    assert(snapshot() == model(afterDelta))
+
+    // incremental result hash-equals an independent from-scratch build
+    val expect = {
+      import spark.implicits._
+      val rows = model(afterDelta).toSeq.sortBy(_._1)
+        .map { case (g, (du, n)) => (g, du, n) }
+      ops.fromDataFrame(rows.toDF("g", "du", "n"), Seq("g"))
+    }
+    assert(cat.root("seg").tableHash == expect.hash,
+      "sketch-view incremental refresh must hash-equal from-scratch")
+
+    // exact branch: a small-cardinality view reports exact counts
+    run("CREATE TABLE ev2 (k bigint PRIMARY KEY, u bigint NOT NULL)")
+    run("INSERT INTO ev2 SELECT id AS k, id % 40 AS u FROM range(0, 500)")
+    run("CREATE MATERIALIZED VIEW seg2 AS " +
+      "SELECT k % 2 AS g, KMV_DISTINCT(u) AS du FROM ev2 GROUP BY g")
+    // even k => even residues mod 40 (20 of them); odd k => the 20 odd
+    val exact = ops.scanOrdered(cat.get("seg2").get).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(0L -> 20L, 1L -> 20L),
+      s"below-k sketch must be exact: $exact")
+  }
+
   test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
