@@ -429,7 +429,8 @@ object SqlViews {
     declareAggView(views, catalog, name, sig, stage, items, filter, gbText)
   }
 
-  private val aggCallRe = """(?i)\b(sum|count|min|max|avg)\s*\(""".r
+  private val aggCallRe =
+    """(?i)\b(sum|count|min|max|avg|kmv_distinct)\s*\(""".r
 
   /** Internal table name of a HAVING view's aggregate stage — created,
     * refreshed, and dropped WITH the visible view. */
@@ -456,16 +457,17 @@ object SqlViews {
     }
   }
 
-  private val avgCallRe = """(?i)\bavg\s*\(""".r
+  private val derivedCallRe = """(?i)\b(avg|kmv_distinct)\s*\(""".r
 
   /** Whether `selectSql` lowers with a post stage (and therefore owns an
-    * [[innerAggName]] table): a top-level HAVING clause, or an AVG in the
-    * select list (derived column ⇒ aggregate stage + division stage).
-    * Quote-aware top-level keyword scans. */
+    * [[innerAggName]] table): a top-level HAVING clause, or a DERIVED
+    * aggregate in the select list (AVG's division, KMV_DISTINCT's
+    * estimate ⇒ aggregate stage + post stage). Quote-aware top-level
+    * keyword scans. */
   def hasInnerStage(selectSql: String): Boolean = {
     val sql = selectSql.trim.stripSuffix(";")
     splitOnKeyword(sql, "having").length > 1 ||
-      avgCallRe.findFirstIn(splitOnKeyword(sql, "from").head).isDefined
+      derivedCallRe.findFirstIn(splitOnKeyword(sql, "from").head).isDefined
   }
 
   /** Build a [[Views]] instance with every persisted SQL view declared —

@@ -771,6 +771,25 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact == Map(0L -> 20L, 1L -> 20L),
       s"below-k sketch must be exact: $exact")
+
+    // DROP must clean the internal sketch-array stage with the view
+    val stage = SqlViews.innerAggName("seg2")
+    assert(cat.root.contains(stage), s"missing inner stage $stage")
+    run("DROP MATERIALIZED VIEW seg2")
+    assert(!cat.root.contains("seg2") && !cat.root.contains(stage),
+      "DROP leaked the sketch view's aggregate stage")
+
+    // KMV over a JOIN view (the join-agg lowering shares the chain)
+    run("CREATE TABLE dim (k bigint PRIMARY KEY, grp bigint NOT NULL)")
+    run("INSERT INTO dim SELECT id AS k, id % 4 AS grp FROM range(0, 3000)")
+    run("CREATE MATERIALIZED VIEW jseg AS " +
+      "SELECT grp AS g, KMV_DISTINCT(u) AS du FROM ev INNER JOIN dim " +
+      "USING (k) GROUP BY g")
+    val jm = (0L until 3000L).map(i => (i % 4, (i * 13) % 700))
+      .groupBy(_._1).map { case (g, rs) => g -> est(rs.map(_._2)) }
+    val js = ops.scanOrdered(cat.get("jseg").get).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(js == jm, s"join-sketch estimates: $js vs $jm")
   }
 
   test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
