@@ -177,6 +177,7 @@ object Bench {
         drain()
         val l0 = listener.snapshot
         val gc0 = driverGcMs; val cpu0 = procCpuNs
+        val denials0 = graft.core.Ops.driverRouteDenials.get()
         val loadStart = load1
         val (v, runs) =
           try timeQuery(() => {
@@ -189,7 +190,10 @@ object Bench {
         val l1 = listener.snapshot
         def d(k: String): Long = l1(k) - l0(k)
         val env = Seq(
-          "route_denials" -> graft.core.Ops.driverRouteDenials.get().toString,
+          // DELTA, like every sibling env metric — the cumulative counter
+          // would attribute all prior denials to each later query
+          "route_denials" ->
+            (graft.core.Ops.driverRouteDenials.get() - denials0).toString,
           "jobs" -> d("jobs").toString,
           "tasks" -> d("tasks").toString,
           "task_run_s" -> fmt(d("run_ms") / 1e3),

@@ -557,8 +557,17 @@ object Canonical {
           val norm = normalizeSchema(df.schema, keyCols)
           val enc = KeyCodec.rowEncoder(norm, keyCols)
           val kbSchema = norm.add(StructField(KB, BinaryType, nullable = false))
+          // same null-key contract as withKeyBytes: raise clearly rather
+          // than letting KeyCodec silently encode a null key as 0x00
+          val keyIdx = keyCols.map(norm.fieldIndex)
           val rows: Array[Row] =
-            df.collect().map(r => Row.fromSeq(r.toSeq :+ enc(r)))
+            df.collect().map { r =>
+              keyIdx.foreach { i =>
+                if (r.isNullAt(i)) throw new IllegalArgumentException(
+                  s"null key in key column '${norm.fieldNames(i)}' — key columns are non-nullable")
+              }
+              Row.fromSeq(r.toSeq :+ enc(r))
+            }
           val got = driverMaterializeRows(store, rows, kbSchema, df.schema,
             schemaJson, keyCols, chunkTargetRows)
           got.foreach(return _)

@@ -38,6 +38,13 @@ trait FoldSpec extends Serializable {
     * an input value unchanged and stay combinable for every type. */
   def combinableFor(valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
     combinable
+
+  /** Name-carrying variant — per-column folds match members by NAME, so
+    * a re-key that reorders columns can never judge a member against the
+    * wrong column's type. Default delegates to the positional check. */
+  def combinableForNamed(
+      valueCols: Seq[(String, org.apache.spark.sql.types.DataType)]): Boolean =
+    combinableFor(valueCols.map(_._2))
 }
 
 object FoldSpec {
@@ -138,10 +145,10 @@ object FoldSpec {
     * encodes every (column, member-key) pair, so the composite obeys the
     * FuncKey discipline member-wise. Fast-path qualification is the
     * CONJUNCTION of the members': combinable/idempotent iff every member
-    * is, and `combinableFor` asks every member to accept the full type
-    * list (types arrive positionally without names, so an exact-types-
-    * only member like FoldSum gates ALL columns — conservative, never
-    * wrong). Every value column present at fold time must have a member. */
+    * is, and `combinableForNamed` judges each member against ITS column's
+    * type by NAME (the nameless positional entry point stays
+    * conservative: every member must accept every type). Every value
+    * column present at fold time must have a member. */
   final case class FoldByColumn(members: Seq[(String, FoldSpec)]) extends FoldSpec {
     private val byName = members.toMap
     val key: String = "fold_by_col_v1:" +
@@ -155,17 +162,18 @@ object FoldSpec {
     override val combinable: Boolean = members.forall(_._2.combinable)
     override def combinableFor(
         valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
-      combinable && {
-        // value types arrive in output-schema order == member order
-        // (the one construction site builds members from the projection
-        // list) — judge each member against ITS column's type, so an
-        // exact-types-only member (FoldSum) is not spooked by a sibling
-        // sketch-array column and vice versa. Length mismatch falls back
-        // to the conservative every-member-sees-every-type check.
-        if (valueTypes.length == members.length)
-          members.zip(valueTypes).forall {
-            case ((_, f), t) => f.combinableFor(Seq(t)) }
-        else members.forall(_._2.combinableFor(valueTypes))
+      // positional entry point has no names to match on — conservative:
+      // every member must accept every type (an exact-types-only member
+      // like FoldSum gates ALL columns; never wrong, possibly slow)
+      combinable && members.forall(_._2.combinableFor(valueTypes))
+    override def combinableForNamed(
+        valueCols: Seq[(String, org.apache.spark.sql.types.DataType)]): Boolean =
+      // judge each member against ITS column's type BY NAME — immune to
+      // column reordering between the projection list and the output
+      // schema; an unknown column (no member) is conservatively not
+      // combinable
+      combinable && valueCols.forall { case (n, t) =>
+        byName.get(n).exists(_.combinableFor(Seq(t)))
       }
   }
 

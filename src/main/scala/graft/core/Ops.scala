@@ -376,7 +376,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // src-free + sorted for combinable ones, so the same participant
     // set reuses regardless of input numbering).
     val combinableHere =
-      fold.combinableFor(valueCols.map(c => schema(c).dataType))
+      fold.combinableForNamed(valueCols.map(c => (c, schema(c).dataType)))
 
     def regionOp(ps: Seq[(Int, ChunkMeta)]): String =
       if (combinableHere) Hashing.opHash(
@@ -514,7 +514,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val sources: Seq[MergePlanner.ChunkSource] =
       ins.map(i => store.chunkStream(i._1.ref.hash))
     val combinableHere =
-      fold.combinableFor(valueCols.map(c => schema(c).dataType))
+      fold.combinableForNamed(valueCols.map(c => (c, schema(c).dataType)))
 
     // EVERY region is work here (source chunks are never in the output
     // schema, so there is no passthrough) — but region outputs memoize,
@@ -1182,8 +1182,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       val out = empty.select(t.columns: _*).schema
-      fold.combinableFor(
-        out.filterNot(f => t.outKeyCols.contains(f.name)).map(_.dataType).toSeq)
+      fold.combinableForNamed(
+        out.filterNot(f => t.outKeyCols.contains(f.name))
+          .map(f => (f.name, f.dataType)).toSeq)
     }
   }
 
@@ -1640,8 +1641,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       // ANALYSIS per zone-map probe (plan compile showed up in the
       // statement-flow JFR profiles), and min2med3 bench reruns repeat
       // the identical probes against fresh stores
+      // Column#toString elides literal types ("1" renders the same for
+      // int and long), so two semantically different predicates could
+      // collide; append a pre-order literal-type signature to make the
+      // key injective for the shapes the evaluator accepts
+      val litSig = org.apache.spark.sql.GraftBridge.expression(p).collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.dataType.catalogString
+      }.mkString(",")
       val key = (Hashing.sha256Hex(schema.json.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)), p.toString)
+        java.nio.charset.StandardCharsets.UTF_8)), p.toString + "#" + litSig)
       Ops.zoneProbeCache.getOrElseUpdate(key)(buildStatsProbe(schema, p))
     }.getOrElse(_ => false)
 

@@ -194,9 +194,12 @@ object Dedup {
         .as("fp"))
       // three consumers (size agg + both self-join sides): materialize
       // the fingerprints once — the md5-per-gram projection is the
-      // expensive part and would otherwise run 3x. Lazy: building the
-      // frame (plan inspection) must not run the projection as jobs.
-      .localCheckpoint(eager = false)
+      // expensive part and would otherwise run 3x. EAGER: the first
+      // action on a lazy checkpoint has three independent shuffle-map
+      // stages racing the cache (each recomputing the projection);
+      // eager materialization is one single-path job, after which every
+      // consumer reads blocks (ADVICE r10).
+      .localCheckpoint()
     val sz = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = fps.as("a").join(fps.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
@@ -591,11 +594,13 @@ object Dedup {
     // the whole upstream clustering plan (pair graph + CC label joins)
     // executes twice. Row count is cluster membership (corpus-
     // proportional but 3 narrow columns), the same storage class as the
-    // CC iteration's own per-round checkpoints. LAZY checkpoint: the
-    // persisted RDD is shared by both consumers at first execution, but
-    // merely BUILDING this frame (plan inspection, a caller that never
-    // runs it) must not run the whole upstream clustering as Spark jobs.
-    val clusters = clusters0.localCheckpoint(eager = false)
+    // CC iteration's own per-round checkpoints. EAGER: a lazy checkpoint
+    // would be materialized by an action whose two consumer branches
+    // race the cache and recompute the upstream per branch (ADVICE r10);
+    // the CC loop upstream already runs jobs at build time, so eager
+    // here changes nothing about when work happens — only that it
+    // happens once.
+    val clusters = clusters0.localCheckpoint()
     val kept = clusters.join(docs, "doc_id")
       .groupBy($"cluster_id")
       .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("m"),
