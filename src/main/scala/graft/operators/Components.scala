@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * sees only a per-round checksum: labels are per-node monotone
   * non-increasing, so the label SUM is strictly decreasing until
   * fixpoint — no row-level change-detection join.
+  *
+  * Storage is BOUNDED across rounds: each round explicitly frees the
+  * superseded round's checkpoint blocks (no waiting on the
+  * ContextCleaner), so retained state is one label generation plus the
+  * edge list regardless of round count. Durability at real-cluster
+  * scale: every `spark.graft.cc.durableEvery` rounds the state anchors
+  * through a RELIABLE checkpoint, and a mid-loop job failure (lost
+  * executor holding local-checkpoint blocks) resumes from the anchor —
+  * at most k−1 rounds replay instead of the whole job dying.
   */
 object Components {
 
@@ -28,6 +37,29 @@ object Components {
       iCol: String, jCol: String, idName: String, sizeName: String): DataFrame =
     connectedComponentsCounted(s, pairs, iCol, jCol, idName, sizeName)._1
 
+  /** Every `durableEvery`-th round writes the label state through a
+    * RELIABLE checkpoint (HDFS/S3 in a real deployment — set
+    * `spark.sparkContext.setCheckpointDir`; a local temp dir is minted
+    * when unset) instead of executor-block local checkpointing. This is
+    * the real-cluster survival lever: local checkpoints truncate lineage
+    * into executor memory/disk blocks, so ONE lost executor kills the
+    * whole iterative job; with a durable anchor every k rounds, recovery
+    * replays at most k−1 rounds. Conf `spark.graft.cc.durableEvery`
+    * (default 8; ≤0 disables — the label-prop loop converges in
+    * O(log diameter) rounds, so near-dup graphs rarely reach round 8 and
+    * pay nothing locally). */
+  private def durableEvery(s: SparkSession): Int =
+    try s.conf.get("spark.graft.cc.durableEvery", "8").toInt
+    catch { case _: NumberFormatException => 8 }
+
+  /** Test seam: throw once at the START of the given (0-based) round,
+    * simulating a lost-executor job failure mid-loop; cleared on fire. */
+  @volatile private[operators] var injectRoundFailure: Option[Int] = None
+
+  /** Observability seam: recoveries taken by the most recent
+    * [[connectedComponentsCounted]] call (normally 0). */
+  @volatile private[operators] var lastRecoveries: Int = 0
+
   /** [[connectedComponents]] plus the ROUND COUNT it converged in — the
     * loop runs eagerly (per-round checksum actions), so the count is
     * exact at return. Exposed for the chain-graph scale pin
@@ -37,26 +69,46 @@ object Components {
   def connectedComponentsCounted(s: SparkSession, pairs: DataFrame,
       iCol: String, jCol: String, idName: String,
       sizeName: String): (DataFrame, Int) = {
+    val (raw, rounds) =
+      connectedComponentsRaw(s, pairs, iCol, jCol, idName, sizeName)
+    (raw.orderBy(col(idName)), rounds)
+  }
+
+  /** [[connectedComponentsCounted]] WITHOUT the final global sort — for
+    * consumers that re-aggregate or re-sort anyway (keep-best selection
+    * materializes the cluster table once; sorting it first is a wasted
+    * full exchange+sort of corpus-proportional rows). */
+  def connectedComponentsRaw(s: SparkSession, pairs: DataFrame,
+      iCol: String, jCol: String, idName: String,
+      sizeName: String): (DataFrame, Int) = {
     import s.implicits._
-    // localCheckpoint (not cache): each round's state is REFERENCED
-    // TWICE next round (propagate join + the path-halving self-join), so
-    // an un-truncated lineage doubles every round — exponential plan
+    import org.apache.spark.sql.GraftBridge
+    val sc = s.sparkContext
+    val durableK = durableEvery(s)
+    def ensureCheckpointDir(): Unit =
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(java.nio.file.Files
+          .createTempDirectory("graft-cc-ckpt-").toString)
+    // localCheckpoint (not cache) on the loop-carried state: `labels` is
+    // REFERENCED TWICE next round (propagate join + the union), so an
+    // un-truncated lineage doubles every round — exponential plan
     // growth. Checkpointing cuts the plan at materialized blocks; the
-    // per-round plan stays constant-size for any round count.
-    // LAZY checkpoints where the NEXT action has a single path to the
-    // frame (the checksum agg, which then materializes the checkpoint as
-    // a side effect — one job instead of two); EAGER only where the next
-    // job references the frame through TWO branches (lab1 feeds both
-    // sides of the path-halving join — lazy there would compute each
-    // partition twice, racing the cache).
-    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
-      .localCheckpoint(eager = false)
+    // per-round plan stays constant-size for any round count. LAZY
+    // checkpoints throughout: each round's ONE action (the checksum agg)
+    // materializes them as a side effect. Recovery rebuilds `edges` from
+    // the caller's plan (its lineage is intact), so edges itself can
+    // stay local.
+    def buildEdges(): DataFrame =
+      pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+        .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+        .localCheckpoint(eager = false)
+    var edges = buildEdges()
     // round-0 state folds the init INTO the first propagation: a node's
     // starting label is min(self, direct neighbors)
-    var labels = edges.groupBy($"a".as("id"))
+    def buildInit(): DataFrame = edges.groupBy($"a".as("id"))
       .agg(least(min($"b"), first($"a")).as("lbl"))
       .localCheckpoint(eager = false)
+    var labels = buildInit()
     // checksum in DECIMAL(38,0): a LongType sum wraps at ~10^12 nodes
     // with 64-bit ids, and a wrapped collision could declare convergence
     // early; 38 digits hold any physical node count × id magnitude
@@ -66,33 +118,76 @@ object Components {
     var prevSum = checksum(labels)
     var converged = false
     var rounds = 0
+    // the latest durable anchor: (frame, its checksum) — recovery resumes
+    // here; its checkpoint FILES are deleted only when a newer anchor
+    // lands, so exactly one durable generation is retained
+    var anchor: Option[(DataFrame, java.math.BigDecimal)] = None
+    var recoveries = 0
     while (!converged && rounds < 50) {
-      val prop = edges.join(labels, $"a" === $"id")
-        .select($"b".as("id"), $"lbl")
-      val lab1 = labels.union(prop)
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
-        .localCheckpoint()
-      // path halving: lbl := lbl(lbl). Labels are node ids (every node
-      // appears in `labels` — edges carry both directions), so the
-      // jump target always resolves; left+coalesce keeps singletons of
-      // the round-0 state safe anyway.
-      val jump = lab1.select($"id".as("jid"), $"lbl".as("jlbl"))
-      val next = lab1.join(jump, lab1("lbl") === jump("jid"), "left")
-        .select(lab1("id"), coalesce($"jlbl", lab1("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
-      val s2 = checksum(next) // materializes next's checkpoint
-      labels = next
-      converged = s2.compareTo(prevSum) == 0
-      prevSum = s2
-      rounds += 1
+      try {
+        injectRoundFailure.filter(_ == rounds).foreach { _ =>
+          injectRoundFailure = None
+          throw new org.apache.spark.SparkException(
+            "injected round failure (test seam)")
+        }
+        val durable = durableK > 0 && (rounds + 1) % durableK == 0
+        val prop = edges.join(labels, $"a" === $"id")
+          .select($"b".as("id"), $"lbl")
+        // lab1 is NOT checkpointed: its lineage is constant-depth (labels
+        // and edges are materialized checkpoints), and its groupBy
+        // EXCHANGE is canonically identical under both path-halving
+        // branches, so exchange reuse computes the propagate join once —
+        // the only duplicated work is the post-shuffle final aggregation,
+        // cheaper than a second job barrier per round (the eager
+        // checkpoint this replaces).
+        val lab1 = labels.union(prop)
+          .groupBy($"id").agg(min($"lbl").as("lbl"))
+        // path halving: lbl := lbl(lbl). Labels are node ids (every node
+        // appears in `labels` — edges carry both directions), so the
+        // jump target always resolves; left+coalesce keeps singletons of
+        // the round-0 state safe anyway.
+        val jump = lab1.select($"id".as("jid"), $"lbl".as("jlbl"))
+        val next0 = lab1.join(jump, lab1("lbl") === jump("jid"), "left")
+          .select(lab1("id"), coalesce($"jlbl", lab1("lbl")).as("lbl"))
+        val next =
+          if (durable) { ensureCheckpointDir(); next0.checkpoint(eager = false) }
+          else next0.localCheckpoint(eager = false)
+        val s2 = checksum(next) // materializes next's checkpoint
+        // round t is materialized — round t−1's blocks are superseded;
+        // free them NOW instead of waiting on the nondeterministic
+        // ContextCleaner (bounded retained storage for any round count)
+        GraftBridge.freeCheckpoint(labels)
+        if (durable) {
+          anchor.foreach { case (a, _) =>
+            GraftBridge.cleanReliableCheckpoint(sc, a) }
+          anchor = Some((next, s2))
+        }
+        labels = next
+        converged = s2.compareTo(prevSum) == 0
+        prevSum = s2
+        rounds += 1
+      } catch {
+        case scala.util.control.NonFatal(e) if recoveries < 2 =>
+          anchor match {
+            case Some((a, aSum)) =>
+              // lost-executor recovery: local blocks (edges, recent
+              // label rounds) may be gone — rebuild edges from the
+              // caller's intact lineage and resume from the durable
+              // anchor's files; at most k−1 rounds replay
+              recoveries += 1
+              edges = buildEdges()
+              labels = a
+              prevSum = aSum
+              converged = false
+            case None => throw e
+          }
+      }
     }
+    lastRecoveries = recoveries
+    GraftBridge.freeCheckpoint(edges) // the returned plan reads only labels
     val comp = labels.select($"id".as(idName), $"lbl".as("cluster_id"))
     val csz = comp.groupBy($"cluster_id").agg(count(lit(1)).as(sizeName))
-    // no unpersist here: the returned plan reads the final checkpoint's
-    // blocks lazily; intermediate round blocks are reclaimed by the
-    // context cleaner once their RDDs go out of scope
     (comp.join(csz, "cluster_id")
-      .select(col(idName), $"cluster_id", col(sizeName))
-      .orderBy(col(idName)), rounds)
+      .select(col(idName), $"cluster_id", col(sizeName)), rounds)
   }
 }

@@ -580,7 +580,13 @@ object Dedup {
     * is an exact struct-max (no max_by tie nondeterminism):
     * lexicographic (n_chars, -doc_id) makes ties deterministic. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
-    keepBestFrom(s, dedupClusters(s, dir),
+    // the RAW (unordered) cluster table: keep-best re-aggregates and
+    // re-sorts by keep_id anyway, so dedupClusters' global doc_id sort
+    // would be a wasted full exchange+sort before the checkpoint
+    keepBestFrom(s,
+      Components.connectedComponentsRaw(s,
+        dedupShingle(s, dir).select(col("i"), col("j")),
+        "i", "j", "doc_id", "n_docs")._1,
       Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
 
   /** The selection itself, over any `(doc_id, cluster_id, n_docs)`

@@ -179,6 +179,37 @@ object GraftBridge {
     classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
       df.queryExecution.analyzed)
 
+  /** The materialized-block RDD behind a checkpointed Dataset (the
+    * LogicalRDD that Dataset.checkpoint/localCheckpoint returns). None
+    * for any other plan shape. */
+  def checkpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  /** Explicitly free a SUPERSEDED locally-checkpointed frame's blocks
+    * instead of waiting on the nondeterministic ContextCleaner — the
+    * storage-boundedness lever for iterative loops that checkpoint each
+    * round. The frame must never be read again (local checkpointing
+    * truncated its lineage) — Spark logs an expected WARN to that
+    * effect on each call. No-op for reliable checkpoints (their data
+    * lives in files, not blocks). */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** Delete a superseded RELIABLE checkpoint's files (private[spark]
+    * cleaner Spark itself only runs with
+    * spark.cleaner.referenceTracking.cleanCheckpoints, and then only at
+    * GC time). Callers must guarantee the checkpoint is no longer
+    * referenced by any live plan. */
+  def cleanReliableCheckpoint(sc: org.apache.spark.SparkContext,
+      df: Dataset[_]): Unit =
+    checkpointRdd(df).foreach { r =>
+      try org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(sc, r.id)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Run `body` with conf overrides visible to planning done on the
     * calling thread (`SQLConf.withExistingConf`). CAVEAT (measured,
     * tools/WriteProbe): write commands execute on Spark's async

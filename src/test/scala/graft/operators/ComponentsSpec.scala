@@ -47,4 +47,61 @@ class ComponentsSpec extends AnyFunSuite {
     assert(byCluster(1000L).length == 500)
     assert(byCluster(5000L).length == 2)
   }
+
+  test("retained storage is bounded across rounds: superseded round blocks are freed eagerly") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = 10000
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("i", "j")
+    val (out, rounds) = Components.connectedComponentsCounted(
+      spark, edges, "i", "j", "node_id", "csize")
+    assert(out.count() == n.toLong)
+    assert(rounds >= 10, s"need a many-round run for this pin: $rounds")
+    // ~14 rounds each minting a checkpoint: without eager freeing the
+    // persistent-RDD map grows by one entry per round until GC; with it,
+    // only the FINAL label generation survives (edges and every
+    // superseded round are unpersisted before return)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"round blocks leaked to the ContextCleaner: ${leaked.size} retained")
+  }
+
+  test("mid-loop failure resumes from the durable anchor; labels and sizes unchanged") {
+    import spark.implicits._
+    val k = "spark.graft.cc.durableEvery"
+    val saved = spark.conf.getOption(k)
+    spark.conf.set(k, "2") // anchor every 2 rounds
+    try {
+      val edges = (0 until 499).map(i => (i.toLong, i.toLong + 1))
+        .toDF("i", "j")
+      Components.injectRoundFailure = Some(3) // after the round-2 anchor
+      val (out, _) = Components.connectedComponentsCounted(
+        spark, edges, "i", "j", "node_id", "csize")
+      val rows = out.collect()
+      assert(Components.lastRecoveries == 1, "recovery path did not run")
+      assert(rows.length == 500)
+      assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 500L),
+        "post-recovery labels diverged")
+    } finally {
+      Components.injectRoundFailure = None
+      saved match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("failure before any durable anchor propagates (no silent retry-from-nothing)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    Components.injectRoundFailure = Some(0)
+    try {
+      intercept[org.apache.spark.SparkException] {
+        Components.connectedComponentsCounted(
+          spark, edges, "i", "j", "node_id", "csize")
+      }
+    } finally Components.injectRoundFailure = None
+  }
 }
