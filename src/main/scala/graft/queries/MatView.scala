@@ -713,6 +713,76 @@ object MatView {
        |FROM e JOIN n USING (g) ORDER BY g""".stripMargin
   }
 
+  /** Incremental approximate QUANTILES (round-11, KMV_DISTINCT's
+    * sibling): a materialized view with two `HIST_QUANTILE` aggregates
+    * (median + p90 over 1-unit quantity bins) plus COUNT — the mixed
+    * fold lowers to a per-column composite, and the mergeable bin-count
+    * sketches ride the same O(delta) combinable rekey path. The delta
+    * SHIFTS the ingested quantities (+25 units), so the histograms —
+    * not just the counts — must move under refresh. */
+  def sqlMatviewQuantile(s: SparkSession, dir: String): DataFrame = {
+    val store = new FsStore(
+      java.nio.file.Files.createTempDirectory("graft-mvq-q-").toString)
+    val ops = new Ops(s, store, 8192)
+    val cat = new Catalog(store)
+    def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
+
+    // 4-column PK: the synthetic lineitem is NOT unique on
+    // (l_orderkey, l_linenumber) — same keying as sql_matview_sketch
+    Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 8 === 6)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"),
+        cents(col("l_quantity")).as("qty_c"))
+      .createOrReplaceTempView("li_hq_src")
+    run("CREATE TABLE li_hq PRIMARY KEY (l_orderkey, l_linenumber, l_partkey, l_suppkey) " +
+      "AS SELECT * FROM li_hq_src")
+
+    run("CREATE MATERIALIZED VIEW flag_qty AS " +
+      "SELECT l_returnflag AS g, " +
+      "HIST_QUANTILE(qty_c div 100, 0.5) AS median_qty_units, " +
+      "HIST_QUANTILE(qty_c div 100, 0.9) AS p90_qty_units, " +
+      "COUNT(*) AS n FROM li_hq GROUP BY g")
+
+    run("INSERT INTO li_hq " +
+      "SELECT l_orderkey + 100000000, l_linenumber, l_partkey, l_suppkey, " +
+      "l_returnflag, qty_c + 2500 FROM li_hq WHERE l_orderkey % 32 = 6")
+    run("REFRESH MATERIALIZED VIEW flag_qty")
+
+    val Left(out) = run(
+      "SELECT g, median_qty_units, p90_qty_units, n FROM flag_qty " +
+        "ORDER BY g"): @unchecked
+    out
+  }
+
+  val sqlMatviewQuantileSql: String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+       |    ${centsSql("l_quantity")} AS qty_c
+       |  FROM lineitem WHERE l_orderkey % 8 = 6),
+       |fin AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT l_orderkey + 100000000, l_linenumber, l_partkey, l_suppkey,
+       |    l_returnflag, qty_c + 2500
+       |  FROM base WHERE l_orderkey % 32 = 6),
+       |b AS (
+       |  SELECT l_returnflag AS g, qty_c // 100 AS bin, COUNT(*) AS cnt
+       |  FROM fin GROUP BY 1, 2),
+       |w AS (
+       |  SELECT g, bin,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS nn
+       |  FROM b),
+       |med AS (SELECT g, MIN(bin) AS median_qty_units FROM w
+       |        WHERE cum * 10 >= nn * 5 GROUP BY 1),
+       |p90 AS (SELECT g, MIN(bin) AS p90_qty_units FROM w
+       |        WHERE cum * 10 >= nn * 9 GROUP BY 1),
+       |cnt AS (SELECT l_returnflag AS g, COUNT(*) AS n FROM fin GROUP BY 1)
+       |SELECT med.g, med.median_qty_units, p90.p90_qty_units, cnt.n
+       |FROM med JOIN p90 USING (g) JOIN cnt USING (g)
+       |ORDER BY g""".stripMargin
+
   /** Secondary index end-to-end (round-5 CREATE INDEX, SqlIndex): CTAS
     * binds orders to a pk-keyed table, CREATE INDEX re-keys it by
     * (o_custkey, o_orderkey) — a key-only index table maintained
@@ -903,6 +973,7 @@ object MatView {
     "sql_matview_join" -> (sqlMatviewJoin _),
     "sql_matview_join_agg" -> (sqlMatviewJoinAgg _),
     "sql_matview_sketch" -> (sqlMatviewSketch _),
+    "sql_matview_quantile" -> (sqlMatviewQuantile _),
     "sql_dml" -> (sqlDml _),
     "sql_merge" -> (sqlMerge _),
     "sql_history" -> (sqlHistory _),
@@ -919,6 +990,7 @@ object MatView {
     "sql_matview_join" -> sqlMatviewJoinSql,
     "sql_matview_join_agg" -> sqlMatviewJoinAggSql,
     "sql_matview_sketch" -> sqlMatviewSketchSql,
+    "sql_matview_quantile" -> sqlMatviewQuantileSql,
     "sql_dml" -> sqlDmlSql,
     "sql_merge" -> sqlMergeSql,
     "sql_history" -> sqlHistorySql,

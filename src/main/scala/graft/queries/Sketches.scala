@@ -167,7 +167,10 @@ object Sketches {
        |ORDER BY p.l_returnflag""".stripMargin
 
   /** Deterministic KMV θ-sketch SET OPERATIONS — estimate the distinct
-    * l_partkey UNION and INTERSECTION between two corpus slices (return
+    * l_partkey UNION, INTERSECTION, and both DIFFERENCES (A∖B, B∖A —
+    * the flags `ina ∧ ¬inr` / `¬ina ∧ inr` over the same k smallest,
+    * completing the set algebra on sketches) between two corpus slices
+    * (return
     * flags 'A' and 'R') WITHOUT joining the corpora: the θ-sketch trick
     * (union the two per-slice hash sets, θ = the k-th smallest union
     * hash, count how many of those k smallest appear in BOTH sides) —
@@ -216,13 +219,28 @@ object Sketches {
         get($"top", lit(KmvK - 1)).getField("h").as("hk"),
         size(filter($"top",
           e => e.getField("ina") === 1 && e.getField("inr") === 1))
-          .cast("long").as("c"))
+          .cast("long").as("c"),
+        // the DIFFERENCES fall out of the same k-smallest membership
+        // flags: A∖B = ina ∧ ¬inr, B∖A = ¬ina ∧ inr — the same
+        // proportional scaling completes the set algebra on sketches
+        size(filter($"top",
+          e => e.getField("ina") === 1 && e.getField("inr") === 0))
+          .cast("long").as("ca"),
+        size(filter($"top",
+          e => e.getField("ina") === 0 && e.getField("inr") === 1))
+          .cast("long").as("cb"))
       .select(
         when($"nu" < KmvK, $"nu")
           .otherwise(expr(s"${KmvNum}L div hk")).as("approx_union"),
         when($"nu" < KmvK, $"c")
           .otherwise(expr(s"c * (${KmvNum}L div hk) div $KmvK"))
-          .as("approx_common"))
+          .as("approx_common"),
+        when($"nu" < KmvK, $"ca")
+          .otherwise(expr(s"ca * (${KmvNum}L div hk) div $KmvK"))
+          .as("approx_only_a"),
+        when($"nu" < KmvK, $"cb")
+          .otherwise(expr(s"cb * (${KmvNum}L div hk) div $KmvK"))
+          .as("approx_only_b"))
   }
 
   val aggSketchIntersectSql: String =
@@ -235,11 +253,21 @@ object Sketches {
        |u AS (SELECT h FROM ha UNION SELECT h FROM hr),
        |top AS (SELECT h FROM u ORDER BY h LIMIT $KmvK),
        |st AS (SELECT COUNT(*) AS nu, MAX(h) AS hk FROM top),
-       |cc AS (SELECT COUNT(*) AS c FROM top
-       |       JOIN ha USING (h) JOIN hr USING (h))
+       |fl AS (
+       |  SELECT top.h,
+       |    CASE WHEN ha.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+       |    CASE WHEN hr.h IS NOT NULL THEN 1 ELSE 0 END AS inr
+       |  FROM top LEFT JOIN ha ON top.h = ha.h LEFT JOIN hr ON top.h = hr.h),
+       |cc AS (
+       |  SELECT CAST(SUM(ina * inr) AS BIGINT) AS c,
+       |    CAST(SUM(ina * (1 - inr)) AS BIGINT) AS ca,
+       |    CAST(SUM((1 - ina) * inr) AS BIGINT) AS cb
+       |  FROM fl)
        |SELECT
        |  CAST(CASE WHEN nu < $KmvK THEN nu ELSE $KmvNum // hk END AS BIGINT) AS approx_union,
-       |  CAST(CASE WHEN nu < $KmvK THEN c ELSE (c * ($KmvNum // hk)) // $KmvK END AS BIGINT) AS approx_common
+       |  CAST(CASE WHEN nu < $KmvK THEN c ELSE (c * ($KmvNum // hk)) // $KmvK END AS BIGINT) AS approx_common,
+       |  CAST(CASE WHEN nu < $KmvK THEN ca ELSE (ca * ($KmvNum // hk)) // $KmvK END AS BIGINT) AS approx_only_a,
+       |  CAST(CASE WHEN nu < $KmvK THEN cb ELSE (cb * ($KmvNum // hk)) // $KmvK END AS BIGINT) AS approx_only_b
        |FROM st, cc""".stripMargin
 
   /** Deterministic fixed-bin histogram quantiles — the oracle-able

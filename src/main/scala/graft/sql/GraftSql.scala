@@ -330,11 +330,13 @@ object GraftSql {
 
   private def executeImpl(spark: SparkSession, ops: Ops, catalog: Catalog,
       sqlText: String): Either[DataFrame, String] = {
-    def registerViews(): Unit =
-      catalog.root.keys.foreach { name =>
-        ops.scan(graft.core.TableRef(catalog.root(name).tableHash))
+    def registerViews(): Unit = {
+      val root = catalog.root // ONE root load+parse, not one per table
+      root.foreach { case (name, entry) =>
+        ops.scan(graft.core.TableRef(entry.tableHash))
           .createOrReplaceTempView(name)
       }
+    }
     sqlText.trim.stripSuffix(";") match {
       case ctasRe(rawName, keys, query) =>
         registerViews()

@@ -54,7 +54,7 @@ object SqlViews {
       """(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+)$""").r
   private val bareColRe = """^"?([\w]+)"?$""".r
   private val aggRe =
-    """(?is)^(sum|count|min|max|avg|kmv_distinct)\s*\((.*)\)$""".r
+    """(?is)^(sum|count|min|max|avg|kmv_distinct|hist_quantile)\s*\((.*)\)$""".r
 
   /** KMV sketch constants for `KMV_DISTINCT` materialized-view
     * aggregates — the SAME k/numerator as the ad-hoc
@@ -96,6 +96,75 @@ object SqlViews {
     expr(s"""CAST(CASE WHEN size($stageCol) < $KmvK THEN size($stageCol)
             |ELSE ${KmvNum}L div $stageCol[${KmvK - 1}] END AS BIGINT)""".stripMargin)
       .as(as)
+
+  /** Mergeable fixed-bin histogram fold for `HIST_QUANTILE`
+    * materialized-view aggregates — KMV_DISTINCT's sibling: each row
+    * contributes a 1-entry (bin, 1) sketch; collisions fold by summing
+    * counts per bin in map space and canonicalizing to a key-sorted
+    * entries array. Commutative, associative, and BIT-exact (integer
+    * sums; the trailing sort normalizes map-merge key order away), so
+    * approximate quantiles refresh O(delta) through the same combinable
+    * rekey path as SUM/COUNT/KMV. Sketch state is O(distinct bins) per
+    * group — the view author's bin expression sets the accuracy/memory
+    * trade (the fixed-bin contract of `agg_approx_quantiles`,
+    * queries.Sketches), constant in row count like any serious quantile
+    * sketch. */
+  private def histFold: FoldSpec = FoldSpec.CombinableFold(
+    "fold_hist_v1",
+    c => {
+      val merged = aggregate(
+        collect_list(c),
+        expr("CAST(map() AS MAP<BIGINT,BIGINT>)"),
+        (acc, x) => map_zip_with(acc, map_from_entries(x),
+          (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+      array_sort(map_entries(merged))
+    })
+
+  /** Per-row histogram contribution: the (bin, 1) singleton sketch
+    * (NULL bins contribute the empty sketch, like COUNT(col)). */
+  private def histContrib(inner: String, as: String): Column =
+    expr(s"""CASE WHEN ($inner) IS NOT NULL THEN
+            |  array(named_struct('key', CAST(($inner) AS BIGINT), 'value', 1L))
+            |ELSE CAST(array() AS ARRAY<STRUCT<key: BIGINT, value: BIGINT>>) END"""
+      .stripMargin).as(as)
+
+  /** Post-stage quantile over the materialized sketch: the smallest bin
+    * whose cumulative count crosses rank p = num/den — integer
+    * cross-multiplication, one array pass, DuckDB-reproducible. NULL
+    * for an empty sketch. */
+  private def histQuantileEstimate(stageCol: String, num: Long, den: Long,
+      as: String): Column =
+    expr(s"""aggregate($stageCol,
+            |  named_struct('cum', 0L,
+            |    'n', aggregate($stageCol, 0L, (a, x) -> a + x.value),
+            |    'ans', CAST(NULL AS BIGINT)),
+            |  (acc, x) -> CASE
+            |    WHEN acc.ans IS NOT NULL THEN acc
+            |    WHEN (acc.cum + x.value) * ${den}L >= acc.n * ${num}L
+            |      THEN named_struct('cum', acc.cum + x.value, 'n', acc.n, 'ans', x.key)
+            |    ELSE named_struct('cum', acc.cum + x.value, 'n', acc.n,
+            |      'ans', CAST(NULL AS BIGINT)) END).ans""".stripMargin)
+      .as(as)
+
+  /** Parse a literal quantile `p` in (0, 1] to an exact integer
+    * fraction num/den (0.5 → 5/10) — the estimate never touches
+    * floating point. */
+  private def parseQuantile(p: String): (Long, Long) = {
+    val m = """^(\d+)(?:\.(\d+))?$""".r
+    p.trim match {
+      case m(i, f) =>
+        val frac = Option(f).getOrElse("")
+        if (frac.length > 9) throw new SqlException(
+          s"HIST_QUANTILE p has too many digits: $p")
+        val den = math.pow(10, frac.length).toLong
+        val num = i.toLong * den + (if (frac.isEmpty) 0L else frac.toLong)
+        if (num <= 0 || num > den) throw new SqlException(
+          s"HIST_QUANTILE p must be in (0, 1]: $p")
+        (num, den)
+      case _ => throw new SqlException(
+        s"HIST_QUANTILE p must be a numeric literal: $p")
+    }
+  }
 
   private def unquote(s: String): String =
     s.stripPrefix("\"").stripSuffix("\"")
@@ -269,6 +338,17 @@ object SqlViews {
                   (Seq((kmvContrib(inner, s"${a}__kmv"), s"${a}__kmv",
                     kmvFold: FoldSpec)),
                     kmvEstimate(s"${a}__kmv", a))
+                case "hist_quantile" =>
+                  // same derived-call chain as KMV_DISTINCT: mergeable
+                  // bin-count sketch in the aggregate stage, quantile
+                  // estimate in the post stage
+                  val args = splitTopLevel(inner).map(_.trim)
+                  if (args.length != 2) throw new SqlException(
+                    s"HIST_QUANTILE(bin_expr, p) takes two arguments: $inner")
+                  val (num, den) = parseQuantile(args(1))
+                  (Seq((histContrib(args(0), s"${a}__hist"), s"${a}__hist",
+                    histFold: FoldSpec)),
+                    histQuantileEstimate(s"${a}__hist", num, den, a))
               }
               case other => throw new SqlException(
                 s"unsupported aggregate in materialized view: $other")
@@ -430,7 +510,7 @@ object SqlViews {
   }
 
   private val aggCallRe =
-    """(?i)\b(sum|count|min|max|avg|kmv_distinct)\s*\(""".r
+    """(?i)\b(sum|count|min|max|avg|kmv_distinct|hist_quantile)\s*\(""".r
 
   /** Internal table name of a HAVING view's aggregate stage — created,
     * refreshed, and dropped WITH the visible view. */
@@ -457,7 +537,8 @@ object SqlViews {
     }
   }
 
-  private val derivedCallRe = """(?i)\b(avg|kmv_distinct)\s*\(""".r
+  private val derivedCallRe =
+    """(?i)\b(avg|kmv_distinct|hist_quantile)\s*\(""".r
 
   /** Whether `selectSql` lowers with a post stage (and therefore owns an
     * [[innerAggName]] table): a top-level HAVING clause, or a DERIVED

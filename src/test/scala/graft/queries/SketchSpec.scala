@@ -71,6 +71,9 @@ class SketchSpec extends AnyFunSuite {
     val r1 = Sketches.sketchIntersectFrom(spark, a1, b1).collect()(0)
     assert(r1.getLong(0) == 160L, s"exact union: ${r1.getLong(0)}")
     assert(r1.getLong(1) == 40L, s"exact intersection: ${r1.getLong(1)}")
+    // set DIFFERENCES from the same membership flags, exact below k
+    assert(r1.getLong(2) == 60L, s"exact A-only: ${r1.getLong(2)}")
+    assert(r1.getLong(3) == 60L, s"exact B-only: ${r1.getLong(3)}")
     // estimate branch: 20k ∪ 20k with a 10k overlap (union 30k >> k)
     val a2 = (0L until 20000L).toDF("v")
     val b2 = (10000L until 30000L).toDF("v")
@@ -80,6 +83,16 @@ class SketchSpec extends AnyFunSuite {
     // intersection rsd compounds (Jaccard + union): allow ~25%
     assert(math.abs(r2.getLong(1) - 10000L) < 2500L,
       s"intersection estimate off: ${r2.getLong(1)}")
+    // difference estimates under the same compound-rsd budget, and the
+    // algebra must close: union = common + only_a + only_b within
+    // integer-division slack (each term floors once)
+    assert(math.abs(r2.getLong(2) - 10000L) < 2500L,
+      s"A-only estimate off: ${r2.getLong(2)}")
+    assert(math.abs(r2.getLong(3) - 10000L) < 2500L,
+      s"B-only estimate off: ${r2.getLong(3)}")
+    val parts = r2.getLong(1) + r2.getLong(2) + r2.getLong(3)
+    assert(math.abs(parts - r2.getLong(0)) <= 3L,
+      s"sketch set algebra does not close: $parts vs ${r2.getLong(0)}")
     // no unbounded window in the plan (same contract as the KMV pin)
     val p = Sketches.sketchIntersectFrom(spark, a2, b2)
       .queryExecution.executedPlan.toString

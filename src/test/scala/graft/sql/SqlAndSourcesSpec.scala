@@ -792,6 +792,82 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(js == jm, s"join-sketch estimates: $js vs $jm")
   }
 
+  test("HIST_QUANTILE materialized views: mergeable bin sketch, O(delta) refresh, NULL semantics") {
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE hv (k bigint PRIMARY KEY, v bigint NOT NULL)")
+    // skewed values: quantiles must not fall on symmetric bins
+    run("INSERT INTO hv SELECT id AS k, (id * id) % 97 AS v FROM range(0, 3000)")
+    run("CREATE MATERIALIZED VIEW hq AS " +
+      "SELECT k % 3 AS g, HIST_QUANTILE(v, 0.5) AS med, " +
+      "HIST_QUANTILE(v, 0.9) AS p90, COUNT(*) AS n FROM hv GROUP BY g")
+
+    // the estimator replicated driver-side: smallest bin whose
+    // cumulative count crosses rank ceil(n*num/den) — over sorted
+    // values (bins ARE values here) that is element ceil(n*num/den)-1
+    def q(vals: Seq[Long], num: Long, den: Long): Long = {
+      val sorted = vals.sorted
+      val rank = (vals.size.toLong * num + den - 1) / den // ceil
+      sorted((rank - 1).toInt)
+    }
+    def model(rows: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      rows.groupBy(_._1 % 3).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        g -> ((q(vs, 5, 10), q(vs, 9, 10), rs.size.toLong)) }
+    def snapshot(): Map[Long, (Long, Long, Long)] =
+      ops.scanOrdered(cat.get("hq").get).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = (0L until 3000L).map(i => (i, (i * i) % 97))
+    assert(snapshot() == model(base))
+
+    // 1-row delta in a NEW bin: the histograms must move and the
+    // refresh stays O(delta) (the bin-sketch fold is combinable)
+    run("INSERT INTO hv VALUES (3000, 996)")
+    ops.store.stats.reset()
+    run("REFRESH ALL")
+    val saves = ops.store.stats.chunkSaves.get
+    assert(saves > 0 && saves <= 8,
+      s"hist-view 1-row delta refresh wrote $saves chunks (not O(delta))")
+    val afterDelta = base :+ (3000L, 996L)
+    assert(snapshot() == model(afterDelta))
+
+    // incremental result hash-equals an independent from-scratch build
+    val expect = {
+      import spark.implicits._
+      val rows = model(afterDelta).toSeq.sortBy(_._1)
+        .map { case (g, (med, p90, n)) => (g, med, p90, n) }
+      ops.fromDataFrame(rows.toDF("g", "med", "p90", "n"), Seq("g"))
+    }
+    assert(cat.root("hq").tableHash == expect.hash,
+      "hist-view incremental refresh must hash-equal from-scratch")
+
+    // NULL semantics: NULL bins are excluded (like COUNT(col)); an
+    // all-NULL group's quantile is NULL
+    run("CREATE TABLE hn (k bigint PRIMARY KEY, v bigint)")
+    run("INSERT INTO hn VALUES (0, 10), (1, NULL), (2, 30), (3, NULL)")
+    run("CREATE MATERIALIZED VIEW hnq AS " +
+      "SELECT k % 2 AS g, HIST_QUANTILE(v, 0.5) AS med FROM hn GROUP BY g")
+    val nulls = ops.scanOrdered(cat.get("hnq").get).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(nulls == Map(0L -> Some(10L), 1L -> None),
+      s"NULL semantics broken: $nulls")
+
+    // DROP must clean the internal sketch stage with the view
+    val stage = SqlViews.innerAggName("hnq")
+    assert(cat.root.contains(stage), s"missing inner stage $stage")
+    run("DROP MATERIALIZED VIEW hnq")
+    assert(!cat.root.contains("hnq") && !cat.root.contains(stage),
+      "DROP leaked the hist view's sketch stage")
+
+    // p must be a literal in (0, 1]
+    intercept[GraftSql.SqlException] {
+      run("CREATE MATERIALIZED VIEW bad AS " +
+        "SELECT k % 2 AS g, HIST_QUANTILE(v, 0) AS x FROM hv GROUP BY g")
+    }
+  }
+
   test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
