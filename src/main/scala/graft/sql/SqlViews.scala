@@ -112,39 +112,63 @@ object SqlViews {
   private def histFold: FoldSpec = FoldSpec.CombinableFold(
     "fold_hist_v1",
     c => {
+      // sketches are INTERLEAVED long arrays [k1,v1,k2,v2,…] (key-sorted)
+      // — ARRAY<BIGINT> keeps the aggregate stage on the zero/one-job
+      // driver-chunk route (DriverChunks handles primitive arrays; a
+      // struct-array column would force the full job chain per
+      // materialization). Reconstruct entries, merge per-bin counts in
+      // map space, canonicalize by key sort, re-interleave.
+      def pairs(x: Column): Column =
+        when(size(x) < lit(2),
+          expr("CAST(array() AS ARRAY<STRUCT<key: BIGINT, value: BIGINT>>)"))
+          .otherwise(transform(
+            sequence(lit(1), floor(size(x) / lit(2)).cast("int")),
+            i => struct(
+              element_at(x, i * 2 - 1).as("key"),
+              element_at(x, i * 2).as("value"))))
       val merged = aggregate(
         collect_list(c),
         expr("CAST(map() AS MAP<BIGINT,BIGINT>)"),
-        (acc, x) => map_zip_with(acc, map_from_entries(x),
+        (acc, x) => map_zip_with(acc, map_from_entries(pairs(x)),
           (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
-      array_sort(map_entries(merged))
+      flatten(transform(array_sort(map_entries(merged)),
+        e => array(e.getField("key"), e.getField("value"))))
     })
 
-  /** Per-row histogram contribution: the (bin, 1) singleton sketch
-    * (NULL bins contribute the empty sketch, like COUNT(col)). */
+  /** Per-row histogram contribution: the (bin, 1) singleton sketch,
+    * interleaved (NULL bins contribute the empty sketch, like
+    * COUNT(col)). */
   private def histContrib(inner: String, as: String): Column =
     expr(s"""CASE WHEN ($inner) IS NOT NULL THEN
-            |  array(named_struct('key', CAST(($inner) AS BIGINT), 'value', 1L))
-            |ELSE CAST(array() AS ARRAY<STRUCT<key: BIGINT, value: BIGINT>>) END"""
-      .stripMargin).as(as)
+            |  array(CAST(($inner) AS BIGINT), 1L)
+            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as(as)
 
-  /** Post-stage quantile over the materialized sketch: the smallest bin
-    * whose cumulative count crosses rank p = num/den — integer
-    * cross-multiplication, one array pass, DuckDB-reproducible. NULL
-    * for an empty sketch. */
+  /** Post-stage quantile over the materialized interleaved sketch: the
+    * smallest bin whose cumulative count crosses rank p = num/den —
+    * integer cross-multiplication, one array pass, DuckDB-reproducible.
+    * NULL for an empty sketch. */
   private def histQuantileEstimate(stageCol: String, num: Long, den: Long,
       as: String): Column =
-    expr(s"""aggregate($stageCol,
-            |  named_struct('cum', 0L,
-            |    'n', aggregate($stageCol, 0L, (a, x) -> a + x.value),
-            |    'ans', CAST(NULL AS BIGINT)),
-            |  (acc, x) -> CASE
-            |    WHEN acc.ans IS NOT NULL THEN acc
-            |    WHEN (acc.cum + x.value) * ${den}L >= acc.n * ${num}L
-            |      THEN named_struct('cum', acc.cum + x.value, 'n', acc.n, 'ans', x.key)
-            |    ELSE named_struct('cum', acc.cum + x.value, 'n', acc.n,
-            |      'ans', CAST(NULL AS BIGINT)) END).ans""".stripMargin)
-      .as(as)
+    expr(s"""CASE WHEN $stageCol IS NULL OR size($stageCol) < 2
+            |THEN CAST(NULL AS BIGINT) ELSE
+            |  aggregate(
+            |    sequence(1, size($stageCol) div 2),
+            |    named_struct('cum', 0L,
+            |      'n', aggregate(sequence(1, size($stageCol) div 2), 0L,
+            |        (a, i) -> a + element_at($stageCol, CAST(2*i AS INT))),
+            |      'ans', CAST(NULL AS BIGINT)),
+            |    (acc, i) -> CASE
+            |      WHEN acc.ans IS NOT NULL THEN acc
+            |      WHEN (acc.cum + element_at($stageCol, CAST(2*i AS INT))) * ${den}L
+            |          >= acc.n * ${num}L
+            |        THEN named_struct(
+            |          'cum', acc.cum + element_at($stageCol, CAST(2*i AS INT)),
+            |          'n', acc.n,
+            |          'ans', element_at($stageCol, CAST(2*i-1 AS INT)))
+            |      ELSE named_struct(
+            |        'cum', acc.cum + element_at($stageCol, CAST(2*i AS INT)),
+            |        'n', acc.n, 'ans', CAST(NULL AS BIGINT)) END).ans
+            |END""".stripMargin).as(as)
 
   /** Parse a literal quantile `p` in (0, 1] to an exact integer
     * fraction num/den (0.5 → 5/10) — the estimate never touches
@@ -341,20 +365,31 @@ object SqlViews {
                 case "hist_quantile" =>
                   // same derived-call chain as KMV_DISTINCT: mergeable
                   // bin-count sketch in the aggregate stage, quantile
-                  // estimate in the post stage
+                  // estimate in the post stage. The stage column is
+                  // named by the BIN EXPRESSION's content hash, so N
+                  // quantiles of the same expression (median + p90 in
+                  // one view) materialize ONE shared sketch — the
+                  // duplicate stage entries dedupe below
                   val args = splitTopLevel(inner).map(_.trim)
                   if (args.length != 2) throw new SqlException(
                     s"HIST_QUANTILE(bin_expr, p) takes two arguments: $inner")
                   val (num, den) = parseQuantile(args(1))
-                  (Seq((histContrib(args(0), s"${a}__hist"), s"${a}__hist",
+                  val stage = "__hist_" + Hashing.sha256Hex(
+                    args(0).toLowerCase.replaceAll("\\s+", "")
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    .take(8)
+                  (Seq((histContrib(args(0), stage), stage,
                     histFold: FoldSpec)),
-                    histQuantileEstimate(s"${a}__hist", num, den, a))
+                    histQuantileEstimate(stage, num, den, a))
               }
               case other => throw new SqlException(
                 s"unsupported aggregate in materialized view: $other")
             }
           }
-        val innerVals = lowered.flatMap(_._1)
+        // content-hash-named stage columns (HIST_QUANTILE) appear once
+        // per DISTINCT bin expression: identical entries share one
+        // materialized sketch
+        val innerVals = lowered.flatMap(_._1).distinctBy(_._2)
         val innerNames = innerVals.map(_._2)
         if ((groupCols ++ innerNames).map(_.toLowerCase).distinct.length
             != groupCols.length + innerNames.length)
