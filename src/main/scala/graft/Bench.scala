@@ -213,14 +213,26 @@ object Bench {
     val results0: Seq[QR] =
       selected.toSeq.map { case (name, fn) => measure(name, fn) }
     // quiet-window requeue (VERDICT r10 #7): a query whose ENTIRE
-    // min2med3 window sat above load1 4 was sampled under ambient
-    // contention — re-time it once after the sweep (typically quieter)
-    // and record the LOWER value; both samples stay in the artifact so
-    // the substitution is auditable, and the env row keeps the
-    // original window's attribution
-    val RequeueLoad = 4.0
+    // min2med3 window sat above the load threshold was sampled under
+    // ambient contention — re-time it once after the sweep (typically
+    // quieter) and record the LOWER value; both samples stay in the
+    // artifact so the substitution is auditable, and the env row keeps
+    // the original window's attribution. The threshold is RELATIVE to
+    // the run's own median load (a local[32] sweep drives load1 to ~5
+    // by itself — a fixed 4 would requeue half the suite), and the
+    // requeue budget is capped at the worst offenders so a noisy
+    // machine can't double the harness wall time.
+    val medLoad = {
+      val ls = results0.map(r => math.min(r.loadStart, r.loadEnd)).sorted
+      if (ls.isEmpty) 0.0 else ls(ls.size / 2)
+    }
+    val requeueLoad = math.max(4.0, 1.25 * medLoad)
+    val flagged = results0
+      .filter(r => r.v >= 0 && math.min(r.loadStart, r.loadEnd) > requeueLoad)
+      .sortBy(r => -math.min(r.loadStart, r.loadEnd))
+      .take(8).map(_.name).toSet
     val results: Seq[QR] = results0.map { r =>
-      if (r.v >= 0 && r.loadStart > RequeueLoad && r.loadEnd > RequeueLoad)
+      if (flagged.contains(r.name))
         selected.get(r.name).map { fn =>
           val again = measure(r.name, fn)
           val better = again.v >= 0 && again.v < r.v
@@ -346,7 +358,8 @@ object Bench {
     // artifact
     val loads = results.flatMap(r => Seq(r.loadStart, r.loadEnd))
     val loadJson = if (loads.isEmpty) "null" else
-      s"""{"min":${fmt(loads.min)},"max":${fmt(loads.max)},"requeued":$requeued}"""
+      s"""{"min":${fmt(loads.min)},"max":${fmt(loads.max)},"median":${fmt(
+        medLoad)},"requeue_thr":${fmt(requeueLoad)},"requeued":$requeued}"""
     val govCompact = governorTwin.map { case (den, eq, _) =>
       s"""{"denials":$den,"hash_equal":$eq}"""
     }.getOrElse("null")

@@ -866,6 +866,19 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       run("CREATE MATERIALIZED VIEW bad AS " +
         "SELECT k % 2 AS g, HIST_QUANTILE(v, 0) AS x FROM hv GROUP BY g")
     }
+
+    // HIST_QUANTILE over a JOIN view (the join-agg lowering shares the
+    // derived-call chain)
+    run("CREATE TABLE hd (k bigint PRIMARY KEY, grp bigint NOT NULL)")
+    run("INSERT INTO hd SELECT id AS k, id % 4 AS grp FROM range(0, 3000)")
+    run("CREATE MATERIALIZED VIEW jhq AS " +
+      "SELECT grp AS g, HIST_QUANTILE(v, 0.5) AS med FROM hv INNER JOIN hd " +
+      "USING (k) GROUP BY g")
+    val jm = (0L until 3000L).map(i => (i % 4, (i * i) % 97))
+      .groupBy(_._1).map { case (g, rs) => g -> q(rs.map(_._2), 5, 10) }
+    val jq = ops.scanOrdered(cat.get("jhq").get).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jq == jm, s"join-hist medians: $jq vs $jm")
   }
 
   test("filtered and computed-key materialized views (WHERE + GROUP BY alias)") {
