@@ -249,7 +249,7 @@ object Bench {
     // artifact records the denial delta and result-hash equality —
     // degraded and normal routes must be bit-identical.
     val governorTwin: Option[(Long, Boolean, Double)] =
-      selected.get("sql_dml").orElse(SparkEntry.queries.get("sql_dml"))
+      try selected.get("sql_dml").orElse(SparkEntry.queries.get("sql_dml"))
         .map { fn =>
           import org.apache.spark.sql.functions._
           def sig(): (Long, Long) = {
@@ -270,6 +270,12 @@ object Bench {
               degraded == normal, (System.nanoTime() - t0) / 1e9)
           } finally graft.core.Ops.driverRouteNprOverride = None
         }
+      catch {
+        // the twin must never destroy the sweep's artifact: an sql_dml
+        // failure is already recorded as an error by the sweep itself
+        case t: Throwable =>
+          System.err.println(s"[bench] GOVERNOR TWIN FAILED: $t"); None
+      }
     graft.sql.GraftSql.stmtProbe = None
     val errors = results.collect { case r if r.v < 0 => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")

@@ -571,8 +571,17 @@ object Canonical {
           val got = driverMaterializeRows(store, rows, kbSchema, df.schema,
             schemaJson, keyCols, chunkTargetRows)
           got.foreach(return _)
-        } catch { case scala.util.control.NonFatal(e) =>
-          Ops.warnDriverPatchFallback(e) }
+        } catch {
+          // a null key is USER error, not a driver-route infrastructure
+          // failure: propagate it directly instead of falling back to a
+          // job that would only re-raise the same error from a task
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("null key in key column") =>
+            throw e
+          case scala.util.control.NonFatal(e) =>
+            Ops.warnDriverPatchFallback(e)
+        }
       }
     val kbDf0 = withKeyBytes(df, keyCols)
     val kbDf = if (small || bytesOk) kbDf0

@@ -86,9 +86,15 @@ object Components {
     val sc = s.sparkContext
     val durableK = durableEvery(s)
     def ensureCheckpointDir(): Unit =
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(java.nio.file.Files
-          .createTempDirectory("graft-cc-ckpt-").toString)
+      if (sc.getCheckpointDir.isEmpty) {
+        // minted locally (no user-set dir): register for JVM-exit
+        // deletion so bench/test reruns never accumulate checkpoint
+        // data in tmp; a deployment that set its own (HDFS/S3) dir is
+        // never touched
+        val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-")
+        graft.core.FsUtil.deleteAtExit(dir)
+        sc.setCheckpointDir(dir.toString)
+      }
     // localCheckpoint (not cache) on the loop-carried state: `labels` is
     // REFERENCED TWICE next round (propagate join + the union), so an
     // un-truncated lineage doubles every round — exponential plan
@@ -118,10 +124,11 @@ object Components {
     var prevSum = checksum(labels)
     var converged = false
     var rounds = 0
-    // the latest durable anchor: (frame, its checksum) — recovery resumes
-    // here; its checkpoint FILES are deleted only when a newer anchor
-    // lands, so exactly one durable generation is retained
-    var anchor: Option[(DataFrame, java.math.BigDecimal)] = None
+    // the latest durable anchor: (frame, its checksum, its round) —
+    // recovery resumes here; its checkpoint FILES are deleted when a
+    // newer anchor lands (and at exit, unless the anchor IS the final
+    // state), so at most one durable generation is retained
+    var anchor: Option[(DataFrame, java.math.BigDecimal, Int)] = None
     var recoveries = 0
     while (!converged && rounds < 50) {
       try {
@@ -158,9 +165,9 @@ object Components {
         // ContextCleaner (bounded retained storage for any round count)
         GraftBridge.freeCheckpoint(labels)
         if (durable) {
-          anchor.foreach { case (a, _) =>
+          anchor.foreach { case (a, _, _) =>
             GraftBridge.cleanReliableCheckpoint(sc, a) }
-          anchor = Some((next, s2))
+          anchor = Some((next, s2, rounds + 1))
         }
         labels = next
         converged = s2.compareTo(prevSum) == 0
@@ -169,22 +176,36 @@ object Components {
       } catch {
         case scala.util.control.NonFatal(e) if recoveries < 2 =>
           anchor match {
-            case Some((a, aSum)) =>
+            case Some((a, aSum, aRound)) =>
               // lost-executor recovery: local blocks (edges, recent
               // label rounds) may be gone — rebuild edges from the
               // caller's intact lineage and resume from the durable
-              // anchor's files; at most k−1 rounds replay
+              // anchor's files; at most k−1 rounds replay. The round
+              // counter REWINDS to the anchor's round, so the returned
+              // count stays the exact propagation depth and a recovery
+              // near the 50-round cap replays its full distance instead
+              // of exiting with stale anchor labels.
               recoveries += 1
               edges = buildEdges()
               labels = a
               prevSum = aSum
+              rounds = aRound
               converged = false
             case None => throw e
           }
       }
     }
     lastRecoveries = recoveries
+    require(converged,
+      s"connected components did not converge within the 50-round cap " +
+        s"($rounds rounds run) — pathological graph or repeated failures")
     GraftBridge.freeCheckpoint(edges) // the returned plan reads only labels
+    // at exit the anchor is superseded by later local rounds unless it
+    // IS the final state (converged exactly on a durable round) — clean
+    // its files in the superseded case; the temp checkpoint dir itself
+    // is deleted at JVM exit
+    anchor.foreach { case (a, _, _) =>
+      if (!(a eq labels)) GraftBridge.cleanReliableCheckpoint(sc, a) }
     val comp = labels.select($"id".as(idName), $"lbl".as("cluster_id"))
     val csz = comp.groupBy($"cluster_id").agg(count(lit(1)).as(sizeName))
     (comp.join(csz, "cluster_id")

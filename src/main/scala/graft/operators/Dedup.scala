@@ -558,11 +558,17 @@ object Dedup {
     * only exist among near-dups); if components ever grow deep, the
     * large-star/small-star rewrite halves diameter per round with the
     * identical join shape. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Components.connectedComponents(s,
-      dedupShingle(s, dir).select($"i", $"j"), "i", "j", "doc_id", "n_docs")
-  }
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterTableRaw(s, dir).orderBy(col("doc_id"))
+
+  /** The ONE definition of the shingle near-dup cluster table
+    * (unordered) — shared by [[dedupClusters]] (which adds the output
+    * sort) and [[dedupKeepBest]] (which re-aggregates, so sorting first
+    * would be a wasted full exchange+sort before its checkpoint). */
+  private def clusterTableRaw(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponentsRaw(s,
+      dedupShingle(s, dir).select(col("i"), col("j")),
+      "i", "j", "doc_id", "n_docs")._1
 
   /** Cluster-representative selection — the curation step AFTER
     * clustering: from every near-dup cluster keep exactly one document
@@ -580,13 +586,7 @@ object Dedup {
     * is an exact struct-max (no max_by tie nondeterminism):
     * lexicographic (n_chars, -doc_id) makes ties deterministic. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
-    // the RAW (unordered) cluster table: keep-best re-aggregates and
-    // re-sorts by keep_id anyway, so dedupClusters' global doc_id sort
-    // would be a wasted full exchange+sort before the checkpoint
-    keepBestFrom(s,
-      Components.connectedComponentsRaw(s,
-        dedupShingle(s, dir).select(col("i"), col("j")),
-        "i", "j", "doc_id", "n_docs")._1,
+    keepBestFrom(s, clusterTableRaw(s, dir),
       Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
 
   /** The selection itself, over any `(doc_id, cluster_id, n_docs)`

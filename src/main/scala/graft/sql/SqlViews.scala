@@ -149,44 +149,52 @@ object SqlViews {
     * NULL for an empty sketch. */
   private def histQuantileEstimate(stageCol: String, num: Long, den: Long,
       as: String): Column =
+    // the rank threshold ceil(n·num/den) is computed ONCE (num/den are
+    // gcd-reduced with den ≤ 1e6, so n·num stays inside BIGINT for any
+    // physical group); the pass then compares plain cumulative counts —
+    // cum·den ≥ n·num ⟺ cum ≥ ceil(n·num/den) for integer cum
     expr(s"""CASE WHEN $stageCol IS NULL OR size($stageCol) < 2
             |THEN CAST(NULL AS BIGINT) ELSE
             |  aggregate(
             |    sequence(1, size($stageCol) div 2),
             |    named_struct('cum', 0L,
-            |      'n', aggregate(sequence(1, size($stageCol) div 2), 0L,
-            |        (a, i) -> a + element_at($stageCol, CAST(2*i AS INT))),
+            |      'thr', (aggregate(sequence(1, size($stageCol) div 2), 0L,
+            |        (a, i) -> a + element_at($stageCol, CAST(2*i AS INT)))
+            |        * ${num}L + ${den - 1}L) div ${den}L,
             |      'ans', CAST(NULL AS BIGINT)),
             |    (acc, i) -> CASE
             |      WHEN acc.ans IS NOT NULL THEN acc
-            |      WHEN (acc.cum + element_at($stageCol, CAST(2*i AS INT))) * ${den}L
-            |          >= acc.n * ${num}L
+            |      WHEN acc.cum + element_at($stageCol, CAST(2*i AS INT)) >= acc.thr
             |        THEN named_struct(
             |          'cum', acc.cum + element_at($stageCol, CAST(2*i AS INT)),
-            |          'n', acc.n,
+            |          'thr', acc.thr,
             |          'ans', element_at($stageCol, CAST(2*i-1 AS INT)))
             |      ELSE named_struct(
             |        'cum', acc.cum + element_at($stageCol, CAST(2*i AS INT)),
-            |        'n', acc.n, 'ans', CAST(NULL AS BIGINT)) END).ans
+            |        'thr', acc.thr, 'ans', CAST(NULL AS BIGINT)) END).ans
             |END""".stripMargin).as(as)
 
   /** Parse a literal quantile `p` in (0, 1] to an exact integer
     * fraction num/den (0.5 → 5/10) — the estimate never touches
     * floating point. */
   private def parseQuantile(p: String): (Long, Long) = {
-    val m = """^(\d+)(?:\.(\d+))?$""".r
+    val m = """^(\d{1,2})(?:\.(\d+))?$""".r
     p.trim match {
       case m(i, f) =>
         val frac = Option(f).getOrElse("")
-        if (frac.length > 9) throw new SqlException(
-          s"HIST_QUANTILE p has too many digits: $p")
+        // 6 fractional digits cap: with gcd reduction below, den ≤ 1e6
+        // keeps the estimate's n·num threshold inside BIGINT for any
+        // physical group size (~9e12 rows)
+        if (frac.length > 6) throw new SqlException(
+          s"HIST_QUANTILE p has too many digits (max 6): $p")
         val den = math.pow(10, frac.length).toLong
         val num = i.toLong * den + (if (frac.isEmpty) 0L else frac.toLong)
         if (num <= 0 || num > den) throw new SqlException(
           s"HIST_QUANTILE p must be in (0, 1]: $p")
-        (num, den)
+        val g = BigInt(num).gcd(BigInt(den)).toLong
+        (num / g, den / g)
       case _ => throw new SqlException(
-        s"HIST_QUANTILE p must be a numeric literal: $p")
+        s"HIST_QUANTILE p must be a numeric literal in (0, 1]: $p")
     }
   }
 
@@ -374,9 +382,14 @@ object SqlViews {
                   if (args.length != 2) throw new SqlException(
                     s"HIST_QUANTILE(bin_expr, p) takes two arguments: $inner")
                   val (num, den) = parseQuantile(args(1))
+                  // hash the RAW trimmed expression text: aggressive
+                  // normalization (case-folding, whitespace stripping)
+                  // would merge semantically DIFFERENT expressions that
+                  // differ only inside string literals — sharing is an
+                  // optimization and must never be wrong, so only
+                  // byte-identical expressions share a sketch
                   val stage = "__hist_" + Hashing.sha256Hex(
-                    args(0).toLowerCase.replaceAll("\\s+", "")
-                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    args(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
                     .take(8)
                   (Seq((histContrib(args(0), stage), stage,
                     histFold: FoldSpec)),
