@@ -220,7 +220,7 @@ object Bench {
     // the original window's attribution. The threshold is RELATIVE to
     // the run's own median load (a local[32] sweep drives load1 to ~5
     // by itself — a fixed 4 would requeue half the suite), and the
-    // requeue budget is capped at the worst offenders so a noisy
+    // requeue budget is capped at the 16 worst offenders so a noisy
     // machine can't double the harness wall time.
     val medLoad = {
       val ls = results0.map(r => math.min(r.loadStart, r.loadEnd)).sorted
@@ -230,7 +230,7 @@ object Bench {
     val flagged = results0
       .filter(r => r.v >= 0 && math.min(r.loadStart, r.loadEnd) > requeueLoad)
       .sortBy(r => -math.min(r.loadStart, r.loadEnd))
-      .take(8).map(_.name).toSet
+      .take(16).map(_.name).toSet
     val results: Seq[QR] = results0.map { r =>
       if (flagged.contains(r.name))
         selected.get(r.name).map { fn =>

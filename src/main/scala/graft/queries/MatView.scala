@@ -746,7 +746,7 @@ object MatView {
 
     run("INSERT INTO li_hq " +
       "SELECT l_orderkey + 100000000, l_linenumber, l_partkey, l_suppkey, " +
-      "l_returnflag, qty_c + 2500 FROM li_hq WHERE l_orderkey % 32 = 6")
+      "l_returnflag, qty_c + 2500 FROM li_hq WHERE l_orderkey % 128 = 6")
     run("REFRESH MATERIALIZED VIEW flag_qty")
 
     val Left(out) = run(
@@ -765,7 +765,7 @@ object MatView {
        |  UNION ALL
        |  SELECT l_orderkey + 100000000, l_linenumber, l_partkey, l_suppkey,
        |    l_returnflag, qty_c + 2500
-       |  FROM base WHERE l_orderkey % 32 = 6),
+       |  FROM base WHERE l_orderkey % 128 = 6),
        |b AS (
        |  SELECT l_returnflag AS g, qty_c // 100 AS bin, COUNT(*) AS cnt
        |  FROM fin GROUP BY 1, 2),
