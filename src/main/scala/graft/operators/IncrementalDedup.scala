@@ -186,7 +186,7 @@ object IncrementalDedup {
       bViews.refresh("shingle_idx").hash
     }
 
-    val store = new FsStore(cloneStore(basePath))
+    val store = branchStore(basePath)
     val ops = new Ops(s, store, target)
     val cat = new Catalog(store)
     val views = new Views(ops, cat)
@@ -334,32 +334,20 @@ object IncrementalDedup {
     (base, docsHash, idxHash, holdId, target)
   }
 
-  /** Throwaway HARDLINK clone of a side store: per-run isolation (the
-    * measured refresh must never memo-hit a previous run's result)
-    * without copying data. Chunk saves are tmp+rename, so writes in the
-    * clone can never mutate the base's inodes. Falls back to file copy
-    * when the link fails — UnsupportedOperationException on
-    * no-hardlink filesystems, but also FileSystemException (EXDEV) when
-    * base (SPARK_GRAFT_INDEX_DIR) and tmp sit on different mounts.
-    * Clones are registered for JVM-exit deletion — a min2med3 bench
-    * sweep creates several per query and must not leak them into tmp. */
-  private def cloneStore(base: java.nio.file.Path): String = {
-    import java.nio.file.{Files, Path}
-    val dst = Files.createTempDirectory("graft-xl-clone-")
-    graft.core.FsUtil.deleteAtExit(dst)
-    val stream = Files.walk(base)
-    try stream.forEach { p: Path =>
-      if (Files.isRegularFile(p)) {
-        val to = dst.resolve(base.relativize(p))
-        Files.createDirectories(to.getParent)
-        try { Files.createLink(to, p); () }
-        catch {
-          case _: UnsupportedOperationException => Files.copy(p, to); ()
-          case _: java.io.IOException => Files.copy(p, to); ()
-        }
-      }
-    } finally stream.close()
-    dst.toString
+  /** Throwaway copy-on-write BRANCH of a side store
+    * ([[graft.core.OverlayStore]]): per-run isolation — the measured
+    * refresh must never memo-hit a previous run's result, and must
+    * never write into the shared base — at ZERO copies (content
+    * addressing makes the two-layer union trivially consistent; the
+    * r10 version hardlink-walked every file of the base per run). The
+    * branch's local layer is registered for JVM-exit deletion — a
+    * min2med3 bench sweep creates several per query and must not leak
+    * them into tmp. */
+  private def branchStore(base: java.nio.file.Path): graft.core.OverlayStore = {
+    val local = java.nio.file.Files.createTempDirectory("graft-xl-branch-")
+    graft.core.FsUtil.deleteAtExit(local)
+    new graft.core.OverlayStore(
+      new FsStore(base.toString), new FsStore(local.toString))
   }
 
   /** The crossover measured as a bench NUMBER: ingest ONE document into
@@ -378,7 +366,7 @@ object IncrementalDedup {
       forceRebuild: Boolean): DataFrame = {
     import s.implicits._
     val (basePath, docsHash, idxHash, holdId, target) = ensureXlBase(s, dir)
-    val store = new FsStore(cloneStore(basePath))
+    val store = branchStore(basePath)
     val ops = new Ops(s, store, target)
     val (wide, _) = wideDocs(s, dir)
     val newDocs = ops.upsert(TableRef(docsHash), ops.fromDataFrame(

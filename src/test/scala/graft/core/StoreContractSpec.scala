@@ -23,7 +23,10 @@ class StoreContractSpec extends AnyFunSuite {
     "memory" -> (() => new MemoryStore()),
     "fs-compressed" -> (() =>
       new FsStore(Files.createTempDirectory("graft-cs-fz-").toString,
-        smallObjectDeflate = true, chunkCodec = "zstd")))
+        smallObjectDeflate = true, chunkCodec = "zstd")),
+    "overlay" -> (() => new OverlayStore(
+      new FsStore(Files.createTempDirectory("graft-cs-ovb-").toString),
+      new FsStore(Files.createTempDirectory("graft-cs-ovl-").toString))))
 
   private val schema = StructType(Seq(
     StructField("k", StringType, nullable = false),
@@ -250,6 +253,54 @@ class StoreContractSpec extends AnyFunSuite {
     store.memoized(Hashing.opHash(Seq("log-test"))) { "r" }
     assert(lines.drop(before).exists(_.contains("memoGet")) &&
       lines.drop(before).exists(_.contains("memoPut")))
+  }
+
+  test("overlay: reads fall through to base, writes never touch base, branch starts at base root") {
+    val base = new FsStore(Files.createTempDirectory("graft-cs-ovB-").toString)
+    val baseOps = new Ops(spark, base, 16)
+    val baseCat = new Catalog(base)
+    val rows = (0 until 200).map(i => f"k$i%04d" -> i.toLong)
+    baseCat.put("t", baseOps.fromDataFrame(df(rows), Seq("k")))
+    val baseChunks = base.listChunks.toSet
+    val baseRoot = base.currentRootHash
+
+    val overlay = new OverlayStore(base,
+      new FsStore(Files.createTempDirectory("graft-cs-ovL-").toString))
+    // the branch starts where the base is, and base reads fall through
+    assert(overlay.currentRootHash == baseRoot)
+    val ops = new Ops(spark, overlay, 16)
+    val cat = new Catalog(overlay)
+    assert(ops.scanOrdered(TableRef(cat.root("t").tableHash)).count() == 200)
+
+    // branch writes: upsert through the overlay, base untouched
+    val upd = ops.upsert(TableRef(cat.root("t").tableHash),
+      ops.fromDataFrame(df(Seq("k0000" -> 999L, "knew0" -> 1L)), Seq("k")))
+    cat.put("t", upd)
+    assert(base.listChunks.toSet == baseChunks,
+      "branch write leaked chunks into the base")
+    assert(base.currentRootHash == baseRoot,
+      "branch write moved the base root pointer")
+    assert(overlay.local.listChunks.nonEmpty, "branch wrote nothing local")
+    // the branched table reads MIXED layers (untouched base chunks +
+    // branch-local patched ones)
+    val got = ops.scanOrdered(TableRef(cat.root("t").tableHash)).collect()
+    assert(got.length == 201)
+    assert(got.find(_.getString(0) == "k0000").get.getLong(1) == 999L)
+
+    // cross-layer idempotence: re-saving a base-present chunk is a skip
+    val victim = baseChunks.head
+    val tmp = Files.createTempFile("graft-ov-dup-", ".parquet")
+    Files.copy(java.nio.file.Paths.get(base.chunkPath(victim)), tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val skips0 = overlay.stats.chunkSkips.get
+    overlay.saveChunk(victim, tmp)
+    assert(overlay.stats.chunkSkips.get == skips0 + 1)
+    assert(!overlay.local.hasChunk(victim),
+      "base-present chunk must not be rewritten into the branch")
+
+    // deletes are branch-local: a shared chunk stays reachable
+    overlay.deleteChunk(victim)
+    assert(overlay.hasChunk(victim), "delete must not reach shared history")
   }
 
   test("memoizedLiveTable: swept chunk files trigger a rebuild, live ones memo-hit") {
