@@ -28,8 +28,11 @@ final class MemoryStore extends GraftStore {
   private val roots = TrieMap.empty[String, String]
   private val pointer = new AtomicReference[Option[String]](None)
 
-  private lazy val spillDir: Path =
-    Files.createTempDirectory("graft-mem-spill-")
+  private lazy val spillDir: Path = {
+    val p = Files.createTempDirectory("graft-mem-spill-")
+    FsUtil.deleteAtExit(p) // throwaway scratch — never outlives the JVM
+    p
+  }
 
   // ---- chunk store -----------------------------------------------------
   def chunkPath(hash: String): String = {

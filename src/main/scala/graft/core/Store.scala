@@ -574,6 +574,18 @@ object FsUtil {
     exitDeletions += dir
     ()
   }
+
+  /** Temp dir pre-registered for JVM-exit recursive deletion — the
+    * per-run throwaway store pattern. Every bench/verify query that
+    * mints a store MUST use this (or register explicitly): a min2med3
+    * sweep plus verify runs otherwise accumulate thousands of dead
+    * store dirs in tmp per working day (measured: 4.7k dirs / 5 GB),
+    * which degrades the whole machine's file-metadata path. */
+  def tempStoreDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    deleteAtExit(p)
+    p.toString
+  }
   private lazy val exitDeletions: scala.collection.mutable.ArrayBuffer[Path] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

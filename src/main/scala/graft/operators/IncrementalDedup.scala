@@ -78,7 +78,7 @@ object IncrementalDedup {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-incdedup-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-incdedup-"))
     // docs chunks small enough that a batch touches a FRACTION of the
     // table even at test scale (at 100 TB any chunk target has this
     // property)

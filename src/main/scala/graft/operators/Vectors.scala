@@ -476,7 +476,7 @@ object Vectors {
     * oracle mirrors by capping its centroid rule at the same cutoff. */
   def simAnnIncremental(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.core.FsStore(
-      java.nio.file.Files.createTempDirectory("graft-annincr-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-annincr-"))
     val ops = new graft.core.Ops(s, store, IvfIndexChunkRows)
     val cat = new graft.core.Catalog(store)
     val views = new graft.core.Views(ops, cat)

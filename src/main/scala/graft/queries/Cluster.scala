@@ -19,7 +19,7 @@ object Cluster {
 
   def zorderRect(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-z-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-z-q-"))
     val ops = new Ops(s, store, 1024)
     val agg = Tables(s, dir, "events")
       .select((col("user_id") % 64).as("ub"),

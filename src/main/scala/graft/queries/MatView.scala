@@ -23,7 +23,7 @@ object MatView {
     * orders to keep the engine materialization proportionate in bench. */
   def sqlMatview(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mv-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mv-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -68,7 +68,7 @@ object MatView {
     * define, delta via INSERT…SELECT, incremental REFRESH, read back. */
   def sqlMatviewWhere(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mvw-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mvw-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -116,7 +116,7 @@ object MatView {
     * chain refreshes its aggregate stage first), read back. */
   def sqlMatviewAvg(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mva-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mva-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -162,7 +162,7 @@ object MatView {
     * readback compared against DuckDB replaying the same statements. */
   def sqlDml(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-dml-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-dml-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -217,7 +217,7 @@ object MatView {
     * half filtered out by the NOT MATCHED condition). */
   def sqlMerge(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-merge-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-merge-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -277,7 +277,7 @@ object MatView {
     * algebraically (base vs base+DML). */
   def sqlHistory(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-hist-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-hist-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -330,7 +330,7 @@ object MatView {
     */
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-cdc-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-cdc-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -363,7 +363,7 @@ object MatView {
         col("e.o_custkey").as("o_custkey"), col("e.price_c").as("price_c"))
     graft.streaming.StreamCdc.applyBatch(s, ops, cat, changes, "cdc_mirror",
       "op", "seq",
-      java.nio.file.Files.createTempDirectory("graft-cdc-q-ckpt-").toString,
+      graft.core.FsUtil.tempStoreDir("graft-cdc-q-ckpt-"),
       batchId = 1L)
 
     val Left(out) = run(
@@ -398,7 +398,7 @@ object MatView {
     * change classes. */
   def sqlChanges(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-chg-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-chg-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -455,7 +455,7 @@ object MatView {
     * DuckDB oracle applies exactly the committed statements in order. */
   def sqlTxn(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-txn-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-txn-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     val sess = new graft.sql.SqlSession(s, ops, cat)
@@ -515,7 +515,7 @@ object MatView {
     * INNER) and items for nonexistent orders (dropped by both). */
   def sqlMatviewJoin(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mvj-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mvj-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -584,7 +584,7 @@ object MatView {
     * DuckDB replaying the same statements. */
   def sqlMatviewJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mvja-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mvja-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -654,7 +654,7 @@ object MatView {
     * estimator arithmetic. */
   def sqlMatviewSketch(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mvk-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mvk-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -722,7 +722,7 @@ object MatView {
     * not just the counts — must move under refresh. */
   def sqlMatviewQuantile(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-mvq-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-mvq-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -793,7 +793,7 @@ object MatView {
     * can only prune IO, never change rows. */
   def sqlIndex(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-idx-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-idx-q-"))
     val ops = new Ops(s, store, 2048)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -839,7 +839,7 @@ object MatView {
     * latency of the engine. */
   def sqlPointDml(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-pdml-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-pdml-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)
@@ -900,7 +900,7 @@ object MatView {
     * computes the same aggregates by scanning. */
   def sqlMetaAgg(s: SparkSession, dir: String): DataFrame = {
     val store = new FsStore(
-      java.nio.file.Files.createTempDirectory("graft-metaagg-q-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-metaagg-q-"))
     val ops = new Ops(s, store, 8192)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(s, ops, cat, sql)

@@ -111,29 +111,16 @@ object SqlViews {
     * sketch. */
   private def histFold: FoldSpec = FoldSpec.CombinableFold(
     "fold_hist_v1",
-    c => {
-      // sketches are INTERLEAVED long arrays [k1,v1,k2,v2,…] (key-sorted)
-      // — ARRAY<BIGINT> keeps the aggregate stage on the zero/one-job
-      // driver-chunk route (DriverChunks handles primitive arrays; a
-      // struct-array column would force the full job chain per
-      // materialization). Reconstruct entries, merge per-bin counts in
-      // map space, canonicalize by key sort, re-interleave.
-      def pairs(x: Column): Column =
-        when(size(x) < lit(2),
-          expr("CAST(array() AS ARRAY<STRUCT<key: BIGINT, value: BIGINT>>)"))
-          .otherwise(transform(
-            sequence(lit(1), floor(size(x) / lit(2)).cast("int")),
-            i => struct(
-              element_at(x, i * 2 - 1).as("key"),
-              element_at(x, i * 2).as("value"))))
-      val merged = aggregate(
-        collect_list(c),
-        expr("CAST(map() AS MAP<BIGINT,BIGINT>)"),
-        (acc, x) => map_zip_with(acc, map_from_entries(pairs(x)),
-          (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
-      flatten(transform(array_sort(map_entries(merged)),
-        e => array(e.getField("key"), e.getField("value"))))
-    })
+    // sketches are INTERLEAVED long arrays [k1,v1,k2,v2,…] (key-sorted)
+    // — ARRAY<BIGINT> keeps the aggregate stage on the zero/one-job
+    // driver-chunk route (DriverChunks handles primitive arrays; a
+    // struct-array column would force the full job chain per
+    // materialization). The merge is a native Catalyst aggregate
+    // ([[graft.functions.HistSketchAgg]]): O(bins) state with O(1)
+    // per-row updates and map-side combine — the collect_list + HOF
+    // formulation it replaces buffered O(rows) per group and ran one
+    // interpreted lambda step per element. Output bytes identical.
+    c => graft.functions.HistSketchAgg(c))
 
   /** Per-row histogram contribution: the (bin, 1) singleton sketch,
     * interleaved (NULL bins contribute the empty sketch, like
