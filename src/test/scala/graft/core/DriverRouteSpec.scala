@@ -19,7 +19,7 @@ class DriverRouteSpec extends AnyFunSuite {
     * DML (driver patch), INSERT…SELECT (delta patch). */
   private def runFlow(): String = {
     val store = new FsStore(
-      Files.createTempDirectory("graft-route-gov-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-route-gov-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
@@ -52,7 +52,7 @@ class DriverRouteSpec extends AnyFunSuite {
   test("readRangeDriver row set equals the rangeFilter scan on composite keys and prefix bounds") {
     import spark.implicits._
     val store = new FsStore(
-      Files.createTempDirectory("graft-range-drv-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-range-drv-"))
     val ops = new Ops(spark, store, 64)
     // composite (a, b) key; values span several chunks at target 64
     val df = (0L until 500L).map(i => (i % 20, i / 20, i * 3))

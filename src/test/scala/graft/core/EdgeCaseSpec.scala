@@ -15,7 +15,7 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   private def newOps(target: Long = 8): Ops =
     new Ops(spark, new FsStore(
-      Files.createTempDirectory("graft-edge-").toString), target)
+      graft.core.FsUtil.tempStoreDir("graft-edge-")), target)
 
   test("unicode and empty-string keys round-trip with stable hash") {
     val schema = StructType(Seq(
@@ -168,7 +168,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("empty tables flow through scan, join views, and replication") {
-    val dir = Files.createTempDirectory("graft-edge-empty-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-edge-empty-")
     val store = new FsStore(dir)
     val ops = new Ops(spark, store, 8)
     val cat = new Catalog(store)
@@ -199,7 +199,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rows == Seq(("x", 1L, true), ("y", 2L, true)))
 
     // replication of a catalog containing an empty table
-    val dst = new FsStore(Files.createTempDirectory("graft-edge-dst-").toString)
+    val dst = new FsStore(graft.core.FsUtil.tempStoreDir("graft-edge-dst-"))
     Replicate.push(store, dst, store.currentRootHash.get)
     val dcat = new Catalog(dst)
     assert(dcat.get("b").map(_.hash) == cat.get("b").map(_.hash))

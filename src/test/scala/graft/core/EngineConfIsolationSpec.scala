@@ -30,7 +30,7 @@ class EngineConfIsolationSpec extends AnyFunSuite {
     val key = "spark.sql.adaptive.enabled"
     spark.conf.set(key, "true")
     val store = new FsStore(
-      Files.createTempDirectory("graft-econf-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-econf-"))
     val ops = new Ops(spark, store, 256)
 
     val stop = new AtomicBoolean(false)
@@ -74,7 +74,7 @@ class EngineConfIsolationSpec extends AnyFunSuite {
     // a single chunk byte
     def build(): String = {
       val store = new FsStore(
-        Files.createTempDirectory("graft-econf-h-").toString)
+        graft.core.FsUtil.tempStoreDir("graft-econf-h-"))
       val ops = new Ops(spark, store, 128)
       ops.fromDataFrame(df(5000), Seq("k")).hash
     }

@@ -25,7 +25,7 @@ class EngineSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
 
   private def newOps(target: Long = 8): Ops = {
-    val dir = Files.createTempDirectory("graft-test-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-test-")
     new Ops(spark, new FsStore(dir), target)
   }
 
@@ -145,7 +145,7 @@ class EngineSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "3")
       val ops2 = new Ops(spark, new FsStore(
-        Files.createTempDirectory("graft-splits-").toString), ops.chunkTargetRows)
+        graft.core.FsUtil.tempStoreDir("graft-splits-")), ops.chunkTargetRows)
       val r2 = ops2.fromDataFrame(df(rows), Seq("k"))
       assert(r1.hash == r2.hash)
       assert(ops.meta(r1).chunks.map(_.hash) == ops2.meta(r2).chunks.map(_.hash))
@@ -614,7 +614,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("store contract: chunk save idempotent, memo compute-once (testlib port)") {
-    val dir = Files.createTempDirectory("graft-store-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-store-")
     val store = new FsStore(dir)
     var computes = 0
     val h1 = store.memoized("op1") { computes += 1; "result1" }

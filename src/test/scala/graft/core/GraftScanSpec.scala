@@ -20,7 +20,7 @@ class GraftScanSpec extends AnyFunSuite {
     StructField("v", LongType, nullable = false)))
 
   private def newOps(target: Long = 64): Ops = {
-    val dir = Files.createTempDirectory("graft-scan-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-scan-")
     new Ops(spark, new FsStore(dir), target)
   }
 
@@ -159,7 +159,7 @@ class GraftScanSpec extends AnyFunSuite {
   }
 
   test("pruned scan works over the PackStore backend (extract-cache paths)") {
-    val dir = Files.createTempDirectory("graft-scan-pack-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-scan-pack-")
     val ops = new Ops(spark, new PackStore(dir), 64)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0L until 500L).map(k => Row(k, k * 2)), 4),
@@ -506,7 +506,7 @@ class GraftScanSpec extends AnyFunSuite {
     } finally cached.unpersist()
 
     // a small raw parquet relation: bytes from file stats, rows from footers
-    val dir = Files.createTempDirectory("graft-bounds-pq-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-bounds-pq-")
     spark.range(0, 700).selectExpr("id AS k", "id * 5 AS v")
       .repartition(3).write.mode("overwrite").parquet(dir)
     val pq = spark.read.parquet(dir)

@@ -27,7 +27,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     Seq(col("k"), (col("v") * 2).as("v")), preservesKeys = true)
 
   test("key-preserving transform: content correct, equals whole-table result hash") {
-    val store = new FsStore(Files.createTempDirectory("graft-it-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-it-"))
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
     val ref = ops.fromDataFrame(df(rows), Seq("k"))
@@ -40,7 +40,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("re-transform after small upsert recomputes only touched chunks") {
-    val store = new FsStore(Files.createTempDirectory("graft-it2-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-it2-"))
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 2000).map(i => f"key$i%05d" -> i.toLong)
     val base = ops.fromDataFrame(df(rows), Seq("k"))
@@ -68,7 +68,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
 
   test("views: refresh is free when the source is unchanged, O(delta) after an upsert") {
     val ops = new Ops(spark,
-      new FsStore(Files.createTempDirectory("graft-views-").toString), 64)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-views-")), 64)
     val catalog = new Catalog(ops.store)
     val views = new Views(ops, catalog)
     val base = (0 until 1500).map(i => f"key$i%05d" -> i.toLong)
@@ -109,7 +109,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     // via per-chunk mini-transforms (sortNode per-subtree memo,
     // Trie.hs:446-470) feeding the region-memoized merge with
     // spanning-chunk piece splitting (mergeNodes reuse, Trie.hs:297-430).
-    val store = new FsStore(Files.createTempDirectory("graft-rekey-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekey-"))
     val ops = new Ops(spark, store, 64)
     // group key REVERSES the digits — a scattering, locality-destroying
     // re-key: each source chunk's groups spread across the whole output
@@ -157,7 +157,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(got2 == want)
     assert(got2("g0010") == want("g0010"))
     val ops2 = new Ops(spark,
-      new FsStore(Files.createTempDirectory("graft-rekey2-").toString), 64)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekey2-")), 64)
     val scratch = ops2.transform(
       ops2.fromDataFrame(df((rows.toMap ++ delta.toMap).toSeq), Seq("k")),
       rekeySum, FoldSpec.FoldSum)
@@ -177,7 +177,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     // needs from the kept source chunks and still produce the right
     // (hash-identical) view — GC trades recompute for space, never
     // correctness.
-    val store = new FsStore(Files.createTempDirectory("graft-gcheal-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-gcheal-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     val views = new Views(ops, catalog)
@@ -204,7 +204,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(got == model(rows.toMap ++ Map("k00100" -> 42L)))
     // and hash-equals an independent from-scratch build
     val ops2 = new Ops(spark,
-      new FsStore(Files.createTempDirectory("graft-gcheal2-").toString), 64)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-gcheal2-")), 64)
     val scratch = ops2.transform(
       ops2.fromDataFrame(df((rows.toMap ++ Map("k00100" -> 42L)).toSeq), Seq("k")),
       rekeySum, FoldSpec.FoldSum)
@@ -217,7 +217,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     // would make incremental vs from-scratch hashes diverge
     // systematically. FoldSum.combinableFor gates double/float values
     // back to the whole-table path (ADVICE r3 #1).
-    val store = new FsStore(Files.createTempDirectory("graft-fp-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-fp-"))
     val ops = new Ops(spark, store, 16)
     val fpSchema = StructType(Seq(
       StructField("k", StringType, nullable = false),
@@ -253,7 +253,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   test("custom combinable fold (bit_or) rides the incremental re-key path") {
     // a user-declared monoid gets the same O(delta) treatment as the
     // built-in sum/min/max folds
-    val store = new FsStore(Files.createTempDirectory("graft-cf-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cf-"))
     val ops = new Ops(spark, store, 16)
     ops.registry.registerFold(FoldSpec.FoldBitOr)
     val rekeyOr = ColTransform("rekey_or_v1", Seq("g"),
@@ -280,7 +280,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     val want = model(rows.toMap ++ delta.toMap)
     assert(ops.scan(v2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap == want)
     val ops2 = new Ops(spark,
-      new FsStore(Files.createTempDirectory("graft-cf2-").toString), 16)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-cf2-")), 16)
     val scratch = ops2.transform(
       ops2.fromDataFrame(df((rows.toMap ++ delta.toMap).toSeq), Seq("k")),
       rekeyOr, FoldSpec.FoldBitOr)
@@ -288,7 +288,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("join view: full-outer keyed join content, O(delta) refresh, hash-equals from-scratch") {
-    val store = new FsStore(Files.createTempDirectory("graft-jv-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-jv-"))
     val ops = new Ops(spark, store, 16)
     val cat = new Catalog(store)
     val views = new Views(ops, cat)
@@ -342,7 +342,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     assert(contentsOf(v2) == expected(aMap ++ delta.toMap, bMap))
 
     // canonical: equals the same join built from scratch in a FRESH store
-    val store2 = new FsStore(Files.createTempDirectory("graft-jv2-").toString)
+    val store2 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-jv2-"))
     val ops2 = new Ops(spark, store2, 16)
     val cat2 = new Catalog(store2)
     cat2.put("ta", ops2.fromDataFrame(mk(aSchema,
@@ -363,7 +363,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("chained views refresh in dependency order: a join view over a transform view stays fresh") {
-    val store = new FsStore(Files.createTempDirectory("graft-chain-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-chain-"))
     val ops = new Ops(spark, store, 16)
     val cat = new Catalog(store)
     val views = new Views(ops, cat)
@@ -400,7 +400,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
   }
 
   test("same transform key on unchanged table is a whole-op memo hit") {
-    val store = new FsStore(Files.createTempDirectory("graft-it3-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-it3-"))
     val ops = new Ops(spark, store, 16)
     val ref = ops.fromDataFrame(df((0 until 300).map(i => s"k$i" -> i.toLong)), Seq("k"))
     val a = ops.transform(ref, doubleV, FoldSpec.FoldLast)
@@ -415,7 +415,7 @@ class IncrementalTransformSpec extends AnyFunSuite {
     * surviving rows (same rows ⇒ same hash; the offender chunk fuses
     * into its predecessor via canonicalizeSplice). */
   test("canonical form survives deleting a chunk-starting boundary key") {
-    val store = new FsStore(Files.createTempDirectory("graft-cf-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cf-"))
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 500).map(i => f"key$i%04d" -> i.toLong)
     val ref = ops.fromDataFrame(df(rows), Seq("k"))

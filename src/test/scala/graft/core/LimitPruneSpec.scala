@@ -15,7 +15,7 @@ class LimitPruneSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(target: Long = 32): Ops = {
-    val dir = Files.createTempDirectory("graft-limitprune-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-limitprune-")
     new Ops(spark, new FsStore(dir), target)
   }
 

@@ -15,7 +15,7 @@ class MetaAggSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(target: Long = 64): Ops = {
-    val dir = Files.createTempDirectory("graft-metaagg-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-metaagg-")
     new Ops(spark, new FsStore(dir), target)
   }
 

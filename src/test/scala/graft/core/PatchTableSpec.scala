@@ -28,7 +28,7 @@ class PatchTableSpec extends AnyFunSuite {
 
   private def newOps(): Ops =
     new Ops(spark, new FsStore(
-      Files.createTempDirectory("graft-patch-").toString), 16)
+      graft.core.FsUtil.tempStoreDir("graft-patch-")), 16)
 
   /** Reference semantics: base minus deleted keys minus replaced keys,
     * plus upserts. */
@@ -262,7 +262,7 @@ class PatchTableSpec extends AnyFunSuite {
     // patch runs with zero Spark jobs
     val wideRun = 200000
     val bigOps = new Ops(spark, new FsStore(
-      Files.createTempDirectory("graft-patch-wide-").toString), wideRun)
+      graft.core.FsUtil.tempStoreDir("graft-patch-wide-")), wideRun)
     val base = bigOps.fromDataFrame(
       df((0 until 260000).map(i => (f"k$i%07d", i.toLong))), Seq("k"))
     assert(bigOps.meta(base).chunks.map(_.rows).max > Ops.DriverPatchMaxRows)

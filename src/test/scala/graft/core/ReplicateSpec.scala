@@ -21,7 +21,7 @@ class ReplicateSpec extends AnyFunSuite {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4), schema)
 
-  private def fsStore() = new FsStore(Files.createTempDirectory("graft-rep-").toString)
+  private def fsStore() = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rep-"))
 
   test("push to an empty store moves everything once; re-push moves nothing") {
     val src = fsStore()
@@ -80,7 +80,7 @@ class ReplicateSpec extends AnyFunSuite {
     val cat = new Catalog(src)
     cat.put("t", ops.fromDataFrame(df(Seq("a" -> 1L, "b" -> 2L)), Seq("k")))
 
-    val dst = new PackStore(Files.createTempDirectory("graft-rep-pack-").toString)
+    val dst = new PackStore(graft.core.FsUtil.tempStoreDir("graft-rep-pack-"))
     Replicate.push(src, dst, src.currentRootHash.get)
     val dops = new Ops(spark, dst, 16)
     val dcat = new Catalog(dst)

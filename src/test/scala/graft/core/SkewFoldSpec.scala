@@ -57,7 +57,7 @@ class SkewFoldSpec extends AnyFunSuite {
       val g = if (i % 2 == 0) 0L else 1L + (i % 63)
       Row(i.toLong, g, (i % 1000).toLong)
     }
-    val store = new FsStore(Files.createTempDirectory("graft-skew-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-skew-"))
     val ops = new Ops(spark, store, 4096)
     val base = ops.fromDataFrame(
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema),

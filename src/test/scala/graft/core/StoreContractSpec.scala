@@ -15,18 +15,18 @@ class StoreContractSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def backends: Seq[(String, () => GraftStore)] = Seq(
-    "fs" -> (() => new FsStore(Files.createTempDirectory("graft-cs-fs-").toString)),
+    "fs" -> (() => new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-fs-"))),
     "objectstore-sim" -> (() =>
-      new ObjectStoreSimStore(Files.createTempDirectory("graft-cs-os-").toString)),
+      new ObjectStoreSimStore(graft.core.FsUtil.tempStoreDir("graft-cs-os-"))),
     "pack" -> (() =>
-      new PackStore(Files.createTempDirectory("graft-cs-pk-").toString)),
+      new PackStore(graft.core.FsUtil.tempStoreDir("graft-cs-pk-"))),
     "memory" -> (() => new MemoryStore()),
     "fs-compressed" -> (() =>
-      new FsStore(Files.createTempDirectory("graft-cs-fz-").toString,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-fz-"),
         smallObjectDeflate = true, chunkCodec = "zstd")),
     "overlay" -> (() => new OverlayStore(
-      new FsStore(Files.createTempDirectory("graft-cs-ovb-").toString),
-      new FsStore(Files.createTempDirectory("graft-cs-ovl-").toString))))
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-ovb-")),
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-ovl-")))))
 
   private val schema = StructType(Seq(
     StructField("k", StringType, nullable = false),
@@ -165,7 +165,7 @@ class StoreContractSpec extends AnyFunSuite {
   }
 
   test("pack: one pack object per materialization; journal replays on reopen; cache rebuilds from packs") {
-    val dir = Files.createTempDirectory("graft-cs-pack2-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-cs-pack2-")
     val store = new PackStore(dir)
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 400).map(i => f"k$i%04d" -> i.toLong)
@@ -200,7 +200,7 @@ class StoreContractSpec extends AnyFunSuite {
 
   test("objectstore-sim: a materialization is ONE batched commit, zero renames") {
     val store = new ObjectStoreSimStore(
-      Files.createTempDirectory("graft-cs-batch-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-cs-batch-"))
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 500).map(i => f"k$i%04d" -> i.toLong)
     val ref = ops.fromDataFrame(df(rows), Seq("k"))
@@ -217,8 +217,8 @@ class StoreContractSpec extends AnyFunSuite {
   }
 
   test("fs-compressed: deflated small objects shrink and stay readable mixed-mode") {
-    val dir = Files.createTempDirectory("graft-cs-zl-").toString
-    val plain = new FsStore(Files.createTempDirectory("graft-cs-pl-").toString)
+    val dir = graft.core.FsUtil.tempStoreDir("graft-cs-zl-")
+    val plain = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-pl-"))
     val zipped = new FsStore(dir, smallObjectDeflate = true)
     val ops1 = new Ops(spark, plain, 16)
     val ops2 = new Ops(spark, zipped, 16)
@@ -256,7 +256,7 @@ class StoreContractSpec extends AnyFunSuite {
   }
 
   test("overlay: reads fall through to base, writes never touch base, branch starts at base root") {
-    val base = new FsStore(Files.createTempDirectory("graft-cs-ovB-").toString)
+    val base = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-ovB-"))
     val baseOps = new Ops(spark, base, 16)
     val baseCat = new Catalog(base)
     val rows = (0 until 200).map(i => f"k$i%04d" -> i.toLong)
@@ -265,7 +265,7 @@ class StoreContractSpec extends AnyFunSuite {
     val baseRoot = base.currentRootHash
 
     val overlay = new OverlayStore(base,
-      new FsStore(Files.createTempDirectory("graft-cs-ovL-").toString))
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-ovL-")))
     // the branch starts where the base is, and base reads fall through
     assert(overlay.currentRootHash == baseRoot)
     val ops = new Ops(spark, overlay, 16)
@@ -304,7 +304,7 @@ class StoreContractSpec extends AnyFunSuite {
   }
 
   test("memoizedLiveTable: swept chunk files trigger a rebuild, live ones memo-hit") {
-    val store = new FsStore(Files.createTempDirectory("graft-cs-live-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cs-live-"))
     val ops = new Ops(spark, store, 16)
     val rows = (0 until 80).map(i => f"k$i%04d" -> i.toLong)
     val op = Hashing.opHash(Seq("live-test"))

@@ -12,7 +12,7 @@ class TypedAndFoldSpec extends AnyFunSuite {
 
   private def newOps(): Ops =
     new Ops(spark, new FsStore(
-      Files.createTempDirectory("graft-typed-").toString), 16)
+      graft.core.FsUtil.tempStoreDir("graft-typed-")), 16)
 
   test("typed facade: round trip, upsert, lookup, range") {
     import spark.implicits._

@@ -30,7 +30,7 @@ class AnnIncrementalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSeq
 
   private def newEngine() = {
-    val store = new FsStore(Files.createTempDirectory("graft-annincr-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-annincr-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     (store, ops, cat, new Views(ops, cat))

@@ -24,7 +24,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   private def newEngine(target: Long = 64) = {
-    val store = new FsStore(Files.createTempDirectory("graft-incd-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-incd-"))
     val ops = new Ops(spark, store, target)
     val cat = new Catalog(store)
     (store, ops, cat, new Views(ops, cat))

@@ -226,7 +226,7 @@ class NorthStarSpec extends AnyFunSuite {
   test("quantizedTable: the vector index as a memoized, content-addressed graft table") {
     import graft.core._
     val ops = new Ops(spark,
-      new FsStore(java.nio.file.Files.createTempDirectory("graft-vt-").toString), 64)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-vt-")), 64)
     val r1 = Vectors.quantizedTable(ops, spark, sf)
     assert(ops.scan(r1).count() ==
       graft.Tables(spark, sf, "embeddings").count())
@@ -256,7 +256,7 @@ class NorthStarSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.core._
     val ops = new Ops(spark,
-      new FsStore(java.nio.file.Files.createTempDirectory("graft-ivf-").toString), 32)
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-ivf-")), 32)
     val v = Vectors.quantized(spark, sf)
     val cells = v.select(pmod($"vec_id", lit(8L)).as("cell"), $"vec_id", $"q", $"nq")
     val ref = ops.fromDataFrame(cells, Seq("cell", "vec_id"))
@@ -287,7 +287,7 @@ class NorthStarSpec extends AnyFunSuite {
     // the probe read is chunk-pruned: the cell IN-list lists fewer files
     // than the full index
     val ops = new Ops(spark,
-      new FsStore(java.nio.file.Files.createTempDirectory("graft-ivfq-").toString),
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-ivfq-")),
       Vectors.IvfIndexChunkRows)
     val ref = Vectors.ivfIndexTable(ops, spark, sf)
     val m = ops.meta(ref)
@@ -474,7 +474,7 @@ class NorthStarSpec extends AnyFunSuite {
     assert(batch == Set((200L, 100L), (201L, 102L)))
 
     // streaming run over the same files
-    val out = Files.createTempDirectory("graft-sj-out-").toString
+    val out = graft.core.FsUtil.tempStoreDir("graft-sj-out-")
     val q = graft.streaming.StreamJoin.purchaseAttribution(
       spark.readStream.schema(schema).parquet(clickDir.toString),
       spark.readStream.schema(schema).parquet(purchDir.toString))
@@ -482,7 +482,7 @@ class NorthStarSpec extends AnyFunSuite {
       .format("parquet")
       .option("path", out)
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-sj-ckpt-").toString)
+        graft.core.FsUtil.tempStoreDir("graft-sj-ckpt-"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

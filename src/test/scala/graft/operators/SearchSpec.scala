@@ -25,7 +25,7 @@ class SearchSpec extends AnyFunSuite {
   }
 
   private def newEngine(target: Long = 64) = {
-    val store = new FsStore(Files.createTempDirectory("graft-search-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-search-"))
     val ops = new Ops(spark, store, target)
     val cat = new Catalog(store)
     (store, ops, cat, new Views(ops, cat))

@@ -13,7 +13,7 @@ class ChangesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def fresh(chunkTarget: Int = 8) = {
-    val store = new FsStore(Files.createTempDirectory("graft-chg-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-chg-"))
     val ops = new Ops(spark, store, chunkTarget)
     (store, ops, new Catalog(store))
   }
@@ -88,7 +88,7 @@ class ChangesSpec extends AnyFunSuite {
         when(col("_change_type") === "delete", "D").otherwise("U").as("op"),
         lit(1L).as("seq"), col("k"), col("v"))
     graft.streaming.StreamCdc.applyBatch(spark, ops, cat, feed, "dst",
-      "op", "seq", Files.createTempDirectory("graft-chg-ckpt-").toString, 1L)
+      "op", "seq", graft.core.FsUtil.tempStoreDir("graft-chg-ckpt-"), 1L)
 
     assert(cat.root("dst").tableHash == cat.root("src").tableHash,
       "replica must converge to the source version byte-for-byte")

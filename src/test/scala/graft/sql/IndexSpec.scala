@@ -16,7 +16,7 @@ class IndexSpec extends AnyFunSuite {
   /** Small chunks so pruning is observable: 2000 rows / 64-row chunks
     * ≈ 32 chunks per table. */
   private def newSession(): (SqlSession, Ops, Catalog) = {
-    val store = new FsStore(Files.createTempDirectory("graft-idx-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     (new SqlSession(spark, ops, cat), ops, cat)
@@ -102,7 +102,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("O(delta) maintenance: a 1-row DML refreshes a many-chunk index with bounded chunk writes and no full-index shuffle") {
-    val store = new FsStore(Files.createTempDirectory("graft-idx3-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx3-"))
     val ops = new Ops(spark, store, 16)
     val cat = new Catalog(store)
     val sess = new SqlSession(spark, ops, cat)
@@ -128,7 +128,7 @@ class IndexSpec extends AnyFunSuite {
       ((0L until 8000L).filter(_ % 97 == 13) :+ 9001L))
     // and the patched index hash-equals a from-scratch rebuild
     val patchedHash = cat.get("t_grp").get.hash
-    val store2 = new FsStore(Files.createTempDirectory("graft-idx3b-").toString)
+    val store2 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx3b-"))
     val ops2 = new Ops(spark, store2, 16)
     val cat2 = new Catalog(store2)
     val sess2 = new SqlSession(spark, ops2, cat2)
@@ -260,7 +260,7 @@ class IndexSpec extends AnyFunSuite {
   }
 
   test("index definition survives sessions and REFRESH ALL maintains it") {
-    val dir = Files.createTempDirectory("graft-idx2-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-idx2-")
     val (ops1, cat1) = (new Ops(spark, new FsStore(dir), 64), new Catalog(new FsStore(dir)))
     val sess1 = new SqlSession(spark, ops1, cat1)
     sess1.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")

@@ -16,7 +16,7 @@ class RouteFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newOps(): (Ops, Catalog) = {
-    val store = new FsStore(Files.createTempDirectory("graft-fuzz-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-fuzz-"))
     (new Ops(spark, store, 64), new Catalog(store))
   }
 

@@ -15,7 +15,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
   graft.core.Ops.resetDriverRouteModel()
 
   private def newOps(): (Ops, Catalog) = {
-    val store = new FsStore(Files.createTempDirectory("graft-sql-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-sql-"))
     (new Ops(spark, store, 64), new Catalog(store))
   }
 
@@ -449,7 +449,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     val origHash = cat.get("bt").get.hash
 
     // COPY TO json renders hex (Table/Bytes.hs:16-28 parity)
-    val dir = Files.createTempDirectory("graft-hex-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-hex-")
     GraftSql.execute(spark, ops, cat, s"COPY bt TO '$dir' (FORMAT json)")
     val line = spark.read.text(dir).collect().map(_.getString(0))
       .find(_.contains("\"k\":1")).get
@@ -464,7 +464,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "hex export -> import must reproduce the identical table hash")
 
     // CSV round-trips too
-    val dirC = Files.createTempDirectory("graft-hexc-").toString
+    val dirC = graft.core.FsUtil.tempStoreDir("graft-hexc-")
     GraftSql.execute(spark, ops, cat, s"COPY bt TO '$dirC' (FORMAT csv)")
     val importedC = ops.fromDataFrame(
       graft.sources.Csv.readNameMatched(spark, dirC, schema2), Seq("k"))
@@ -1276,7 +1276,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     // script FILE replays end-to-end; -c and -f mix in order; the
     // transaction opened in the file COMMITs in a later -c argument
     // (one SqlSession spans every statement); queries print JSON lines
-    val storeDir = Files.createTempDirectory("graft-clisql-").toString
+    val storeDir = graft.core.FsUtil.tempStoreDir("graft-clisql-")
     val script = Files.createTempFile("graft-script-", ".sql")
     Files.writeString(script,
       """-- a replayed DDL+DML script
@@ -1524,7 +1524,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
     run("CREATE TABLE t (id bigint PRIMARY KEY, v text NOT NULL)")
     run("INSERT INTO t VALUES (1, 'old'), (2, 'keep')")
-    val dir = Files.createTempDirectory("graft-copyfrom-").toString + "/delta"
+    val dir = graft.core.FsUtil.tempStoreDir("graft-copyfrom-") + "/delta"
     run("CREATE TABLE d (id bigint PRIMARY KEY, v text NOT NULL)")
     run("INSERT INTO d VALUES (1, 'new'), (3, 'add')")
     run(s"COPY d TO '$dir' (FORMAT csv)")
@@ -1542,7 +1542,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
     run("CREATE TABLE t (id bigint PRIMARY KEY, v text NOT NULL)")
     run("INSERT INTO t VALUES (7, 'x')")
-    val dir = Files.createTempDirectory("graft-copyext-").toString + "/t.csv"
+    val dir = graft.core.FsUtil.tempStoreDir("graft-copyext-") + "/t.csv"
     run(s"COPY t TO '$dir'")
     // header-row CSV landed (the csv writer, not parquet)
     val part = new java.io.File(dir).listFiles()
@@ -1588,7 +1588,7 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
     run("CREATE TABLE t (k bigint PRIMARY KEY, v text NOT NULL)")
-    val dir = Files.createTempDirectory("graft-copynull-").toString
+    val dir = graft.core.FsUtil.tempStoreDir("graft-copynull-")
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"), "k,v\n1,\n")
     val e = intercept[Exception](run(s"COPY t FROM '$dir/in.csv' (FORMAT csv)"))
     var c: Throwable = e; var hit = false

@@ -14,7 +14,7 @@ class TxnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newSession(): (SqlSession, Ops, Catalog) = {
-    val store = new FsStore(Files.createTempDirectory("graft-txn-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-txn-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     (new SqlSession(spark, ops, cat), ops, cat)
@@ -177,7 +177,7 @@ class TxnSpec extends AnyFunSuite {
     // thread runs its own SqlSession over the shared catalog the way a
     // multi-writer deployment would.
     val store = new FsStore(
-      Files.createTempDirectory("graft-txn-stress-").toString)
+      graft.core.FsUtil.tempStoreDir("graft-txn-stress-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     new SqlSession(spark, ops, cat)

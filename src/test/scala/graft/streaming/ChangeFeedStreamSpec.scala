@@ -12,7 +12,7 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def newCtx() = {
-    val store = new FsStore(Files.createTempDirectory("graft-feed-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-feed-"))
     val ops = new Ops(spark, store, 64)
     val cat = new Catalog(store)
     def run(sql: String) = graft.sql.GraftSql.execute(spark, ops, cat, sql)
@@ -21,7 +21,7 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
 
   test("serveBatch: intervals chain, empty polls are empty, replay serves the identical interval") {
     val (ops, cat, run) = newCtx()
-    val ckpt = Files.createTempDirectory("graft-feed-ckpt-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-feed-ckpt-")
     run("CREATE TABLE t (k bigint PRIMARY KEY, v bigint NOT NULL)")
     run("INSERT INTO t VALUES (1, 10), (2, 20)")
 
@@ -56,7 +56,7 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
 
   test("mirror converges a clone to the source, version by version, byte-for-byte") {
     val (ops, cat, run) = newCtx()
-    val ckpt = Files.createTempDirectory("graft-mirror-ckpt-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-mirror-ckpt-")
     run("CREATE TABLE src (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
     run("INSERT INTO src SELECT id, id * 10, 'init' FROM range(0, 50)")
     run("CLONE TABLE src AS dst")
@@ -104,7 +104,7 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
 
   test("follow() end-to-end through the streaming clock") {
     val (ops, cat, run) = newCtx()
-    val ckpt = Files.createTempDirectory("graft-follow-ckpt-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-follow-ckpt-")
     run("CREATE TABLE t (k bigint PRIMARY KEY, v bigint NOT NULL)")
     run("INSERT INTO t VALUES (1, 10)")
     run("INSERT INTO t VALUES (2, 20), (3, 30)")

@@ -21,8 +21,8 @@ class SessionizeStreamSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessions match batch gaps-and-islands") {
     val srcDir = Files.createTempDirectory("graft-sess-src-")
-    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
-    val outDir = Files.createTempDirectory("graft-sess-out-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sess-ckpt-")
+    val outDir = graft.core.FsUtil.tempStoreDir("graft-sess-out-")
 
     // user 1: two sessions (gap > 30 min); user 2: one session
     val batch1 = Seq(
@@ -76,8 +76,8 @@ class SessionizeStreamSpec extends AnyFunSuite {
 
   test("late in-watermark event forms its own earlier session, not a merge into the open one") {
     val srcDir = Files.createTempDirectory("graft-sess2-src-")
-    val ckpt = Files.createTempDirectory("graft-sess2-ckpt-").toString
-    val outDir = Files.createTempDirectory("graft-sess2-out-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sess2-ckpt-")
+    val outDir = graft.core.FsUtil.tempStoreDir("graft-sess2-out-")
     def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
       spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -115,8 +115,8 @@ class SessionizeStreamSpec extends AnyFunSuite {
 
   test("past-watermark straggler is dropped, not re-emitted as a duplicate session") {
     val srcDir = Files.createTempDirectory("graft-sess3-src-")
-    val ckpt = Files.createTempDirectory("graft-sess3-ckpt-").toString
-    val outDir = Files.createTempDirectory("graft-sess3-out-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sess3-ckpt-")
+    val outDir = graft.core.FsUtil.tempStoreDir("graft-sess3-out-")
     def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
       spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -154,8 +154,8 @@ class SessionizeStreamSpec extends AnyFunSuite {
 
   test("below-watermark straggler is dropped even inside a still-open session (Spark pre-filters late rows)") {
     val srcDir = Files.createTempDirectory("graft-sess4-src-")
-    val ckpt = Files.createTempDirectory("graft-sess4-ckpt-").toString
-    val outDir = Files.createTempDirectory("graft-sess4-out-").toString
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sess4-ckpt-")
+    val outDir = graft.core.FsUtil.tempStoreDir("graft-sess4-out-")
     def writeBatch(rows: Seq[(String, Long, Double)], n: Int): Unit =
       spark.createDataFrame(
         spark.sparkContext.parallelize(

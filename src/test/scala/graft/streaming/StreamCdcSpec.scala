@@ -30,8 +30,8 @@ class StreamCdcSpec extends AnyFunSuite {
 
   test("I/U/D micro-batches replay the change log exactly; replay is exactly-once") {
     val srcDir = Files.createTempDirectory("graft-cdc-src-")
-    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
-    val store = new FsStore(Files.createTempDirectory("graft-cdc-store-").toString)
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-cdc-ckpt-")
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-cdc-store-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     def run(sql: String) = graft.sql.GraftSql.execute(spark, ops, catalog, sql)

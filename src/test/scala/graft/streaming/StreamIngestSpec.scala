@@ -29,8 +29,8 @@ class StreamIngestSpec extends AnyFunSuite {
 
   test("stream AvailableNow over growing dir maintains exact running aggregate") {
     val srcDir = Files.createTempDirectory("graft-stream-src-")
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
-    val store = new FsStore(Files.createTempDirectory("graft-stream-store-").toString)
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-stream-ckpt-")
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-stream-store-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
 
@@ -122,13 +122,13 @@ class StreamIngestSpec extends AnyFunSuite {
         Row(Timestamp.valueOf(r._1), r._2, r._3)), 2), schemaD)
       .write.parquet(srcDir.resolve("b1").toString)
 
-    val out = Files.createTempDirectory("graft-sdedup-out-").toString
+    val out = graft.core.FsUtil.tempStoreDir("graft-sdedup-out-")
     val q = StreamDedup.dedupEvents(
         spark.readStream.schema(schemaD).parquet(srcDir.toString + "/b*"))
       .writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-sdedup-ckpt-").toString)
+        graft.core.FsUtil.tempStoreDir("graft-sdedup-ckpt-"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -139,8 +139,8 @@ class StreamIngestSpec extends AnyFunSuite {
   test("streaming keeps registered aggregate views fresh; refresh work is memoized O(delta)") {
     import org.apache.spark.sql.functions._
     val srcDir = Files.createTempDirectory("graft-sview-src-")
-    val ckpt = Files.createTempDirectory("graft-sview-ckpt-").toString
-    val store = new FsStore(Files.createTempDirectory("graft-sview-store-").toString)
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sview-ckpt-")
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-sview-store-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     val views = new Views(ops, catalog)
@@ -210,8 +210,8 @@ class StreamIngestSpec extends AnyFunSuite {
 
   test("streaming keeps SQL-defined materialized views fresh (defs rebuilt from the root)") {
     val srcDir = Files.createTempDirectory("graft-sqlmv-src-")
-    val ckpt = Files.createTempDirectory("graft-sqlmv-ckpt-").toString
-    val store = new FsStore(Files.createTempDirectory("graft-sqlmv-store-").toString)
+    val ckpt = graft.core.FsUtil.tempStoreDir("graft-sqlmv-ckpt-")
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-sqlmv-store-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     def sql(s: String) = graft.sql.GraftSql.execute(spark, ops, catalog, s)
@@ -263,7 +263,7 @@ class StreamIngestSpec extends AnyFunSuite {
   }
 
   test("batch replay is idempotent: same batchId merged twice applies once") {
-    val store = new FsStore(Files.createTempDirectory("graft-replay-store-").toString)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-replay-store-"))
     val ops = new Ops(spark, store, 64)
     val catalog = new Catalog(store)
     val rows = Seq(("2024-03-01 10:00:00", 1L, 10.00), ("2024-03-01 11:00:00", 1L, 5.00))
