@@ -109,6 +109,20 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     TableRef(meta.tableHash)
   }
 
+  /** [[fromDataFrameBounded]] for inputs whose output keys the CALLER
+    * proves unique — e.g. the MERGE splice region: target keys are
+    * unique by table construction and source-key uniqueness is a
+    * checked statement error, so collision folding would be a semantic
+    * no-op. Skipping the groupBy drops its full-output exchange, and a
+    * byte-admitted input rides the one-collect driver materialization
+    * instead of the sample+write job pair. Table hash is identical to
+    * the folded path (same rows; content-defined chunking). */
+  def fromDataFrameUnique(df: DataFrame, keyCols: Seq[String],
+      rowBound: Option[Long], byteBound: Option[Long]): TableRef =
+    TableRef(Canonical.materialize(spark, store, df, keyCols,
+      chunkTargetRows, rowBound = rowBound, byteBound = byteBound)
+      .tableHash)
+
   /** Caller-facing size hints of a chunk-backed table: exact row count
     * from chunk metadata, compressed bytes from file stats (None on any
     * stat surprise). The inputs to the byte-admitted driver routes. */

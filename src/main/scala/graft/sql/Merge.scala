@@ -269,6 +269,11 @@ object Merge {
       // source key must compare in target space.
       val keyStruct = struct(srcKeyCols.zip(keyCols).map { case (sc, k) =>
         col(sc).cast(schema(k).dataType) }: _*)
+      // NOTE the check agg stays on the USER session with AQE ON — an
+      // engine-clone variant (AQE off, fixed shuffle width) was measured
+      // WORSE: AQE's post-shuffle coalescing beats its per-stage job
+      // launches here (224 ms across 4 tiny jobs vs 450 ms of one job
+      // with 32 near-empty distinct-exchange tasks at sf0.1).
       val chk = src.agg(count(lit(1)).as("n"),
         count_distinct(keyStruct).as("nd"),
         sum(when(srcKeyCols.map(col(_).isNull).reduce(_ || _), 1L)
@@ -351,8 +356,21 @@ object Merge {
 
       // splice: complement range (metadata + ≤2 edge chunks) merged with
       // the rebuilt region — chunks outside the envelope pass through
-      // verbatim and the new version shares their objects
-      val regionTable = ops.fromDataFrame(projected, keyCols)
+      // verbatim and the new version shares their objects.
+      // The rebuilt region's size is KNOWN from metadata: ≤ envelope
+      // rows + source rows (each target row maps to ≤1 output row, each
+      // source row inserts ≤1). Passing the bounds lets a metadata-sized
+      // merge ride the one-collect driver materialization — the join
+      // plan itself defeats rowLocalScanBounds, so without them the
+      // splice always paid the full sample+write job pair. Output keys
+      // are unique by construction (target keys unique; duplicate
+      // source keys are a checked error above), so the collision fold
+      // and its exchange are skipped. At scale the bounds exceed the
+      // byte/row budgets and the job path runs unchanged.
+      val (envRows, envBytes) = ops.sizeHints(rangeRef)
+      val regionTable = ops.fromDataFrameUnique(projected, keyCols,
+        rowBound = envRows.map(_ + n),
+        byteBound = envBytes.map(_ + n * schema.defaultSize))
       val complement = ops.deleteRange(tgtRef,
         Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
       val out = ops.merge(Seq(complement, regionTable), FoldSpec.FoldLast)

@@ -1375,6 +1375,31 @@ class SqlAndSourcesSpec extends AnyFunSuite {
     assert(m.size == 2000 && m(510L) == 1020L && m(499L) == 499L && m(540L) == 540L)
   }
 
+  test("MERGE INTO: driver-route splice hash-equals the forced job path") {
+    // the splice region now carries its metadata-derived bounds
+    // (envelope rows + source rows), so a metadata-sized MERGE rides
+    // the one-collect driver materialization — this pins that route's
+    // result table hash against the full Spark job path
+    def mergedHash(driverRoute: Boolean): String = {
+      graft.core.Canonical.driverMaterializeEnabled = driverRoute
+      try {
+        val (ops, cat) = newOps()
+        def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+        run("CREATE TABLE mr (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+        run("INSERT INTO mr SELECT id, id * 3, 'base' FROM range(0, 600)")
+        run("""MERGE INTO mr AS t USING (
+            SELECT id * 2 AS sk, id AS sv FROM range(100, 400)
+          ) AS s ON t.k = s.sk
+          WHEN MATCHED AND s.sv % 5 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = t.v + s.sv
+          WHEN NOT MATCHED AND s.sv % 3 != 1 THEN INSERT (k, v, s) VALUES (s.sk, s.sv, 'new')""")
+        cat.root("mr").tableHash
+      } finally graft.core.Canonical.driverMaterializeEnabled = true
+    }
+    assert(mergedHash(driverRoute = true) == mergedHash(driverRoute = false),
+      "MERGE driver-route splice diverged from the job path")
+  }
+
   test("MERGE INTO: INSERT * maps keys through ON; no-op merges mint no root") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
