@@ -1371,14 +1371,20 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val c1 = m1.chunks.iterator.map(_.hash).toSet
         val removed = m1.chunks.filterNot(c => c2(c.hash)).distinctBy(_.hash)
         val added = m.chunks.filterNot(c => c1(c.hash)).distinctBy(_.hash)
+        lazy val viaSourceDiff =
+          patchViaSourceDiff(m, t, removed, added, prev, pm)
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
+        else if (viaSourceDiff.isDefined) viaSourceDiff
         else if ({
           // wide-delta guard: patching pays only when the delta is a
           // small fraction of the source — above a quarter of the
           // source rows, the single-pass rebuild reads and writes less
-          // than mini-diff + run splicing
+          // than mini-diff + run splicing. (The source-row diff route
+          // above escapes this trade entirely when the changed chunks
+          // are byte-admitted: it reads them once, writes no minis, and
+          // splices only the row-level delta.)
           val srcDelta = (removed ++ added).iterator.map(_.rows).sum
           val srcTotal = m.chunks.iterator.map(_.rows).sum
           4 * srcDelta > srcTotal
@@ -1493,6 +1499,121 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         }
       }
     } yield result
+  }
+
+  /** SOURCE-row driver-diff patch: when a uniqueKeys re-key's changed
+    * source chunks are byte-admitted, diff their ROWS directly (old vs
+    * new versions, read through [[DriverChunks]]), map only the tiny
+    * row-level delta through the row-local transform, and splice it
+    * onto the previous result — no mini tables are computed or written
+    * and no Spark job runs for non-generator transforms (the local
+    * delta plan folds to a LocalRelation). This is the route that keeps
+    * a SMALL row delta scattered across MANY chunks — a one-row-per-
+    * chunk DML changes every chunk hash while leaving almost every row
+    * identical — from tripping the chunk-level wide-delta guard into a
+    * full index rebuild. Exactness: transform∘diff == diff∘transform
+    * under the uniqueKeys contract (no other source row can produce a
+    * delta row's output keys), and the transformed delta is re-diffed
+    * so value-insensitive source updates (a price change under a
+    * custkey index) splice nothing. None on any inapplicability or
+    * surprise — the caller falls through to the mini-diff path and its
+    * guards. At 100 TB the byte budget rejects wide chunk deltas before
+    * any IO. */
+  private def patchViaSourceDiff(m: TableMeta, t: ColTransform,
+      removed: Seq[ChunkMeta], added: Seq[ChunkMeta], prev: TableRef,
+      pm: TableMeta): Option[String] = {
+    import scala.util.control.NonFatal
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
+        System.err.println(s"[src-diff-patch] $msg")
+    if (!Canonical.driverMaterializeEnabled) return None
+    // structural row equality must be safe on BOTH schemas: the source
+    // rows are diffed pre-transform, the transformed delta post
+    if (!Ops.driverDiffable(m.schema) || !Ops.driverDiffable(pm.schema)) {
+      dbg("decline: schema not driver-diffable"); return None
+    }
+    val changed = removed ++ added
+    val rows = changed.iterator.map(_.rows).sum
+    if (rows > Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
+        !chunkBytes(changed).exists(_ <= Ops.DriverPatchMaxBytes) ||
+        !Ops.driverRouteAdmit(rows)) {
+      dbg(s"decline: caps (rows=$rows cap=${Ops.adaptiveRowCap(m.schema,
+        Ops.PatchMaxDeltaRows)} bytes=${chunkBytes(changed)} " +
+        s"admit=${Ops.driverRouteAdmit(rows)} npr=${Ops.driverRouteNprNanos})")
+      return None
+    }
+    try {
+      def rowsOf(cs: Seq[ChunkMeta]): Seq[org.apache.spark.sql.Row] =
+        Canonical.parIo(cs)(c => DriverChunks.readRows(
+          java.nio.file.Paths.get(store.chunkPath(c.hash)), m.schema))
+          .flatten
+      val (oldR, newR) = Ops.timedDriverRoute(rows)(
+        (rowsOf(removed), rowsOf(added)))
+      // multiset difference on structural row equality (the same
+      // arithmetic as the mini-diff route)
+      def diff(xs: Seq[org.apache.spark.sql.Row],
+          ys: Seq[org.apache.spark.sql.Row])
+          : Seq[org.apache.spark.sql.Row] = {
+        val counts = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+        ys.foreach { y =>
+          val k = y.toSeq
+          counts.update(k, counts.getOrElse(k, 0) + 1)
+        }
+        xs.filter { x =>
+          val k = x.toSeq
+          counts.get(k) match {
+            case Some(c) if c > 0 => counts.update(k, c - 1); false
+            case _ => true
+          }
+        }
+      }
+      val insSrc = diff(newR, oldR)
+      val delSrc = diff(oldR, newR)
+      // rows identical, chunks merely re-cut: the transform output is
+      // unchanged by definition
+      if (insSrc.isEmpty && delSrc.isEmpty) return Some(prev.hash)
+      // map the source delta through the row-local transform, projected
+      // into the RESULT's column order; a filter/projection over a
+      // LocalRelation folds at plan time, so collect launches no job
+      def transformed(rs: Seq[org.apache.spark.sql.Row])
+          : Seq[org.apache.spark.sql.Row] = {
+        if (rs.isEmpty) return Nil
+        import scala.jdk.CollectionConverters._
+        val df0 = spark.createDataFrame(rs.asJava, m.schema)
+        val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
+        df1.select(t.columns: _*)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
+          .collect().toSeq
+      }
+      val insT0 = transformed(insSrc)
+      val delT0 = transformed(delSrc)
+      // re-diff at the TRANSFORMED level: a source update the transform
+      // is insensitive to yields identical rows on both sides
+      val insT = diff(insT0, delT0)
+      val delT = diff(delT0, insT0)
+      dbg(s"srcDelta ins=${insSrc.length} del=${delSrc.length} " +
+        s"→ transformed ins=${insT.length} del=${delT.length}")
+      if (insT.isEmpty && delT.isEmpty) return Some(prev.hash)
+      // generator fan-out can exceed the source delta — re-check the cap
+      // in RESULT-schema terms before handing the rows to the splice
+      if (insT.length + delT.length >
+          Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows)) {
+        dbg("decline: transformed delta above the result-schema cap")
+        return None
+      }
+      val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
+      def keyOf(r: org.apache.spark.sql.Row): Seq[Any] = kIdx.map(r.get)
+      val insKeys = insT.iterator.map(keyOf).toSet
+      val delKeys = delT.iterator.map(keyOf).filterNot(insKeys)
+        .toSeq.distinct
+      // same scattered-delta guard as the mini route: keys touching
+      // more than half the result's chunks mean the rebuild writes less
+      val out = patchTableBounded(prev, insT, delKeys,
+        Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
+      dbg(s"patchTableBounded → ${out.isDefined}")
+      out
+    } catch { case NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
   }
 
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
@@ -2163,23 +2284,50 @@ object Ops {
     * cost 5x its idle-machine time while the distributed path still has
     * every executor thread to average the load over. Every completed
     * driver-route operation records (rows, nanos); admission projects a
-    * new operation's driver time from the EWMA nanos-per-row and DENIES
-    * the route when the projection exceeds [[DriverRouteBudgetNanos]] —
-    * the caller falls back to its distributed path, which is
-    * hash-identical by construction (RouteFuzzSpec pins the matrix;
-    * DriverRouteSpec pins the degradation itself). Unmeasured (cold)
-    * admits: the static row/byte caps bound the worst case and the
-    * first operations seed the model. */
+    * new operation's driver time from the modeled nanos-per-row and
+    * DENIES the route when the projection exceeds
+    * [[DriverRouteBudgetNanos]] — the caller falls back to its
+    * distributed path, which is hash-identical by construction
+    * (RouteFuzzSpec pins the matrix; DriverRouteSpec pins the
+    * degradation itself). Unmeasured (cold) admits: the static row/byte
+    * caps bound the worst case and the first operations seed the model.
+    *
+    * The model is the RATIO of two EWMAs (Σnanos / Σrows, each decayed
+    * with alpha 1/4) rather than an EWMA of per-sample ns/row: per-row
+    * averages of small samples are dominated by FIXED costs (a single
+    * JVM-cold 4k-row read pays codec init + class loading and reads as
+    * ~50 µs/row — measured — which would project every metadata-sized
+    * route over budget), while a ratio-of-sums lets the next large
+    * sample's row mass wash one polluted observation out in one step.
+    * Admission also keeps a WARM-UP window: until
+    * [[DriverRouteWarmupSamples]] observations exist the route is
+    * admitted regardless of the seeded value — a governor cannot govern
+    * from one cold data point, and the static caps still bound the
+    * worst case (a genuinely starved driver locks the governor in after
+    * the window). */
   @volatile var DriverRouteBudgetNanos: Long =
     sys.env.get("SPARK_GRAFT_DRIVER_ROUTE_BUDGET_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(1500L) * 1000000L
-  // stores 16x ns/row so the EWMA keeps sub-ns resolution; 0 = unmeasured
-  private val driverRouteNprX16 = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** Test seam: forces the observed per-row driver cost (ns/row). */
+  // (EWMA nanos, EWMA rows); (0, 0) = unmeasured
+  private val driverRouteEwma =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+  private val driverRouteSampleCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val DriverRouteWarmupSamples = 4L
+  /** Test seam: forces the observed per-row driver cost (ns/row) —
+    * authoritative over both the warm-up window and the measured model. */
   @volatile private[graft] var driverRouteNprOverride: Option[Long] = None
   /** Test seam: back to the unmeasured (cold-admit) state. */
-  private[graft] def resetDriverRouteModel(): Unit = driverRouteNprX16.set(0L)
+  private[graft] def resetDriverRouteModel(): Unit = {
+    driverRouteEwma.set((0L, 0L))
+    driverRouteSampleCount.set(0L)
+  }
+  /** Observability: the current modeled driver cost (ns/row; 0 = unmeasured). */
+  private[graft] def driverRouteNprNanos: Long = {
+    val (n, r) = driverRouteEwma.get()
+    if (r <= 0) 0L else n / r
+  }
   /** Observability: route denials since JVM start. */
   val driverRouteDenials = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Below this row count, per-operation FIXED overhead (job submit,
@@ -2191,16 +2339,25 @@ object Ops {
   private val DriverRouteModelFloorRows = 1024L
   private[graft] def recordDriverRoute(rows: Long, nanos: Long): Unit =
     if (rows >= DriverRouteModelFloorRows && nanos > 0) {
-      val obs = math.max(1L, nanos * 16 / rows)
-      driverRouteNprX16.getAndUpdate { prev: Long =>
-        if (prev <= 0) obs else (prev * 3 + obs) / 4 // EWMA, alpha 1/4
+      driverRouteSampleCount.incrementAndGet()
+      driverRouteEwma.getAndUpdate { prev: (Long, Long) =>
+        val (n0, r0) = prev
+        if (r0 <= 0) (nanos, rows)
+        else ((n0 * 3 + nanos) / 4, (r0 * 3 + rows) / 4) // EWMAs, alpha 1/4
       }
       ()
     }
   private[graft] def driverRouteAdmit(rows: Long): Boolean = {
     if (rows <= DriverRouteModelFloorRows) return true
-    val nprX16 = driverRouteNprOverride.map(_ * 16)
-      .getOrElse(driverRouteNprX16.get())
+    val nprX16 = driverRouteNprOverride.map(_ * 16).getOrElse {
+      // warm-up: admit until the model has enough observations to mean
+      // anything (the override above bypasses this — forced states are
+      // the spec seam, not a measurement)
+      if (driverRouteSampleCount.get() < DriverRouteWarmupSamples)
+        return true
+      val (n, r) = driverRouteEwma.get()
+      if (r <= 0) 0L else n * 16 / r
+    }
     // rows is capped at DriverPatchHardRowCap (2^20) by every caller,
     // so the product stays far from Long overflow
     val ok = nprX16 <= 0 || rows * nprX16 / 16 <= DriverRouteBudgetNanos
@@ -2209,11 +2366,12 @@ object Ops {
       // denial must not be ABSORBING: a denied route produces no new
       // samples, so a one-off slow burst (or a tiny-chunk store's high
       // fixed costs) would pin the model slow forever. Each denial
-      // decays the estimate ~6%; after enough denials the route is
+      // decays the cost estimate ~6%; after enough denials the route is
       // retried and the next real sample re-trains the model — the
       // standard probe-to-recover loop.
-      driverRouteNprX16.getAndUpdate { prev: Long =>
-        if (prev <= 0) prev else prev * 15 / 16
+      driverRouteEwma.getAndUpdate { prev: (Long, Long) =>
+        val (n0, r0) = prev
+        if (r0 <= 0) prev else (n0 * 15 / 16, r0)
       }
       ()
     }

@@ -82,6 +82,34 @@ class DriverRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("one cold fixed-cost-dominated sample does not pin the governor slow") {
+    Ops.driverRouteNprOverride = None
+    Ops.resetDriverRouteModel()
+    try {
+      // the JVM-cold shape: a 4k-row driver read that paid codec init +
+      // class loading — 220 ms reads as 55 µs/row, which would project
+      // every metadata-sized route over the 1.5 s budget
+      Ops.recordDriverRoute(4000L, 220L * 1000L * 1000L)
+      // warm-up window: routes keep flowing (and keep training) instead
+      // of being denied on one data point
+      assert(Ops.driverRouteAdmit(40000L),
+        "warm-up admission denied on a single cold sample")
+      // three warm large samples wash the poison out of the ratio; the
+      // model is then consulted (past the warm-up window) and must admit
+      (1 to 3).foreach(_ =>
+        Ops.recordDriverRoute(70000L, 40L * 1000L * 1000L))
+      assert(Ops.driverRouteNprNanos < 5000L,
+        s"ratio-of-EWMAs still poisoned: ${Ops.driverRouteNprNanos} ns/row")
+      assert(Ops.driverRouteAdmit(100000L),
+        "post-warm-up admission still denied after recovery")
+      // a genuinely slow SUSTAINED regime still locks the governor in
+      (1 to 8).foreach(_ =>
+        Ops.recordDriverRoute(100000L, 3000L * 1000L * 1000L))
+      assert(!Ops.driverRouteAdmit(100000L),
+        "sustained measured slowness must deny past the warm-up window")
+    } finally { Ops.driverRouteNprOverride = None; Ops.resetDriverRouteModel() }
+  }
+
   test("admission math: cold model admits; measured cost gates by projected time") {
     Ops.driverRouteNprOverride = None
     Ops.resetDriverRouteModel()
