@@ -1574,16 +1574,18 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       if (insSrc.isEmpty && delSrc.isEmpty) return Some(prev.hash)
       // map the source delta through the row-local transform, projected
       // into the RESULT's column order; a filter/projection over a
-      // LocalRelation folds at plan time, so collect launches no job
+      // LocalRelation folds at plan time, so the collect launches no job
+      // — and a GENERATOR delta (explode) runs its one local-scan task
+      // interpreted on the engine clone, skipping janino compilation of
+      // a per-statement plan shape for provably tiny data
       def transformed(rs: Seq[org.apache.spark.sql.Row])
           : Seq[org.apache.spark.sql.Row] = {
         if (rs.isEmpty) return Nil
         import scala.jdk.CollectionConverters._
         val df0 = spark.createDataFrame(rs.asJava, m.schema)
         val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
-        df1.select(t.columns: _*)
-          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
-          .collect().toSeq
+        collectDriverBounded(df1.select(t.columns: _*)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)).toSeq
       }
       val insT0 = transformed(insSrc)
       val delT0 = transformed(delSrc)
@@ -2252,11 +2254,17 @@ object Ops {
     * semantics). */
   private[core] def driverDiffable(
       schema: org.apache.spark.sql.types.StructType): Boolean = {
-    import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType}
-    DriverChunks.supported(schema) && schema.fields.forall(_.dataType match {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
+      DoubleType, FloatType, StructType}
+    // recursive: an array<double> value column has the same NaN/-0.0
+    // structural-equality hazards as a top-level double
+    def ok(dt: DataType): Boolean = dt match {
       case BinaryType | FloatType | DoubleType => false
+      case ArrayType(e, _) => ok(e)
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
       case _ => true
-    })
+    }
+    DriverChunks.supported(schema) && schema.fields.forall(f => ok(f.dataType))
   }
 
   /** Width-adaptive row cap for sites that know only a row count (no

@@ -141,6 +141,54 @@ class IndexSpec extends AnyFunSuite {
       "patched index diverged from the from-scratch rebuild")
   }
 
+  test("scattered small DML: refresh splices by source-row diff instead of rebuilding the index") {
+    // a non-leading-key DML whose matches scatter one-row-per-chunk
+    // changes MANY source chunk hashes while leaving almost every row
+    // identical — the chunk-level wide-delta guard alone would read
+    // this as "the whole table changed" and rebuild the index; the
+    // source-row diff route must keep refresh writes O(row delta)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx4-"))
+    val ops = new Ops(spark, store, 64)
+    val cat = new Catalog(store)
+    val sess = new SqlSession(spark, ops, cat)
+    sess.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i % 61)).toDF("id", "grp")
+      .createOrReplaceTempView("idx_seed4")
+    sess.execute("INSERT INTO t SELECT * FROM idx_seed4")
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    val idxChunks = ops.meta(cat.get("t_grp").get).chunks.length
+    assert(idxChunks > 30, s"need a many-chunk index, got $idxChunks")
+    // grp=7 rows sit 61 apart — one per source chunk (64-row chunks):
+    // every chunk is touched, the row delta is ~66 rows
+    sess.execute("DELETE FROM t WHERE grp = 7 AND id % 2 = 1")
+    store.stats.reset()
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp = 7 ORDER BY id"): @unchecked
+    val saves = store.stats.snapshot("chunkSaves")
+    // the deleted index keys share the grp=7 prefix, so the splice
+    // touches a handful of contiguous index runs — a rebuild would
+    // rewrite all of them (and the old behavior did exactly that)
+    assert(saves <= 12,
+      s"scattered-DML index refresh wrote $saves chunks of $idxChunks — rebuilt, not spliced")
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      (0L until 4000L).filter(i => i % 61 == 7 && i % 2 == 0))
+    // and the spliced index hash-equals a from-scratch build over the
+    // same final source
+    val patchedHash = cat.get("t_grp").get.hash
+    val store2 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx4b-"))
+    val ops2 = new Ops(spark, store2, 64)
+    val cat2 = new Catalog(store2)
+    val sess2 = new SqlSession(spark, ops2, cat2)
+    sess2.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL)")
+    sess2.execute("INSERT INTO t SELECT * FROM idx_seed4")
+    sess2.execute("DELETE FROM t WHERE grp = 7 AND id % 2 = 1")
+    sess2.execute("CREATE INDEX t_grp ON t (grp)")
+    sess2.execute("SELECT id FROM t WHERE grp = 7")
+    assert(cat2.get("t_grp").get.hash == patchedHash,
+      "source-row-diff spliced index diverged from the from-scratch build")
+  }
+
   test("range predicates probe the index: BETWEEN and one-sided") {
     val (sess, _, _) = newSession()
     seed(sess)
