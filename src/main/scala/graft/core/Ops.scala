@@ -1376,7 +1376,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
-        else if (viaSourceDiff.isDefined) viaSourceDiff
+        // tri-state: Some(Some(h)) = patched; Some(None) = the exact
+        // transformed delta was computed and the splice is provably
+        // unprofitable (the mini route would compute the SAME delta and
+        // hit the SAME guards — skip straight to the rebuild);
+        // None = route inapplicable, fall through to the mini path
+        else if (viaSourceDiff.isDefined) viaSourceDiff.get
         else if ({
           // wide-delta guard: patching pays only when the delta is a
           // small fraction of the source — above a quarter of the
@@ -1515,13 +1520,19 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * under the uniqueKeys contract (no other source row can produce a
     * delta row's output keys), and the transformed delta is re-diffed
     * so value-insensitive source updates (a price change under a
-    * custkey index) splice nothing. None on any inapplicability or
-    * surprise — the caller falls through to the mini-diff path and its
-    * guards. At 100 TB the byte budget rejects wide chunk deltas before
-    * any IO. */
+    * custkey index) splice nothing.
+    *
+    * Tri-state result: `None` = route INAPPLICABLE (schema, caps,
+    * governor, or a read surprise) — the caller falls through to the
+    * mini-diff path and its guards; `Some(Some(h))` = patched;
+    * `Some(None)` = the EXACT transformed delta was computed and the
+    * splice is provably unprofitable (scattered keys / over-cap
+    * fan-out) — the mini route would compute the same delta and hit
+    * the same guards, so the caller should skip it and rebuild. At
+    * 100 TB the byte budget rejects wide chunk deltas before any IO. */
   private def patchViaSourceDiff(m: TableMeta, t: ColTransform,
       removed: Seq[ChunkMeta], added: Seq[ChunkMeta], prev: TableRef,
-      pm: TableMeta): Option[String] = {
+      pm: TableMeta): Option[Option[String]] = {
     import scala.util.control.NonFatal
     def dbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
@@ -1571,7 +1582,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val delSrc = diff(oldR, newR)
       // rows identical, chunks merely re-cut: the transform output is
       // unchanged by definition
-      if (insSrc.isEmpty && delSrc.isEmpty) return Some(prev.hash)
+      if (insSrc.isEmpty && delSrc.isEmpty) return Some(Some(prev.hash))
       // map the source delta through the row-local transform, projected
       // into the RESULT's column order; a filter/projection over a
       // LocalRelation folds at plan time, so the collect launches no job
@@ -1595,13 +1606,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val delT = diff(delT0, insT0)
       dbg(s"srcDelta ins=${insSrc.length} del=${delSrc.length} " +
         s"→ transformed ins=${insT.length} del=${delT.length}")
-      if (insT.isEmpty && delT.isEmpty) return Some(prev.hash)
+      if (insT.isEmpty && delT.isEmpty) return Some(Some(prev.hash))
       // generator fan-out can exceed the source delta — re-check the cap
-      // in RESULT-schema terms before handing the rows to the splice
+      // in RESULT-schema terms before handing the rows to the splice.
+      // The delta is EXACT here, so an over-cap delta is over-cap for
+      // the mini route too: rebuild, don't retry.
       if (insT.length + delT.length >
           Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows)) {
-        dbg("decline: transformed delta above the result-schema cap")
-        return None
+        dbg("rebuild: transformed delta above the result-schema cap")
+        return Some(None)
       }
       val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
       def keyOf(r: org.apache.spark.sql.Row): Seq[Any] = kIdx.map(r.get)
@@ -1609,11 +1622,13 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val delKeys = delT.iterator.map(keyOf).filterNot(insKeys)
         .toSeq.distinct
       // same scattered-delta guard as the mini route: keys touching
-      // more than half the result's chunks mean the rebuild writes less
+      // more than half the result's chunks mean the rebuild writes
+      // less. A decline here is FINAL (Some(None)) — the mini route
+      // would splice the identical delta under the identical guard.
       val out = patchTableBounded(prev, insT, delKeys,
         Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
       dbg(s"patchTableBounded → ${out.isDefined}")
-      out
+      Some(out)
     } catch { case NonFatal(e) =>
       Ops.warnDriverPatchFallback(e); None }
   }
