@@ -1242,6 +1242,21 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     //    NEEDS the full mini set.)
     if (t.uniqueKeys)
       return finish(transformDirect(m, t, fold, target))
+    // 2b. INSERT-ONLY delta fold-in (non-unique re-keys — aggregate
+    //     views): when the row-level source delta is a pure APPEND
+    //     (removed chunks' rows all reappear in the added chunks'), the
+    //     new result is fold_merge(previous result, fold(delta rows)) —
+    //     commutativity/associativity of the admitted combinable fold,
+    //     with no inversion needed because no group loses rows. Cost is
+    //     O(delta + touched result regions), NOT the O(groups × chunks)
+    //     full mini re-merge a group-scattered delta forces below — at
+    //     100 TB this is streaming-append aggregate maintenance priced
+    //     by the RESULT, not the fact table. Deletes/updates fall
+    //     through to the exact general paths.
+    prev.foreach { p =>
+      rekeyInsertOnlyDelta(m, t, fold, p, target)
+        .foreach(h => return finish(h))
+    }
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
     // 3. per-chunk minis (one batched compute of the missing ones)
@@ -1537,49 +1552,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     def dbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
         System.err.println(s"[src-diff-patch] $msg")
-    if (!Canonical.driverMaterializeEnabled) return None
-    // structural row equality must be safe on BOTH schemas: the source
-    // rows are diffed pre-transform, the transformed delta post
-    if (!Ops.driverDiffable(m.schema) || !Ops.driverDiffable(pm.schema)) {
-      dbg("decline: schema not driver-diffable"); return None
-    }
-    val changed = removed ++ added
-    val rows = changed.iterator.map(_.rows).sum
-    if (rows > Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
-        !chunkBytes(changed).exists(_ <= Ops.DriverPatchMaxBytes) ||
-        !Ops.driverRouteAdmit(rows)) {
-      dbg(s"decline: caps (rows=$rows cap=${Ops.adaptiveRowCap(m.schema,
-        Ops.PatchMaxDeltaRows)} bytes=${chunkBytes(changed)} " +
-        s"admit=${Ops.driverRouteAdmit(rows)} npr=${Ops.driverRouteNprNanos})")
-      return None
+    // the transformed delta is re-diffed below, so structural equality
+    // must also be safe on the RESULT schema
+    if (!Ops.driverDiffable(pm.schema)) {
+      dbg("decline: result schema not driver-diffable"); return None
     }
     try {
-      def rowsOf(cs: Seq[ChunkMeta]): Seq[org.apache.spark.sql.Row] =
-        Canonical.parIo(cs)(c => DriverChunks.readRows(
-          java.nio.file.Paths.get(store.chunkPath(c.hash)), m.schema))
-          .flatten
-      val (oldR, newR) = Ops.timedDriverRoute(rows)(
-        (rowsOf(removed), rowsOf(added)))
-      // multiset difference on structural row equality (the same
-      // arithmetic as the mini-diff route)
-      def diff(xs: Seq[org.apache.spark.sql.Row],
-          ys: Seq[org.apache.spark.sql.Row])
-          : Seq[org.apache.spark.sql.Row] = {
-        val counts = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
-        ys.foreach { y =>
-          val k = y.toSeq
-          counts.update(k, counts.getOrElse(k, 0) + 1)
-        }
-        xs.filter { x =>
-          val k = x.toSeq
-          counts.get(k) match {
-            case Some(c) if c > 0 => counts.update(k, c - 1); false
-            case _ => true
-          }
-        }
-      }
-      val insSrc = diff(newR, oldR)
-      val delSrc = diff(oldR, newR)
+      val (insSrc, delSrc) = sourceRowDelta(m, removed, added, dbg)
+        .getOrElse(return None)
       // rows identical, chunks merely re-cut: the transform output is
       // unchanged by definition
       if (insSrc.isEmpty && delSrc.isEmpty) return Some(Some(prev.hash))
@@ -1602,8 +1582,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val delT0 = transformed(delSrc)
       // re-diff at the TRANSFORMED level: a source update the transform
       // is insensitive to yields identical rows on both sides
-      val insT = diff(insT0, delT0)
-      val delT = diff(delT0, insT0)
+      val insT = Ops.multisetRowDiff(insT0, delT0)
+      val delT = Ops.multisetRowDiff(delT0, insT0)
       dbg(s"srcDelta ins=${insSrc.length} del=${delSrc.length} " +
         s"→ transformed ins=${insT.length} del=${delT.length}")
       if (insT.isEmpty && delT.isEmpty) return Some(Some(prev.hash))
@@ -1631,6 +1611,121 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       Some(out)
     } catch { case NonFatal(e) =>
       Ops.warnDriverPatchFallback(e); None }
+  }
+
+  /** Byte-admitted SOURCE-row delta between two table versions' changed
+    * chunks, read driver-side and diffed by structural row equality:
+    * Some((inserted, deleted)) when the schema is driver-diffable, the
+    * changed chunks fit the row/byte caps, the governor admits, and the
+    * reads succeed — None otherwise (callers fall back to their job
+    * paths). Shared by the uniqueKeys splice route and the insert-only
+    * aggregate fold-in. */
+  private def sourceRowDelta(m: TableMeta, removed: Seq[ChunkMeta],
+      added: Seq[ChunkMeta], dbg: (=> String) => Unit)
+      : Option[(Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row])] = {
+    import scala.util.control.NonFatal
+    if (!Canonical.driverMaterializeEnabled) return None
+    if (!Ops.driverDiffable(m.schema)) {
+      dbg("decline: source schema not driver-diffable"); return None
+    }
+    val changed = removed ++ added
+    val rows = changed.iterator.map(_.rows).sum
+    if (rows > Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
+        !chunkBytes(changed).exists(_ <= Ops.DriverPatchMaxBytes) ||
+        !Ops.driverRouteAdmit(rows)) {
+      dbg(s"decline: caps (rows=$rows cap=${Ops.adaptiveRowCap(m.schema,
+        Ops.PatchMaxDeltaRows)} bytes=${chunkBytes(changed)} npr=${
+        Ops.driverRouteNprNanos})")
+      return None
+    }
+    try {
+      def rowsOf(cs: Seq[ChunkMeta]): Seq[org.apache.spark.sql.Row] =
+        Canonical.parIo(cs)(c => DriverChunks.readRows(
+          java.nio.file.Paths.get(store.chunkPath(c.hash)), m.schema))
+          .flatten
+      val (oldR, newR) = Ops.timedDriverRoute(rows)(
+        (rowsOf(removed), rowsOf(added)))
+      Some((Ops.multisetRowDiff(newR, oldR), Ops.multisetRowDiff(oldR, newR)))
+    } catch { case NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
+  }
+
+  /** INSERT-only delta fold-in for NON-unique combinable re-keys
+    * (aggregate views): when the row-level source delta between the
+    * previous refresh's source and the current one is a pure APPEND,
+    * the new result is `merge(previous result, fold(delta rows))` —
+    * the admitted folds are commutative/associative with bit-stable
+    * partials (the [[rekeyCombinable]] contract), and with no deleted
+    * rows no group can vanish or need inversion, so the fold-in is
+    * bit-identical to the from-scratch rekey (content-defined chunking
+    * makes the decomposition a pure function of the key set; pinned by
+    * the MV incremental==from-scratch hash specs). Cost is O(delta +
+    * result regions the delta keys touch) — a group-scattered append
+    * no longer re-merges every per-chunk mini (O(groups × chunks)); at
+    * 100 TB this prices streaming-append aggregate maintenance by the
+    * RESULT table, not the fact table. None (fall through to the mini
+    * path) when preconditions fail, the delta has deletes/updates, or
+    * any read surprises. */
+  private def rekeyInsertOnlyDelta(m: TableMeta, t: ColTransform,
+      fold: FoldSpec, prev: TableRef, target: Long): Option[String] = {
+    import scala.util.control.NonFatal
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
+        System.err.println(s"[rekey-append] $msg")
+    def tryLoad(h: String): Option[TableMeta] =
+      try Some(store.loadTableMeta(h)) catch { case NonFatal(_) => None }
+    for {
+      s1Hash <- store.memoGet(rekeyRevOp(t, fold, target, prev.hash))
+      m1 <- tryLoad(s1Hash)
+      if m1.schemaJson == m.schemaJson && m1.keyCols == m.keyCols &&
+        m1.chunkTargetRows == m.chunkTargetRows
+      pm <- tryLoad(prev.hash)
+      if pm.chunkTargetRows == target
+      result <- {
+        val c2 = m.chunks.iterator.map(_.hash).toSet
+        val c1 = m1.chunks.iterator.map(_.hash).toSet
+        val removed = m1.chunks.filterNot(c => c2(c.hash)).distinctBy(_.hash)
+        val added = m.chunks.filterNot(c => c1(c.hash)).distinctBy(_.hash)
+        if (removed.isEmpty && added.isEmpty) Some(prev.hash)
+        else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
+          None
+        else sourceRowDelta(m, removed, added, dbg).flatMap {
+          case (insSrc, delSrc) =>
+            if (delSrc.nonEmpty) { dbg("decline: delta has deletes"); None }
+            else if (insSrc.isEmpty) Some(prev.hash)
+            else try {
+              import scala.jdk.CollectionConverters._
+              val df0 = spark.createDataFrame(insSrc.asJava, m.schema)
+              val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
+              val projected = df1.select(t.columns: _*)
+              val valueCols = projected.columns
+                .filterNot(t.outKeyCols.contains).toSeq
+              val folded = projected.groupBy(t.outKeyCols.map(col): _*)
+                .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+              val deltaMeta = Canonical.materialize(spark, store,
+                castValues(folded, projected.schema, valueCols),
+                t.outKeyCols, target,
+                // fold output ≤ projected rows ≤ delta rows for 1→1
+                // transforms; a generator's output is unknown — use the
+                // optimistic tiny-input probe, exactly like the build
+                rowBound = if (t.generator) None
+                  else Some(insSrc.length.toLong),
+                rowProbe = if (t.generator) Some(insSrc.length.toLong)
+                  else None)
+              if (deltaMeta.schemaJson != pm.schemaJson) {
+                dbg("decline: delta schema diverged from the result's")
+                None
+              } else {
+                dbg(s"fold-in: ${insSrc.length} appended rows → " +
+                  s"${deltaMeta.chunks.map(_.rows).sum} delta groups")
+                Some(merge(Seq(prev, TableRef(deltaMeta.tableHash)), fold)
+                  .hash)
+              }
+            } catch { case NonFatal(e) =>
+              Ops.warnDriverPatchFallback(e); None }
+        }
+      }
+    } yield result
   }
 
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
@@ -2280,6 +2375,26 @@ object Ops {
       case _ => true
     }
     DriverChunks.supported(schema) && schema.fields.forall(f => ok(f.dataType))
+  }
+
+  /** Multiset difference `xs ∖ ys` on STRUCTURAL row equality — each
+    * `ys` occurrence cancels one matching `xs` row. Callers must gate
+    * on [[driverDiffable]]: structural equality is only SQL-faithful
+    * without binary arrays and fp NaN/-0.0 fields (recursively). */
+  private[core] def multisetRowDiff(xs: Seq[org.apache.spark.sql.Row],
+      ys: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+    val counts = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+    ys.foreach { y =>
+      val k = y.toSeq
+      counts.update(k, counts.getOrElse(k, 0) + 1)
+    }
+    xs.filter { x =>
+      val k = x.toSeq
+      counts.get(k) match {
+        case Some(c) if c > 0 => counts.update(k, c - 1); false
+        case _ => true
+      }
+    }
   }
 
   /** Width-adaptive row cap for sites that know only a row count (no
