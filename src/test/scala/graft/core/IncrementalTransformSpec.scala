@@ -171,6 +171,70 @@ class IncrementalTransformSpec extends AnyFunSuite {
       s"expected near-total chunk sharing after 1-key update: $shared/$total")
   }
 
+  test("append-delta aggregate refresh folds into the previous result: no mini traffic, hash-equals every other route") {
+    // INSERT-only deltas take the fold-in route: new_result =
+    // merge(prev_result, fold(delta rows)) — priced by the RESULT, not
+    // by a re-merge of every per-chunk mini. The group key scatters
+    // (digit reversal), so the appended keys' groups spread across the
+    // whole output keyspace — the shape that makes the mini re-merge
+    // O(groups × chunks) and the fold-in O(delta + touched regions).
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyap-"))
+    val ops = new Ops(spark, store, 64)
+    val rekeySum = ColTransform("rekey_sum_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        col("v")))
+    val rows = (0 until 20000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeySum, FoldSpec.FoldSum)
+
+    // pure append: 60 NEW keys (sort after every existing key — a tail
+    // batch), groups scattered by the reversal
+    val delta = (20000 until 20060).map(i => f"k$i%05d" -> (i * 3).toLong)
+    val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+
+    store.stats.reset()
+    val v2 = ops.transform(merged, rekeySum, FoldSpec.FoldSum,
+      prev = Some(v1))
+    val snap = store.stats.snapshot
+    // the fold-in consults the reverse memo, the whole-op memo, and the
+    // RESULT merge's region memos (~#result regions) — it must NOT walk
+    // the per-chunk mini memos (the mini path does one memoGet per
+    // source chunk, ~300 here)
+    assert(snap("memoHits") + snap("memoMisses") <= 60,
+      s"append refresh walked the mini memos: $snap")
+    assert(snap("chunkSaves") <= 16,
+      s"append refresh should write O(delta) chunks, wrote ${snap("chunkSaves")}")
+    // value correctness against the driver model
+    def model(data: Map[String, Long]): Map[String, Long] =
+      data.toSeq.groupBy { case (k, _) => "g" + k.substring(1, 5).reverse }
+        .view.mapValues(_.map(_._2).sum).toMap
+    val want = model((rows ++ delta).toMap)
+    val got = ops.scan(v2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // hash-equals a from-scratch build in a fresh store
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyap2-")), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df(rows ++ delta), Seq("k")), rekeySum,
+      FoldSpec.FoldSum)
+    assert(v2.hash == scratch.hash,
+      "append fold-in must hash-equal the from-scratch build")
+    // and hash-equals the forced mini route (fold-in declines when the
+    // driver routes are disabled)
+    val store3 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyap3-"))
+    val ops3 = new Ops(spark, store3, 64)
+    val base3 = ops3.fromDataFrame(df(rows), Seq("k"))
+    val v13 = ops3.transform(base3, rekeySum, FoldSpec.FoldSum)
+    val merged3 = ops3.upsert(base3, ops3.fromDataFrame(df(delta), Seq("k")))
+    Canonical.driverMaterializeEnabled = false
+    val v23 =
+      try ops3.transform(merged3, rekeySum, FoldSpec.FoldSum,
+        prev = Some(v13))
+      finally Canonical.driverMaterializeEnabled = true
+    assert(v23.hash == v2.hash,
+      "fold-in route diverged from the mini-merge route")
+  }
+
   test("gc sweeps mini/piece caches; the next refresh self-heals and stays correct") {
     // minis, pieces, and region results are CACHE (memo-only tables):
     // GC may sweep them all. A later refresh must recompute what it
