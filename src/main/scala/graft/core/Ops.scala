@@ -109,20 +109,6 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     TableRef(meta.tableHash)
   }
 
-  /** [[fromDataFrameBounded]] for inputs whose output keys the CALLER
-    * proves unique — e.g. the MERGE splice region: target keys are
-    * unique by table construction and source-key uniqueness is a
-    * checked statement error, so collision folding would be a semantic
-    * no-op. Skipping the groupBy drops its full-output exchange, and a
-    * byte-admitted input rides the one-collect driver materialization
-    * instead of the sample+write job pair. Table hash is identical to
-    * the folded path (same rows; content-defined chunking). */
-  def fromDataFrameUnique(df: DataFrame, keyCols: Seq[String],
-      rowBound: Option[Long], byteBound: Option[Long]): TableRef =
-    TableRef(Canonical.materialize(spark, store, df, keyCols,
-      chunkTargetRows, rowBound = rowBound, byteBound = byteBound)
-      .tableHash)
-
   /** Caller-facing size hints of a chunk-backed table: exact row count
     * from chunk metadata, compressed bytes from file stats (None on any
     * stat surprise). The inputs to the byte-admitted driver routes. */
@@ -1463,27 +1449,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
                       Canonical.parIo(ms.flatMap(_.chunks))(c =>
                         DriverChunks.readRows(java.nio.file.Paths.get(
                           store.chunkPath(c.hash)), pm.schema)).flatten
-                    // multiset difference on structural row equality
-                    def diff(xs: Seq[org.apache.spark.sql.Row],
-                        ys: Seq[org.apache.spark.sql.Row])
-                        : Seq[org.apache.spark.sql.Row] = {
-                      val counts =
-                        scala.collection.mutable.HashMap.empty[Seq[Any], Int]
-                      ys.foreach { y =>
-                        val k = y.toSeq
-                        counts.update(k, counts.getOrElse(k, 0) + 1)
-                      }
-                      xs.filter { x =>
-                        val k = x.toSeq
-                        counts.get(k) match {
-                          case Some(n) if n > 0 =>
-                            counts.update(k, n - 1); false
-                          case _ => true
-                        }
-                      }
-                    }
                     val aR = rowsOf(addM); val rR = rowsOf(remM)
-                    Some((diff(aR, rR), diff(rR, aR)))
+                    Some((Ops.multisetRowDiff(aR, rR),
+                      Ops.multisetRowDiff(rR, aR)))
                   } catch { case NonFatal(e) =>
                     Ops.warnDriverPatchFallback(e); None }
                 else None
@@ -1568,18 +1536,33 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       // LocalRelation folds at plan time, so the collect launches no job
       // — and a GENERATOR delta (explode) runs its one local-scan task
       // interpreted on the engine clone, skipping janino compilation of
-      // a per-statement plan shape for provably tiny data
+      // a per-statement plan shape for provably tiny data. The collect
+      // is LIMIT-guarded: a generator's fan-out is unbounded by the
+      // source delta, and the row cap must reject BEFORE the rows land
+      // in driver memory, not after.
+      val cap = Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows).toInt
       def transformed(rs: Seq[org.apache.spark.sql.Row])
-          : Seq[org.apache.spark.sql.Row] = {
-        if (rs.isEmpty) return Nil
+          : Option[Seq[org.apache.spark.sql.Row]] = {
+        if (rs.isEmpty) return Some(Nil)
         import scala.jdk.CollectionConverters._
         val df0 = spark.createDataFrame(rs.asJava, m.schema)
         val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
-        collectDriverBounded(df1.select(t.columns: _*)
-          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)).toSeq
+        val out = collectDriverBounded(df1.select(t.columns: _*)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
+          .limit(cap + 1))
+        if (out.length > cap) None else Some(out.toSeq)
       }
-      val insT0 = transformed(insSrc)
-      val delT0 = transformed(delSrc)
+      // over-cap transformed delta: INAPPLICABLE (fall through), not
+      // rebuild — the mini route caps its diff sides separately and can
+      // still admit shapes this sum-capped path cannot
+      val insT0 = transformed(insSrc).getOrElse {
+        dbg("decline: transformed delta above the result-schema cap")
+        return None
+      }
+      val delT0 = transformed(delSrc).getOrElse {
+        dbg("decline: transformed delta above the result-schema cap")
+        return None
+      }
       // re-diff at the TRANSFORMED level: a source update the transform
       // is insensitive to yields identical rows on both sides
       val insT = Ops.multisetRowDiff(insT0, delT0)
@@ -1587,15 +1570,6 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       dbg(s"srcDelta ins=${insSrc.length} del=${delSrc.length} " +
         s"→ transformed ins=${insT.length} del=${delT.length}")
       if (insT.isEmpty && delT.isEmpty) return Some(Some(prev.hash))
-      // generator fan-out can exceed the source delta — re-check the cap
-      // in RESULT-schema terms before handing the rows to the splice.
-      // The delta is EXACT here, so an over-cap delta is over-cap for
-      // the mini route too: rebuild, don't retry.
-      if (insT.length + delT.length >
-          Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows)) {
-        dbg("rebuild: transformed delta above the result-schema cap")
-        return Some(None)
-      }
       val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
       def keyOf(r: org.apache.spark.sql.Row): Seq[Any] = kIdx.map(r.get)
       val insKeys = insT.iterator.map(keyOf).toSet
@@ -1689,6 +1663,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
+        // metadata pre-check before ANY chunk IO: an insert-only delta
+        // strictly grows the changed region's row count (updates keep it
+        // equal, deletes shrink it) — the common DML-then-refresh flows
+        // that can never take this route decline for free here instead
+        // of paying the driver reads and the multiset diff
+        else if (added.iterator.map(_.rows).sum <=
+            removed.iterator.map(_.rows).sum) {
+          dbg("decline: no net row growth — not an insert-only delta")
+          None
+        }
         else sourceRowDelta(m, removed, added, dbg).flatMap {
           case (insSrc, delSrc) =>
             if (delSrc.nonEmpty) { dbg("decline: delta has deletes"); None }

@@ -274,11 +274,30 @@ object Merge {
       // WORSE: AQE's post-shuffle coalescing beats its per-stage job
       // launches here (224 ms across 4 tiny jobs vs 450 ms of one job
       // with 32 near-empty distinct-exchange tasks at sf0.1).
+      // MEASURED source bytes (fixed widths + actual var-width lengths)
+      // ride along in the same job — the byte half of the driver-route
+      // admission below. Measured, never estimated: a fabricated
+      // per-row constant would byte-admit a wide-string merge far over
+      // the driver budget.
+      val rowBytes: Column = {
+        import org.apache.spark.sql.types.{BinaryType, StringType}
+        val fixed = src.schema.fields.map(_.dataType match {
+          case StringType | BinaryType => 0
+          case dt => dt.defaultSize
+        }).sum.toLong
+        src.schema.fields.filter(f =>
+          f.dataType == StringType || f.dataType == BinaryType)
+          .foldLeft(lit(fixed)) { (acc, f) =>
+            acc + coalesce(expr(s"octet_length(`${f.name}`)").cast("long"),
+              lit(0L))
+          }
+      }
       val chk = src.agg(count(lit(1)).as("n"),
         count_distinct(keyStruct).as("nd"),
         sum(when(srcKeyCols.map(col(_).isNull).reduce(_ || _), 1L)
           .otherwise(0L)).as("nullkeys"),
-        min(keyStruct).as("lo"), max(keyStruct).as("hi")).head()
+        min(keyStruct).as("lo"), max(keyStruct).as("hi"),
+        sum(rowBytes).as("sb")).head()
       val n = chk.getLong(0)
       if (n == 0) // empty source: a no-op mints no root
         return Right(ops.store.currentRootHash.getOrElse(
@@ -290,6 +309,7 @@ object Merge {
           "MERGE source has duplicate keys: a target row cannot match twice")
       val lo = chk.getStruct(3).toSeq
       val hi = chk.getStruct(4).toSeq
+      val srcBytes = chk.getLong(5)
 
       val tgtRef = TableRef(entry.tableHash)
       // the touched region: target restricted to the source key envelope
@@ -357,20 +377,26 @@ object Merge {
       // splice: complement range (metadata + ≤2 edge chunks) merged with
       // the rebuilt region — chunks outside the envelope pass through
       // verbatim and the new version shares their objects.
-      // The rebuilt region's size is KNOWN from metadata: ≤ envelope
-      // rows + source rows (each target row maps to ≤1 output row, each
-      // source row inserts ≤1). Passing the bounds lets a metadata-sized
-      // merge ride the one-collect driver materialization — the join
-      // plan itself defeats rowLocalScanBounds, so without them the
-      // splice always paid the full sample+write job pair. Output keys
-      // are unique by construction (target keys unique; duplicate
-      // source keys are a checked error above), so the collision fold
-      // and its exchange are skipped. At scale the bounds exceed the
-      // byte/row budgets and the job path runs unchanged.
+      // The rebuilt region's ROW bound is KNOWN from metadata: ≤
+      // envelope rows + source rows (each target row maps to ≤1 output
+      // row, each source row inserts ≤1). Passing it lets a
+      // metadata-sized merge ride the one-collect driver
+      // materialization — the join plan itself defeats
+      // rowLocalScanBounds, so without it the splice always paid the
+      // full sample+write job pair. The byte bound is the MEASURED
+      // envelope chunk bytes plus the MEASURED source row bytes from
+      // the check aggregate (uncompressed var-width lengths — the
+      // conservative side of a compressed-byte budget); a wide-string
+      // merge therefore exceeds it honestly and takes the job path.
+      // The collision fold STAYS: INSERT key expressions are arbitrary
+      // (VALUES (s.sk % 100, …)), so inserted keys can collide with
+      // each other or with kept envelope rows even though the ON keys
+      // are checked unique. At scale both bounds exceed the caps and
+      // the job path runs unchanged.
       val (envRows, envBytes) = ops.sizeHints(rangeRef)
-      val regionTable = ops.fromDataFrameUnique(projected, keyCols,
-        rowBound = envRows.map(_ + n),
-        byteBound = envBytes.map(_ + n * schema.defaultSize))
+      val regionTable = ops.fromDataFrameBounded(projected, keyCols,
+        FoldSpec.FoldLast, rowBound = envRows.map(_ + n),
+        byteBound = envBytes.map(_ + srcBytes))
       val complement = ops.deleteRange(tgtRef,
         Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
       val out = ops.merge(Seq(complement, regionTable), FoldSpec.FoldLast)
