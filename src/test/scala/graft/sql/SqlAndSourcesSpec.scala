@@ -1400,6 +1400,32 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "MERGE driver-route splice diverged from the job path")
   }
 
+  test("MERGE INTO: a byte-gated splice falls back to the job path, hashes unchanged") {
+    // the splice's byte bound is MEASURED (envelope chunk bytes +
+    // source octet_length sum); shrinking the driver byte budget must
+    // push the same MERGE onto the distributed path with an identical
+    // result table — the wide-string-source safety the measured bound
+    // exists for
+    def mergedHash(maxBytes: Long): String = {
+      val saved = graft.core.Ops.DriverPatchMaxBytes
+      graft.core.Ops.DriverPatchMaxBytes = maxBytes
+      try {
+        val (ops, cat) = newOps()
+        def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+        run("CREATE TABLE mb (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+        run("INSERT INTO mb SELECT id, id * 2, repeat('x', 64) FROM range(0, 400)")
+        run("""MERGE INTO mb AS t USING (
+            SELECT id * 3 AS sk, repeat('y', 64) AS sv FROM range(50, 250)
+          ) AS s ON t.k = s.sk
+          WHEN MATCHED THEN UPDATE SET s = s.sv
+          WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.sk, 0, s.sv)""")
+        cat.root("mb").tableHash
+      } finally graft.core.Ops.DriverPatchMaxBytes = saved
+    }
+    assert(mergedHash(64L << 20) == mergedHash(1L),
+      "byte-gated MERGE splice diverged from the driver route")
+  }
+
   test("MERGE INTO: INSERT * maps keys through ON; no-op merges mint no root") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
