@@ -1673,14 +1673,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           dbg("decline: no net row growth — not an insert-only delta")
           None
         }
-        else sourceRowDelta(m, removed, added, dbg).flatMap {
-          case (insSrc, delSrc) =>
-            if (delSrc.nonEmpty) { dbg("decline: delta has deletes"); None }
-            else if (insSrc.isEmpty) Some(prev.hash)
-            else try {
-              import scala.jdk.CollectionConverters._
-              val df0 = spark.createDataFrame(insSrc.asJava, m.schema)
-              val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
+        else {
+          // fold the appended-rows FRAME through the transform into a
+          // delta table at the result's granularity, then merge it into
+          // the previous result — the common tail of both the driver and
+          // the distributed variants
+          def foldIn(insDf: DataFrame, insRows: Long): Option[String] =
+            try {
+              val df1 = t.rowFilter.map(insDf.where).getOrElse(insDf)
               val projected = df1.select(t.columns: _*)
               val valueCols = projected.columns
                 .filterNot(t.outKeyCols.contains).toSeq
@@ -1692,21 +1692,71 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
                 // fold output ≤ projected rows ≤ delta rows for 1→1
                 // transforms; a generator's output is unknown — use the
                 // optimistic tiny-input probe, exactly like the build
-                rowBound = if (t.generator) None
-                  else Some(insSrc.length.toLong),
-                rowProbe = if (t.generator) Some(insSrc.length.toLong)
-                  else None)
+                rowBound = if (t.generator) None else Some(insRows),
+                rowProbe = if (t.generator) Some(insRows) else None)
               if (deltaMeta.schemaJson != pm.schemaJson) {
                 dbg("decline: delta schema diverged from the result's")
                 None
               } else {
-                dbg(s"fold-in: ${insSrc.length} appended rows → " +
+                dbg(s"fold-in: $insRows appended rows → " +
                   s"${deltaMeta.chunks.map(_.rows).sum} delta groups")
                 Some(merge(Seq(prev, TableRef(deltaMeta.tableHash)), fold)
                   .hash)
               }
             } catch { case NonFatal(e) =>
               Ops.warnDriverPatchFallback(e); None }
+
+          sourceRowDelta(m, removed, added, dbg) match {
+            case Some((insSrc, delSrc)) =>
+              if (delSrc.nonEmpty) { dbg("decline: delta has deletes"); None }
+              else if (insSrc.isEmpty) Some(prev.hash)
+              else {
+                import scala.jdk.CollectionConverters._
+                foldIn(spark.createDataFrame(insSrc.asJava, m.schema),
+                  insSrc.length.toLong)
+              }
+            case None =>
+              // DISTRIBUTED variant — the 100 TB path: changed chunks
+              // above the driver byte budget diff as FRAMES. One
+              // limit(1) job proves no row was deleted (exceptAll is
+              // exactly the multiset difference), then the appended
+              // rows fold in without ever landing on the driver. Gated
+              // on the same fp/binary-free schema rule as the driver
+              // diff: SQL set-op equality normalizes NaN/-0.0, which
+              // would let a bit-level value change masquerade as a
+              // no-op. Cost: ~two scans of the changed chunks + the
+              // delta materialization + the result merge — versus the
+              // mini path's changed-chunk minis PLUS a re-merge of
+              // EVERY mini when the appended group keys scatter.
+              // driverMaterializeEnabled doubles as the route-matrix
+              // master switch (specs force it off to exercise the
+              // reference mini/job paths) — honor it here even though
+              // this variant never touches driver memory
+              if (!Canonical.driverMaterializeEnabled ||
+                  !Ops.driverDiffable(m.schema)) {
+                dbg("decline: schema unsafe for distributed set-op diff")
+                None
+              } else try {
+                def readChunks(cs: Seq[ChunkMeta]): DataFrame =
+                  if (cs.isEmpty) spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    m.schema)
+                  else spark.read
+                    .schema(Canonical.withFieldIds(m.schema))
+                    .parquet(cs.map(c => store.chunkPath(c.hash)): _*)
+                    .select(m.schema.fieldNames.map(nm => col(nm)
+                      .as(nm, org.apache.spark.sql.types.Metadata.empty)): _*)
+                val addedDf = readChunks(added)
+                val removedDf = readChunks(removed)
+                val hasDeletes = removed.nonEmpty &&
+                  !removedDf.exceptAll(addedDf).limit(1).isEmpty
+                if (hasDeletes) {
+                  dbg("decline: distributed diff found deletes"); None
+                } else foldIn(addedDf.exceptAll(removedDf),
+                  added.iterator.map(_.rows).sum)
+              } catch { case NonFatal(e) =>
+                Ops.warnDriverPatchFallback(e); None }
+          }
         }
       }
     } yield result

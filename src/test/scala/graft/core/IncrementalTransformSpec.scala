@@ -235,6 +235,41 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "fold-in route diverged from the mini-merge route")
   }
 
+  test("append fold-in, distributed variant: changed chunks over the driver byte budget still fold in") {
+    // shrinking the driver byte budget declines the source-row diff;
+    // the set-op variant (exceptAll emptiness proof + frame fold-in)
+    // must take over — the 100 TB append path, where the changed
+    // chunks never fit driver memory
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyad-"))
+    val ops = new Ops(spark, store, 64)
+    val rekeySum = ColTransform("rekey_sum_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        col("v")))
+    val rows = (0 until 12000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeySum, FoldSpec.FoldSum)
+    val delta = (12000 until 12040).map(i => f"k$i%05d" -> (i * 7).toLong)
+    val merged = ops.upsert(base, ops.fromDataFrame(df(delta), Seq("k")))
+
+    val savedBytes = Ops.DriverPatchMaxBytes
+    Ops.DriverPatchMaxBytes = 1L // declines every byte-admitted route
+    store.stats.reset()
+    val v2 =
+      try ops.transform(merged, rekeySum, FoldSpec.FoldSum, prev = Some(v1))
+      finally Ops.DriverPatchMaxBytes = savedBytes
+    val snap = store.stats.snapshot
+    // still no per-chunk mini walk (~180 memoGets here)
+    assert(snap("memoHits") + snap("memoMisses") <= 60,
+      s"distributed append refresh walked the mini memos: $snap")
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyad2-")), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df(rows ++ delta), Seq("k")), rekeySum,
+      FoldSpec.FoldSum)
+    assert(v2.hash == scratch.hash,
+      "distributed append fold-in must hash-equal the from-scratch build")
+  }
+
   test("gc sweeps mini/piece caches; the next refresh self-heals and stays correct") {
     // minis, pieces, and region results are CACHE (memo-only tables):
     // GC may sweep them all. A later refresh must recompute what it
