@@ -1373,7 +1373,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val removed = m1.chunks.filterNot(c => c2(c.hash)).distinctBy(_.hash)
         val added = m.chunks.filterNot(c => c1(c.hash)).distinctBy(_.hash)
         lazy val viaSourceDiff =
-          patchViaSourceDiff(m, t, removed, added, prev, pm)
+          patchViaSourceDiff(m, t, fold, removed, added, prev, pm)
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
@@ -1514,8 +1514,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * the same guards, so the caller should skip it and rebuild. At
     * 100 TB the byte budget rejects wide chunk deltas before any IO. */
   private def patchViaSourceDiff(m: TableMeta, t: ColTransform,
-      removed: Seq[ChunkMeta], added: Seq[ChunkMeta], prev: TableRef,
-      pm: TableMeta): Option[Option[String]] = {
+      fold: FoldSpec, removed: Seq[ChunkMeta], added: Seq[ChunkMeta],
+      prev: TableRef, pm: TableMeta): Option[Option[String]] = {
     import scala.util.control.NonFatal
     def dbg(msg: => String): Unit =
       if (sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH"))
@@ -1576,13 +1576,53 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val delKeys = delT.iterator.map(keyOf).filterNot(insKeys)
         .toSeq.distinct
       // same scattered-delta guard as the mini route: keys touching
-      // more than half the result's chunks mean the rebuild writes
-      // less. A decline here is FINAL (Some(None)) — the mini route
-      // would splice the identical delta under the identical guard.
+      // more than half the result's chunks mean the rebuild writes less
       val out = patchTableBounded(prev, insT, delKeys,
         Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
       dbg(s"patchTableBounded → ${out.isDefined}")
-      Some(out)
+      out match {
+        case Some(h) => Some(Some(h))
+        case None if delT.isEmpty &&
+            // economics guard: the fold-in reads the PREVIOUS RESULT
+            // (region merge) where the rebuild rescans the SOURCE —
+            // it only pays when the result is the smaller side. A
+            // narrow secondary index over a wide fact table folds in
+            // (the rebuild would rescan the corpus for a metadata-sized
+            // append); a generator index BIGGER than its source (the
+            // shingle case — measured 2× slower here) keeps the rebuild.
+            (for {
+              pb <- chunkBytes(pm.chunks); mb <- chunkBytes(m.chunks)
+            } yield pb < mb).getOrElse(false) =>
+          // scattered INSERT-only delta: fold the delta table into the
+          // previous result through the region-memoized merge instead
+          // of rebuilding — the uniqueKeys contract makes the delta's
+          // output keys DISJOINT from prev's (a pre-existing key would
+          // mean two source rows for one output key), so the merge is
+          // collision-free and rewrites only the dirty regions, and the
+          // rebuild's full source rescan is avoided.
+          try {
+            import scala.jdk.CollectionConverters._
+            val deltaMeta = Canonical.materialize(spark, store,
+              spark.createDataFrame(insT.asJava, pm.schema),
+              pm.keyCols, pm.chunkTargetRows,
+              rowBound = Some(insT.length.toLong))
+            if (deltaMeta.schemaJson != pm.schemaJson) {
+              dbg("rebuild: delta schema diverged from the result's")
+              Some(None)
+            } else {
+              dbg(s"fold-in: ${insT.length} scattered appended keys " +
+                "merged into the previous result")
+              Ops.rekeyAppendFoldIns.incrementAndGet()
+              Some(Some(merge(Seq(prev, TableRef(deltaMeta.tableHash)),
+                fold).hash))
+            }
+          } catch { case NonFatal(e) =>
+            Ops.warnDriverPatchFallback(e); Some(None) }
+        // delete/update delta whose splice declined: the mini route
+        // would splice the identical delta under the identical guard —
+        // a decline here is FINAL, rebuild
+        case None => Some(None)
+      }
     } catch { case NonFatal(e) =>
       Ops.warnDriverPatchFallback(e); None }
   }
@@ -1700,6 +1740,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
               } else {
                 dbg(s"fold-in: $insRows appended rows → " +
                   s"${deltaMeta.chunks.map(_.rows).sum} delta groups")
+                Ops.rekeyAppendFoldIns.incrementAndGet()
                 Some(merge(Seq(prev, TableRef(deltaMeta.tableHash)), fold)
                   .hash)
               }
@@ -2502,6 +2543,11 @@ object Ops {
   }
   /** Observability: route denials since JVM start. */
   val driverRouteDenials = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Observability: insert-only delta fold-ins taken since JVM start
+    * (both the aggregate-view and the scattered-unique-index variants)
+    * — the counter that lets specs and production logs distinguish a
+    * fold-in refresh from a mini re-merge or a rebuild. */
+  val rekeyAppendFoldIns = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Below this row count, per-operation FIXED overhead (job submit,
     * plan compile, file open) dominates per-row cost: samples would
     * poison the ns/row model (a 5-row collect at ~100 ms reads as

@@ -189,6 +189,51 @@ class IndexSpec extends AnyFunSuite {
       "source-row-diff spliced index diverged from the from-scratch build")
   }
 
+  test("scattered APPEND: a narrow index folds the delta into the previous version instead of rescanning the source") {
+    // appended rows whose index keys scatter across more than half the
+    // index chunks decline the run splice; for a narrow index over a
+    // wider source the refresh must then MERGE the delta into the
+    // previous index (collision-free under the uniqueKeys contract)
+    // rather than rebuild — the rebuild rescans the whole source, the
+    // 100 TB cliff this route exists for
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx5-"))
+    val ops = new Ops(spark, store, 64)
+    val cat = new Catalog(store)
+    val sess = new SqlSession(spark, ops, cat)
+    // a wide padding column makes the SOURCE bytes dominate the index's
+    sess.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL, pad text NOT NULL)")
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i * 7919 % 4000, "p" * 120))
+      .toDF("id", "grp", "pad").createOrReplaceTempView("idx_seed5")
+    sess.execute("INSERT INTO t SELECT * FROM idx_seed5")
+    sess.execute("CREATE INDEX t_grp ON t (grp)")
+    // append 300 NEW ids whose grp keys scatter over the whole space
+    (4000L until 4300L).map(i => (i, i * 6101 % 4000, "p" * 120))
+      .toDF("id", "grp", "pad").createOrReplaceTempView("idx_delta5")
+    sess.execute("INSERT INTO t SELECT * FROM idx_delta5")
+    val foldIns0 = Ops.rekeyAppendFoldIns.get()
+    val Left(df) = sess.execute(
+      "SELECT id FROM t WHERE grp = 13 ORDER BY id"): @unchecked
+    assert(Ops.rekeyAppendFoldIns.get() > foldIns0,
+      "scattered narrow-index append refresh did not take the fold-in")
+    val want = ((0L until 4000L).filter(i => i * 7919 % 4000 == 13) ++
+      (4000L until 4300L).filter(i => i * 6101 % 4000 == 13)).sorted
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+    // and the folded index hash-equals a from-scratch build
+    val patchedHash = cat.get("t_grp").get.hash
+    val store2 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-idx5b-"))
+    val ops2 = new Ops(spark, store2, 64)
+    val cat2 = new Catalog(store2)
+    val sess2 = new SqlSession(spark, ops2, cat2)
+    sess2.execute("CREATE TABLE t (id bigint PRIMARY KEY, grp bigint NOT NULL, pad text NOT NULL)")
+    sess2.execute("INSERT INTO t SELECT * FROM idx_seed5")
+    sess2.execute("INSERT INTO t SELECT * FROM idx_delta5")
+    sess2.execute("CREATE INDEX t_grp ON t (grp)")
+    sess2.execute("SELECT id FROM t WHERE grp = 13")
+    assert(cat2.get("t_grp").get.hash == patchedHash,
+      "fold-in index diverged from the from-scratch build")
+  }
+
   test("range predicates probe the index: BETWEEN and one-sided") {
     val (sess, _, _) = newSession()
     seed(sess)
