@@ -57,17 +57,19 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage }
 
   /** Noise-robust per-query timing: two runs always; when they disagree
-    * by more than 15% a third run adjudicates and the MEDIAN is
-    * recorded (two agreeing runs record their min — the best unbiased
-    * noise-free estimate two samples give). One load spike can no
-    * longer print a 3x phantom regression into the BENCH artifact
-    * (round 7: a 23.8 s outlier for a query whose true cost was ~8 s
-    * steered a whole round's optimization priorities). Expected cost
-    * ~2.1x a single sweep — well under the 10-minute harness budget.
+    * by more than 15% a third run adjudicates. The recorded value is
+    * the MIN OF ALL SAMPLES (VERDICT r11 #1a): wall clock cannot spike
+    * BELOW a query's true cost, so the minimum is the least-contended
+    * estimate the window offers — where the old median-of-3 kept
+    * warm-up-under-contention samples in the recorded number (the r11
+    * driver artifact overstated identical code 1.5× that way). One load
+    * spike can still not print a phantom regression (round 7: a 23.8 s
+    * outlier for a query whose true cost was ~8 s steered a whole
+    * round's optimization priorities).
     *
     * Returns the recorded value PLUS every raw run, so the artifact can
     * distinguish a systematic slowdown (all runs slow) from an absorbed
-    * spike (one slow run, min/median unaffected) — the round-8 verdict's
+    * spike (one slow run, min unaffected) — the round-8 verdict's
     * sql_changes adjudication was impossible from a single number. */
   private def timeQuery(run: () => Unit): (Double, Seq[Double]) = {
     def once(): Double = {
@@ -76,10 +78,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val a = once(); val b = once()
-    if (math.abs(a - b) <= 0.15 * math.min(a, b) ||
-        math.abs(a - b) < 0.1) (math.min(a, b), Seq(a, b))
-    else { val c = once(); (Seq(a, b, c).sorted.apply(1), Seq(a, b, c)) }
+    val runs =
+      if (math.abs(a - b) <= 0.15 * math.min(a, b) ||
+          math.abs(a - b) < 0.1) Seq(a, b)
+      else Seq(a, b, once())
+    (runs.min, runs)
   }
+
+  /** Minimal field extraction from the PREVIOUS committed BENCH_FULL
+    * artifact (the builder's quiet-window run at the same tree) — the
+    * reference the pollution gate compares against. Regex-parsed: the
+    * artifact is machine-written single-line JSON; any surprise returns
+    * None/empty and the gate stands down. */
+  private def refArtifact(path: String): (Option[Double], Map[String, Double]) =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      // prefer the all-inclusive total (r12+ artifacts separate the
+      // intentionally-expensive crossover twin out of "value")
+      val total = """"value_all":([0-9.]+)""".r.findFirstMatchIn(txt)
+        .orElse(""""value":([0-9.]+)""".r.findFirstMatchIn(txt))
+        .map(_.group(1).toDouble)
+      val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).map { body =>
+          """"([\w]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty[String, Double])
+      (total, qs)
+    } catch { case _: Throwable => (None, Map.empty) }
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -87,6 +113,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ambient machine load BEFORE any of our own work exists — the
+    // anchor for the requeue threshold (VERDICT r11 #1b): the sweep's
+    // own median load is useless as a baseline because a uniformly
+    // loaded machine raises it in lockstep (the r11 driver artifact's
+    // 1.25×median threshold flagged only spikes and kept ~3×-loaded
+    // samples in 100+ queries)
+    val idle0 = load1
+    // the committed reference artifact (read BEFORE this run overwrites
+    // it): the pollution gate's ground truth for identical code
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json")
+    val (refTotal, refQueries) = refArtifact(fullPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -212,34 +249,70 @@ object Bench {
     }
     val results0: Seq[QR] =
       selected.toSeq.map { case (name, fn) => measure(name, fn) }
-    // quiet-window requeue (VERDICT r10 #7): a query whose ENTIRE
-    // min2med3 window sat above the load threshold was sampled under
-    // ambient contention — re-time it once after the sweep (typically
-    // quieter) and record the LOWER value; both samples stay in the
-    // artifact so the substitution is auditable, and the env row keeps
-    // the original window's attribution. The threshold is RELATIVE to
-    // the run's own median load (a local[32] sweep drives load1 to ~5
-    // by itself — a fixed 4 would requeue half the suite), and the
-    // requeue budget is capped at the 16 worst offenders so a noisy
-    // machine can't double the harness wall time.
-    val medLoad = {
-      val ls = results0.map(r => math.min(r.loadStart, r.loadEnd)).sorted
-      if (ls.isEmpty) 0.0 else ls(ls.size / 2)
+    // quiet-window requeue (VERDICT r10 #7, rebased r11 #1b): a query
+    // whose ENTIRE sample window sat above the load threshold was
+    // sampled under ambient contention — re-time it after the sweep
+    // (typically quieter); the recorded value is the MIN over every
+    // sample ever taken, and all samples stay in the artifact so the
+    // substitution is auditable. The threshold is keyed off the
+    // PRE-SWEEP idle load plus the bench's own measured self-load
+    // (quiet-machine telemetry: a local[32] sweep drives load1 to ~4 by
+    // itself) — the run's own median is useless on a uniformly loaded
+    // machine, where it rises in lockstep with the pollution it should
+    // detect. The per-pass budget caps at the 16 worst offenders so a
+    // noisy machine can't double the harness wall time.
+    val selfLoad = 4.0
+    val requeueLoad = math.max(4.0, idle0 + selfLoad)
+    def minFold(r: QR, again: QR): QR = {
+      val samples = (r.runs ++ r.requeue ++ again.runs).filter(_ >= 0)
+      r.copy(
+        v = if (again.v >= 0 && r.v >= 0 && samples.nonEmpty) samples.min
+            else math.max(r.v, again.v),
+        requeue = r.requeue ++ again.runs)
     }
-    val requeueLoad = math.max(4.0, 1.25 * medLoad)
     val flagged = results0
       .filter(r => r.v >= 0 && math.min(r.loadStart, r.loadEnd) > requeueLoad)
       .sortBy(r => -math.min(r.loadStart, r.loadEnd))
       .take(16).map(_.name).toSet
-    val results: Seq[QR] = results0.map { r =>
+    val results1: Seq[QR] = results0.map { r =>
       if (flagged.contains(r.name))
-        selected.get(r.name).map { fn =>
-          val again = measure(r.name, fn)
-          val better = again.v >= 0 && again.v < r.v
-          r.copy(v = if (better) again.v else r.v, requeue = again.runs)
-        }.getOrElse(r)
+        selected.get(r.name).map(fn => minFold(r, measure(r.name, fn)))
+          .getOrElse(r)
       else r
     }
+    // POLLUTION GATE (VERDICT r11 #1c): when this run's total exceeds
+    // the committed same-tree reference artifact's by >1.25×, the whole
+    // run was taken under ambient contention the per-query threshold
+    // could not localize (the r11 driver artifact: 138.3 s vs 82.6 s
+    // committed, identical code). Flag it in the artifact and spend a
+    // bounded recovery budget on the worst offenders — re-sampling the
+    // queries with the largest excess over their committed values and
+    // folding the minima in. Late samples are warm and the machine is
+    // often quieter by then; under a load that never lifts, the flag
+    // itself is the adjudication.
+    def totalOf(rs: Seq[QR]): Double =
+      rs.collect { case r if r.v >= 0 => r.v }.sum
+    val polluted0 = refTotal.exists(rt => totalOf(results1) > 1.25 * rt)
+    var results: Seq[QR] = results1
+    var pollutionRequeues = 0
+    if (polluted0) {
+      var pass = 0
+      while (pass < 2 && refTotal.exists(rt => totalOf(results) > 1.2 * rt)) {
+        val worst = results
+          .filter(r => r.v >= 0)
+          .sortBy(r => -(r.v - refQueries.getOrElse(r.name, 0.0)))
+          .take(16).map(_.name).toSet
+        results = results.map { r =>
+          if (worst.contains(r.name))
+            selected.get(r.name).map { fn =>
+              pollutionRequeues += 1; minFold(r, measure(r.name, fn))
+            }.getOrElse(r)
+          else r
+        }
+        pass += 1
+      }
+    }
+    val loadPolluted = polluted0
     val requeued = results.count(_.requeue.nonEmpty)
     // governor degradation twin (VERDICT r10 #4): the driver-route
     // governor's denial path has only ever run inside specs — exercise
@@ -276,10 +349,61 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] GOVERNOR TWIN FAILED: $t"); None
       }
+    // durable-anchor CC twin (VERDICT r11 #5): the real-cluster survival
+    // lever (RELIABLE checkpoint anchors every k rounds) previously ran
+    // only in specs — near-dup graphs converge before the default k=8
+    // fires. Run sim_clusters' full flow once normally and once with
+    // durableEvery=2 (anchors every other round) and record both times,
+    // result-hash equality, and the recovery counter — the artifact now
+    // shows the durable path exercised against live data.
+    val ccTwin: Option[(Double, Double, Boolean, Int)] =
+      try selected.get("sim_clusters").orElse(SparkEntry.queries.get("sim_clusters"))
+        .map { fn =>
+          import org.apache.spark.sql.functions._
+          def sig(): (Long, Long, Double) = {
+            val t0 = System.nanoTime()
+            val df = fn(spark, sfDir)
+            val r = df.select(
+              coalesce(sum(crc32(to_json(struct(
+                df.columns.sorted.map(col).toIndexedSeq: _*)))), lit(0L)),
+              count(lit(1))).collect()(0)
+            (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+          }
+          val (nh, nn, nSec) = sig()
+          spark.conf.set("spark.graft.cc.durableEvery", "2")
+          try {
+            val (dh, dn, dSec) = sig()
+            (nSec, dSec, (nh, nn) == (dh, dn),
+              graft.operators.Components.lastRecoveries)
+          } finally spark.conf.unset("spark.graft.cc.durableEvery")
+        }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] CC DURABLE TWIN FAILED: $t"); None
+      }
     graft.sql.GraftSql.stmtProbe = None
     val errors = results.collect { case r if r.v < 0 => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case r if r.v >= 0 => r.v }.sum
+    // the headline total EXCLUDES the intentionally-expensive crossover
+    // twin (VERDICT r11 #7): dedup_xscale_rebuild exists to demonstrate
+    // the patch-vs-rebuild economics (its ~7 s IS the point), and a gate
+    // number should measure the engine, not the demonstration. The query
+    // still runs in the sweep (errors surface, its time is in "queries")
+    // and the crossover is its own artifact field; "value_all" keeps the
+    // all-inclusive total for round-over-round comparability.
+    val xscaleExcluded = Set("dedup_xscale_rebuild")
+    val totalAll = results.collect { case r if r.v >= 0 => r.v }.sum
+    val total = results
+      .collect { case r if r.v >= 0 && !xscaleExcluded(r.name) => r.v }.sum
+    val xscaleJson = {
+      val p = results.find(_.name == "dedup_xscale_patch").map(_.v)
+      val b = results.find(_.name == "dedup_xscale_rebuild").map(_.v)
+      (p, b) match {
+        case (Some(p0), Some(b0)) if p0 > 0 && b0 > 0 =>
+          s"""{"patch":${fmt(p0)},"rebuild":${fmt(b0)},"ratio":${fmt(b0 / p0)}}"""
+        case _ => "null"
+      }
+    }
 
     // The COMPLETE artifact — every registered query with its recorded
     // value AND the raw per-run timings behind it — goes to a file the
@@ -328,9 +452,11 @@ object Bench {
       val gov = governorTwin.map { case (den, eq, sec) =>
         s"""{"denials":$den,"hash_equal":$eq,"sec":${fmt(sec)}}"""
       }.getOrElse("null")
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2med3","queries":$qs,"runs":$runs,"start":$starts,"env":$env,"stmts":$stmts,"requeue":$requeues,"governor_twin":$gov,"errors":$errors,"sf":"$sfDir"}"""
+      val cc = ccTwin.map { case (n, d, eq, rec) =>
+        s"""{"normal_sec":${fmt(n)},"durable_sec":${fmt(d)},"hash_equal":$eq,"recoveries":$rec}"""
+      }.getOrElse("null")
+      s"""{"metric":"total","value":$total,"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","queries":$qs,"runs":$runs,"start":$starts,"env":$env,"stmts":$stmts,"requeue":$requeues,"governor_twin":$gov,"cc_durable_twin":$cc,"xscale":$xscaleJson,"idle0":${fmt(idle0)},"ref_total":${refTotal.map(fmt).getOrElse("null")},"load_polluted":$loadPolluted,"pollution_requeues":$pollutionRequeues,"errors":$errors,"sf":"$sfDir"}"""
     }
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -363,14 +489,21 @@ object Bench {
     // is adjudicable for ambient contention without opening the full
     // artifact
     val loads = results.flatMap(r => Seq(r.loadStart, r.loadEnd))
+    val medLoad = {
+      val ls = loads.sorted
+      if (ls.isEmpty) 0.0 else ls(ls.size / 2)
+    }
     val loadJson = if (loads.isEmpty) "null" else
       s"""{"min":${fmt(loads.min)},"max":${fmt(loads.max)},"median":${fmt(
-        medLoad)},"requeue_thr":${fmt(requeueLoad)},"requeued":$requeued}"""
+        medLoad)},"idle0":${fmt(idle0)},"requeue_thr":${fmt(requeueLoad)},"requeued":$requeued,"polluted":$loadPolluted,"pollution_requeues":$pollutionRequeues}"""
     val govCompact = governorTwin.map { case (den, eq, _) =>
       s"""{"denials":$den,"hash_equal":$eq}"""
     }.getOrElse("null")
+    val ccCompact = ccTwin.map { case (n, d, eq, rec) =>
+      s"""{"normal":${fmt(n)},"durable":${fmt(d)},"hash_equal":$eq,"recoveries":$rec}"""
+    }.getOrElse("null")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min2med3","queries":$qsCompact,"omitted_fastest":$omittedJson,"load":$loadJson,"governor_twin":$govCompact,"full":"$fullPath","errors":$errors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","queries":$qsCompact,"omitted_fastest":$omittedJson,"load":$loadJson,"governor_twin":$govCompact,"cc_durable_twin":$ccCompact,"xscale":$xscaleJson,"full":"$fullPath","errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,22 @@ trait FoldSpec extends Serializable {
   def combinableForNamed(
       valueCols: Seq[(String, org.apache.spark.sql.types.DataType)]): Boolean =
     combinableFor(valueCols.map(_._2))
+
+  /** Retraction contract (delete-aware O(delta) view maintenance): the
+    * per-row projection that INVERTS a contribution in value column
+    * `name`, or None when this fold cannot retract. The contract is
+    * `fold(xs ++ invert(ys)) == fold(xs ∖ ys)` BIT-exactly whenever
+    * `ys ⊆ xs` as a multiset, for every type [[combinableFor]] admits
+    * — SUM/COUNT negate (exact integer/decimal arithmetic, already the
+    * combinable gate), histogram sketches negate their bin counts;
+    * MIN/MAX/KMV are NOT invertible (a retraction can require values
+    * the partial fold discarded) and return None, as does any fold
+    * whose author has not established the contract. NULL semantics are
+    * the CALLER's burden: folds that skip NULLs (sum) revert to NULL —
+    * not 0 — when the last non-null contribution is retracted, which
+    * inversion cannot express; the retraction route therefore admits
+    * only provably non-null contribution columns. */
+  def invertContrib(name: String): Option[Column] = None
 }
 
 object FoldSpec {
@@ -74,6 +90,10 @@ object FoldSpec {
         case _ => false
       }
     }
+    // negation is exact for the integral/decimal types combinableFor
+    // admits (wrap-around stays associative mod 2^w), so sums retract
+    override def invertContrib(name: String): Option[Column] =
+      Some((-col(name)).as(name))
   }
 
   case object FoldMin extends FoldSpec {
@@ -113,13 +133,19 @@ object FoldSpec {
     * arithmetic fold. */
   final case class CombinableFold(key: String, agg: Column => Column,
       override val idempotent: Boolean = false,
-      exactTypesOnly: Boolean = false) extends FoldSpec {
+      exactTypesOnly: Boolean = false,
+      invert: Option[Column => Column] = None) extends FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => agg(col(c)).as(c))
     override val combinable = true
     override def combinableFor(
         valueTypes: Seq[org.apache.spark.sql.types.DataType]): Boolean =
       !exactTypesOnly || exactValueTypes(valueTypes)
+    // the author-declared retraction (FoldSpec.invertContrib contract);
+    // idempotent monoids (bit_or, coalesce/max) have no inverse and
+    // leave it None
+    override def invertContrib(name: String): Option[Column] =
+      invert.map(f => f(col(name)).as(name))
   }
 
   /** Example monoids: bitwise accumulation — idempotent (x|x == x,
@@ -175,6 +201,10 @@ object FoldSpec {
       combinable && valueCols.forall { case (n, t) =>
         byName.get(n).exists(_.combinableFor(Seq(t)))
       }
+    // member-wise: a column retracts iff ITS member does (the caller
+    // requires every value column to, so one MIN member vetoes the route)
+    override def invertContrib(name: String): Option[Column] =
+      byName.get(name).flatMap(_.invertContrib(name))
   }
 
   /** General NON-commutative pairwise fold in source order — the full

@@ -1228,19 +1228,20 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     //    NEEDS the full mini set.)
     if (t.uniqueKeys)
       return finish(transformDirect(m, t, fold, target))
-    // 2b. INSERT-ONLY delta fold-in (non-unique re-keys — aggregate
-    //     views): when the row-level source delta is a pure APPEND
-    //     (removed chunks' rows all reappear in the added chunks'), the
-    //     new result is fold_merge(previous result, fold(delta rows)) —
-    //     commutativity/associativity of the admitted combinable fold,
-    //     with no inversion needed because no group loses rows. Cost is
-    //     O(delta + touched result regions), NOT the O(groups × chunks)
-    //     full mini re-merge a group-scattered delta forces below — at
-    //     100 TB this is streaming-append aggregate maintenance priced
-    //     by the RESULT, not the fact table. Deletes/updates fall
-    //     through to the exact general paths.
+    // 2b. Row-delta fold-in (non-unique re-keys — aggregate views):
+    //     when the row-level source delta is a pure APPEND, the new
+    //     result is fold_merge(previous result, fold(delta rows)); when
+    //     it has DELETES and every fold member is INVERTIBLE with a
+    //     liveness column (see retractionSpec), deleted contributions
+    //     fold in NEGATED and fully-retracted groups are deleted — both
+    //     cost O(delta + touched result regions), NOT the O(groups ×
+    //     chunks) full mini re-merge a group-scattered delta forces
+    //     below. At 100 TB this prices streaming-append AND
+    //     delete/update aggregate maintenance by the RESULT table, not
+    //     the fact table. Non-invertible folds (MIN/MAX/KMV) with
+    //     deletes fall through to the exact general paths.
     prev.foreach { p =>
-      rekeyInsertOnlyDelta(m, t, fold, p, target)
+      rekeyDeltaFoldIn(m, t, fold, p, target)
         .foreach(h => return finish(h))
     }
     val memoized: Map[String, Option[String]] =
@@ -1664,23 +1665,29 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       Ops.warnDriverPatchFallback(e); None }
   }
 
-  /** INSERT-only delta fold-in for NON-unique combinable re-keys
-    * (aggregate views): when the row-level source delta between the
-    * previous refresh's source and the current one is a pure APPEND,
-    * the new result is `merge(previous result, fold(delta rows))` —
-    * the admitted folds are commutative/associative with bit-stable
+  /** Row-delta fold-in for NON-unique combinable re-keys (aggregate
+    * views): when the row-level source delta between the previous
+    * refresh's source and the current one is a pure APPEND, the new
+    * result is `merge(previous result, fold(delta rows))` — the
+    * admitted folds are commutative/associative with bit-stable
     * partials (the [[rekeyCombinable]] contract), and with no deleted
     * rows no group can vanish or need inversion, so the fold-in is
     * bit-identical to the from-scratch rekey (content-defined chunking
     * makes the decomposition a pure function of the key set; pinned by
-    * the MV incremental==from-scratch hash specs). Cost is O(delta +
-    * result regions the delta keys touch) — a group-scattered append
-    * no longer re-merges every per-chunk mini (O(groups × chunks)); at
-    * 100 TB this prices streaming-append aggregate maintenance by the
-    * RESULT table, not the fact table. None (fall through to the mini
-    * path) when preconditions fail, the delta has deletes/updates, or
-    * any read surprises. */
-  private def rekeyInsertOnlyDelta(m: TableMeta, t: ColTransform,
+    * the MV incremental==from-scratch hash specs). A delta WITH deletes
+    * takes the RETRACTION variant ([[rekeyRetract]]) when the fold is
+    * invertible and the view carries a liveness column
+    * ([[retractionSpec]]): deleted contributions fold in NEGATED, and a
+    * group whose liveness reaches 0 is deleted — the classic
+    * counting-IVM rule, exact because inversion is bit-exact for the
+    * admitted integer folds. Cost either way is O(delta + result
+    * regions the delta keys touch) — a group-scattered delta no longer
+    * re-merges every per-chunk mini (O(groups × chunks)); at 100 TB
+    * this prices streaming aggregate maintenance by the RESULT table,
+    * not the fact table. None (fall through to the mini path) when
+    * preconditions fail, the delta shape is inadmissible, or any read
+    * surprises. */
+  private def rekeyDeltaFoldIn(m: TableMeta, t: ColTransform,
       fold: FoldSpec, prev: TableRef, target: Long): Option[String] = {
     import scala.util.control.NonFatal
     def dbg(msg: => String): Unit =
@@ -1700,17 +1707,21 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val c1 = m1.chunks.iterator.map(_.hash).toSet
         val removed = m1.chunks.filterNot(c => c2(c.hash)).distinctBy(_.hash)
         val added = m.chunks.filterNot(c => c1(c.hash)).distinctBy(_.hash)
+        // static retraction admission (cached empty-frame analysis — no
+        // IO): invertible fold members + a liveness column + non-null
+        // contributions; None means deletes must take the general paths
+        lazy val retractPlan = retractionSpec(m, t, fold)
         if (removed.isEmpty && added.isEmpty) Some(prev.hash)
         else if (removed.length + added.length > Ops.PatchMaxChangedChunks)
           None
         // metadata pre-check before ANY chunk IO: an insert-only delta
         // strictly grows the changed region's row count (updates keep it
-        // equal, deletes shrink it) — the common DML-then-refresh flows
-        // that can never take this route decline for free here instead
-        // of paying the driver reads and the multiset diff
+        // equal, deletes shrink it) — flows that can take NEITHER the
+        // append fold-in NOR the retraction decline for free here
+        // instead of paying the driver reads and the multiset diff
         else if (added.iterator.map(_.rows).sum <=
-            removed.iterator.map(_.rows).sum) {
-          dbg("decline: no net row growth — not an insert-only delta")
+            removed.iterator.map(_.rows).sum && retractPlan.isEmpty) {
+          dbg("decline: no net row growth and fold not retractable")
           None
         }
         else {
@@ -1749,13 +1760,28 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
 
           sourceRowDelta(m, removed, added, dbg) match {
             case Some((insSrc, delSrc)) =>
-              if (delSrc.nonEmpty) { dbg("decline: delta has deletes"); None }
+              if (delSrc.nonEmpty) retractPlan match {
+                case Some(rp) =>
+                  rekeyRetract(rp, m, t, fold, prev, pm, insSrc, delSrc, dbg)
+                case None =>
+                  dbg("decline: delta has deletes, fold not retractable")
+                  None
+              }
               else if (insSrc.isEmpty) Some(prev.hash)
               else {
                 import scala.jdk.CollectionConverters._
                 foldIn(spark.createDataFrame(insSrc.asJava, m.schema),
                   insSrc.length.toLong)
               }
+            case None if added.iterator.map(_.rows).sum <=
+                removed.iterator.map(_.rows).sum =>
+              // over-the-driver-caps delta with no net row growth: the
+              // distributed variant below proves insert-only-ness via
+              // exceptAll, which can never hold here — decline free
+              // (distributed retraction is future work; the mini path
+              // is the exact fallback)
+              dbg("decline: over driver caps and no net row growth")
+              None
             case None =>
               // DISTRIBUTED variant — the 100 TB path: changed chunks
               // above the driver byte budget diff as FRAMES. One
@@ -1801,6 +1827,196 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         }
       }
     } yield result
+  }
+
+  /** Static retraction admission for the delete-aware fold-in
+    * ([[rekeyRetract]]) — a cached empty-frame analysis, no IO:
+    *
+    *  - every VALUE column's fold member is INVERTIBLE
+    *    ([[FoldSpec.invertContrib]]: SUM/COUNT negate, HIST negates bin
+    *    counts; MIN/MAX/KMV cannot retract);
+    *  - every value column's contribution is provably NON-NULL in the
+    *    analyzed projection — NULL-skipping folds (sum) revert to NULL,
+    *    not 0, when the last non-null contribution is retracted, which
+    *    inversion cannot express;
+    *  - some value column is a LIVENESS counter: its per-row
+    *    contribution is the literal 1 (a lowered COUNT(*)), so after
+    *    retraction it equals the group's REMAINING source row count and
+    *    reaching 0 identifies a dead group the from-scratch result
+    *    would not emit — the classic counting-IVM requirement; a
+    *    SUM-only view cannot observe group death and declines.
+    *
+    * Generators decline naturally (their analyzed plan is not a bare
+    * Project). Pure semantics of (source schema, transform, fold) —
+    * cached like [[rekeyCombinable]]'s probe. */
+  private def retractionSpec(m: TableMeta, t: ColTransform,
+      fold: FoldSpec): Option[Ops.RetractPlan] =
+    // the caller-declared non-null set joins the cache key: the same
+    // view SQL (same t.key) over a re-created source whose NOT NULL
+    // flags changed must not reuse a stale admission (the canonical
+    // m.schemaJson cannot distinguish them — it erases NOT NULL)
+    Ops.retractCache.getOrElseUpdate((m.schemaJson,
+      t.key + " " + t.nonNullContribs.toSeq.sorted.mkString(","),
+      fold.key)) {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      val analyzed = empty.select(t.columns: _*).queryExecution.analyzed
+      val plan = analyzed match {
+        case p: Project =>
+          val vals = p.projectList
+            .filterNot(ne => t.outKeyCols.contains(ne.name))
+          val liveness = vals.collectFirst {
+            case a: Alias if a.child == Literal(1L) => a.name
+          }
+          val inverts = vals.flatMap(ne =>
+            fold.invertContrib(ne.name).map(ne.name -> _)).toMap
+          // non-null: plan-proven (literals, CASE contributions) or
+          // caller-declared (the canonical schema stores value columns
+          // nullable, erasing the source DDL's NOT NULL — the SQL layer
+          // re-derives it from the catalog entry)
+          liveness.filter(_ => vals.forall(ne =>
+            (!ne.nullable || t.nonNullContribs.contains(ne.name)) &&
+              inverts.contains(ne.name)))
+            .map(l => Ops.RetractPlan(l, inverts))
+        case _ => None
+      }
+      if (plan.isEmpty && sys.env.contains("GRAFT_DEBUG_DRIVER_PATCH")) {
+        val detail = analyzed match {
+          case p: Project =>
+            p.projectList.filterNot(ne => t.outKeyCols.contains(ne.name))
+              .map(ne => s"${ne.name}(nullable=${ne.nullable}," +
+                s"declared=${t.nonNullContribs.contains(ne.name)}," +
+                s"invert=${fold.invertContrib(ne.name).isDefined}," +
+                s"lit1=${ne.isInstanceOf[Alias] &&
+                  ne.asInstanceOf[Alias].child == Literal(1L)})")
+              .mkString("; ")
+          case other => s"not a Project: ${other.getClass.getSimpleName}"
+        }
+        System.err.println(s"[retract-spec] declined for ${t.key}: $detail")
+      }
+      plan
+    }
+
+  /** Delete-aware O(delta) refresh of an aggregate view (the RETRACTION
+    * route — VERDICT r11 #2): deleted source rows fold in with their
+    * contributions NEGATED, inserted rows as-is, the previous result's
+    * TOUCHED group rows participate as the partial folds they are
+    * (the combinable contract), and a group whose liveness counter
+    * reaches 0 is deleted. The patched result is bit-identical to the
+    * from-scratch rekey: inversion is bit-exact for the admitted
+    * integer folds, content-defined chunking makes the decomposition a
+    * pure function of the key set, and dead groups vanish exactly as
+    * they would from scratch. Everything runs driver-side under the
+    * same caps + governor as the sibling routes; None falls back to
+    * the exact mini/rebuild paths. */
+  private def rekeyRetract(rp: Ops.RetractPlan, m: TableMeta,
+      t: ColTransform, fold: FoldSpec, prev: TableRef, pm: TableMeta,
+      insSrc: Seq[org.apache.spark.sql.Row],
+      delSrc: Seq[org.apache.spark.sql.Row],
+      dbg: (=> String) => Unit): Option[String] = {
+    import scala.util.control.NonFatal
+    import scala.jdk.CollectionConverters._
+    // the transformed delta and the previous result rows are diffed /
+    // partitioned by structural equality below
+    if (!Ops.driverDiffable(pm.schema)) {
+      dbg("decline: result schema not driver-diffable"); return None
+    }
+    try {
+      val cap = Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows).toInt
+      // per-row CONTRIBUTIONS (rowFilter + projection, result column
+      // order) — plan folds over the LocalRelation, limit-guarded like
+      // patchViaSourceDiff's transform
+      def contribs(rs: Seq[org.apache.spark.sql.Row])
+          : Option[Seq[org.apache.spark.sql.Row]] = {
+        if (rs.isEmpty) return Some(Nil)
+        val df0 = spark.createDataFrame(rs.asJava, m.schema)
+        val df1 = t.rowFilter.map(df0.where).getOrElse(df0)
+        val out = collectDriverBounded(df1.select(t.columns: _*)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
+          .limit(cap + 1))
+        if (out.length > cap) None else Some(out.toSeq)
+      }
+      val insT0 = contribs(insSrc).getOrElse {
+        dbg("decline: retraction delta above the result-schema cap")
+        return None
+      }
+      val delT0 = contribs(delSrc).getOrElse {
+        dbg("decline: retraction delta above the result-schema cap")
+        return None
+      }
+      // re-diff at the contribution level: an update the view is
+      // insensitive to cancels out entirely
+      val insT = Ops.multisetRowDiff(insT0, delT0)
+      val delT = Ops.multisetRowDiff(delT0, insT0)
+      if (insT.isEmpty && delT.isEmpty) return Some(prev.hash)
+      // belt for the caller-declared non-null contract: a NULL observed
+      // in any inverted column (delta or previous partials) means the
+      // declaration lied somewhere — decline to the exact paths rather
+      // than compute wrong NULL semantics (this cannot catch a
+      // historical NULL outside the touched rows, which is exactly why
+      // the declaration is a contract)
+      val invIdx = rp.inverts.keysIterator
+        .map(pm.schema.fieldIndex).toArray
+      def anyNull(rs: Iterable[org.apache.spark.sql.Row]): Boolean =
+        rs.exists(r => invIdx.exists(r.isNullAt))
+      if (anyNull(insT) || anyNull(delT)) {
+        dbg("decline: NULL contribution under a non-null contract")
+        return None
+      }
+      val kIdx = pm.keyCols.map(pm.schema.fieldIndex)
+      def keyOf(r: org.apache.spark.sql.Row): Seq[Any] = kIdx.map(r.get)
+      val touched = (insT.iterator ++ delT.iterator).map(keyOf)
+        .toSeq.distinct
+      // the touched groups' PREVIOUS rows, read driver-side from the
+      // key-pruned result chunks under the usual caps + governor
+      val hit = chunksForKeys(pm, touched)
+      val hitRows = hit.iterator.map(_.rows).sum
+      if (hitRows > Ops.adaptiveRowCap(pm.schema, Ops.PatchMaxDeltaRows) ||
+          !chunkBytes(hit).exists(_ <= Ops.DriverPatchMaxBytes) ||
+          !Ops.driverRouteAdmit(hitRows)) {
+        dbg(s"decline: touched-region caps (rows=$hitRows)"); return None
+      }
+      val touchedSet = touched.toSet
+      val prevRows = Ops.timedDriverRoute(hitRows)(
+        Canonical.parIo(hit)(c => DriverChunks.readRows(
+          java.nio.file.Paths.get(store.chunkPath(c.hash)), pm.schema))
+          .flatten).filter(r => touchedSet(keyOf(r)))
+      if (anyNull(prevRows)) {
+        dbg("decline: NULL previous partial under a non-null contract")
+        return None
+      }
+      // invert the deleted contributions (fold-declared, per column)
+      val delInv =
+        if (delT.isEmpty) Nil
+        else collectDriverBounded(
+          spark.createDataFrame(delT.asJava, pm.schema)
+            .select(pm.schema.fieldNames.toIndexedSeq.map(n =>
+              rp.inverts.getOrElse(n, col(n))): _*)).toSeq
+      // ONE small fold over {previous partials} ∪ {inserted} ∪
+      // {inverted deleted} — combinability folds partials and raw
+      // contributions alike, bit-exactly
+      val valueCols = pm.schema.fieldNames.toSeq
+        .filterNot(pm.keyCols.contains)
+      val df = spark.createDataFrame(
+        (prevRows ++ insT ++ delInv).asJava, pm.schema)
+      val folded = df.groupBy(pm.keyCols.map(col): _*)
+        .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+      val newRows = collectDriverBounded(
+        castValues(folded, pm.schema, valueCols)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*))
+      val liveIdx = pm.schema.fieldIndex(rp.livenessCol)
+      val (live, dead) = newRows.partition(r => r.getLong(liveIdx) != 0L)
+      dbg(s"retract: ins=${insT.length} del=${delT.length} " +
+        s"groups=${touched.length} dead=${dead.length}")
+      val out = patchTableBounded(prev, live.toSeq,
+        dead.iterator.map(keyOf).toSeq,
+        Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
+      if (out.isDefined) Ops.rekeyRetractFoldIns.incrementAndGet(): Unit
+      out
+    } catch { case NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
   }
 
   /** Chunk-level transform: per-chunk memo lookups, one batched Spark job
@@ -2410,6 +2626,19 @@ object Ops {
   private[core] val zoneProbeCache =
     new Lru[(String, String), ChunkMeta => Boolean](512)
 
+  /** Static retraction admission for a (source schema, transform, fold)
+    * triple — see [[Ops.retractionSpec]]. Pure semantics (empty-frame
+    * analysis), safe to share across sessions and stores. */
+  private[core] final case class RetractPlan(livenessCol: String,
+      inverts: Map[String, org.apache.spark.sql.Column])
+  private[core] val retractCache =
+    new Lru[(String, String, String), Option[RetractPlan]](512)
+
+  /** Observability counter: delete-aware retraction fold-ins taken
+    * (specs pin the route fires; the bench env rows make it auditable). */
+  private[graft] val rekeyRetractFoldIns =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Test seam: lets specs force the Spark patch path to pin
     * driver-path == job-path hash equality. Always true in production. */
   @volatile private[graft] var driverPatchEnabled = true
@@ -2672,6 +2901,17 @@ trait ColTransform extends Serializable {
     * this only keeps task sizing honest. Generators re-key by nature
     * (`keyPreserving` must stay false). */
   def generator: Boolean = false
+  /** Caller contract for the delete-aware RETRACTION route: value
+    * columns whose per-row contribution is NEVER NULL — knowledge the
+    * canonical table schema erases (it stores every value column
+    * nullable). NULL-skipping folds (sum) revert to NULL, not 0, when a
+    * group's last non-null contribution is retracted, which inversion
+    * cannot express, so retraction admits a column only when the
+    * analyzed projection proves it non-null OR the caller declares it
+    * here (e.g. a SUM over a column the source DDL marks NOT NULL).
+    * Like `uniqueKeys`, an honest declaration never changes results —
+    * it only unlocks a route that is bit-identical by construction. */
+  def nonNullContribs: Set[String] = Set.empty
   /** Output chunk granularity override for RE-KEYING transforms. By
     * default a transform result inherits its source's granularity; a
     * re-key whose output cardinality differs wildly from the source
@@ -2690,7 +2930,8 @@ object ColTransform {
       passUnless: Option[Column] = None,
       uniqueOutKeys: Boolean = false,
       generates: Boolean = false,
-      outTarget: Option[Long] = None): ColTransform = {
+      outTarget: Option[Long] = None,
+      nonNull: Set[String] = Set.empty): ColTransform = {
     require(!(generates && preservesKeys),
       "a generator transform cannot be key-preserving")
     require(outTarget.isEmpty || !preservesKeys,
@@ -2705,6 +2946,7 @@ object ColTransform {
       override val uniqueKeys = uniqueOutKeys
       override val generator = generates
       override val outTargetRows = outTarget
+      override val nonNullContribs = nonNull
     }
   }
 }

@@ -593,6 +593,20 @@ object FsUtil {
     buf
   }
 
+  /** Throwaway copy-on-write BRANCH of a side store ([[OverlayStore]]):
+    * per-run isolation — a measured refresh must never memo-hit a
+    * previous run's result, and must never write into the shared base —
+    * at ZERO copies (content addressing makes the two-layer union
+    * trivially consistent). The branch's local layer is registered for
+    * JVM-exit deletion: a bench sweep creates several per query and
+    * must not leak them into tmp. */
+  def branchStore(base: Path): OverlayStore = {
+    val local = Files.createTempDirectory("graft-branch-")
+    deleteAtExit(local)
+    new OverlayStore(
+      new FsStore(base.toString), new FsStore(local.toString))
+  }
+
   /** Build-once memo with LIVENESS validation for side stores: tmp
     * cleaners can sweep chunk files out from under a store whose memo
     * entry survives — a memo hit whose table meta or chunk files are

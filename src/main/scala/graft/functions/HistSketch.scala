@@ -84,7 +84,12 @@ case class HistSketchAgg(
   }
 
   override def eval(buf: scala.collection.mutable.LongMap[Long]): Any = {
-    val keys = buf.keys.toArray
+    // zero-count bins are DROPPED: with non-negative contributions a
+    // present bin's count is a sum of 1s (≥ 1), so this is a no-op on
+    // every historical input — it exists for the RETRACTION path, where
+    // a negated contribution ([bin, -1]) can cancel a bin exactly and
+    // the canonical from-scratch sketch has no such bin at all
+    val keys = buf.keys.filter(k => buf(k) != 0L).toArray
     java.util.Arrays.sort(keys)
     val out = new Array[Long](keys.length * 2)
     var i = 0

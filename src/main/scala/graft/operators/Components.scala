@@ -58,7 +58,7 @@ object Components {
 
   /** Observability seam: recoveries taken by the most recent
     * [[connectedComponentsCounted]] call (normally 0). */
-  @volatile private[operators] var lastRecoveries: Int = 0
+  @volatile private[graft] var lastRecoveries: Int = 0
 
   /** [[connectedComponents]] plus the ROUND COUNT it converged in — the
     * loop runs eagerly (per-round checksum actions), so the count is

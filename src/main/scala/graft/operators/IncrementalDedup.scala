@@ -77,39 +77,47 @@ object IncrementalDedup {
     * [[Dedup.dedupShingleSql]] algebra over `documents`. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new FsStore(
-      graft.core.FsUtil.tempStoreDir("graft-incdedup-"))
-    // docs chunks small enough that a batch touches a FRACTION of the
-    // table even at test scale (at 100 TB any chunk target has this
-    // property)
-    val ops = new Ops(s, store, 512)
-    val cat = new Catalog(store)
-    val views = new Views(ops, cat)
-
-    // an even-ids corpus slice keeps the bench cost of the TWO full
-    // index materializations (build + guard-chosen rebuild at this
-    // corpus/vocabulary ratio) proportionate; the oracle slices the
-    // same way
+    // an even-ids corpus slice keeps the bench cost of the index
+    // materialization proportionate; the oracle slices the same way
     val docs = Tables(s, dir, "documents")
       .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
     // append-pattern ingest (the crawl shape): the top tenth of the id
-    // space arrives as the second batch, so the refresh re-shingles
-    // only the tail chunks — O(batch), not O(corpus)
+    // space arrives as the second batch
     val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     val cutoff = 9L * maxId / 10L
-    cat.put("docs", ops.fromDataFrame(
-      docs.where(col("doc_id") <= cutoff), Seq("doc_id")))
-    // the index keyspace (~50 postings/doc) sizes its own chunks
-    // (ColTransform.outTargetRows): what this query demonstrates is
-    // docs-side O(delta) re-shingling, which depends on the DOCS
-    // granularity only — a fine-grained index would just write 50×
-    // more chunk files per build (the patch-ratio demonstration lives
-    // in dedupIncrementalPatch)
+    // the BASE (initial 90% corpus + its refreshed index) is a pure
+    // function of the corpus version — built ONCE into a fingerprinted
+    // side store and branched per run via OverlayStore (VERDICT r11
+    // #6, the dedupIncrementalPatch pattern): what this query measures
+    // is the production steady state — a crawl batch arrives, the
+    // refresh re-shingles only the touched docs chunks (this batch's
+    // postings scatter, so the guard correctly picks the one-pass
+    // rebuild), pairs serve from the index — not a from-scratch corpus
+    // ingest per bench rerun. Docs chunks (512 rows) stay small enough
+    // that the batch touches a FRACTION of the table even at test
+    // scale; the index keyspace (~50 postings/doc) sizes its own
+    // chunks (ColTransform.outTargetRows).
+    val basePath = graft.core.FsUtil.sideStoreDir("incd-base", dir)
+    val baseStore = new FsStore(basePath.toString)
+    val op = graft.core.Hashing.opHash(
+      Seq("graft-incd-base-v1", "512", "8192") ++ docsFingerprint(dir))
+    graft.core.FsUtil.memoizedLiveTable(baseStore, op) {
+      val bOps = new Ops(s, baseStore, 512)
+      val bCat = new Catalog(baseStore)
+      val bViews = new Views(bOps, bCat)
+      bCat.put("docs", bOps.fromDataFrame(
+        docs.where(col("doc_id") <= cutoff), Seq("doc_id")))
+      declareIndex(bViews, "shingle_idx", "docs", indexTarget = Some(8192L))
+      bViews.refresh("shingle_idx").hash
+    }
+    val store = branchStore(basePath)
+    val ops = new Ops(s, store, 512)
+    val cat = new Catalog(store)
+    val views = new Views(ops, cat)
     declareIndex(views, "shingle_idx", "docs", indexTarget = Some(8192L))
-    views.refresh("shingle_idx")
 
-    // the new batch arrives: upsert docs, refresh patches the index
+    // the new batch arrives: upsert docs, refresh the index
     val base = TableRef(cat.root("docs").tableHash)
     cat.put("docs", ops.upsert(base, ops.fromDataFrame(
       docs.where(col("doc_id") > cutoff), Seq("doc_id"))))
@@ -343,12 +351,8 @@ object IncrementalDedup {
     * branch's local layer is registered for JVM-exit deletion — a
     * min2med3 bench sweep creates several per query and must not leak
     * them into tmp. */
-  private def branchStore(base: java.nio.file.Path): graft.core.OverlayStore = {
-    val local = java.nio.file.Files.createTempDirectory("graft-xl-branch-")
-    graft.core.FsUtil.deleteAtExit(local)
-    new graft.core.OverlayStore(
-      new FsStore(base.toString), new FsStore(local.toString))
-  }
+  private def branchStore(base: java.nio.file.Path): graft.core.OverlayStore =
+    graft.core.FsUtil.branchStore(base)
 
   /** The crossover measured as a bench NUMBER: ingest ONE document into
     * the widened corpus and refresh the index, as TWIN queries over the

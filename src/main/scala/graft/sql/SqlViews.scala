@@ -120,7 +120,13 @@ object SqlViews {
     // per-row updates and map-side combine — the collect_list + HOF
     // formulation it replaces buffered O(rows) per group and ran one
     // interpreted lambda step per element. Output bytes identical.
-    c => graft.functions.HistSketchAgg(c))
+    c => graft.functions.HistSketchAgg(c),
+    // bin counts are plain integer sums, so the sketch RETRACTS: negate
+    // the counts (odd positions of the interleaved [k1,v1,k2,v2,…]
+    // array); the aggregate drops fully-cancelled bins, so a
+    // DELETE-then-REFRESH folds to the exact from-scratch sketch
+    invert = Some(c =>
+      transform(c, (x, i) => when(i % 2 === 1, -x).otherwise(x))))
 
   /** Per-row histogram contribution: the (bin, 1) singleton sketch,
     * interleaved (NULL bins contribute the empty sketch, like
@@ -408,6 +414,33 @@ object SqlViews {
           expr(e).as(a)
         }
         val cols: Seq[Column] = keyExprs ++ innerVals.map(_._1)
+        // provably non-NULL contributions, judged against the source's
+        // REAL schema (the catalog entry keeps the DDL's NOT NULL flags;
+        // the canonical chunk schema erases them) — the declaration that
+        // unlocks the delete-aware retraction route for SUM members over
+        // NOT NULL columns. Internal join stages aren't catalog tables
+        // (and their aligned columns are nullable anyway): empty set.
+        val nonNullStage: Set[String] =
+          catalog.root.get(source).flatMap { e =>
+            scala.util.Try {
+              import org.apache.spark.sql.types.{DataType, StructType}
+              // the entry's schemaJson is the canonical (nullable) form;
+              // the DDL's NOT NULL flags live in entry.notNull — re-apply
+              // them so the nullability analysis sees the real contract
+              val srcSchema = StructType(
+                DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+                  .fields.map(f =>
+                    if (e.notNull.contains(f.name) ||
+                        e.keyCols.contains(f.name))
+                      f.copy(nullable = false) else f))
+              val spark = org.apache.spark.sql.SparkSession.active
+              val empty = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                srcSchema)
+              empty.select(innerVals.map(_._1): _*).schema.fields
+                .filterNot(_.nullable).map(_.name).toSet[String]
+            }.toOption
+          }.getOrElse(Set.empty[String])
         val avgAliases = valItems.zip(lowered).collect {
           case ((_, a), (ic, _)) if ic.length == 2 => a }
         // DERIVED aliases (AVG's division, KMV's estimate) exist only
@@ -433,7 +466,7 @@ object SqlViews {
         if (having.isEmpty && derivedAliases.isEmpty) {
           views.declare(name, source,
             ColTransform(s"sqlmv-agg-v1:$sig", groupCols, cols,
-              filter = filter),
+              filter = filter, nonNull = nonNullStage),
             fold)
         } else {
           val inner = innerAggName(name)
@@ -441,7 +474,7 @@ object SqlViews {
             throw new SqlException(s"table $inner already exists")
           views.declare(inner, source,
             ColTransform(s"sqlmv-agg-v1:$sig", groupCols, cols,
-              filter = filter),
+              filter = filter, nonNull = nonNullStage),
             fold)
           views.declare(name, inner,
             ColTransform(s"sqlmv-post-v1:$sig", groupCols,

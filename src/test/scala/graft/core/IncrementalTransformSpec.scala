@@ -235,6 +235,137 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "fold-in route diverged from the mini-merge route")
   }
 
+  test("delete-delta aggregate refresh RETRACTS into the previous result: O(delta), group death, hash-equals every route") {
+    // VERDICT r11 #2: a DELETE-then-REFRESH over an invertible fold
+    // (SUM/COUNT) with a liveness column must take the retraction
+    // route — deleted contributions fold in negated, a group whose
+    // remaining row count reaches 0 is deleted — instead of the
+    // O(groups × chunks) mini re-merge. The group key scatters
+    // (digit reversal), the hard shape for any chunk-local scheme.
+    val rekeyAgg = ColTransform("rekey_cnt_sum_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        lit(1L).as("cnt"), col("v")),
+      // the canonical schema stores v nullable; the source contract says
+      // it never is — the declaration that admits SUM retraction
+      nonNull = Set("v"))
+    val fold = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum, "v" -> FoldSpec.FoldSum))
+    def model(data: Map[String, Long]): Map[String, (Long, Long)] =
+      data.toSeq.groupBy { case (k, _) => "g" + k.substring(1, 5).reverse }
+        .view.mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrt-"))
+    val ops = new Ops(spark, store, 64)
+    val rows = (0 until 20000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeyAgg, fold)
+
+    // delta: kill ONE whole group (all 10 keys sharing leading digits
+    // 0123 → group g3210), thin two others, and update one value
+    val delKeys: Seq[String] =
+      (0 until 10).map(i => f"k0123$i") ++ Seq("k04567", "k08888")
+    val upserts = Seq("k15000" -> 42L)
+    val merged = ops.patchTable(
+      ops.upsert(base, ops.fromDataFrame(df(upserts), Seq("k"))),
+      Nil, delKeys.map(Seq(_)))
+
+    store.stats.reset()
+    val retracts0 = Ops.rekeyRetractFoldIns.get()
+    val v2 = ops.transform(merged, rekeyAgg, fold, prev = Some(v1))
+    val snap = store.stats.snapshot
+    assert(Ops.rekeyRetractFoldIns.get() == retracts0 + 1,
+      "delete-delta refresh did not take the retraction route")
+    // O(delta): no per-chunk mini walk (~300 memoGets here), few writes
+    assert(snap("memoHits") + snap("memoMisses") <= 60,
+      s"retraction refresh walked the mini memos: $snap")
+    assert(snap("chunkSaves") <= 16,
+      s"retraction refresh should write O(delta) chunks, wrote ${snap("chunkSaves")}")
+    // value correctness incl. GROUP DEATH
+    val want = model(rows.toMap ++ upserts.toMap -- delKeys)
+    val got = ops.scan(v2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains("g3210"), "fully-retracted group must vanish")
+    assert(got == want)
+    // hash-equals a from-scratch build in a fresh store
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrt2-")), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df((rows.toMap ++ upserts.toMap -- delKeys).toSeq),
+        Seq("k")), rekeyAgg, fold)
+    assert(v2.hash == scratch.hash,
+      "retraction fold-in must hash-equal the from-scratch build")
+    // and hash-equals the forced mini route
+    val store3 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrt3-"))
+    val ops3 = new Ops(spark, store3, 64)
+    val base3 = ops3.fromDataFrame(df(rows), Seq("k"))
+    val v13 = ops3.transform(base3, rekeyAgg, fold)
+    val merged3 = ops3.patchTable(
+      ops3.upsert(base3, ops3.fromDataFrame(df(upserts), Seq("k"))),
+      Nil, delKeys.map(Seq(_)))
+    Canonical.driverMaterializeEnabled = false
+    val v23 =
+      try ops3.transform(merged3, rekeyAgg, fold, prev = Some(v13))
+      finally Canonical.driverMaterializeEnabled = true
+    assert(v23.hash == v2.hash,
+      "retraction route diverged from the mini-merge route")
+  }
+
+  test("retraction declines safely: nullable contributions, no liveness column, non-invertible member") {
+    // each inadmissible shape must fall back to the exact general paths
+    // (correct result, retraction counter unchanged)
+    val nullableSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    def ndf(rows: Seq[(String, java.lang.Long)]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2)), 4), nullableSchema)
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeynd-"))
+    val ops = new Ops(spark, store, 64)
+
+    def refreshAfterDelete(t: ColTransform, fold: FoldSpec,
+        base: TableRef): (TableRef, Long) = {
+      val v1 = ops.transform(base, t, fold)
+      val merged = ops.patchTable(base, Nil, Seq(Seq("k00007")))
+      val r0 = Ops.rekeyRetractFoldIns.get()
+      val v2 = ops.transform(merged, t, fold, prev = Some(v1))
+      (v2, Ops.rekeyRetractFoldIns.get() - r0)
+    }
+
+    // 1. nullable SUM contribution: retracting the last non-null row of
+    //    a group must yield NULL, which inversion cannot express — the
+    //    static gate must decline
+    val rows = (0 until 4000).map(i =>
+      f"k$i%05d" -> (if (i % 3 == 0) null else java.lang.Long.valueOf(i)))
+    val nbase = ops.fromDataFrame(ndf(rows), Seq("k"))
+    val tNullable = ColTransform("rt_nullable_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        lit(1L).as("cnt"), col("v")))
+    val foldCS = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum, "v" -> FoldSpec.FoldSum))
+    val (nv2, nTaken) = refreshAfterDelete(tNullable, foldCS, nbase)
+    assert(nTaken == 0, "nullable contribution must decline retraction")
+    assert(!ops.scan(nv2).where("g = 'g7000'").isEmpty) // still refreshed
+
+    // 2. no liveness column (SUM-only view): group death unobservable
+    val rows2 = (0 until 4000).map(i => f"k$i%05d" -> i.toLong)
+    val base2 = ops.fromDataFrame(df(rows2), Seq("k"))
+    val tSumOnly = ColTransform("rt_sumonly_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        col("v")), nonNull = Set("v"))
+    val (_, sTaken) = refreshAfterDelete(tSumOnly, FoldSpec.FoldSum, base2)
+    assert(sTaken == 0, "a view without a liveness column must decline")
+
+    // 3. non-invertible member (MIN): a retraction can need a value the
+    //    partial fold discarded
+    val tMin = ColTransform("rt_min_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        lit(1L).as("cnt"), col("v")), nonNull = Set("v"))
+    val foldMin = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum, "v" -> FoldSpec.FoldMin))
+    val (_, mTaken) = refreshAfterDelete(tMin, foldMin, base2)
+    assert(mTaken == 0, "a MIN member must decline retraction")
+  }
+
   test("append fold-in, distributed variant: changed chunks over the driver byte budget still fold in") {
     // shrinking the driver byte budget declines the source-row diff;
     // the set-op variant (exceptAll emptiness proof + frame fold-in)
