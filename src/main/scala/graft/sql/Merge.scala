@@ -86,17 +86,18 @@ object Merge {
   def matches(sqlText: String): Boolean =
     sqlText.matches("""(?is)^\s*merge\s+into\b.*""")
 
-  /** Whether an UPDATE SET / INSERT VALUES expression's per-row output
-    * bytes are bounded by the bytes already measured for the splice
-    * admission (envelope chunk bytes + source row bytes). Fixed-width
-    * output types are schema-bounded regardless of the expression (the
-    * projection casts to the target type). Var-width outputs (string /
-    * binary / any container) are bounded only when the expression is a
-    * bare column reference — `SET v = repeat(t.s, 1000)` can grow rows
-    * arbitrarily past the measured bound, and the bounded driver route's
-    * collect trusts the bound. Anything unrecognized counts as
-    * unbounded: the merge then takes the always-correct job path. */
-  private def sizeBounded(exprText: String, dt: DataType): Boolean = {
+  /** Per-row byte SURCHARGE of an UPDATE SET / INSERT VALUES expression
+    * over what the splice admission already measured (envelope chunk
+    * bytes + source row bytes): Some(0) for fixed-width output types
+    * (the projection casts to the target type, so size is
+    * schema-bounded) and for bare column references (their bytes are in
+    * the measurement); Some(len) for string literals (known bytes, NOT
+    * in the measurement); None for anything else — `SET v =
+    * repeat(t.s, 1000)` can grow rows arbitrarily past the measured
+    * bound, and the bounded driver route's collect trusts the bound, so
+    * an unrecognized expression sends the merge down the always-correct
+    * job path. */
+  private def sizeSurcharge(exprText: String, dt: DataType): Option[Long] = {
     import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType,
       StringType, StructType}
     def varWidth(t: DataType): Boolean = t match {
@@ -105,8 +106,14 @@ object Merge {
       case s: StructType => s.fields.exists(f => varWidth(f.dataType))
       case _ => false
     }
-    !varWidth(dt) || exprText.trim.matches(
-      """(?s)^(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))?$""")
+    val e = exprText.trim
+    if (!varWidth(dt)) Some(0L)
+    else if (e.matches("""(?s)^(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))?$"""))
+      Some(0L)
+    else if (e.matches("(?s)^'(?:[^']|'')*'$"))
+      Some(e.substring(1, e.length - 1).replace("''", "'")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    else None
   }
 
   /** Index of the ')' matching the '(' at position 0 (quote-aware). */
@@ -418,22 +425,32 @@ object Merge {
       // are checked unique. At scale both bounds exceed the caps and
       // the job path runs unchanged.
       // Bounds pass ONLY when every clause expression is size-bounded
-      // (see sizeBounded): a row-growing expression like
+      // (see sizeSurcharge): a row-growing expression like
       // `SET v = repeat(t.s, 1000)` would let a byte-admitted merge
-      // collect far over the driver budget.
-      val outputBounded = clauses.forall {
-        case Clause(_, _, Update(assigns)) => assigns.forall { case (c, e) =>
-          sizeBounded(e, schema(c).dataType) }
+      // collect far over the driver budget. String literals are bounded
+      // but UNMEASURED — their bytes ride the bound as an explicit
+      // per-row surcharge (each output row takes one clause's fate, so
+      // the worst clause's literal sum bounds every row).
+      val clauseSurcharges: Seq[Option[Long]] = clauses.map {
+        case Clause(_, _, Update(assigns)) =>
+          assigns.foldLeft(Option(0L)) { case (acc, (c, e)) =>
+            for (a <- acc; s <- sizeSurcharge(e, schema(c).dataType))
+              yield a + s }
         case Clause(_, _, Insert(Some(cols), exprs)) =>
-          cols.zip(exprs).forall { case (c, e) =>
-            sizeBounded(e, schema(c).dataType) }
-        case _ => true // DELETE, INSERT * (bare source columns)
+          cols.zip(exprs).foldLeft(Option(0L)) { case (acc, (c, e)) =>
+            for (a <- acc; s <- sizeSurcharge(e, schema(c).dataType))
+              yield a + s }
+        case _ => Some(0L) // DELETE, INSERT * (bare source columns)
       }
+      val rowSurcharge: Option[Long] =
+        clauseSurcharges.foldLeft(Option(0L)) { (acc, s) =>
+          for (a <- acc; v <- s) yield math.max(a, v) }
       val (envRows, envBytes) = ops.sizeHints(rangeRef)
       val regionTable = ops.fromDataFrameBounded(projected, keyCols,
         FoldSpec.FoldLast,
-        rowBound = if (outputBounded) envRows.map(_ + n) else None,
-        byteBound = if (outputBounded) envBytes.map(_ + srcBytes) else None)
+        rowBound = if (rowSurcharge.isDefined) envRows.map(_ + n) else None,
+        byteBound = rowSurcharge.flatMap(sur =>
+          envBytes.map(_ + srcBytes + (envRows.getOrElse(0L) + n) * sur)))
       val complement = ops.deleteRange(tgtRef,
         Some(Bound(lo, inclusive = true)), Some(Bound(hi, inclusive = true)))
       val out = ops.merge(Seq(complement, regionTable), FoldSpec.FoldLast)
