@@ -56,6 +56,17 @@ object Bench {
     catch { case _: Throwable => java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage }
 
+  /** Cumulative hypervisor STEAL jiffies (/proc/stat col 9) — on this
+    * class of VM a noisy neighbor can take whole cores for minutes
+    * (measured: 86 s of stolen CPU inside one 8-minute sweep) without
+    * moving load1 at all; the per-query steal delta is the only signal
+    * that adjudicates such a burst from the artifact. -1 if unreadable. */
+  private def stealJiffies: Long =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.next().trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
+
   /** Noise-robust per-query timing: two runs always; when they disagree
     * by more than 15% a third run adjudicates. The recorded value is
     * the MIN OF ALL SAMPLES (VERDICT r11 #1a): wall clock cannot spike
@@ -210,6 +221,7 @@ object Bench {
       env: Seq[(String, String)], stmts: Seq[(String, Double, Long)],
       requeue: Seq[Double] = Nil)
     val bench0 = System.nanoTime()
+    val stealRun0 = stealJiffies
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QR = {
       val t0 = (System.nanoTime() - bench0) / 1e9
@@ -217,6 +229,7 @@ object Bench {
       val l0 = listener.snapshot
       val gc0 = driverGcMs; val cpu0 = procCpuNs
       val denials0 = graft.core.Ops.driverRouteDenials.get()
+      val steal0 = stealJiffies
       val loadStart = load1
       val (v, runs) =
         try timeQuery(() => {
@@ -242,6 +255,8 @@ object Bench {
         "spill_mb" -> fmt(d("spill") / 1048576.0),
         "gc_driver_ms" -> (driverGcMs - gc0).toString,
         "proc_cpu_s" -> fmt((procCpuNs - cpu0) / 1e9),
+        "steal_cs" -> (if (steal0 < 0) -1L
+          else stealJiffies - steal0).toString,
         "load1" -> fmt(loadStart),
         "load1_end" -> fmt(loadEnd))
       QR(name, v, runs, t0, loadStart, loadEnd, env,
@@ -493,9 +508,11 @@ object Bench {
       val ls = loads.sorted
       if (ls.isEmpty) 0.0 else ls(ls.size / 2)
     }
+    val stealTotal =
+      if (stealRun0 < 0) -1L else stealJiffies - stealRun0
     val loadJson = if (loads.isEmpty) "null" else
       s"""{"min":${fmt(loads.min)},"max":${fmt(loads.max)},"median":${fmt(
-        medLoad)},"idle0":${fmt(idle0)},"requeue_thr":${fmt(requeueLoad)},"requeued":$requeued,"polluted":$loadPolluted,"pollution_requeues":$pollutionRequeues}"""
+        medLoad)},"idle0":${fmt(idle0)},"requeue_thr":${fmt(requeueLoad)},"requeued":$requeued,"polluted":$loadPolluted,"pollution_requeues":$pollutionRequeues,"steal_cs":$stealTotal}"""
     val govCompact = governorTwin.map { case (den, eq, _) =>
       s"""{"denials":$den,"hash_equal":$eq}"""
     }.getOrElse("null")

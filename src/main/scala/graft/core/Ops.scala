@@ -1856,7 +1856,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // flags changed must not reuse a stale admission (the canonical
     // m.schemaJson cannot distinguish them — it erases NOT NULL)
     Ops.retractCache.getOrElseUpdate((m.schemaJson,
-      t.key + " " + t.nonNullContribs.toSeq.sorted.mkString(","),
+      t.key + "\u0000" + t.nonNullContribs.toSeq.sorted.mkString(","),
       fold.key)) {
       import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
       import org.apache.spark.sql.catalyst.plans.logical.Project
