@@ -22,14 +22,22 @@ class RouteFuzzSpec extends AnyFunSuite {
 
   /** ~40 statements over t(k PK, g NOT NULL, v nullable): point and
     * range and non-key DML, self-referencing inserts with collisions,
-    * IN-lists, NULL values through every route. */
+    * IN-lists, NULL values through every route — now interleaved with
+    * MATERIALIZED VIEW refreshes over an invertible aggregate, so the
+    * inter-refresh delta shape (append-only / mixed / delete-heavy)
+    * randomly drives the fold-in, RETRACTION, mini, and rebuild
+    * refresh routes (round 12). */
   private def program(seed: Long): Seq[String] = {
     val rng = new scala.util.Random(seed)
     def k() = rng.nextInt(3000)
     val out = Seq.newBuilder[String]
     out += "INSERT INTO t SELECT id AS k, id % 11 AS g, CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END AS v FROM range(0, 1200)"
+    // SUM(k): key-column contribution (non-null by keyCols — admits
+    // retraction); COUNT(*): the liveness column; COUNT(v): a
+    // CASE-lowered invertible member over the NULLABLE column
+    out += "CREATE MATERIALIZED VIEW mv AS SELECT g, SUM(k) AS sk, COUNT(*) AS n, COUNT(v) AS nv FROM t GROUP BY g"
     (1 to 36).foreach { _ =>
-      out += (rng.nextInt(8) match {
+      out += (rng.nextInt(10) match {
         case 0 =>
           val rows = (0 to rng.nextInt(2)).map(_ =>
             s"(${k()}, ${rng.nextInt(11)}, ${rng.nextInt(100)})")
@@ -53,12 +61,16 @@ class RouteFuzzSpec extends AnyFunSuite {
         case 7 =>
           if (rng.nextBoolean()) s"DELETE FROM t WHERE k = ${k()}"
           else s"DELETE FROM t WHERE g = ${rng.nextInt(11)} AND v % 5 = ${rng.nextInt(5)}"
+        case _ =>
+          "REFRESH MATERIALIZED VIEW mv"
       })
     }
+    out += "REFRESH MATERIALIZED VIEW mv"
     out.result()
   }
 
-  private def runProgram(stmts: Seq[String]): (String, Seq[(Long, Long, Any)]) = {
+  private def runProgram(stmts: Seq[String])
+      : (String, Seq[(Long, Long, Any)], String) = {
     val (ops, cat) = newOps()
     GraftSql.execute(spark, ops, cat,
       "CREATE TABLE t (k bigint PRIMARY KEY, g bigint NOT NULL, v bigint)")
@@ -67,7 +79,7 @@ class RouteFuzzSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getLong(2)))
       .sortBy(_._1).toSeq
-    (cat.root("t").tableHash, rows)
+    (cat.root("t").tableHash, rows, cat.root("mv").tableHash)
   }
 
   test("seeded DML programs hash-converge across every route config") {
@@ -100,6 +112,9 @@ class RouteFuzzSpec extends AnyFunSuite {
         s"seed $seed: routes disagree on rows")
       assert(results.map(_._1).distinct.length == 1,
         s"seed $seed: routes disagree on hash: ${results.map(_._1.take(12))}")
+      assert(results.map(_._3).distinct.length == 1,
+        s"seed $seed: refresh routes disagree on the VIEW hash: ${
+          results.map(_._3.take(12))}")
       // and the canonical rebuild of the final rows
       val (ops2, cat2) = newOps()
       import spark.implicits._
@@ -110,6 +125,13 @@ class RouteFuzzSpec extends AnyFunSuite {
         "CREATE TABLE t PRIMARY KEY (k) AS SELECT * FROM fuzz_final")
       assert(cat2.root("t").tableHash == results.head._1,
         s"seed $seed: final state is not canonical")
+      // the refreshed view must equal the from-scratch aggregate of the
+      // final table — every fold-in/retraction along the way was exact
+      GraftSql.execute(spark, ops2, cat2,
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, SUM(k) AS sk, " +
+          "COUNT(*) AS n, COUNT(v) AS nv FROM t GROUP BY g")
+      assert(cat2.root("mv").tableHash == results.head._3,
+        s"seed $seed: incrementally-refreshed view is not canonical")
     }
   }
 }
