@@ -332,8 +332,39 @@ object SqlViews {
         // combinable, so the view rides the O(delta) rekey path) and the
         // visible column is the one final fp division in the post stage —
         // the same exact-moments discipline as agg_stats.
+        // provable non-nullability of an inner expression against the
+        // source's REAL schema (the catalog entry carries the DDL's NOT
+        // NULL flags; join stages have no entry and analyze as nullable)
+        lazy val realSchemaEmpty: Option[org.apache.spark.sql.DataFrame] =
+          catalog.root.get(source).flatMap { e =>
+            scala.util.Try {
+              import org.apache.spark.sql.types.{DataType, StructType}
+              val srcSchema = StructType(
+                DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+                  .fields.map(f =>
+                    if (e.notNull.contains(f.name) ||
+                        e.keyCols.contains(f.name))
+                      f.copy(nullable = false) else f))
+              val spark = org.apache.spark.sql.SparkSession.active
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                srcSchema)
+            }.toOption
+          }
+        def innerNonNull(inner: String): Boolean =
+          realSchemaEmpty.exists(df => scala.util.Try(
+            !df.select(expr(inner).as("x")).schema.head.nullable)
+            .getOrElse(false))
+        // COUNT(*) is the literal 1; COUNT(x) over a provably non-null
+        // x lowers to the SAME literal (values identical — CASE WHEN
+        // non-null THEN 1 ELSE 0 is constantly 1 there), which makes it
+        // a LIVENESS column: such views admit the delete-aware
+        // retraction refresh without an explicit COUNT(*). Identical
+        // output values keep every memoized result valid; a re-created
+        // source with different nullability lowers differently but also
+        // has a different table hash, so op identities never collide.
         def countContrib(inner: String, as: String): Column =
-          if (inner.trim == "*") lit(1L).as(as)
+          if (inner.trim == "*" || innerNonNull(inner)) lit(1L).as(as)
           else expr(s"CASE WHEN ($inner) IS NOT NULL THEN 1 ELSE 0 END")
             .cast("long").as(as)
         // (inner contribution, inner column name, member fold) per inner
@@ -421,22 +452,8 @@ object SqlViews {
         // NOT NULL columns. Internal join stages aren't catalog tables
         // (and their aligned columns are nullable anyway): empty set.
         val nonNullStage: Set[String] =
-          catalog.root.get(source).flatMap { e =>
+          realSchemaEmpty.flatMap { empty =>
             scala.util.Try {
-              import org.apache.spark.sql.types.{DataType, StructType}
-              // the entry's schemaJson is the canonical (nullable) form;
-              // the DDL's NOT NULL flags live in entry.notNull — re-apply
-              // them so the nullability analysis sees the real contract
-              val srcSchema = StructType(
-                DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
-                  .fields.map(f =>
-                    if (e.notNull.contains(f.name) ||
-                        e.keyCols.contains(f.name))
-                      f.copy(nullable = false) else f))
-              val spark = org.apache.spark.sql.SparkSession.active
-              val empty = spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                srcSchema)
               empty.select(innerVals.map(_._1): _*).schema.fields
                 .filterNot(_.nullable).map(_.name).toSet[String]
             }.toOption

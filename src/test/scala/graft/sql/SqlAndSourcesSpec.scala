@@ -497,6 +497,27 @@ class SqlAndSourcesSpec extends AnyFunSuite {
       assert(d == vs.distinct.size.toLong && n == vs.size.toLong,
         s"KMV view wrong after delete-refresh for g=$g: ($d, $n)")
     }
+
+    // COUNT(x) over a DDL-NOT-NULL column lowers to the literal-1
+    // contribution, so a view WITHOUT COUNT(*) still carries a
+    // liveness column and retracts
+    val (ops3, cat3) = newOps()
+    def run3(sql: String) = GraftSql.execute(spark, ops3, cat3, sql)
+    run3("CREATE TABLE rc (k bigint PRIMARY KEY, g bigint NOT NULL, " +
+      "v bigint NOT NULL)")
+    run3("INSERT INTO rc SELECT id, id % 5, id FROM range(0, 6000)")
+    run3("CREATE MATERIALIZED VIEW rcv AS SELECT g, SUM(v) AS sv, " +
+      "COUNT(v) AS n FROM rc GROUP BY g")
+    run3("DELETE FROM rc WHERE k % 10 = 2")
+    val rc0 = graft.core.Ops.rekeyRetractFoldIns.get()
+    run3("REFRESH MATERIALIZED VIEW rcv")
+    assert(graft.core.Ops.rekeyRetractFoldIns.get() > rc0,
+      "COUNT(not-null col) must act as the liveness column")
+    val Left(df3) = run3("SELECT g, sv, n FROM rcv ORDER BY g"): @unchecked
+    val want3 = (0L until 6000L).filterNot(_ % 10 == 2).groupBy(_ % 5)
+      .view.mapValues(ks => (ks.sum, ks.size.toLong)).toMap
+    assert(df3.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == want3)
   }
 
   test("binary columns render as lowercase hex in text exports and round-trip through import") {
