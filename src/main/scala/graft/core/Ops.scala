@@ -227,8 +227,39 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     })
   }
 
+  /** Retraction merge (the distributed delete-aware refresh's tail): a
+    * two-table merge of the previous aggregate result and a NET delta
+    * table (inserted contributions plus INVERTED deleted ones, pre-folded
+    * per group) that DELETES any group whose folded `livenessCol` lands
+    * on 0 — the counting-IVM death rule, applied inside the region merge
+    * so only DIRTY regions are rewritten. Exactness: a dead group's key
+    * exists in the previous result, so the region holding it always has
+    * BOTH participants and is folded+filtered (a single-participant
+    * passthrough region can only hold untouched previous groups — alive
+    * by invariant — or delta-only NEW groups, whose liveness is a sum of
+    * +1 contributions and cannot be 0). Memo keys carry the liveness
+    * column: a plain merge of the same inputs never reuses a filtered
+    * region and vice versa. */
+  def mergeRetract(prev: TableRef, delta: TableRef, fold: FoldSpec,
+      livenessCol: String): TableRef = {
+    val envs = Seq(prev, delta).map(r => store.tableEnvelope(r.hash))
+    val (schemaJson, keyCols, target, _) = envs.head
+    require(envs.forall(e => e._1 == schemaJson && e._2 == keyCols
+      && e._3 == target),
+      "mergeRetract requires identically-shaped tables")
+    if (envs(1)._4 == 0) return prev
+    val opHash = Hashing.opHash(Seq(
+      "graft-op-merge-retract-v1", fold.key, livenessCol, target.toString,
+      prev.hash, delta.hash))
+    TableRef(store.memoized(opHash) {
+      computeMerge(Seq(prev, delta), schemaJson, keyCols, target, fold,
+        dropDeadOn = Some(livenessCol)).tableHash
+    })
+  }
+
   private def computeMerge(refs: Seq[TableRef], schemaJson: String,
-      keyCols: Seq[String], target: Long, fold: FoldSpec): TableMeta = {
+      keyCols: Seq[String], target: Long, fold: FoldSpec,
+      dropDeadOn: Option[String] = None): TableMeta = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val valueCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
@@ -281,8 +312,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .withColumn(SRC, lit(i.toLong))
       }
       val union = srcParts.reduce(_.unionByName(_))
-      val folded = union.groupBy(keyCols.map(col): _*)
+      val folded0 = union.groupBy(keyCols.map(col): _*)
         .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+      // retraction-merge death rule: a group whose folded liveness
+      // counter reaches 0 has no remaining source rows — drop it
+      val folded = dropDeadOn.map(l => folded0.where(col(l) =!= 0L))
+        .getOrElse(folded0)
       return Canonical.materialize(spark, store,
         castValues(folded, schema, valueCols), keyCols, target,
         rowBound = Some(flatRows),
@@ -378,13 +413,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val combinableHere =
       fold.combinableForNamed(valueCols.map(c => (c, schema(c).dataType)))
 
+    // the liveness-drop changes a region's OUTPUT for the same inputs,
+    // so retraction merges get their own memo namespace
+    val dropTag = dropDeadOn.map(l => Seq("drop-dead:" + l)).getOrElse(Nil)
     def regionOp(ps: Seq[(Int, ChunkMeta)]): String =
       if (combinableHere) Hashing.opHash(
         Seq("graft-op-merge-region-v3c", fold.key, target.toString) ++
-          ps.map(_._2.hash).sorted)
+          dropTag ++ ps.map(_._2.hash).sorted)
       else Hashing.opHash(
         Seq("graft-op-merge-region-v3", fold.key, target.toString) ++
-          ps.map { case (s, c) => s"$s:${c.hash}" })
+          dropTag ++ ps.map { case (s, c) => s"$s:${c.hash}" })
 
     // region lo -> either the resolved output chunks, or the op awaiting
     // the region job
@@ -430,17 +468,26 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             .withColumn(grp, fileToOp(input_file_name()))
         }
         val union = srcParts.reduce(_.unionByName(_))
-        val folded = union.groupBy(col(grp) +: keyCols.map(col): _*)
+        val folded0 = union.groupBy(col(grp) +: keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        // retraction-merge death rule (see [[mergeRetract]]): folded
+        // groups whose liveness lands on 0 are dropped, possibly leaving
+        // a region EMPTY (a fully-purged result run) — memoized as the
+        // empty table below so refreshes reuse the death too
+        val folded = dropDeadOn.map(l => folded0.where(col(l) =!= 0L))
+          .getOrElse(folded0)
         val subMetas = Canonical.materializeGrouped(spark, store,
           castValues(folded, schema, valueCols), grp, keyCols, target,
           rowBound = Some(miss.flatMap(_._1).map(_._2.rows).sum),
           byteBound = chunkBytes(miss.flatMap(_._1).map(_._2)))
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
+        miss.iterator.map(_._2).filterNot(subMetas.contains).foreach { op =>
+          store.memoPut(op, emptyPiece.tableHash)
+        }
         subMetas
       }
     pendingOps.foreach { case (lo, op) =>
-      resolved(lo) = computed(op).chunks
+      resolved(lo) = computed.get(op).map(_.chunks).getOrElse(Nil)
     }
 
     // ---- pass 2: streaming emit, in key order ----
@@ -1773,52 +1820,47 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
                 foldIn(spark.createDataFrame(insSrc.asJava, m.schema),
                   insSrc.length.toLong)
               }
-            case None if added.iterator.map(_.rows).sum <=
-                removed.iterator.map(_.rows).sum =>
-              // over-the-driver-caps delta with no net row growth: the
-              // distributed variant below proves insert-only-ness via
-              // exceptAll, which can never hold here — decline free
-              // (distributed retraction is future work; the mini path
-              // is the exact fallback)
-              dbg("decline: over driver caps and no net row growth")
-              None
             case None =>
-              // DISTRIBUTED variant — the 100 TB path: changed chunks
+              // (a non-retractable fold with no net row growth never
+              // reaches here — the metadata pre-check above declined
+              // before any IO)
+              // DISTRIBUTED variants — the 100 TB path: changed chunks
               // above the driver byte budget diff as FRAMES. One
               // limit(1) job proves no row was deleted (exceptAll is
               // exactly the multiset difference), then the appended
-              // rows fold in without ever landing on the driver. Gated
-              // on the same fp/binary-free schema rule as the driver
-              // diff: SQL set-op equality normalizes NaN/-0.0, which
-              // would let a bit-level value change masquerade as a
-              // no-op. Cost: ~two scans of the changed chunks + the
+              // rows fold in without ever landing on the driver; a
+              // delta WITH deletes takes the distributed RETRACTION
+              // ([[rekeyRetractDistributed]]) when the fold admits it.
+              // Gated on the same fp/binary-free schema rule as the
+              // driver diff: SQL set-op equality normalizes NaN/-0.0,
+              // which would let a bit-level value change masquerade as
+              // a no-op. Cost: ~two scans of the changed chunks + the
               // delta materialization + the result merge — versus the
               // mini path's changed-chunk minis PLUS a re-merge of
               // EVERY mini when the appended group keys scatter.
               // driverMaterializeEnabled doubles as the route-matrix
               // master switch (specs force it off to exercise the
               // reference mini/job paths) — honor it here even though
-              // this variant never touches driver memory
+              // these variants never touch driver memory
               if (!Canonical.driverMaterializeEnabled ||
                   !Ops.driverDiffable(m.schema)) {
                 dbg("decline: schema unsafe for distributed set-op diff")
                 None
               } else try {
-                def readChunks(cs: Seq[ChunkMeta]): DataFrame =
-                  if (cs.isEmpty) spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                    m.schema)
-                  else spark.read
-                    .schema(Canonical.withFieldIds(m.schema))
-                    .parquet(cs.map(c => store.chunkPath(c.hash)): _*)
-                    .select(m.schema.fieldNames.map(nm => col(nm)
-                      .as(nm, org.apache.spark.sql.types.Metadata.empty)): _*)
-                val addedDf = readChunks(added)
-                val removedDf = readChunks(removed)
+                val addedDf = readSourceChunks(m, added)
+                val removedDf = readSourceChunks(m, removed)
                 val hasDeletes = removed.nonEmpty &&
                   !removedDf.exceptAll(addedDf).limit(1).isEmpty
-                if (hasDeletes) {
-                  dbg("decline: distributed diff found deletes"); None
+                if (hasDeletes) retractPlan match {
+                  case Some(rp) =>
+                    rekeyRetractDistributed(rp, m, t, fold, prev, pm,
+                      addedDf, removedDf,
+                      added.iterator.map(_.rows).sum +
+                        removed.iterator.map(_.rows).sum, dbg)
+                  case None =>
+                    dbg("decline: distributed diff found deletes, " +
+                      "fold not retractable")
+                    None
                 } else foldIn(addedDf.exceptAll(removedDf),
                   added.iterator.map(_.rows).sum)
               } catch { case NonFatal(e) =>
@@ -2015,6 +2057,98 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         Some(math.max(8, pm.chunks.length / 2))).map(_.hash)
       if (out.isDefined) Ops.rekeyRetractFoldIns.incrementAndGet(): Unit
       out
+    } catch { case NonFatal(e) =>
+      Ops.warnDriverPatchFallback(e); None }
+  }
+
+  /** A table version's changed chunks as a frame in the table's own
+    * schema (field-id read metadata stripped) — shared by the
+    * distributed fold-in/retraction variants. */
+  private def readSourceChunks(m: TableMeta, cs: Seq[ChunkMeta]): DataFrame =
+    if (cs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read
+      .schema(Canonical.withFieldIds(m.schema))
+      .parquet(cs.map(c => store.chunkPath(c.hash)): _*)
+      .select(m.schema.fieldNames.map(nm => col(nm)
+        .as(nm, org.apache.spark.sql.types.Metadata.empty)): _*)
+
+  /** DISTRIBUTED delete-aware refresh (VERDICT r12 #1) — the over-cap
+    * mirror of [[rekeyRetract]]: when the changed source chunks exceed
+    * the driver byte budget, the retraction runs entirely as frames.
+    * Contributions of the added/removed chunk versions diff as one
+    * multiset difference per side (a per-row transform commutes with
+    * multiset diff, so diffing AT the contribution level equals the
+    * driver route's src-diff-then-re-diff — value-insensitive updates
+    * cancel identically), the deleted side folds in through the
+    * fold-declared inversion projection, one shuffle builds the NET
+    * delta table at result granularity, and [[mergeRetract]] folds it
+    * into the previous result rewriting only dirty regions and deleting
+    * liveness-0 groups. Bit-identical to from-scratch by the same
+    * argument as the driver route (inversion bit-exact, content-defined
+    * chunking a pure function of the key set). This is the plan that
+    * survives a retention purge touching MANY groups across FEW result
+    * regions at 100 TB: cost is O(changed source chunks + dirty result
+    * regions), with no driver-resident rows at any point. The NULL belt
+    * covers the DELTA contributions (one limit-1 job); previous partials
+    * ride the caller's non-null contract, which the SQL layer enforces
+    * at write time (guardNotNull) — a lying core-level caller falls
+    * under the same documented contract as uniqueKeys. */
+  private def rekeyRetractDistributed(rp: Ops.RetractPlan, m: TableMeta,
+      t: ColTransform, fold: FoldSpec, prev: TableRef, pm: TableMeta,
+      addedDf: DataFrame, removedDf: DataFrame, changedRows: Long,
+      dbg: (=> String) => Unit): Option[String] = {
+    import scala.util.control.NonFatal
+    // contribution frames are diffed by SQL set-op equality — same
+    // fp/binary-free rule as the driver route's structural diff
+    if (!Ops.driverDiffable(pm.schema)) {
+      dbg("decline: result schema unsafe for distributed set-op diff")
+      return None
+    }
+    try {
+      def contribs(df: DataFrame): DataFrame = {
+        val df1 = t.rowFilter.map(df.where).getOrElse(df)
+        df1.select(t.columns: _*)
+          .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
+      }
+      val insT = contribs(addedDf).exceptAll(contribs(removedDf)).persist()
+      val delT = contribs(removedDf).exceptAll(contribs(addedDf)).persist()
+      try {
+        // NULL belt for the delta side of the non-null contract: one
+        // limit-1 job; decline to the exact paths rather than compute
+        // wrong NULL-skipping semantics
+        val invCols = rp.inverts.keysIterator.toSeq
+        val nullHit = !insT.union(delT)
+          .where(invCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).isEmpty
+        if (nullHit) {
+          dbg("decline: NULL contribution under a non-null contract")
+          return None
+        }
+        val delInv = delT.select(pm.schema.fieldNames.toIndexedSeq
+          .map(n => rp.inverts.getOrElse(n, col(n)).as(n)): _*)
+        val valueCols = pm.schema.fieldNames.toSeq
+          .filterNot(pm.keyCols.contains)
+        val folded = insT.union(delInv)
+          .groupBy(pm.keyCols.map(col): _*)
+          .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        val deltaMeta = Canonical.materialize(spark, store,
+          castValues(folded, pm.schema, valueCols), pm.keyCols,
+          pm.chunkTargetRows, rowBound = Some(changedRows))
+        if (deltaMeta.schemaJson != pm.schemaJson) {
+          dbg("decline: delta schema diverged from the result's")
+          None
+        } else if (deltaMeta.chunks.isEmpty) Some(prev.hash)
+        else {
+          dbg(s"distributed retract: ${deltaMeta.chunks.map(_.rows).sum} " +
+            s"net delta groups → mergeRetract")
+          Ops.rekeyRetractDistFoldIns.incrementAndGet()
+          Some(mergeRetract(prev, TableRef(deltaMeta.tableHash), fold,
+            rp.livenessCol).hash)
+        }
+      } finally {
+        insT.unpersist(); delT.unpersist(): Unit
+      }
     } catch { case NonFatal(e) =>
       Ops.warnDriverPatchFallback(e); None }
   }
@@ -2637,6 +2771,11 @@ object Ops {
   /** Observability counter: delete-aware retraction fold-ins taken
     * (specs pin the route fires; the bench env rows make it auditable). */
   private[graft] val rekeyRetractFoldIns =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Observability counter: DISTRIBUTED retractions (over-cap delete
+    * deltas folded in as frames via [[Ops.mergeRetract]]). */
+  private[graft] val rekeyRetractDistFoldIns =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Test seam: lets specs force the Spark patch path to pin

@@ -401,6 +401,98 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "distributed append fold-in must hash-equal the from-scratch build")
   }
 
+  test("distributed retraction: over-cap delete delta folds in as frames, group death, three-route hash equality") {
+    // VERDICT r12 #1: a delete delta whose changed chunks exceed the
+    // driver byte budget must take the DISTRIBUTED retraction
+    // (contribution frames diffed via exceptAll, deleted side inverted,
+    // one net-delta shuffle, mergeRetract dropping liveness-0 groups) —
+    // the retention-purge-at-100TB shape — instead of declining to the
+    // O(groups × chunks) mini re-merge. Same scattered-group data as
+    // the driver retraction test so the two routes pin the same model.
+    val rekeyAgg = ColTransform("rekey_cnt_sum_v1", Seq("g"),
+      Seq(concat(lit("g"), reverse(substring(col("k"), 2, 4))).as("g"),
+        lit(1L).as("cnt"), col("v")),
+      nonNull = Set("v"))
+    val fold = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum, "v" -> FoldSpec.FoldSum))
+    def model(data: Map[String, Long]): Map[String, (Long, Long)] =
+      data.toSeq.groupBy { case (k, _) => "g" + k.substring(1, 5).reverse }
+        .view.mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrd-"))
+    val ops = new Ops(spark, store, 64)
+    val rows = (0 until 20000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeyAgg, fold)
+    val delKeys: Seq[String] =
+      (0 until 10).map(i => f"k0123$i") ++ Seq("k04567", "k08888")
+    val upserts = Seq("k15000" -> 42L)
+    val merged = ops.patchTable(
+      ops.upsert(base, ops.fromDataFrame(df(upserts), Seq("k"))),
+      Nil, delKeys.map(Seq(_)))
+
+    val savedBytes = Ops.DriverPatchMaxBytes
+    Ops.DriverPatchMaxBytes = 1L // force the over-cap path
+    val dist0 = Ops.rekeyRetractDistFoldIns.get()
+    val drv0 = Ops.rekeyRetractFoldIns.get()
+    store.stats.reset()
+    val v2 =
+      try ops.transform(merged, rekeyAgg, fold, prev = Some(v1))
+      finally Ops.DriverPatchMaxBytes = savedBytes
+    val snap = store.stats.snapshot
+    assert(Ops.rekeyRetractDistFoldIns.get() == dist0 + 1,
+      "over-cap delete delta did not take the DISTRIBUTED retraction")
+    assert(Ops.rekeyRetractFoldIns.get() == drv0,
+      "over-cap delta must not reach the driver retraction route")
+    // no per-chunk mini walk (~300 memoGets here): the route consults
+    // the reverse/whole-op memos plus mergeRetract's region memos
+    assert(snap("memoHits") + snap("memoMisses") <= 150,
+      s"distributed retraction walked the mini memos: $snap")
+    // value correctness incl. GROUP DEATH through mergeRetract's
+    // dirty-region liveness filter
+    val want = model(rows.toMap ++ upserts.toMap -- delKeys)
+    val got = ops.scan(v2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains("g3210"), "fully-retracted group must vanish")
+    assert(got == want)
+    // three-route hash equality: from-scratch ...
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrd2-")), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df((rows.toMap ++ upserts.toMap -- delKeys).toSeq),
+        Seq("k")), rekeyAgg, fold)
+    assert(v2.hash == scratch.hash,
+      "distributed retraction must hash-equal the from-scratch build")
+    // ... the forced mini route ...
+    val store3 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrd3-"))
+    val ops3 = new Ops(spark, store3, 64)
+    val base3 = ops3.fromDataFrame(df(rows), Seq("k"))
+    val v13 = ops3.transform(base3, rekeyAgg, fold)
+    val merged3 = ops3.patchTable(
+      ops3.upsert(base3, ops3.fromDataFrame(df(upserts), Seq("k"))),
+      Nil, delKeys.map(Seq(_)))
+    Canonical.driverMaterializeEnabled = false
+    val v23 =
+      try ops3.transform(merged3, rekeyAgg, fold, prev = Some(v13))
+      finally Canonical.driverMaterializeEnabled = true
+    assert(v23.hash == v2.hash,
+      "distributed retraction diverged from the mini-merge route")
+    // ... and the driver retraction route (same inputs, default caps)
+    val store4 = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyrd4-"))
+    val ops4 = new Ops(spark, store4, 64)
+    val base4 = ops4.fromDataFrame(df(rows), Seq("k"))
+    val v14 = ops4.transform(base4, rekeyAgg, fold)
+    val merged4 = ops4.patchTable(
+      ops4.upsert(base4, ops4.fromDataFrame(df(upserts), Seq("k"))),
+      Nil, delKeys.map(Seq(_)))
+    val drv40 = Ops.rekeyRetractFoldIns.get()
+    val v24 = ops4.transform(merged4, rekeyAgg, fold, prev = Some(v14))
+    assert(Ops.rekeyRetractFoldIns.get() == drv40 + 1,
+      "control flow: the same delta under default caps takes the driver route")
+    assert(v24.hash == v2.hash,
+      "distributed retraction diverged from the driver retraction route")
+  }
+
   test("gc sweeps mini/piece caches; the next refresh self-heals and stays correct") {
     // minis, pieces, and region results are CACHE (memo-only tables):
     // GC may sweep them all. A later refresh must recompute what it
