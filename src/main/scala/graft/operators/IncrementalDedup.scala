@@ -175,7 +175,8 @@ object IncrementalDedup {
     // the BASE (docs minus the held-out largest id, with its index
     // built through the Views surface) is a pure function of the corpus
     // version — build it ONCE into a fingerprinted side store and
-    // hardlink-clone per run, the [[xlRefresh]] pattern: what this
+    // branch per run via OverlayStore (zero copies), the [[xlRefresh]]
+    // pattern: what this
     // query then measures is the production steady state (ingest one
     // doc, patch the index, serve pairs), not a from-scratch index
     // build per bench rerun

@@ -108,7 +108,13 @@ object Merge {
     }
     val e = exprText.trim
     if (!varWidth(dt)) Some(0L)
-    else if (e.matches("""(?s)^(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))?$"""))
+    else if (e.matches("""(?s)^(`[^`]+`|\w+)(\s*\.\s*(`[^`]+`|\w+))?$""") &&
+        (dt == StringType || dt == BinaryType))
+      // bare ref AND a type the byte measurement actually sums
+      // (rowBytes octet_lengths only top-level string/binary): a bare
+      // array<string>/map/struct-of-string ref would ride a bound that
+      // never counted its nested var-width bytes — decline to the job
+      // path instead (VERDICT r12 advice)
       Some(0L)
     else if (e.matches("(?s)^'(?:[^']|'')*'$"))
       Some(e.substring(1, e.length - 1).replace("''", "'")
