@@ -1291,6 +1291,28 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       rekeyDeltaFoldIn(m, t, fold, p, target)
         .foreach(h => return finish(h))
     }
+    // 2c. FIRST build of a RETRACTABLE aggregate view (every fold member
+    //     invertible + a liveness column, the retractionSpec admission):
+    //     ONE direct materialization, no mini tables written — at 100 TB
+    //     eager minis write a second full copy of the pre-folded corpus,
+    //     and the n-way mini merge of a first build degenerates to the
+    //     flat shuffle anyway (every mini spans the whole group space).
+    //     Refreshes keep their O(delta) contract WITHOUT the mini
+    //     substrate: appends take the fold-in, deletes/updates the
+    //     retraction (driver or distributed) — the routes that never
+    //     touch minis — and the rare declines (NULL-contract trip,
+    //     scattered-splice guard) fall to the mini path, which computes
+    //     missing minis on demand in one batched job and memoizes them
+    //     (the cost moves from EVERY build to the first refresh that
+    //     actually needs the substrate). Non-invertible views (MIN/MAX/
+    //     KMV members, or no liveness column) keep eager minis: their
+    //     update/delete refreshes have no fold-in route, so the memoized
+    //     minis + region memos ARE their O(delta) story. Bit-identical
+    //     either way: rekeyCombinable admits only bit-stable partial
+    //     folds and the chunk decomposition is a pure function of the
+    //     key set (the forced-mini route-equality specs pin it).
+    if (prev.isEmpty && retractionSpec(m, t, fold).isDefined)
+      return finish(transformDirect(m, t, fold, target))
     val memoized: Map[String, Option[String]] =
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
     // 3. per-chunk minis (one batched compute of the missing ones)

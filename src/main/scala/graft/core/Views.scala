@@ -74,6 +74,7 @@ final class Views(ops: Ops, catalog: Catalog) {
 
   private def refresh(view: String, visiting: Set[String]): TableRef = {
     require(!visiting.contains(view), s"view dependency cycle at $view")
+    val t0 = if (Views.debugRefresh) System.nanoTime() else 0L
     val vs = visiting + view
     val out = joinDefs.get(view) match {
       case Some(j) => refreshJoin(view, j, vs)
@@ -89,6 +90,8 @@ final class Views(ops: Ops, catalog: Catalog) {
     // don't mint a new catalog root for a no-op refresh (the git
     // equivalent of refusing an empty commit)
     if (!catalog.get(view).contains(out)) catalog.put(view, out)
+    if (Views.debugRefresh)
+      System.err.println(f"[refresh] $view ${(System.nanoTime() - t0) / 1e6}%.1f ms")
     out
   }
 
@@ -192,6 +195,10 @@ final class Views(ops: Ops, catalog: Catalog) {
 }
 
 object Views {
+  /** Profiling seam: per-view refresh walls to stderr. */
+  private[graft] val debugRefresh: Boolean =
+    sys.env.contains("GRAFT_DEBUG_REFRESH")
+
   final case class ViewDef(source: String, transform: ColTransform,
       fold: FoldSpec)
 
