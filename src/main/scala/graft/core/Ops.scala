@@ -2133,22 +2133,40 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         df1.select(t.columns: _*)
           .select(pm.schema.fieldNames.toIndexedSeq.map(col): _*)
       }
-      val insT = contribs(addedDf).exceptAll(contribs(removedDf)).persist()
-      val delT = contribs(removedDf).exceptAll(contribs(addedDf)).persist()
+      // BOTH multiset differences in ONE shuffle: tag added contributions
+      // +1 and removed ones -1, group by the whole row, keep non-zero
+      // nets — `net > 0` expanded by its multiplicity IS
+      // added.exceptAll(removed) and `net < 0` the reverse (exceptAll is
+      // exactly the positive part of the count difference), for half the
+      // changed-chunk scans of the two set-op calls
+      val tag = "_graft_net"
+      val allCols = pm.schema.fieldNames.toIndexedSeq
+      val net = contribs(addedDf).withColumn(tag, lit(1L))
+        .union(contribs(removedDf).withColumn(tag, lit(-1L)))
+        .groupBy(allCols.map(col): _*)
+        .agg(sum(col(tag)).as(tag))
+        .where(col(tag) =!= 0L)
+        .persist()
       try {
-        // NULL belt for the delta side of the non-null contract: one
-        // limit-1 job; decline to the exact paths rather than compute
-        // wrong NULL-skipping semantics
+        // NULL belt for the delta side of the non-null contract (one
+        // job, which also materializes the persisted net): decline to
+        // the exact paths rather than compute wrong NULL semantics
         val invCols = rp.inverts.keysIterator.toSeq
-        val nullHit = !insT.union(delT)
+        val nullHit = !net
           .where(invCols.map(col(_).isNull).reduce(_ || _))
           .limit(1).isEmpty
         if (nullHit) {
           dbg("decline: NULL contribution under a non-null contract")
           return None
         }
-        val delInv = delT.select(pm.schema.fieldNames.toIndexedSeq
-          .map(n => rp.inverts.getOrElse(n, col(n)).as(n)): _*)
+        // expand multiplicities back to contribution rows: inserted
+        // as-is, deleted through the fold-declared inversion
+        val insT = net.where(col(tag) > 0L)
+          .withColumn(tag, explode(sequence(lit(1L), col(tag))))
+          .select(allCols.map(col): _*)
+        val delInv = net.where(col(tag) < 0L)
+          .withColumn(tag, explode(sequence(lit(1L), -col(tag))))
+          .select(allCols.map(n => rp.inverts.getOrElse(n, col(n)).as(n)): _*)
         val valueCols = pm.schema.fieldNames.toSeq
           .filterNot(pm.keyCols.contains)
         val folded = insT.union(delInv)
@@ -2169,7 +2187,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             rp.livenessCol).hash)
         }
       } finally {
-        insT.unpersist(); delT.unpersist(): Unit
+        net.unpersist(): Unit
       }
     } catch { case NonFatal(e) =>
       Ops.warnDriverPatchFallback(e); None }

@@ -900,7 +900,7 @@ object MatView {
     // the oracle can mirror exactly (a bare PK load would silently
     // last-writer-win the duplicates)
     val src = Tables(s, dir, "lineitem")
-      .where(col("l_orderkey") % 2 === 0)
+      .where(col("l_orderkey") % 3 === 0)
       .select(
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("lk"),
         col("l_partkey"),
@@ -909,11 +909,14 @@ object MatView {
       .agg(max(col("l_partkey")).as("l_partkey"),
         sum(col("price_c0")).as("price_c"))
     src.createOrReplaceTempView("li_rd_src")
-    val n0 = src.count()
     // explicit DDL, not CTAS: the NOT NULL flags admit SUM retraction
     run("CREATE TABLE li_rd (lk bigint PRIMARY KEY, " +
       "l_partkey bigint NOT NULL, price_c bigint NOT NULL)")
     run("INSERT INTO li_rd SELECT * FROM li_rd_src")
+    // scale probe from table METADATA (zero jobs): which retraction
+    // route the in-query assertion below must require
+    val n0 = ops.meta(graft.core.TableRef(cat.root("li_rd").tableHash))
+      .chunks.map(_.rows).sum
 
     // 512 groups, each scattered across the whole key space — the shape
     // where the delete delta touches EVERY source chunk but the result
@@ -923,10 +926,11 @@ object MatView {
       "FROM li_rd GROUP BY g")
 
     // tail append + the purge: group 70 dies outright (deterministic
-    // group death — even orderkeys can only reach residues ≢ 8..15 mod
-    // 16, so the dead group must be one of theirs; the 16 M shift is a
-    // multiple of 512, so appended rows keep their group and never
-    // resurrect it), and a scattered 1-in-5 of the rest goes with it
+    // group death — populated at every SF by the slice: lk ≡ 70 mod 512
+    // needs l_linenumber = 6 and l_orderkey ≡ 8 mod 64, which meets
+    // ≡ 0 mod 3 at orderkey ≡ 72 mod 192; the 16 M shift is a multiple
+    // of 512, so appended rows keep their group and never resurrect
+    // it), and a scattered 1-in-5 of the rest goes with it
     run("INSERT INTO li_rd SELECT lk + 16000000, l_partkey, price_c + 3 " +
       "FROM li_rd WHERE lk % 1024 = 5")
     run("DELETE FROM li_rd WHERE lk % 512 = 70 OR l_partkey % 5 = 2")
@@ -941,7 +945,7 @@ object MatView {
     // the DISTRIBUTED route may have run (at sf0.01 the driver route
     // fits; a governor denial may still push it distributed — either
     // retraction is the asserted contract there)
-    if (n0 > 150000) require(dist > 0,
+    if (n0 > 100000) require(dist > 0,
       "over-cap delete delta must take the DISTRIBUTED retraction")
 
     val Left(out) = run(
@@ -955,7 +959,7 @@ object MatView {
     s"""WITH raw AS (
        |  SELECT l_orderkey * 8 + l_linenumber AS lk, l_partkey,
        |         ${centsSql("l_extendedprice")} AS price_c0
-       |  FROM lineitem WHERE l_orderkey % 2 = 0),
+       |  FROM lineitem WHERE l_orderkey % 3 = 0),
        |base AS (
        |  SELECT lk, MAX(l_partkey) AS l_partkey,
        |         CAST(SUM(price_c0) AS BIGINT) AS price_c
