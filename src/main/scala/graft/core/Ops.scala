@@ -1871,20 +1871,26 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
               } else try {
                 val addedDf = readSourceChunks(m, added)
                 val removedDf = readSourceChunks(m, removed)
-                val hasDeletes = removed.nonEmpty &&
-                  !removedDf.exceptAll(addedDf).limit(1).isEmpty
-                if (hasDeletes) retractPlan match {
+                retractPlan match {
                   case Some(rp) =>
+                    // retractable fold: skip the source-level delete
+                    // probe entirely — the contribution NET (one fused
+                    // shuffle) answers insert-only vs delete-bearing on
+                    // cached data and handles BOTH shapes
                     rekeyRetractDistributed(rp, m, t, fold, prev, pm,
                       addedDf, removedDf,
                       added.iterator.map(_.rows).sum +
                         removed.iterator.map(_.rows).sum, dbg)
                   case None =>
-                    dbg("decline: distributed diff found deletes, " +
-                      "fold not retractable")
-                    None
-                } else foldIn(addedDf.exceptAll(removedDf),
-                  added.iterator.map(_.rows).sum)
+                    val hasDeletes = removed.nonEmpty &&
+                      !removedDf.exceptAll(addedDf).limit(1).isEmpty
+                    if (hasDeletes) {
+                      dbg("decline: distributed diff found deletes, " +
+                        "fold not retractable")
+                      None
+                    } else foldIn(addedDf.exceptAll(removedDf),
+                      added.iterator.map(_.rows).sum)
+                }
               } catch { case NonFatal(e) =>
                 Ops.warnDriverPatchFallback(e); None }
           }
@@ -2159,6 +2165,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           dbg("decline: NULL contribution under a non-null contract")
           return None
         }
+        // delete-bearing vs insert-only, answered on the CACHED net —
+        // retractable folds never pay the source-level exceptAll probe
+        val hasDeletes = !net.where(col(tag) < 0L).limit(1).isEmpty
         // expand multiplicities back to contribution rows: inserted
         // as-is, deleted through the fold-declared inversion
         val insT = net.where(col(tag) > 0L)
@@ -2169,7 +2178,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           .select(allCols.map(n => rp.inverts.getOrElse(n, col(n)).as(n)): _*)
         val valueCols = pm.schema.fieldNames.toSeq
           .filterNot(pm.keyCols.contains)
-        val folded = insT.union(delInv)
+        val folded = (if (hasDeletes) insT.union(delInv) else insT)
           .groupBy(pm.keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
         val deltaMeta = Canonical.materialize(spark, store,
@@ -2179,7 +2188,14 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           dbg("decline: delta schema diverged from the result's")
           None
         } else if (deltaMeta.chunks.isEmpty) Some(prev.hash)
-        else {
+        else if (!hasDeletes) {
+          // insert-only delta: no group can die — plain region merge,
+          // sharing memo namespace with the sibling fold-in route
+          dbg(s"fold-in (via net): ${deltaMeta.chunks.map(_.rows).sum} " +
+            "appended delta groups merged into the previous result")
+          Ops.rekeyAppendFoldIns.incrementAndGet()
+          Some(merge(Seq(prev, TableRef(deltaMeta.tableHash)), fold).hash)
+        } else {
           dbg(s"distributed retract: ${deltaMeta.chunks.map(_.rows).sum} " +
             s"net delta groups → mergeRetract")
           Ops.rekeyRetractDistFoldIns.incrementAndGet()
