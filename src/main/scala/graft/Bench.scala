@@ -213,16 +213,36 @@ object Bench {
     // buffer is cleared at the start of every run, so what survives is
     // the LAST run's statement trace — the adjudication granularity the
     // round-9 sql_dml verdict item asked for
-    val stmtBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    val stmtBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long, String)]
     var stmtJobsMark = 0L
+    // per-statement ROUTE-ADMISSION deltas (VERDICT r13 #5): which
+    // incremental route each statement actually took — driver
+    // retraction, distributed retraction (and whether its net folded
+    // SCALED), append fold-in, governor denials — so a silent route
+    // downgrade is visible in every bench artifact, not only under
+    // GRAFT_DEBUG_DRIVER_PATCH
+    def routeCounters(): Array[Long] = Array(
+      graft.core.Ops.rekeyRetractFoldIns.get(),
+      graft.core.Ops.rekeyRetractDistFoldIns.get(),
+      graft.core.Ops.rekeyRetractScaledNets.get(),
+      graft.core.Ops.rekeyAppendFoldIns.get(),
+      graft.core.Ops.driverRouteDenials.get())
+    var stmtRouteMark: Array[Long] = routeCounters()
     graft.sql.GraftSql.stmtProbe = Some { (sql, sec) =>
       val j = listener.jobs.get()
-      stmtBuf.synchronized { stmtBuf += ((sql, sec, j - stmtJobsMark)); () }
+      val rc = routeCounters()
+      val rd = rc.zip(stmtRouteMark).map { case (a, b) => a - b }
+      val routes = s""""retract_drv":${rd(0)},"retract_dist":${rd(1)},""" +
+        s""""retract_scaled":${rd(2)},"fold_ins":${rd(3)},""" +
+        s""""route_denials":${rd(4)}"""
+      stmtBuf.synchronized { stmtBuf += ((sql, sec, j - stmtJobsMark, routes)); () }
       stmtJobsMark = j
+      stmtRouteMark = rc
     }
     final case class QR(name: String, v: Double, runs: Seq[Double], t0: Double,
       loadStart: Double, loadEnd: Double, stealCs: Long,
-      env: Seq[(String, String)], stmts: Seq[(String, Double, Long)],
+      env: Seq[(String, String)], stmts: Seq[(String, Double, Long, String)],
       requeue: Seq[Double] = Nil)
     val bench0 = System.nanoTime()
     val stealRun0 = stealJiffies
@@ -233,12 +253,14 @@ object Bench {
       val l0 = listener.snapshot
       val gc0 = driverGcMs; val cpu0 = procCpuNs
       val denials0 = graft.core.Ops.driverRouteDenials.get()
+      val routes0 = routeCounters()
       val steal0 = stealJiffies
       val loadStart = load1
       val (v, runs) =
         try timeQuery(() => {
           stmtBuf.synchronized { stmtBuf.clear() }
           stmtJobsMark = listener.jobs.get()
+          stmtRouteMark = routeCounters()
           fn(spark, sfDir).count(); ()
         })
         catch { case _: Throwable => (-1.0, Seq.empty[Double]) }
@@ -252,6 +274,16 @@ object Bench {
         // would attribute all prior denials to each later query
         "route_denials" ->
           (graft.core.Ops.driverRouteDenials.get() - denials0).toString,
+        // retraction-admission deltas (VERDICT r13 #5): driver vs
+        // distributed (and scaled-net) vs append fold-in, per query
+        "retract_drv" ->
+          (graft.core.Ops.rekeyRetractFoldIns.get() - routes0(0)).toString,
+        "retract_dist" ->
+          (graft.core.Ops.rekeyRetractDistFoldIns.get() - routes0(1)).toString,
+        "retract_scaled" ->
+          (graft.core.Ops.rekeyRetractScaledNets.get() - routes0(2)).toString,
+        "fold_ins" ->
+          (graft.core.Ops.rekeyAppendFoldIns.get() - routes0(3)).toString,
         "jobs" -> d("jobs").toString,
         "tasks" -> d("tasks").toString,
         "task_run_s" -> fmt(d("run_ms") / 1e3),
@@ -347,7 +379,12 @@ object Bench {
     // 1.25× trigger with zero load-flagged queries).
     val commonNames = {
       val here = results1.iterator.filter(_.v >= 0).map(_.name).toSet
-      if (refSf.contains(sfDir)) here.intersect(refQueries.keySet)
+      // a query whose REFERENCE value is -1 (errored in that run) must
+      // leave BOTH sides of the comparison, or this run's positive
+      // runtime inflates the ratio asymmetrically (r13 advice)
+      if (refSf.contains(sfDir))
+        here.intersect(refQueries.collect {
+          case (n, v) if v >= 0 => n }.toSet)
       else Set.empty[String]
     }
     def commonTotal(rs: Seq[QR]): Double =
@@ -358,8 +395,19 @@ object Bench {
         case (n, v) if commonNames(n) && v >= 0 => v }.sum)
     def stealSoFar: Long =
       if (stealRun0 < 0) 0L else math.max(0L, stealJiffies - stealRun0)
-    def trigger: Double = if (stealSoFar > 10000L) 1.10 else 1.25
-    def retrigger: Double = if (stealSoFar > 10000L) 1.05 else 1.2
+    // contention-INTERPOLATED trigger (VERDICT r13 #4): the r13 driver
+    // sweep evaded both the 1.25× ratio and the 10,000 cs steal cliff
+    // at once (1.248× with 7,091 cs) and self-reported clean while 25%
+    // inflated. The trigger now tightens linearly from the quiet 1.25×
+    // to the heavy-steal 1.10× as run-level steal goes 0 → 10,000 cs;
+    // an exhausted per-pass requeue budget (16/16 flagged) is treated
+    // as full contention — a run that spent its whole budget was
+    // sampled under load by definition.
+    def contentionFrac: Double =
+      if (flagged.size >= 16) 1.0
+      else math.min(stealSoFar, 10000L).toDouble / 10000.0
+    def trigger: Double = 1.25 - 0.15 * contentionFrac
+    def retrigger: Double = 1.20 - 0.15 * contentionFrac
     val polluted0 = refCommon.exists(rt =>
       rt > 0 && commonTotal(results1) > trigger * rt)
     var results: Seq[QR] = results1
@@ -516,8 +564,8 @@ object Bench {
       // per-statement trace (LAST timed run) for the statement-flow
       // queries: wall seconds + Spark jobs per statement
       val stmts = results.filter(_.stmts.nonEmpty).map { r =>
-        "\"" + r.name + "\":[" + r.stmts.map { case (sql, sec, jobs) =>
-          s"""{"s":${fmt(sec)},"jobs":$jobs,"sql":${jstr(
+        "\"" + r.name + "\":[" + r.stmts.map { case (sql, sec, jobs, routes) =>
+          s"""{"s":${fmt(sec)},"jobs":$jobs,$routes,"sql":${jstr(
             sql.trim.replaceAll("\\s+", " ").take(88))}}"""
         }.mkString(",") + "]"
       }.mkString("{", ",", "}")

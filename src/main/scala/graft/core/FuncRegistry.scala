@@ -61,6 +61,26 @@ trait FoldSpec extends Serializable {
     * inversion cannot express; the retraction route therefore admits
     * only provably non-null contribution columns. */
   def invertContrib(name: String): Option[Column] = None
+
+  /** Linearity contract (multiplicity-aware retraction): the per-row
+    * projection equal to folding `n` IDENTICAL copies of the
+    * contribution in value column `name` — `fold(replicate(n, x)) ==
+    * scale(x, n)` BIT-exactly for every n ≥ 1 over the types
+    * [[combinableFor]] admits. Only LINEAR folds qualify: SUM/COUNT
+    * multiply (exact integer/decimal arithmetic — n repeated additions
+    * and one multiplication agree bit-wise, wrap-around included),
+    * histogram sketches multiply their bin counts. This is what lets
+    * the distributed retraction fold a net delta row carrying
+    * multiplicity M as ONE scaled row instead of expanding M rows —
+    * for a count-shaped view (every contribution in a group is the
+    * identical (g, 1) row) a retention purge of M rows nets to a
+    * single row with multiplicity M, so without this contract the
+    * expansion is O(deleted rows) in ONE task at exactly the scale the
+    * distributed route exists for. None = not linear; the route falls
+    * back to a capped expansion. `n` is strictly positive where the
+    * engine evaluates this (deletions invert first, then scale by
+    * |net|). */
+  def scaleContrib(name: String, n: Column): Option[Column] = None
 }
 
 object FoldSpec {
@@ -94,6 +114,12 @@ object FoldSpec {
     // admits (wrap-around stays associative mod 2^w), so sums retract
     override def invertContrib(name: String): Option[Column] =
       Some((-col(name)).as(name))
+    // SUM is linear: n identical contributions fold to x·n — exact for
+    // the admitted integer types (n repeated additions mod 2^w equal
+    // one multiplication mod 2^w) and for decimals (same value, the
+    // caller casts back to the result type)
+    override def scaleContrib(name: String, n: Column): Option[Column] =
+      Some((col(name) * n).as(name))
   }
 
   case object FoldMin extends FoldSpec {
@@ -134,7 +160,8 @@ object FoldSpec {
   final case class CombinableFold(key: String, agg: Column => Column,
       override val idempotent: Boolean = false,
       exactTypesOnly: Boolean = false,
-      invert: Option[Column => Column] = None) extends FoldSpec {
+      invert: Option[Column => Column] = None,
+      scale: Option[(Column, Column) => Column] = None) extends FoldSpec {
     def aggs(valueCols: Seq[String]): Seq[Column] =
       valueCols.map(c => agg(col(c)).as(c))
     override val combinable = true
@@ -146,6 +173,10 @@ object FoldSpec {
     // leave it None
     override def invertContrib(name: String): Option[Column] =
       invert.map(f => f(col(name)).as(name))
+    // author-declared linearity (FoldSpec.scaleContrib contract):
+    // fold(n copies of x) == scale(x, n) bit-exactly
+    override def scaleContrib(name: String, n: Column): Option[Column] =
+      scale.map(f => f(col(name), n).as(name))
   }
 
   /** Example monoids: bitwise accumulation — idempotent (x|x == x,
@@ -205,6 +236,9 @@ object FoldSpec {
     // requires every value column to, so one MIN member vetoes the route)
     override def invertContrib(name: String): Option[Column] =
       byName.get(name).flatMap(_.invertContrib(name))
+    // member-wise linearity, like inversion
+    override def scaleContrib(name: String, n: Column): Option[Column] =
+      byName.get(name).flatMap(_.scaleContrib(name, n))
   }
 
   /** General NON-commutative pairwise fold in source order — the full

@@ -481,13 +481,25 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           rowBound = Some(miss.flatMap(_._1).map(_._2.rows).sum),
           byteBound = chunkBytes(miss.flatMap(_._1).map(_._2)))
         subMetas.foreach { case (op, m) => store.memoPut(op, m.tableHash) }
-        miss.iterator.map(_._2).filterNot(subMetas.contains).foreach { op =>
-          store.memoPut(op, emptyPiece.tableHash)
-        }
+        // an ABSENT region output is only legitimate on the retraction
+        // path (every group in the region died under the liveness
+        // filter); a PLAIN merge can never empty a region, so there a
+        // missing op is a materializeGrouped bug — memoizing it as the
+        // empty table would turn that bug into silent permanent data
+        // loss via the memo. Fail fast instead (the old behavior).
+        if (dropDeadOn.isDefined)
+          miss.iterator.map(_._2).filterNot(subMetas.contains).foreach { op =>
+            store.memoPut(op, emptyPiece.tableHash)
+          }
         subMetas
       }
     pendingOps.foreach { case (lo, op) =>
-      resolved(lo) = computed.get(op).map(_.chunks).getOrElse(Nil)
+      resolved(lo) = computed.get(op) match {
+        case Some(m) => m.chunks
+        case None if dropDeadOn.isDefined => Nil // fully-dead region
+        case None => sys.error(
+          s"merge region $lo produced no output on a plain merge")
+      }
     }
 
     // ---- pass 2: streaming emit, in key order ----
@@ -2168,16 +2180,63 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // delete-bearing vs insert-only, answered on the CACHED net —
         // retractable folds never pay the source-level exceptAll probe
         val hasDeletes = !net.where(col(tag) < 0L).limit(1).isEmpty
-        // expand multiplicities back to contribution rows: inserted
-        // as-is, deleted through the fold-declared inversion
-        val insT = net.where(col(tag) > 0L)
-          .withColumn(tag, explode(sequence(lit(1L), col(tag))))
-          .select(allCols.map(col): _*)
-        val delInv = net.where(col(tag) < 0L)
-          .withColumn(tag, explode(sequence(lit(1L), -col(tag))))
-          .select(allCols.map(n => rp.inverts.getOrElse(n, col(n)).as(n)): _*)
         val valueCols = pm.schema.fieldNames.toSeq
           .filterNot(pm.keyCols.contains)
+        // multiplicity handling (VERDICT r13 #2): |net| is the number of
+        // IDENTICAL contribution rows a net row stands for — and for a
+        // count-shaped view every contribution in a group is the same
+        // (g, 1) row, so a retention purge of M rows nets to ONE row
+        // with multiplicity M. Re-expanding that to M rows builds an
+        // O(M) array in a single task (multi-GB for a skewed group at
+        // 100 TB) on exactly the path this route exists for. The
+        // admitted folds are LINEAR ([[FoldSpec.scaleContrib]]:
+        // SUM/COUNT/HIST bin counts), so each net row folds as ONE
+        // contribution scaled by its multiplicity — bit-identical to the
+        // expansion, and a count-only purge costs O(distinct groups)
+        // instead of O(deleted rows).
+        val mult = "_graft_mult"
+        val scaleExprs: Option[Seq[Column]] = {
+          val es = allCols.map { n =>
+            if (pm.keyCols.contains(n)) Some(col(n))
+            else fold.scaleContrib(n, col(mult))
+          }
+          if (es.forall(_.isDefined)) Some(es.map(_.get)) else None
+        }
+        val (insT, delInv) = scaleExprs match {
+          case Some(exprs) =>
+            val ins = net.where(col(tag) > 0L)
+              .withColumnRenamed(tag, mult)
+              .select(exprs: _*)
+            // inversion first (a per-row projection), then the same
+            // scaling by |net| — the linear folds commute the two
+            val del = net.where(col(tag) < 0L)
+              .select(allCols.map(n =>
+                rp.inverts.getOrElse(n, col(n)).as(n)) :+
+                (-col(tag)).as(mult): _*)
+              .select(exprs: _*)
+            (ins, del)
+          case None =>
+            // an invertible-but-not-declared-linear fold keeps the exact
+            // expansion, BOUNDED: above the cap the single-task array is
+            // the OOM shape scaling exists to avoid — decline to the
+            // exact mini/rebuild paths instead (one tiny agg job on the
+            // cached net)
+            val maxRow = net.agg(max(abs(col(tag)))).head()
+            val maxMult = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+            if (maxMult > Ops.RetractMaxExpandMultiplicity) {
+              dbg(s"decline: net multiplicity $maxMult above the " +
+                s"expansion cap ${Ops.RetractMaxExpandMultiplicity} " +
+                "and the fold declares no scaleContrib")
+              return None
+            }
+            (net.where(col(tag) > 0L)
+              .withColumn(tag, explode(sequence(lit(1L), col(tag))))
+              .select(allCols.map(col): _*),
+             net.where(col(tag) < 0L)
+              .withColumn(tag, explode(sequence(lit(1L), -col(tag))))
+              .select(allCols.map(n =>
+                rp.inverts.getOrElse(n, col(n)).as(n)): _*))
+        }
         val folded = (if (hasDeletes) insT.union(delInv) else insT)
           .groupBy(pm.keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
@@ -2199,6 +2258,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           dbg(s"distributed retract: ${deltaMeta.chunks.map(_.rows).sum} " +
             s"net delta groups → mergeRetract")
           Ops.rekeyRetractDistFoldIns.incrementAndGet()
+          // counted HERE (not at net construction) so the counter means
+          // "a distributed RETRACTION folded its net scaled" — an
+          // insert-only delta also builds scaled nets but lands on the
+          // append fold-in above
+          if (scaleExprs.isDefined)
+            Ops.rekeyRetractScaledNets.incrementAndGet(): Unit
           Some(mergeRetract(prev, TableRef(deltaMeta.tableHash), fold,
             rp.livenessCol).hash)
         }
@@ -2833,6 +2898,21 @@ object Ops {
     * deltas folded in as frames via [[Ops.mergeRetract]]). */
   private[graft] val rekeyRetractDistFoldIns =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Observability counter: distributed retractions whose net delta
+    * folded via multiplicity SCALING ([[FoldSpec.scaleContrib]]) rather
+    * than row expansion — the O(distinct groups) path for count-shaped
+    * purges (VERDICT r13 #2). */
+  private[graft] val rekeyRetractScaledNets =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Expansion cap for the distributed retraction's NON-linear fallback
+    * (a fold with invertContrib but no scaleContrib): a net row's
+    * multiplicity re-expands via a single-task sequence() array, so
+    * above this the route declines to the exact paths instead of
+    * building the multi-GB array scaling exists to avoid. 64 Ki longs
+    * = a 512 KB array per net row, far under task memory. */
+  val RetractMaxExpandMultiplicity: Long = 1L << 16
 
   /** Test seam: lets specs force the Spark patch path to pin
     * driver-path == job-path hash equality. Always true in production. */

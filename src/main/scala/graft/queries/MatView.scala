@@ -928,11 +928,14 @@ object MatView {
     // tail append + the purge: group 70 dies outright (deterministic
     // group death — populated at every SF by the slice: lk ≡ 70 mod 512
     // needs l_linenumber = 6 and l_orderkey ≡ 8 mod 64, which meets
-    // ≡ 0 mod 3 at orderkey ≡ 72 mod 192; the 16 M shift is a multiple
+    // ≡ 0 mod 3 at orderkey ≡ 72 mod 192; the 2⁴⁰ shift is a multiple
     // of 512, so appended rows keep their group and never resurrect
-    // it), and a scattered 1-in-5 of the rest goes with it
-    run("INSERT INTO li_rd SELECT lk + 16000000, l_partkey, price_c + 3 " +
-      "FROM li_rd WHERE lk % 1024 = 5")
+    // it — and it clears any live lk at ANY scale factor, where the
+    // old 16 M shift collided with live primary keys past sf≈0.3 and
+    // the INSERT's upsert semantics would diverge from the oracle's
+    // UNION ALL, r13 advice), and a scattered 1-in-5 goes with it
+    run("INSERT INTO li_rd SELECT lk + 1099511627776, l_partkey, " +
+      "price_c + 3 FROM li_rd WHERE lk % 1024 = 5")
     run("DELETE FROM li_rd WHERE lk % 512 = 70 OR l_partkey % 5 = 2")
     val dist0 = graft.core.Ops.rekeyRetractDistFoldIns.get()
     val drv0 = graft.core.Ops.rekeyRetractFoldIns.get()
@@ -967,7 +970,7 @@ object MatView {
        |ins AS (
        |  SELECT * FROM base
        |  UNION ALL
-       |  SELECT lk + 16000000, l_partkey, price_c + 3
+       |  SELECT lk + 1099511627776, l_partkey, price_c + 3
        |  FROM base WHERE lk % 1024 = 5),
        |fin AS (
        |  SELECT * FROM ins

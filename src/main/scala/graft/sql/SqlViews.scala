@@ -126,7 +126,13 @@ object SqlViews {
     // array); the aggregate drops fully-cancelled bins, so a
     // DELETE-then-REFRESH folds to the exact from-scratch sketch
     invert = Some(c =>
-      transform(c, (x, i) => when(i % 2 === 1, -x).otherwise(x))))
+      transform(c, (x, i) => when(i % 2 === 1, -x).otherwise(x))),
+    // ... and LINEAR: n identical singleton sketches fold to the same
+    // bins with counts ×n — exact integer arithmetic, so a net delta
+    // row with multiplicity M retracts as ONE scaled sketch instead of
+    // M exploded rows (FoldSpec.scaleContrib)
+    scale = Some((c, n) =>
+      transform(c, (x, i) => when(i % 2 === 1, x * n).otherwise(x))))
 
   /** Per-row histogram contribution: the (bin, 1) singleton sketch,
     * interleaved (NULL bins contribute the empty sketch, like

@@ -409,6 +409,56 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "distributed append fold-in must hash-equal the from-scratch build")
   }
 
+  test("distributed retraction scales net multiplicities: a skewed identical-contribution purge folds without row expansion") {
+    // VERDICT r13 #2: in a count-shaped view every contribution in a
+    // group is the IDENTICAL row, so purging M rows of one group nets
+    // to a single row with multiplicity M — the old
+    // explode(sequence(1, M)) re-expansion built an O(M) single-task
+    // array (multi-GB for a skewed group at 100 TB; sequence() hard-
+    // errors past ~2.1B). The admitted folds are linear, so the net row
+    // must fold ONCE, scaled by M (FoldSpec.scaleContrib) — asserted
+    // via the scaled-nets counter (the expansion code is no longer on
+    // this path at any M), with group death and from-scratch hash
+    // equality preserved.
+    val rekeyConst = ColTransform("rekey_const_v1", Seq("g"),
+      Seq(when(col("k") < lit("k30000"), lit("a")).otherwise(lit("b")).as("g"),
+        lit(1L).as("cnt"), lit(7L).as("v")))
+    val fold = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum, "v" -> FoldSpec.FoldSum))
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeysc-"))
+    val ops = new Ops(spark, store, 64)
+    val rows = (0 until 40000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeyConst, fold)
+    // thin group a by 20000 identical contributions; kill group b
+    val delKeys: Set[String] = ((0 until 20000).map(i => f"k$i%05d") ++
+      (30000 until 40000).map(i => f"k$i%05d")).toSet
+    val merged = ops.patchTable(base, Nil, delKeys.toSeq.sorted.map(Seq(_)))
+    val savedBytes = Ops.DriverPatchMaxBytes
+    Ops.DriverPatchMaxBytes = 1L // force the over-cap distributed path
+    val dist0 = Ops.rekeyRetractDistFoldIns.get()
+    val scaled0 = Ops.rekeyRetractScaledNets.get()
+    val v2 =
+      try ops.transform(merged, rekeyConst, fold, prev = Some(v1))
+      finally Ops.DriverPatchMaxBytes = savedBytes
+    assert(Ops.rekeyRetractDistFoldIns.get() == dist0 + 1,
+      "purge did not take the distributed retraction")
+    assert(Ops.rekeyRetractScaledNets.get() == scaled0 + 1,
+      "identical-contribution purge did not take the SCALED net path")
+    val got = ops.scan(v2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 10000L, 70000L)),
+      s"scaled retraction wrong: $got") // b died, a thinned to 10000
+    // hash-equals a from-scratch build in a fresh store
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeysc2-")), 64)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df(rows.filterNot(r => delKeys.contains(r._1))),
+        Seq("k")), rekeyConst, fold)
+    assert(v2.hash == scratch.hash,
+      "scaled retraction must hash-equal the from-scratch build")
+  }
+
   test("distributed retraction: over-cap delete delta folds in as frames, group death, three-route hash equality") {
     // VERDICT r12 #1: a delete delta whose changed chunks exceed the
     // driver byte budget must take the DISTRIBUTED retraction

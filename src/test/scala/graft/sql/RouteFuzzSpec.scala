@@ -113,11 +113,21 @@ class RouteFuzzSpec extends AnyFunSuite {
         val savedBytes = Ops.DriverPatchMaxBytes
         if (bytes1) Ops.DriverPatchMaxBytes = 1L
         val dist0 = Ops.rekeyRetractDistFoldIns.get()
+        val scaled0 = Ops.rekeyRetractScaledNets.get()
         try {
           val r = runProgram(stmts)
-          if (bytes1) assert(Ops.rekeyRetractDistFoldIns.get() > dist0,
-            s"seed $seed: byte-budget-1 config never took the " +
-              "distributed retraction")
+          if (bytes1) {
+            assert(Ops.rekeyRetractDistFoldIns.get() > dist0,
+              s"seed $seed: byte-budget-1 config never took the " +
+                "distributed retraction")
+            // reconcile (VERDICT r13 #5): the fuzz views fold SUM/COUNT/
+            // HIST — all LINEAR — so every distributed retraction here
+            // must fold its net SCALED, never via row expansion
+            assert(Ops.rekeyRetractScaledNets.get() - scaled0 ==
+              Ops.rekeyRetractDistFoldIns.get() - dist0,
+              s"seed $seed: a linear-fold retraction fell off the " +
+                "scaled-net path")
+          }
           r
         }
         finally {
