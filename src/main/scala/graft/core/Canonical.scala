@@ -528,7 +528,8 @@ object Canonical {
       keyCols: Seq[String], chunkTargetRows: Long,
       rowBound: Option[Long] = None,
       byteBound: Option[Long] = None,
-      rowProbe: Option[Long] = None): TableMeta = {
+      rowProbe: Option[Long] = None,
+      probeFold: Boolean = false): TableMeta = {
     require(keyCols.nonEmpty, "key columns required")
     val cols = canonicalColumns(df0.schema, keyCols)
     // strip inherited column metadata: projections built over chunk
@@ -592,7 +593,7 @@ object Canonical {
         keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
     } else if (rowBound.isEmpty && driverMaterializeEnabled &&
-        smallJob(rowProbe, chunkTargetRows) &&
+        (probeFold || smallJob(rowProbe, chunkTargetRows)) &&
         DriverChunks.supported(df.schema)) {
       // OPTIMISTIC probe (generator size gating) — same bet as the
       // grouped variant: the output size is unknown (a generator fans
@@ -603,6 +604,11 @@ object Canonical {
       // collect + driver-side chunk writes instead of a sample +
       // multi-file write job pair. (Probe conf — one-job limit — lives
       // on the engine clone, see GraftBridge.engineSession.)
+      // `probeFold` is the caller's OPPOSITE-direction bet: the input
+      // is a grouped FOLD whose output collapses to the group count
+      // (a retraction's net delta at result granularity — VERDICT r13
+      // #3: the sample + write job pair cost ~570 ms for a 512-row
+      // delta). Over the cap, the same bounded fallback applies.
       val cap = Ops.adaptiveRowCap(df.schema, Ops.DriverPatchMaxRows)
       val probed: Option[Array[Row]] =
         try Some(withJobDesc(spark, "graft:probe") {

@@ -1017,7 +1017,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           val batch = Vector.newBuilder[(String, java.nio.file.Path)]
           val w = new Canonical.DriverRunWriter(schema, keyCols, target,
             store.chunkCodec, tmp, batch)
-          val out = runList.map { idxs =>
+          // runs are independent — read + re-encode them CONCURRENTLY
+          // (writeRun is thread-safe; a scattered DELETE leaves ~20% of
+          // chunks as offenders, so the sequential pass was a visible
+          // slice of the statement wall)
+          val out = Canonical.parIo(runList) { idxs =>
             val rows = idxs.flatMap { i =>
               DriverChunks.readRows(java.nio.file.Paths.get(
                 store.chunkPath(chunks(i).hash)), schema)
@@ -1211,6 +1215,17 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         castValues(folded,
           StructType(projected.schema.filterNot(_.name == SRC)), valueCols)
       }
+    val srcRows = m.chunks.map(_.rows).sum
+    // an AGGREGATE build's output is the group count — often metadata-
+    // sized even over a large source. For moderate sources, bet on the
+    // probe (one limit-guarded collect + driver write instead of the
+    // sample + write job pair — VERDICT r13 #3/#6: the pair cost ~0.8 s
+    // of a 1.0 s CREATE MV for a 512-group view at sf0.1). The source-
+    // rows guard keeps the bet OFF genuinely large builds, where a
+    // failed probe would re-run the fold shuffle: at 100 TB the build
+    // takes the job path straight.
+    val aggProbe = !t.uniqueKeys && !t.generator &&
+      srcRows <= Ops.ProbeFoldMaxSourceRows
     Canonical.materialize(spark, store, out,
       t.outKeyCols, target,
       // generator transforms can exceed the source row count — size
@@ -1218,10 +1233,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       // admits the optimistic probe (bet the fanned output fits the
       // driver cap, limit-guarded — at scale the source-rows gate
       // rejects before any bet is placed)
-      rowBound = if (t.generator) None
-        else Some(m.chunks.map(_.rows).sum),
-      rowProbe = if (t.generator) Some(m.chunks.map(_.rows).sum)
-        else None).tableHash
+      rowBound = if (t.generator || aggProbe) None else Some(srcRows),
+      rowProbe = if (t.generator) Some(srcRows) else None,
+      probeFold = aggProbe).tableHash
   }
 
   /** The incremental re-key path splits one fold into per-chunk partial
@@ -2166,20 +2180,24 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         .where(col(tag) =!= 0L)
         .persist()
       try {
-        // NULL belt for the delta side of the non-null contract (one
-        // job, which also materializes the persisted net): decline to
-        // the exact paths rather than compute wrong NULL semantics
+        // ONE probe job over the net (which also materializes the
+        // persist): the NULL belt for the delta side of the non-null
+        // contract AND the delete-bearing/insert-only answer — the two
+        // limit(1) probes this fuses each paid a full job's fixed cost
+        // at bench scale
         val invCols = rp.inverts.keysIterator.toSeq
-        val nullHit = !net
-          .where(invCols.map(col(_).isNull).reduce(_ || _))
-          .limit(1).isEmpty
+        val probeRow = net.agg(
+          max(when(invCols.map(col(_).isNull).reduce(_ || _), 1L)
+            .otherwise(0L)).as("nulls"),
+          max(when(col(tag) < 0L, 1L).otherwise(0L)).as("dels")).head()
+        val nullHit = !probeRow.isNullAt(0) && probeRow.getLong(0) == 1L
         if (nullHit) {
           dbg("decline: NULL contribution under a non-null contract")
           return None
         }
         // delete-bearing vs insert-only, answered on the CACHED net —
         // retractable folds never pay the source-level exceptAll probe
-        val hasDeletes = !net.where(col(tag) < 0L).limit(1).isEmpty
+        val hasDeletes = !probeRow.isNullAt(1) && probeRow.getLong(1) == 1L
         val valueCols = pm.schema.fieldNames.toSeq
           .filterNot(pm.keyCols.contains)
         // multiplicity handling (VERDICT r13 #2): |net| is the number of
@@ -2240,9 +2258,19 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val folded = (if (hasDeletes) insT.union(delInv) else insT)
           .groupBy(pm.keyCols.map(col): _*)
           .agg(fold.aggs(valueCols).head, fold.aggs(valueCols).tail: _*)
+        // probeFold: the delta collapses to the touched GROUP count —
+        // usually metadata-sized even when changedRows is large (a
+        // group-scattered purge nets to ~|groups| rows), so bet on one
+        // limit-guarded collect + driver write over the sample + write
+        // job pair. A failed probe re-runs the fold shuffle (the net is
+        // cached, so the re-run is the shuffle alone) — the source-rows
+        // guard keeps that bounded waste off genuinely huge deltas.
+        val deltaProbe = changedRows <= Ops.ProbeFoldMaxSourceRows
         val deltaMeta = Canonical.materialize(spark, store,
           castValues(folded, pm.schema, valueCols), pm.keyCols,
-          pm.chunkTargetRows, rowBound = Some(changedRows))
+          pm.chunkTargetRows,
+          rowBound = if (deltaProbe) None else Some(changedRows),
+          probeFold = deltaProbe)
         if (deltaMeta.schemaJson != pm.schemaJson) {
           dbg("decline: delta schema diverged from the result's")
           None
@@ -2349,6 +2377,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val missingRows = missing.iterator.map(_.rows).sum
         val driverDf: Option[DataFrame] =
           if (!Ops.driverPatchEnabled || !DriverChunks.supported(m.schema) ||
+              // zero-job crossover (VERDICT r13 #3, measured): the
+              // LocalRelation fold runs the filter + projection + key
+              // encode INTERPRETED on one driver thread — unbeatable for
+              // point DML (no job), but at ~230k rows it loses ~20% to
+              // the one-job parquet-scan shape below, whose filter runs
+              // codegen'd across the cores and whose grouped write is
+              // parallel either way. Above the threshold, read via the
+              // scan job; the byte budget still admits the driver-side
+              // grouped materialization.
+              missingRows > Ops.DriverZeroJobMaxRows ||
               missingRows >
                 Ops.adaptiveRowCap(m.schema, Ops.PatchMaxDeltaRows) ||
               !chunkBytes(missing).exists(_ <= Ops.DriverPatchMaxBytes) ||
@@ -2924,6 +2962,24 @@ object Ops {
     * the driver (~milliseconds); above it, the Spark job path runs the
     * identical algorithm distributed. */
   val DriverPatchMaxRows: Long = 1L << 17
+
+  /** Zero-job crossover for the per-chunk TRANSFORM's driver read
+    * (VERDICT r13 #3): under it, missing chunks read driver-side and
+    * fold as a LocalRelation (no job at all — the point-DML latency
+    * story); above it, the interpreted single-thread fold loses to the
+    * one-job parquet scan whose filter is codegen'd across the cores
+    * (measured at sf0.1: 1.39 s vs 1.16 s for a 230k-row scattered
+    * DELETE), so the read routes to the scan job while the grouped
+    * materialization stays driver-side under the byte budget. */
+  val DriverZeroJobMaxRows: Long = 1L << 16
+
+  /** Source-rows guard for the probeFold bet ([[Canonical.materialize]]):
+    * an aggregate output is the GROUP count — usually metadata-sized —
+    * but a failed probe re-runs the fold shuffle, so the bet is only
+    * placed when the pre-fold input is moderate. 4M rows ≈ a sub-second
+    * shuffle at local[32]; at 100 TB the gate keeps builds on the
+    * straight job path. */
+  val ProbeFoldMaxSourceRows: Long = 1L << 22
 
   /** Compressed-byte budget for driver-side chunk splicing/reading —
     * the cap that actually bounds driver memory; the row caps bound
