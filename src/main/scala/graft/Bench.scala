@@ -399,12 +399,16 @@ object Bench {
     // sweep evaded both the 1.25× ratio and the 10,000 cs steal cliff
     // at once (1.248× with 7,091 cs) and self-reported clean while 25%
     // inflated. The trigger now tightens linearly from the quiet 1.25×
-    // to the heavy-steal 1.10× as run-level steal goes 0 → 10,000 cs;
-    // an exhausted per-pass requeue budget (16/16 flagged) is treated
-    // as full contention — a run that spent its whole budget was
-    // sampled under load by definition.
+    // to the heavy-steal 1.10× as run-level steal goes 0 → 10,000 cs.
+    // A majority-STEAL requeue set (≥8 of 16) is treated as full
+    // contention even under the cs cliff — steal takes whole cores in
+    // bursts the run total can understate. (The LOAD-flagged count is
+    // deliberately NOT a signal: the load threshold saturates its
+    // budget on measurably quiet runs — every r13/r14 quiet artifact
+    // spent 13–15 flags on "load" at <15 s steal — so keying on budget
+    // exhaustion would pin the trigger tight permanently.)
     def contentionFrac: Double =
-      if (flagged.size >= 16) 1.0
+      if (stealFlagged.size >= 8) 1.0
       else math.min(stealSoFar, 10000L).toDouble / 10000.0
     def trigger: Double = 1.25 - 0.15 * contentionFrac
     def retrigger: Double = 1.20 - 0.15 * contentionFrac

@@ -1220,11 +1220,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     // sized even over a large source. For moderate sources, bet on the
     // probe (one limit-guarded collect + driver write instead of the
     // sample + write job pair — VERDICT r13 #3/#6: the pair cost ~0.8 s
-    // of a 1.0 s CREATE MV for a 512-group view at sf0.1). The source-
-    // rows guard keeps the bet OFF genuinely large builds, where a
-    // failed probe would re-run the fold shuffle: at 100 TB the build
-    // takes the job path straight.
+    // of a 1.0 s CREATE MV for a 512-group view at sf0.1). Two guards:
+    // a source already under the SMALL-job rule keeps its rowBound —
+    // that path is ONE width-1 job, cheaper than probe + driver write
+    // (measured: the 37k-row retract-flow CREATE MV regressed 0.42 →
+    // 0.65 s under an unconditional probe) — and the upper source-rows
+    // guard keeps the bet OFF genuinely large builds, where a failed
+    // probe would re-run the fold shuffle: at 100 TB the build takes
+    // the job path straight.
     val aggProbe = !t.uniqueKeys && !t.generator &&
+      !Canonical.smallJob(Some(srcRows), target) &&
       srcRows <= Ops.ProbeFoldMaxSourceRows
     Canonical.materialize(spark, store, out,
       t.outKeyCols, target,
@@ -2264,8 +2269,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // limit-guarded collect + driver write over the sample + write
         // job pair. A failed probe re-runs the fold shuffle (the net is
         // cached, so the re-run is the shuffle alone) — the source-rows
-        // guard keeps that bounded waste off genuinely huge deltas.
-        val deltaProbe = changedRows <= Ops.ProbeFoldMaxSourceRows
+        // guard keeps that bounded waste off genuinely huge deltas, and
+        // a small-job-qualified bound keeps its cheaper ONE-job path
+        // (same crossover as the direct build).
+        val deltaProbe =
+          !Canonical.smallJob(Some(changedRows), pm.chunkTargetRows) &&
+          changedRows <= Ops.ProbeFoldMaxSourceRows
         val deltaMeta = Canonical.materialize(spark, store,
           castValues(folded, pm.schema, valueCols), pm.keyCols,
           pm.chunkTargetRows,
