@@ -182,6 +182,23 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           col(n).as(n, org.apache.spark.sql.types.Metadata.empty)): _*)
     }
 
+  /** Chunk-SUBSET scan through [[GraftFileIndex]] — the listing-free
+    * sibling of [[scanMeta]] for incremental reads (changed chunks,
+    * merge regions, mini builds): paths and sizes come from chunk
+    * metadata (one driver-side stat per file), so Spark never runs a
+    * "Listing leaf files" job over the path list. Above 32 paths that
+    * job costs ~100–200 ms PER READ at bench scale, and at 10k-chunk
+    * scale on an object store it is a real fixed cost on every
+    * incremental read — the chunk list IS the listing. Duplicate
+    * hashes read once (the callers' previous `.distinct` contract). */
+  private def scanChunkSubset(schemaJson: String, keyCols: Seq[String],
+      target: Long, cs: Seq[ChunkMeta]): DataFrame = {
+    val sub = TableMeta(schemaJson, keyCols, target, cs.distinctBy(_.hash))
+    org.apache.spark.sql.GraftBridge.fileIndexScan(spark,
+      new GraftFileIndex(spark, store, sub),
+      Canonical.withFieldIds(sub.schema))
+  }
+
   def scanOrdered(ref: TableRef): DataFrame = {
     val m = meta(ref)
     scan(ref).orderBy(m.keyCols.map(col): _*)
@@ -305,10 +322,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         spanningPairs > math.max(256, 8 * distinctSpanning)) {
       var flatRows = 0L
       val srcParts = refs.zipWithIndex.map { case (r, i) =>
-        val paths = store.chunkStream(r.hash)()
-          .map { c => flatRows += c.rows; store.chunkPath(c.hash) }.toSeq
-        spark.read.schema(Canonical.withFieldIds(schema))
-          .parquet(paths: _*)
+        val cs = store.chunkStream(r.hash)()
+          .map { c => flatRows += c.rows; c }.toSeq
+        scanChunkSubset(schemaJson, keyCols, target, cs)
           .withColumn(SRC, lit(i.toLong))
       }
       val union = srcParts.reduce(_.unionByName(_))
@@ -366,8 +382,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val pieceIdx = udf { (h: String, kb: Array[Byte]) =>
           Canonical.boundaryIndex(bcCuts.value(h), kb)
         }
-        val src = spark.read.schema(Canonical.withFieldIds(schema))
-          .parquet(toSplit.map(c => store.chunkPath(c.hash)): _*)
+        val src = scanChunkSubset(schemaJson, keyCols, target, toSplit)
           .withColumn(grp, fileToHash(input_file_name()))
         val tagged = Canonical.withKeyBytesKeeping(src, keyCols, grp)
           .withColumn(grp,
@@ -454,16 +469,16 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // map chunk file path -> regionOp per src; regions have disjoint
         // key ranges so a (src, path) pair belongs to exactly one region,
         // and per-src reads keep duplicate-table srcs separate
-        val bySrc: Map[Int, Seq[(String, String)]] = miss
+        val bySrc: Map[Int, Seq[(ChunkMeta, String)]] = miss
           .flatMap { case (ps, op) =>
-            ps.map { case (s, c) => (s, store.chunkPath(c.hash), op) }
+            ps.map { case (s, c) => (s, c, op) }
           }
           .groupBy(_._1)
           .view.mapValues(_.map(t => (t._2, t._3))).toMap
         val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, files) =>
-          val fileToOp = Canonical.fileTagUdf(spark, files.toMap)
-          spark.read.schema(Canonical.withFieldIds(schema))
-            .parquet(files.map(_._1).distinct: _*)
+          val fileToOp = Canonical.fileTagUdf(spark,
+            files.map { case (c, op) => store.chunkPath(c.hash) -> op }.toMap)
+          scanChunkSubset(schemaJson, keyCols, target, files.map(_._1))
             .withColumn(SRC, lit(src.toLong))
             .withColumn(grp, fileToOp(input_file_name()))
         }
@@ -651,8 +666,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val srcParts = bySrc.toSeq.sortBy(_._1).map { case (src, chunks) =>
         chunks.foreach(c => readRows += c.rows)
         val (ai, srcSchema) = ins(src)
-        spark.read.schema(Canonical.withFieldIds(srcSchema))
-          .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+        scanChunkSubset(Canonical.normalizeSchema(srcSchema, keyCols).json,
+            keyCols, target, chunks)
           .select(ai.projection: _*)
           .withColumn(SRC, lit(src.toLong))
       }
@@ -803,8 +818,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     val fileToRun = Canonical.fileTagUdf(spark, touched.iterator.map(i =>
       store.chunkPath(m.chunks(i).hash) -> runOfChunk(i)).toMap)
     val kept = Canonical.withKeyBytesKeeping(
-      spark.read.schema(Canonical.withFieldIds(m.schema))
-        .parquet(touched.iterator.map(i => store.chunkPath(m.chunks(i).hash)).toSeq: _*)
+      scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows,
+          touched.iterator.map(i => m.chunks(i)).toSeq)
         .withColumn(grp, fileToRun(input_file_name())),
       m.keyCols, grp)
       .where(!isDead(col(Canonical.KB)))
@@ -1037,8 +1052,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val fileToRun = Canonical.fileTagUdf(spark, runList.flatMap(idxs =>
           idxs.map(i => store.chunkPath(chunks(i).hash) -> s"r${idxs.head}"))
           .toMap)
-        val df = spark.read.schema(Canonical.withFieldIds(schema))
-          .parquet(runList.flatten.map(i => store.chunkPath(chunks(i).hash)): _*)
+        val df = scanChunkSubset(schemaJson, keyCols, target,
+            runList.flatten.map(i => chunks(i)))
           .withColumn(grp, fileToRun(input_file_name()))
         val metas = Canonical.materializeGrouped(spark, store, df, grp,
           keyCols, target, rowBound = Some(runRows))
@@ -1348,7 +1363,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       m.chunks.map(c => c.hash -> store.memoGet(miniOp(c.hash))).toMap
     // 3. per-chunk minis (one batched compute of the missing ones)
     //    feeding the region-memoized merge.
-    val computed = computeMinis(m.schema, t, fold, target,
+    val computed = computeMinis(m.schema, m.keyCols, t, fold, target,
       m.chunks, miniOp)
     val miniRefs: Seq[TableRef] = m.chunks.map { c =>
       TableRef(memoized(c.hash)
@@ -1364,7 +1379,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * being read, and a chunk whose rows are ALL dropped by the rowFilter
     * (no group in the job output) memoizes the empty mini too. */
   private def computeMinis(schema: org.apache.spark.sql.types.StructType,
-      t: ColTransform, fold: FoldSpec, target: Long,
+      srcKeyCols: Seq[String], t: ColTransform, fold: FoldSpec, target: Long,
       chunks: Seq[ChunkMeta], miniOp: String => String)
       : Map[String, TableMeta] = {
     val missing0 = chunks.distinctBy(_.hash)
@@ -1398,8 +1413,9 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val grp = "_graft_grp"
         val fileToHash = Canonical.fileTagUdf(spark,
           missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-        val df0 = spark.read.schema(Canonical.withFieldIds(schema))
-          .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
+        val df0 = scanChunkSubset(
+            Canonical.normalizeSchema(schema, srcKeyCols).json,
+            srcKeyCols, target, missing)
           .withColumn(grp, fileToHash(input_file_name()))
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
         val projected = df.select(t.columns :+ col(grp): _*)
@@ -1506,7 +1522,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             // job (REPLACED old chunks' objects are still in the
             // content-addressed store; if GC swept them, fall back)
             _ <- (try {
-              computeMinis(m.schema, t, fold, target,
+              computeMinis(m.schema, m.keyCols, t, fold, target,
                 removed ++ added, miniOp)
               Some(())
             } catch { case NonFatal(_) => None })
@@ -1560,6 +1576,12 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
                 case Some((ins, del)) => applyDelta(ins, del)
                 case None =>
                   def readAll(ms: Seq[TableMeta]): DataFrame = {
+                    // RAW read, not scanChunkSubset: two minis may
+                    // contain IDENTICAL chunk content (same folded rows
+                    // from different source chunks), and this multiset
+                    // diff needs every copy — duplicate paths double-
+                    // read under spark.read (verified), while the
+                    // file-index scan dedupes by hash
                     val paths =
                       ms.flatMap(_.chunks).map(c => store.chunkPath(c.hash))
                     if (paths.isEmpty) spark.createDataFrame(
@@ -2126,9 +2148,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
   private def readSourceChunks(m: TableMeta, cs: Seq[ChunkMeta]): DataFrame =
     if (cs.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read
-      .schema(Canonical.withFieldIds(m.schema))
-      .parquet(cs.map(c => store.chunkPath(c.hash)): _*)
+    else scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows, cs)
       .select(m.schema.fieldNames.map(nm => col(nm)
         .as(nm, org.apache.spark.sql.types.Metadata.empty)): _*)
 
@@ -2417,8 +2437,7 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         val df0 = driverDf.getOrElse {
           val fileToHash = Canonical.fileTagUdf(spark,
             missing.map(c => store.chunkPath(c.hash) -> c.hash).toMap)
-          spark.read.schema(Canonical.withFieldIds(m.schema))
-            .parquet(missing.map(c => store.chunkPath(c.hash)): _*)
+          scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows, missing)
             .withColumn(grp, fileToHash(input_file_name()))
         }
         val df = t.rowFilter.map(df0.where).getOrElse(df0)
@@ -2581,8 +2600,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
             import scala.jdk.CollectionConverters._
             spark.createDataFrame(rows.asJava, m.schema)
           case None =>
-            spark.read.schema(Canonical.withFieldIds(m.schema))
-              .parquet(edgeChunks.map(c => store.chunkPath(c.hash)): _*)
+            scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows,
+                edgeChunks)
               .where(rangePredicate(m.keyCols, lower, upper))
         }
         // edge rewrite keeps the TABLE's chunk granularity (passthrough
@@ -2663,8 +2682,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     else {
       val pred = m.keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }
         .reduce(_ && _)
-      spark.read.schema(Canonical.withFieldIds(m.schema))
-        .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
+      scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows, hit)
+        .where(pred)
     }
   }
 
@@ -2707,8 +2726,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
           m.keyCols.take(n).zip(k).map { case (c, v) => col(c) === lit(v) }
             .reduce(_ && _)).reduce(_ || _)
       }.reduce(_ || _)
-      spark.read.schema(Canonical.withFieldIds(m.schema))
-        .parquet(hit.map(c => store.chunkPath(c.hash)): _*).where(pred)
+      scanChunkSubset(m.schemaJson, m.keyCols, m.chunkTargetRows, hit)
+        .where(pred)
     }
   }
 
@@ -2733,8 +2752,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     def read(chunks: Seq[ChunkMeta]): DataFrame =
       if (chunks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ma.schema)
-      else spark.read.schema(Canonical.withFieldIds(ma.schema))
-        .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+      else scanChunkSubset(ma.schemaJson, ma.keyCols, ma.chunkTargetRows,
+        chunks)
     def packed(df: DataFrame, tag: String): DataFrame =
       df.select(keyCols.map(col) :+
         struct(valueCols.map(col): _*).as(s"_v_$tag"): _*)
@@ -2774,8 +2793,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     def read(chunks: Seq[ChunkMeta]): DataFrame =
       if (chunks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ma.schema)
-      else spark.read.schema(Canonical.withFieldIds(ma.schema))
-        .parquet(chunks.map(c => store.chunkPath(c.hash)): _*)
+      else scanChunkSubset(ma.schemaJson, ma.keyCols, ma.chunkTargetRows,
+        chunks)
     def packed(df: DataFrame, tag: String): DataFrame =
       df.select(keyCols.map(col) :+
         struct(valueCols.map(col): _*).as(s"_v_$tag"): _*)
@@ -2826,8 +2845,8 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
       val fileOf = udf { (f: String) =>
         bc.value.getOrElse(new java.net.URI(f).getPath, "?")
       }
-      val hashed = spark.read.schema(Canonical.withFieldIds(m.schema))
-        .parquet(present.map(c => store.chunkPath(c.hash)): _*)
+      val hashed = scanChunkSubset(m.schemaJson, m.keyCols,
+          m.chunkTargetRows, present)
         .withColumn("_f", fileOf(input_file_name()))
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
