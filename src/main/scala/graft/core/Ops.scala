@@ -2211,10 +2211,11 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
         // limit(1) probes this fuses each paid a full job's fixed cost
         // at bench scale
         val invCols = rp.inverts.keysIterator.toSeq
-        val probeRow = net.agg(
-          max(when(invCols.map(col(_).isNull).reduce(_ || _), 1L)
-            .otherwise(0L)).as("nulls"),
-          max(when(col(tag) < 0L, 1L).otherwise(0L)).as("dels")).head()
+        val probeRow = Canonical.withJobDesc(spark, "graft:retract-net")(
+          net.agg(
+            max(when(invCols.map(col(_).isNull).reduce(_ || _), 1L)
+              .otherwise(0L)).as("nulls"),
+            max(when(col(tag) < 0L, 1L).otherwise(0L)).as("dels")).head())
         val nullHit = !probeRow.isNullAt(0) && probeRow.getLong(0) == 1L
         if (nullHit) {
           dbg("decline: NULL contribution under a non-null contract")
