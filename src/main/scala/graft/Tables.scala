@@ -30,4 +30,22 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Widen a NARROW scan for per-row-expensive downstream work (LSH
+    * signatures, per-gram digests, vector dot products): a small
+    * single-file parquet table plans as ONE scan task, so everything
+    * before the first exchange runs single-threaded while the rest of
+    * the machine idles (guide §2.5 "input skew — one huge unsplittable
+    * file ... repartition immediately after the read"). Gated on the
+    * plan's input file count: at real scale inputs arrive as thousands
+    * of files/splits and this is the identity — it never coalesces an
+    * already-parallel scan. Round-robin repartition is deterministic
+    * (sort-before-repartition is on by default, SPARK-23207), and every
+    * consumer is key-agg/join/sorted-output shaped, so results are
+    * unchanged. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= math.max(2, p / 2)) df
+    else df.repartition(p)
+  }
 }

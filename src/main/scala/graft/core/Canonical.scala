@@ -588,7 +588,8 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, df.schema)) {
-      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true)
+      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true,
+        interpretedOk = interpretedCollectOk(rowBound, df.schema))
       val got = driverMaterialize(es, store, ekb, df.schema, schemaJson,
         keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
@@ -892,7 +893,8 @@ object Canonical {
     val kbDf = if (small || bytesOk) kbDf0
       else kbDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (bytesOk || driverMaterializeOk(rowBound, chunkTargetRows, dataSchema)) {
-      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true)
+      val (es, ekb) = onEngine(spark, kbDf, smallShuffle = true,
+        interpretedOk = interpretedCollectOk(rowBound, dataSchema))
       val got = driverMaterializeGrouped(es, store, ekb, dataSchema,
         schemaJson, groupCol, keyCols, chunkTargetRows, rowBound.get)
       got.foreach(return _)
@@ -1098,6 +1100,35 @@ object Canonical {
     * materialization below. Always true in production; specs flip it to
     * pin driver-route == Spark-route hash equality. */
   @volatile private[graft] var driverMaterializeEnabled = true
+
+  /** Interpreted-vs-codegen crossover for the BYTE-ADMITTED driver-route
+    * collects: the interpreted discipline (see [[onEngine]]) exists
+    * because a metadata-sized frame's data work is dwarfed by janino
+    * compilation per plan shape — but the byte budget admits up to
+    * [[Ops.DriverPatchHardRowCap]] (1M) rows, and above ~64Ki rows the
+    * interpreted evaluation of the collect's own plan (key-encode UDF +
+    * the ingest fold) loses to paying one codegen compile. Measured
+    * with tools/CtasProfile (A/B interleaved, 2×3 reps, sf0.1/
+    * local[32]): a 600k-row × ~80 B/row CTAS collect halves under
+    * codegen (job 2.1–2.8 s vs 3.6–6.6 s across both runs) while a
+    * 600k-row-bound × 24 B/row aggregated ingest consistently favors
+    * interpreted (its per-row work is a narrow hash-agg probe; the
+    * compile cost of the two-level fold plan dominates) — so the edge
+    * is a BYTE threshold scaled by estimated row width (the
+    * [[Ops.adaptiveRowCap]] idiom), not a row count: 16 MB of
+    * estimated row bytes sits between the two measured points.
+    * `var` as a measurement seam (tools/CtasProfile A/Bs it);
+    * production never writes it. */
+  @volatile private[graft] var InterpretedCollectMaxBytes: Long = 16L << 20
+
+  /** The byte-admitted collect sites' interpreted admission: estimated
+    * row bytes (row bound × schema width) under the measured crossover.
+    * Unknown bounds stay interpreted — every such caller is
+    * metadata-sized by construction. */
+  private[graft] def interpretedCollectOk(rowBound: Option[Long],
+      schema: StructType): Boolean =
+    rowBound.forall(r =>
+      r * math.max(16, schema.defaultSize) <= InterpretedCollectMaxBytes)
 
   /** A small materialization whose schema the driver writer handles and
     * whose caller-known row bound fits the driver cap takes the DRIVER

@@ -74,9 +74,15 @@ final class Ops(val spark: SparkSession, val store: GraftStore,
     * touching the user session's conf. For callers like the DML
     * delta-patch route whose collect would otherwise pay full adaptive
     * codegen planning per statement. */
-  def collectDriverBounded(df: DataFrame): Array[org.apache.spark.sql.Row] = {
-    val (es, bound) = Canonical.onEngine(spark, df,
-      smallShuffle = true, interpretedOk = true)
+  def collectDriverBounded(df: DataFrame,
+      rowBound: Option[Long] = None): Array[org.apache.spark.sql.Row] = {
+    // interpreted only under the measured crossover: a byte-admitted
+    // delta can reach ~262k rows on a narrow schema (adaptiveRowCap),
+    // where interpreted evaluation of the delta plan loses to one
+    // codegen compile. Unknown bounds keep the interpreted default —
+    // every such caller is metadata-sized by construction.
+    val (es, bound) = Canonical.onEngine(spark, df, smallShuffle = true,
+      interpretedOk = Canonical.interpretedCollectOk(rowBound, df.schema))
     // deliberately NOT a driver-route cost-model sample: a collect's
     // wall time includes the plan's own compute (an md5-heavy delta
     // build spends most of its time per row in expression evaluation),

@@ -30,7 +30,10 @@ object Dedup {
 
   def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s, dir)) {
-      Tables(s, dir, "documents")
+      // widen the narrow single-file scan BEFORE the shingle explode
+      // and the cache (see Tables.spread) — the per-row transform and
+      // every downstream index build inherit the parallelism
+      Tables.spread(s, Tables(s, dir, "documents"))
         .withColumn("ts", split(col("text"), " "))
         .where(size(col("ts")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -184,7 +187,7 @@ object Dedup {
     * index as dedup_shingle (integer cross-multiplied threshold). */
   def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fps = Tables(s, dir, "documents")
+    val fps = Tables.spread(s, Tables(s, dir, "documents"))
       .withColumn("ts", split(col("text"), " "))
       .where(size($"ts") >= 6) // >= 4 grams -> >= 1 window
       .withColumn("grams", expr(

@@ -36,7 +36,10 @@ object Vectors {
 
   def quantized(s: SparkSession, dir: String): DataFrame = {
     quantizedCache.getOrElseUpdate((s, dir)) {
-      Tables(s, dir, "embeddings")
+      // widen the narrow single-file scan BEFORE the per-row transform
+      // and before the cache: every downstream signature/dot-product
+      // projection inherits the cached partitioning
+      Tables.spread(s, Tables(s, dir, "embeddings"))
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
         .withColumn("nq", dot_long(col("q"), col("q")))

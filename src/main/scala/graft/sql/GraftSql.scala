@@ -1341,7 +1341,7 @@ object GraftSql {
         !byteBound.exists(_ <= graft.core.Ops.DriverPatchMaxBytes) ||
         !graft.core.Ops.driverRouteAdmit(rowBound.getOrElse(0L))) return None
     try {
-      val rows = ops.collectDriverBounded(frame).toSeq
+      val rows = ops.collectDriverBounded(frame, rowBound).toSeq
       if (rows.isEmpty) return Some(ref)
       val kEnc = graft.core.KeyCodec.rowEncoder(schema, entry.keyCols)
       val lastWins = rows.zipWithIndex
