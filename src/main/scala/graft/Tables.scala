@@ -31,21 +31,26 @@ object Tables {
     }
   }
 
-  /** Widen a NARROW scan for per-row-expensive downstream work (LSH
-    * signatures, per-gram digests, vector dot products): a small
-    * single-file parquet table plans as ONE scan task, so everything
-    * before the first exchange runs single-threaded while the rest of
-    * the machine idles (guide §2.5 "input skew — one huge unsplittable
-    * file ... repartition immediately after the read"). Gated on the
-    * plan's input file count: at real scale inputs arrive as thousands
-    * of files/splits and this is the identity — it never coalesces an
-    * already-parallel scan. Round-robin repartition is deterministic
-    * (sort-before-repartition is on by default, SPARK-23207), and every
-    * consumer is key-agg/join/sorted-output shaped, so results are
-    * unchanged. */
+  /** Widen a NARROW frame for per-row-expensive downstream work (LSH
+    * signatures, per-gram digests, all-pairs dot products): a small
+    * single-file parquet table plans as ONE scan task — and a session
+    * cache built over it pins that single partition — so the expensive
+    * projection runs single-threaded while the rest of the machine
+    * idles (guide §2.5 "input skew — one huge unsplittable file ...
+    * repartition immediately after the read"). Gated on the frame's
+    * planned partition count: at real scale inputs arrive as thousands
+    * of splits and this is the identity — it never coalesces an
+    * already-parallel frame. Applied ONLY at sites whose downstream
+    * per-row work measurably dominates (a blanket widen of the shared
+    * sim/dedup caches was measured NET-NEGATIVE: three heavy consumers
+    * won 3 s but ten cheap/iterative consumers paid ~0.2-1.7 s each in
+    * added per-stage task overhead). Round-robin repartition is
+    * deterministic (sort-before-repartition is on by default,
+    * SPARK-23207), and every consumer is key-agg/join/sorted-output
+    * shaped, so results are unchanged. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= math.max(2, p / 2)) df
+    if (df.rdd.getNumPartitions >= math.max(2, p / 2)) df
     else df.repartition(p)
   }
 }

@@ -30,10 +30,7 @@ object Dedup {
 
   def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s, dir)) {
-      // widen the narrow single-file scan BEFORE the shingle explode
-      // and the cache (see Tables.spread) — the per-row transform and
-      // every downstream index build inherit the parallelism
-      Tables.spread(s, Tables(s, dir, "documents"))
+      Tables(s, dir, "documents")
         .withColumn("ts", split(col("text"), " "))
         .where(size(col("ts")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(

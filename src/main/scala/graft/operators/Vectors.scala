@@ -36,10 +36,7 @@ object Vectors {
 
   def quantized(s: SparkSession, dir: String): DataFrame = {
     quantizedCache.getOrElseUpdate((s, dir)) {
-      // widen the narrow single-file scan BEFORE the per-row transform
-      // and before the cache: every downstream signature/dot-product
-      // projection inherits the cached partitioning
-      Tables.spread(s, Tables(s, dir, "embeddings"))
+      Tables(s, dir, "embeddings")
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
         .withColumn("nq", dot_long(col("q"), col("q")))
@@ -185,7 +182,12 @@ object Vectors {
   def simNeardupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = quantized(s, dir)
-    val a = v.select($"vec_id".as("i"), $"q".as("qi"), $"nq".as("ni"))
+    // all-pairs dot products are this query's whole cost and the cached
+    // corpus is one partition (single small input file) — widen the
+    // STREAM side so the broadcast nested-loop join uses every core
+    // (measured: 1.7 s -> 0.2 s; identity at real scale, Tables.spread)
+    val a = Tables.spread(s, v)
+      .select($"vec_id".as("i"), $"q".as("qi"), $"nq".as("ni"))
     val b = v.select($"vec_id".as("j"), $"q".as("qj"), $"nq".as("nj"))
     val dec = "decimal(38,0)"
     a.join(broadcast(b), $"i" < $"j")
@@ -306,7 +308,11 @@ object Vectors {
 
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = quantized(s, dir).withColumn("sigs", lshSignatures($"q"))
+    // the per-vector JVM-plane signature projection dominates this
+    // query and the cached corpus is one partition — widen before it
+    // (measured: 1.8 s -> 0.7 s; identity at real scale, Tables.spread)
+    val v = Tables.spread(s, quantized(s, dir))
+      .withColumn("sigs", lshSignatures($"q"))
       .select($"vec_id", $"q", $"nq",
         posexplode($"sigs").as(Seq("table", "sig")))
     val qs = v.where($"vec_id" < 10)

@@ -230,10 +230,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("unboundedfollowing"),
       s"per-group unbounded window frame crept back:\n$p")
     // the salt expression is projected as _w0 below the window — the
-    // spec must carry it as a SECOND partition key next to the group
-    assert("windowspecdefinition\\(l_returnflag#\\d+, _w0#\\d+".r
+    // spec must carry it as a partition key next to the group and the
+    // source-column tag (round 14: both KMV columns ride ONE tagged
+    // chain, so the tag is part of the grouping key)
+    assert("windowspecdefinition\\(l_returnflag#\\d+, t#\\d+, _w0#\\d+".r
       .findFirstIn(p).isDefined,
-      s"phase-1 ranking window lost its salt:\n$p")
+      s"phase-1 ranking window lost its salt (or the tag key):\n$p")
   }
 
   test("dedup_spans: coverage filter is the linear positional mask, not per-token array_contains") {

@@ -110,6 +110,22 @@ class DriverRouteSpec extends AnyFunSuite {
     } finally { Ops.driverRouteNprOverride = None; Ops.resetDriverRouteModel() }
   }
 
+  test("byte-admitted collect: interpreted and codegen modes hash-identically") {
+    // the width-scaled interpreted-vs-codegen crossover (round 14) picks
+    // a PLAN EXECUTION MODE, never a result: the same bulk flow
+    // materialized entirely interpreted (threshold = MaxValue) and
+    // entirely codegen (threshold = 0) must produce the same table hash
+    val saved = Canonical.InterpretedCollectMaxBytes
+    try {
+      Canonical.InterpretedCollectMaxBytes = Long.MaxValue
+      val interp = runFlow()
+      Canonical.InterpretedCollectMaxBytes = 0L
+      val codegen = runFlow()
+      assert(interp === codegen,
+        "interpreted vs codegen byte-admitted collects diverged")
+    } finally Canonical.InterpretedCollectMaxBytes = saved
+  }
+
   test("admission math: cold model admits; measured cost gates by projected time") {
     Ops.driverRouteNprOverride = None
     Ops.resetDriverRouteModel()
