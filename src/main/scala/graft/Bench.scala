@@ -588,7 +588,15 @@ object Bench {
       val cc = ccTwin.map { case (n, d, eq, rec) =>
         s"""{"normal_sec":${fmt(n)},"durable_sec":${fmt(d)},"hash_equal":$eq,"recoveries":$rec}"""
       }.getOrElse("null")
-      s"""{"metric":"total","value":$total,"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","queries":$qs,"runs":$runs,"start":$starts,"env":$env,"stmts":$stmts,"requeue":$requeues,"requeue_reason":$reasons,"governor_twin":$gov,"cc_durable_twin":$cc,"xscale":$xscaleJson,"idle0":${fmt(idle0)},"idle_anchor":${fmt(idleAnchor)},"ref_total":${refTotal.map(fmt).getOrElse("null")},"ref_common":${refCommon.map(fmt).getOrElse("null")},"common_total":${fmt(commonTotal(results))},"load_polluted":$loadPolluted,"excess_standing":$excessStanding,"pollution_requeues":$pollutionRequeues,"errors":$errors,"sf":"$sfDir"}"""
+      // warm-cache disclosure (VERDICT r14 #4): the warm-up region above
+      // caches the 10 source tables and the shared shingle/quantized
+      // indexes OUTSIDE the timed region — every timed scan reads
+      // InMemoryRelation. Declared in the artifact so the methodology is
+      // auditable without reading Bench.scala.
+      val warmed = (Tables.names ++ Seq(
+        "dedup.shingles", "dedup.shinglesSized", "vectors.quantized"))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","cpus":$cpus,"warm_cache":true,"warmed":$warmed,"queries":$qs,"runs":$runs,"start":$starts,"env":$env,"stmts":$stmts,"requeue":$requeues,"requeue_reason":$reasons,"governor_twin":$gov,"cc_durable_twin":$cc,"xscale":$xscaleJson,"idle0":${fmt(idle0)},"idle_anchor":${fmt(idleAnchor)},"ref_total":${refTotal.map(fmt).getOrElse("null")},"ref_common":${refCommon.map(fmt).getOrElse("null")},"common_total":${fmt(commonTotal(results))},"load_polluted":$loadPolluted,"excess_standing":$excessStanding,"pollution_requeues":$pollutionRequeues,"errors":$errors,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
@@ -602,22 +610,16 @@ object Bench {
     // intact — slowest queries first (the ones a judge audits), greedily
     // packed under the byte budget, the fast remainder summarized, and a
     // pointer to the complete file. Values at millisecond precision.
+    //
+    // The budget is DYNAMIC over the actually-rendered prefix+suffix
+    // (VERDICT r14 #3 / PERF_r14 empty): the r13/r14 lines used a fixed
+    // 1500-char queries budget while the suffix (load block, twins,
+    // xscale) had grown to ~520 chars, pushing the whole line past the
+    // 2000-char window — the driver captured it mid-line and every
+    // PERF comparison came back "parsed": null. Whole-line target 1600
+    // chars: 2000-char window minus sbt's trailing "[success] ..." line
+    // (~80 chars) minus slack for both to drift.
     val ok = results.filter(_.v >= 0).map(r => (r.name, r.v)).sortBy(-_._2)
-    val budget = 1500 // chars for the queries map; leaves headroom in 2000
-    val included = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 2
-    var i = 0
-    while (i < ok.size &&
-           used + ok(i)._1.length + fmt(ok(i)._2).length + 4 <= budget) {
-      included += ((ok(i)._1, ok(i)._2)); used += ok(i)._1.length + fmt(ok(i)._2).length + 4
-      i += 1
-    }
-    val omitted = ok.drop(i)
-    val qsCompact = included
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val omittedJson =
-      s"""{"n":${omitted.size},"sum":${fmt(omitted.map(_._2).sum)}}"""
     // load summary in the COMPACT tail (VERDICT r10 #7): the gate number
     // is adjudicable for ambient contention without opening the full
     // artifact
@@ -637,8 +639,27 @@ object Bench {
     val ccCompact = ccTwin.map { case (n, d, eq, rec) =>
       s"""{"normal":${fmt(n)},"durable":${fmt(d)},"hash_equal":$eq,"recoveries":$rec}"""
     }.getOrElse("null")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","queries":$qsCompact,"omitted_fastest":$omittedJson,"load":$loadJson,"governor_twin":$govCompact,"cc_durable_twin":$ccCompact,"xscale":$xscaleJson,"full":"$fullPath","errors":$errors,"sf":"$sfDir"}""")
+    def line(qsCompact: String, omittedJson: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"value_all":${fmt(totalAll)},"unit":"sec","timing":"min_all","cpus":$cpus,"warm_cache":true,"queries":$qsCompact,"omitted_fastest":$omittedJson,"load":$loadJson,"governor_twin":$govCompact,"cc_durable_twin":$ccCompact,"xscale":$xscaleJson,"full":"$fullPath","errors":$errors,"sf":"$sfDir"}"""
+    val lineTarget = 1600
+    val fixedLen = line("{}", s"""{"n":${ok.size},"sum":${fmt(
+      ok.map(_._2).sum)}}""").length
+    val budget = math.max(200, lineTarget - fixedLen)
+    val included = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 2
+    var i = 0
+    while (i < ok.size &&
+           used + ok(i)._1.length + fmt(ok(i)._2).length + 4 <= budget) {
+      included += ((ok(i)._1, ok(i)._2)); used += ok(i)._1.length + fmt(ok(i)._2).length + 4
+      i += 1
+    }
+    val omitted = ok.drop(i)
+    val qsCompact = included
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val omittedJson =
+      s"""{"n":${omitted.size},"sum":${fmt(omitted.map(_._2).sum)}}"""
+    println(line(qsCompact, omittedJson))
     spark.stop()
   }
 }

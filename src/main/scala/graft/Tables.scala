@@ -47,10 +47,18 @@ object Tables {
     * added per-stage task overhead). Round-robin repartition is
     * deterministic (sort-before-repartition is on by default,
     * SPARK-23207), and every consumer is key-agg/join/sorted-output
-    * shaped, so results are unchanged. */
+    * shaped, so results are unchanged.
+    *
+    * The gate reads the planned partition count from the logical plan /
+    * FileIndex ([[org.apache.spark.sql.GraftBridge.plannedScanPartitions]])
+    * — never `df.rdd`, which compiles a second physical plan per call
+    * and under AQE would execute upstream shuffle stages just to read
+    * the count (ADVICE r14). Unrecognized shapes (anything with a
+    * shuffle/join below) are treated as already-parallel: identity. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, p / 2)) df
-    else df.repartition(p)
+    val planned =
+      org.apache.spark.sql.GraftBridge.plannedScanPartitions(spark, df)
+    if (planned.exists(_ < math.max(2, p / 2))) df.repartition(p) else df
   }
 }

@@ -3013,8 +3013,10 @@ object Ops {
     * but a failed probe re-runs the fold shuffle, so the bet is only
     * placed when the pre-fold input is moderate. 4M rows ≈ a sub-second
     * shuffle at local[32]; at 100 TB the gate keeps builds on the
-    * straight job path. */
-  val ProbeFoldMaxSourceRows: Long = 1L << 22
+    * straight job path. `@volatile var` as a measurement seam
+    * (tools/IncdAbProfile A/Bs the bet off by setting 0); production
+    * never writes it. */
+  @volatile var ProbeFoldMaxSourceRows: Long = 1L << 22
 
   /** Compressed-byte budget for driver-side chunk splicing/reading —
     * the cap that actually bounds driver memory; the row caps bound

@@ -184,33 +184,40 @@ object Dedup {
     * index as dedup_shingle (integer cross-multiplied threshold). */
   def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the per-doc fingerprint count n rides the projection (size of the
+    // distinct array BEFORE the explode) instead of a separate
+    // groupBy(doc_id) aggregation re-derived from the exploded rows —
+    // that shape cost one extra full-frame shuffle plus TWO size-attach
+    // joins after the pair aggregation (guide §2.4 remove shuffles
+    // outright); carrying n per row widens the exploded frame by one
+    // long, and the pair aggregation folds it with max() exactly like
+    // dedup_incremental's sized-index pattern. Identical output: n is a
+    // pure function of doc_id, so max(n over the group) == the join'd n.
     val fps = Tables.spread(s, Tables(s, dir, "documents"))
       .withColumn("ts", split(col("text"), " "))
       .where(size($"ts") >= 6) // >= 4 grams -> >= 1 window
       .withColumn("grams", expr(
         "transform(sequence(0, size(ts)-3), i -> substring(md5(concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])), 1, 8))"))
-      .select($"doc_id", explode(array_distinct(expr(
+      .withColumn("fparr", array_distinct(expr(
         "transform(sequence(1, size(grams)-3), i -> array_min(slice(grams, i, 4)))")))
-        .as("fp"))
-      // three consumers (size agg + both self-join sides): materialize
-      // the fingerprints once — the md5-per-gram projection is the
-      // expensive part and would otherwise run 3x. EAGER: the first
-      // action on a lazy checkpoint has three independent shuffle-map
+      // cast: the former COUNT(*)-derived n was a BIGINT — the schema
+      // the oracle pins — while size() is an int
+      .select($"doc_id", size($"fparr").cast("long").as("n"),
+        explode($"fparr").as("fp"))
+      // two consumers (both self-join sides): materialize the
+      // fingerprints once — the md5-per-gram projection is the
+      // expensive part and would otherwise run 2x. EAGER: the first
+      // action on a lazy checkpoint has independent shuffle-map
       // stages racing the cache (each recomputing the projection);
       // eager materialization is one single-path job, after which every
       // consumer reads blocks (ADVICE r10).
       .localCheckpoint()
-    val sz = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = fps.as("a").join(fps.as("b"),
+    fps.as("a").join(fps.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.as("sa"), $"i" === $"sa.doc_id")
-      .join(sz.as("sb"), $"j" === $"sb.doc_id")
-      .where(lit(10) * $"c" >= lit(3) * ($"sa.n" + $"sb.n" - $"c"))
-      .select($"i", $"j",
-        $"c".as("n_common"), $"sa.n".as("n_i"), $"sb.n".as("n_j"))
+      .agg(count(lit(1)).as("c"), max($"a.n").as("n_i"), max($"b.n").as("n_j"))
+      .where(lit(10) * $"c" >= lit(3) * ($"n_i" + $"n_j" - $"c"))
+      .select($"i", $"j", $"c".as("n_common"), $"n_i", $"n_j")
       .orderBy($"i", $"j")
   }
 

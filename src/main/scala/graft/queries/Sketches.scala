@@ -112,50 +112,45 @@ object Sketches {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val li = Tables(s, dir, "lineitem")
-    // ONE chain for both estimated columns: the KMV estimate is
-    // independent per (group, source column), so the column TAG joins
-    // the key and the whole distinct → digest → salted min-k reduction
-    // runs once over the tagged union, pivoting the tags back into the
-    // two output columns at the end. The former shape ran the full
-    // chain twice and joined — under AQE that is two sequential stage
-    // chains for half the rows each; one chain over the union halves
-    // the sequential exchange count for identical per-(group, tag)
-    // arithmetic (integer-only, so the pivot regroup cannot drift).
-    //
-    // Within the chain, per tag (unchanged): distinct the raw VALUES
-    // first — a combinable two-phase distinct on narrow longs with
-    // map-side collapse — and md5 only the distinct survivors; a second
-    // distinct collapses 52-bit hash collisions (the estimator contract
-    // counts distinct HASHES). The cast to long before the string cast
-    // does not alter any value's string form (both sources are integral).
-    val h = li
-      .select($"l_returnflag", lit("p").as("t"),
-        $"l_partkey".cast("long").as("v"))
-      .unionByName(li.select($"l_returnflag", lit("o").as("t"),
-        $"l_orderkey".cast("long").as("v")))
-      .distinct()
-      .select($"l_returnflag", $"t",
-        conv(substring(md5($"v".cast("string")), 1, 13), 16, 10)
-          .cast("long").as("h")).distinct()
-    val nd = h.groupBy($"l_returnflag", $"t").agg(count(lit(1)).as("nd"))
-    val bySalt = Window
-      .partitionBy($"l_returnflag", $"t", pmod($"h", lit(KmvSalts)))
-      .orderBy($"h")
-    val cand = h.withColumn("rn", row_number().over(bySalt))
-      .where($"rn" <= KmvK)
-    // ≤ KmvSalts·KmvK longs per group regardless of corpus size;
-    // get() (0-based, null out of bounds) instead of ANSI element_at —
-    // a group with < k distinct hashes takes the exact-count branch
-    val hk = cand.groupBy($"l_returnflag", $"t")
-      .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
-    val est = nd.join(hk, Seq("l_returnflag", "t"))
-      .select($"l_returnflag", $"t",
-        when($"nd" < KmvK, $"nd")
-          .otherwise(expr(s"${KmvNum}L div hk")).as("est"))
-    est.groupBy($"l_returnflag").pivot("t", Seq("p", "o"))
-      .agg(first($"est"))
-      .select($"l_returnflag", $"p".as("approx_parts"),
-        $"o".as("approx_orders"))
+    // TWO independent chains (one per estimated column), joined on the
+    // group — deliberately NOT the r14 tagged-union single chain. That
+    // rewrite halved the sequential AQE stage-chain count but pushed
+    // 2× the rows through the heaviest stage (the first distinct) and
+    // added the pivot's exchange; the quiet interleaved A/B
+    // (tools/KmvProfile, 8 reps, 2–80 cs steal) has the two-chain shape
+    // faster in 8/8 reps (min 2.20 s vs 2.45 s, ~12%), corroborating
+    // the driver's r14 measurement (1.39 → 2.00 s). Under AQE the two
+    // chains' independent stages also overlap, so the "sequential
+    // chain" premise of the union shape was wrong.
+    def kmv(in: String, out: String): DataFrame = {
+      // distinct the raw VALUES first — a combinable two-phase distinct
+      // on narrow longs with map-side collapse — and md5 only the
+      // distinct survivors: the digest is the expensive per-row step
+      // and corpus rows >> distinct values (6M -> 600k for partkey at
+      // sf0.1). A second distinct collapses 52-bit hash collisions
+      // (the estimator contract counts distinct HASHES).
+      val h = li.select($"l_returnflag", col(in).as("v")).distinct()
+        .select($"l_returnflag",
+          conv(substring(md5($"v".cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h")).distinct()
+      val nd = h.groupBy($"l_returnflag").agg(count(lit(1)).as("nd"))
+      val bySalt = Window
+        .partitionBy($"l_returnflag", pmod($"h", lit(KmvSalts)))
+        .orderBy($"h")
+      val cand = h.withColumn("rn", row_number().over(bySalt))
+        .where($"rn" <= KmvK)
+      // ≤ KmvSalts·KmvK longs per group regardless of corpus size;
+      // get() (0-based, null out of bounds) instead of ANSI element_at —
+      // a group with < k distinct hashes takes the exact-count branch
+      val hk = cand.groupBy($"l_returnflag")
+        .agg(get(array_sort(collect_list($"h")), lit(KmvK - 1)).as("hk"))
+      nd.join(hk, Seq("l_returnflag"))
+        .select($"l_returnflag",
+          when($"nd" < KmvK, $"nd")
+            .otherwise(expr(s"${KmvNum}L div hk")).as(out))
+    }
+    kmv("l_partkey", "approx_parts")
+      .join(kmv("l_orderkey", "approx_orders"), Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
 

@@ -132,6 +132,62 @@ object GraftBridge {
     }
   }
 
+  /** Planned SCAN partition count of a narrow (projection/filter-only)
+    * plan over one leaf, WITHOUT compiling a physical plan or touching
+    * `df.rdd` (ADVICE r14: `rdd.getNumPartitions` compiles a second
+    * physical plan per call, and under AQE would execute upstream
+    * shuffle stages just to read a number). Recognized leaves:
+    *  - a MATERIALIZED cached relation: the cache buffer RDD's actual
+    *    partition count (free once built);
+    *  - a file relation (direct, or behind an unbuilt cache): the
+    *    split-count estimate from the already-listed FileIndex totals
+    *    using Spark's own maxSplitBytes formula — an upper bound (file
+    *    packing only merges), which errs toward "narrow" and never
+    *    misses a genuinely wide scan.
+    * None for any other shape (joins, shuffles, unions) — callers treat
+    * unknown as already-parallel, the identity at scale. */
+  def plannedScanPartitions(spark: SparkSession, df: Dataset[_]): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def fsEstimate(fs: execution.datasources.HadoopFsRelation): Option[Int] = {
+      val conf = spark.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
+      val maxPB = conf.filesMaxPartitionBytes
+      val minPart = conf.filesMinPartitionNum
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val nFiles = fs.location.inputFiles.length
+      if (nFiles == 0) return Some(0)
+      val totalBytes = fs.location.sizeInBytes + openCost * nFiles
+      val bytesPerCore = totalBytes / math.max(1, minPart)
+      val maxSplit = math.min(maxPB, math.max(openCost, bytesPerCore))
+      Some(math.min(Int.MaxValue.toLong,
+        (totalBytes + maxSplit - 1) / math.max(1L, maxSplit)).toInt)
+    }
+    def leaf(p: LogicalPlan): Option[Int] = p match {
+      case Project(_, child) => leaf(child)
+      case Filter(_, child) => leaf(child)
+      case SubqueryAlias(_, child) => leaf(child)
+      case v: View => leaf(v.child)
+      case imr: execution.columnar.InMemoryRelation =>
+        if (imr.cacheBuilder.isCachedColumnBuffersLoaded)
+          Some(imr.cacheBuilder.cachedColumnBuffers.getNumPartitions)
+        else imr.cachedPlan.collectLeaves() match {
+          case Seq(f: execution.FileSourceScanExec) => fsEstimate(f.relation)
+          case _ => None
+        }
+      case lr: execution.datasources.LogicalRelation => lr.relation match {
+        case fs: execution.datasources.HadoopFsRelation => fsEstimate(fs)
+        case _ => None
+      }
+      // driver-local rows plan as a handful of LocalTableScan slices:
+      // narrow by construction
+      case _: LocalRelation => Some(1)
+      case _ => None
+    }
+    // optimizedPlan: cached-relation substitution happens post-analysis,
+    // and the walk must see the InMemoryRelation the execution will use
+    leaf(df.queryExecution.optimizedPlan)
+  }
+
   /** Exact row count of small parquet files from their footers (driver
     * metadata reads, no data pages). None on any surprise. */
   private def parquetRowCount(files: Array[String]): Option[Long] =

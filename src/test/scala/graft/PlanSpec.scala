@@ -230,12 +230,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("unboundedfollowing"),
       s"per-group unbounded window frame crept back:\n$p")
     // the salt expression is projected as _w0 below the window — the
-    // spec must carry it as a partition key next to the group and the
-    // source-column tag (round 14: both KMV columns ride ONE tagged
-    // chain, so the tag is part of the grouping key)
-    assert("windowspecdefinition\\(l_returnflag#\\d+, t#\\d+, _w0#\\d+".r
+    // spec must carry it as a partition key next to the group (round 15
+    // reverted the r14 tagged-union single chain: the quiet A/B has the
+    // two-chain shape 12% faster, so each column's chain windows on
+    // (group, salt) alone)
+    assert("windowspecdefinition\\(l_returnflag#\\d+, _w0#\\d+".r
       .findFirstIn(p).isDefined,
-      s"phase-1 ranking window lost its salt (or the tag key):\n$p")
+      s"phase-1 ranking window lost its salt:\n$p")
   }
 
   test("dedup_spans: coverage filter is the linear positional mask, not per-token array_contains") {
@@ -253,5 +254,47 @@ class PlanSpec extends AnyFunSuite {
       s"language counts must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"tiny aggregates must not shuffle-join:\n$p")
+  }
+
+  test("Tables.spread gates on the planned scan — no jobs, no df.rdd planning pass") {
+    import org.apache.spark.sql.GraftBridge
+    // the three call-site shapes must be RECOGNIZED (narrow scan /
+    // cached scan), or the widen silently stops firing
+    val docs = Tables(spark, sf, "documents")
+    val scanned = GraftBridge.plannedScanPartitions(spark, docs)
+    assert(scanned.exists(_ <= 4), s"single-file scan unrecognized: $scanned")
+    val cached = graft.operators.Vectors.quantized(spark, sf)
+    cached.count() // materialize the cache buffers
+    val cachedParts = GraftBridge.plannedScanPartitions(spark, cached)
+    assert(cachedParts.isDefined,
+      s"materialized cached scan unrecognized: $cachedParts")
+    // a SHUFFLED frame is unknown → spread is the identity, and the
+    // gate itself must run ZERO jobs (the old df.rdd gate under AQE
+    // would execute the upstream shuffle stage just to read the count)
+    val shuffled = docs.groupBy("lang").count()
+    assert(GraftBridge.plannedScanPartitions(spark, shuffled).isEmpty)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = Tables.spread(spark, shuffled)
+      assert(out eq shuffled, "unknown shape must be the identity")
+      val narrow = Tables.spread(spark, docs)
+      GraftBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() == 0, "the spread gate must never run a job")
+      // the narrow single-file scan still widens at real parallelism:
+      // the decision matches the old rdd-based gate at every cpus the
+      // driver benches (8/32); assert the plan carries the round-robin
+      // exchange whenever the gate fired
+      val p = spark.sparkContext.defaultParallelism
+      if (scanned.exists(_ < math.max(2, p / 2)))
+        assert(narrow.queryExecution.logical.toString
+          .contains("Repartition"), "gate fired but no repartition")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 }

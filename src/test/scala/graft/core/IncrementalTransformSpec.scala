@@ -459,6 +459,60 @@ class IncrementalTransformSpec extends AnyFunSuite {
       "scaled retraction must hash-equal the from-scratch build")
   }
 
+  test("non-linear invertible fold declines the expansion above the 64Ki multiplicity cap — exact fallback, hash-equal") {
+    // VERDICT r14 #8: an invertible fold that declares NO linearity
+    // (scaleContrib = None) keeps the exact explode-expansion only
+    // UNDER Ops.RetractMaxExpandMultiplicity; above it the single-task
+    // O(M) array is the OOM shape scaling exists to avoid, so the
+    // distributed retraction must DECLINE — cleanly, to the exact
+    // mini/rebuild fallback — rather than expand. XOR is the canonical
+    // such fold: self-inverse (x ⊕ x = 0, so invert = identity
+    // satisfies fold(xs ++ invert(ys)) == fold(xs ∖ ys) bit-exactly),
+    // but fold(n copies of x) is x·(n mod 2) — no declared scale.
+    val foldXor = FoldSpec.FoldByColumn(Seq(
+      "cnt" -> FoldSpec.FoldSum,
+      "v" -> FoldSpec.CombinableFold("fold_xor_test_v1", c => bit_xor(c),
+        exactTypesOnly = true, invert = Some(identity))))
+    val rekeyConst = ColTransform("rekey_const_xor_v1", Seq("g"),
+      Seq(when(col("k") < lit("k70000"), lit("a")).otherwise(lit("b")).as("g"),
+        lit(1L).as("cnt"), lit(7L).as("v")))
+    val store = new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyxc-"))
+    val ops = new Ops(spark, store, 512)
+    val rows = (0 until 75000).map(i => f"k$i%05d" -> i.toLong)
+    val base = ops.fromDataFrame(df(rows), Seq("k"))
+    val v1 = ops.transform(base, rekeyConst, foldXor)
+    // purge 70000 identical (a, 1, 7) contributions — one net row with
+    // multiplicity 70000 > RetractMaxExpandMultiplicity (64Ki)
+    assert(70000L > Ops.RetractMaxExpandMultiplicity)
+    val delKeys = (0 until 70000).map(i => f"k$i%05d")
+    val merged = ops.patchTable(base, Nil, delKeys.map(Seq(_)))
+    val savedBytes = Ops.DriverPatchMaxBytes
+    Ops.DriverPatchMaxBytes = 1L // force past the driver routes
+    val dist0 = Ops.rekeyRetractDistFoldIns.get()
+    val scaled0 = Ops.rekeyRetractScaledNets.get()
+    val v2 =
+      try ops.transform(merged, rekeyConst, foldXor, prev = Some(v1))
+      finally Ops.DriverPatchMaxBytes = savedBytes
+    assert(Ops.rekeyRetractDistFoldIns.get() == dist0,
+      "over-cap non-linear purge must DECLINE the distributed retraction")
+    assert(Ops.rekeyRetractScaledNets.get() == scaled0,
+      "a fold without scaleContrib must never take the scaled path")
+    // the fallback is exact: group a (k < k70000) is fully purged and
+    // must die; group b (5000 untouched rows) survives — compare the
+    // whole result against a from-scratch build of the surviving rows
+    val got = ops.scan(v2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ops2 = new Ops(spark,
+      new FsStore(graft.core.FsUtil.tempStoreDir("graft-rekeyxc2-")), 512)
+    val scratch = ops2.transform(
+      ops2.fromDataFrame(df(rows.drop(70000)), Seq("k")), rekeyConst, foldXor)
+    val want = ops2.scan(scratch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"fallback result wrong: $got vs $want")
+    assert(v2.hash == scratch.hash,
+      "declined retraction's fallback must hash-equal the from-scratch build")
+  }
+
   test("distributed retraction: over-cap delete delta folds in as frames, group death, three-route hash equality") {
     // VERDICT r12 #1: a delete delta whose changed chunks exceed the
     // driver byte budget must take the DISTRIBUTED retraction
